@@ -1,0 +1,392 @@
+"""The property graph as four DataFrames + batch-first CRUD.
+
+Storage mapping (SURVEY.md §1.3; reference layout at
+docs/key_value_store.adoc:14-33, kv_graph_store.rs:791-847):
+
+- ``vertices(id, prop_hash)`` — adjacency is NOT materialized on the vertex
+  (the reference keeps mutable incoming/outgoing sets on each node record,
+  kv_graph_store.rs:798-802); in Spark adjacency is derived from ``edges``
+  by an equi-join, which avoids mutable state and lets Catalyst pick the
+  join strategy.
+- ``edges(edge_id, src, dst, prop_hash)`` — directed, content-addressed id
+  (duplicate same-endpoints+props edges collapse, kv_graph_store.rs:832-835).
+- ``properties(prop_hash, schema_type, value, tagged)`` — content-addressed,
+  deduplicated, immutable (docs/key_value_store.adoc:59-75). ``value`` is
+  the canonical-JSON payload, ``tagged`` the externally-tagged form used
+  for golden comparisons.
+- ``prop_refs(prop_hash, ref_kind, ref_id)`` — the inverted property index
+  *and* the GC refcount, replacing the reference's ``indexes/<hash>/...``
+  backlink tree (kv_graph_store.rs:372-404). ``ref_kind ∈ {node,edge,prop}``,
+  ``ref_id`` = the referencing element.
+
+Mutations are batch-first and functional: every CRUD call returns a new
+``PropertyGraph`` whose DataFrames are lazy transforms over the old ones.
+The observable end-state matches the reference's per-op upkeep; property GC
+runs as an explicit refcount job (``gc()``) instead of per-op refcounting —
+the right trade at scale (SURVEY.md §7 hard-part 4).
+
+Divergence (implemented per-doc, flagged): ``delete_nodes`` cascades
+incident edges as the docs intend (docs/key_value_store.adoc:543-544); the
+reference code leaves dangling edges (kv_graph_store.rs:584-602).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .hashing import canonical_json, edge_hash, tagged_property
+from .schema import DEFAULT_SCHEMA, Prop, Schema
+
+__all__ = ["PropertyGraph", "GraphBatchBuilder", "NodeExistsError"]
+
+VERTICES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("prop_hash", T.StringType(), False),
+    ]
+)
+EDGES_SCHEMA = T.StructType(
+    [
+        T.StructField("edge_id", T.StringType(), False),
+        T.StructField("src", T.StringType(), False),
+        T.StructField("dst", T.StringType(), False),
+        T.StructField("prop_hash", T.StringType(), False),
+    ]
+)
+PROPERTIES_SCHEMA = T.StructType(
+    [
+        T.StructField("prop_hash", T.StringType(), False),
+        T.StructField("schema_type", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("tagged", T.StringType(), True),
+    ]
+)
+PROP_REFS_SCHEMA = T.StructType(
+    [
+        T.StructField("prop_hash", T.StringType(), False),
+        T.StructField("ref_kind", T.StringType(), False),
+        T.StructField("ref_id", T.StringType(), False),
+    ]
+)
+
+_TABLES = ("vertices", "edges", "properties", "prop_refs")
+
+
+class NodeExistsError(Exception):
+    """Mirror of Error::NodeExists (kv_graph_store.rs:545-547)."""
+
+
+def _prop_rows(prop: Prop, schema: Schema):
+    """properties rows + (prop-nesting) prop_refs rows for one property's
+    nested closure (create_property recursion, kv_graph_store.rs:710-734)."""
+    props = {
+        prop.hash: (prop.hash, prop.schema_type, prop.value_json, prop.tagged_json)
+    }
+    refs = []
+    for parent, child in schema.closure(prop):
+        props[child.hash] = (
+            child.hash,
+            child.schema_type,
+            child.value_json,
+            child.tagged_json,
+        )
+        refs.append((child.hash, "prop", parent.hash))
+    return list(props.values()), refs
+
+
+@dataclass
+class PropertyGraph:
+    spark: SparkSession
+    vertices: DataFrame
+    edges: DataFrame
+    properties: DataFrame
+    prop_refs: DataFrame
+    schema: Schema = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = DEFAULT_SCHEMA
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def empty(spark: SparkSession, schema: Schema | None = None) -> "PropertyGraph":
+        return PropertyGraph(
+            spark,
+            spark.createDataFrame([], VERTICES_SCHEMA),
+            spark.createDataFrame([], EDGES_SCHEMA),
+            spark.createDataFrame([], PROPERTIES_SCHEMA),
+            spark.createDataFrame([], PROP_REFS_SCHEMA),
+            schema or DEFAULT_SCHEMA,
+        )
+
+    @staticmethod
+    def load(spark: SparkSession, path: str, schema: Schema | None = None) -> "PropertyGraph":
+        return PropertyGraph(
+            spark,
+            *(spark.read.parquet(f"{path}/{t}") for t in _TABLES),
+            schema or DEFAULT_SCHEMA,
+        )
+
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        """Persist as parquet. At scale: edges are the big table — write them
+        hash-distributed by ``src`` so out-traversals co-locate, and
+        properties by hash so content lookups prune."""
+        self.vertices.repartition("id").write.mode(mode).parquet(f"{path}/vertices")
+        self.edges.repartition("src").write.mode(mode).parquet(f"{path}/edges")
+        self.properties.repartition("prop_hash").write.mode(mode).parquet(
+            f"{path}/properties"
+        )
+        self.prop_refs.repartition("prop_hash").write.mode(mode).parquet(
+            f"{path}/prop_refs"
+        )
+
+    def cache(self) -> "PropertyGraph":
+        for df in (self.vertices, self.edges, self.properties, self.prop_refs):
+            df.cache()
+        return self
+
+    def _with(self, **tables: DataFrame) -> "PropertyGraph":
+        kwargs = {t: tables.get(t, getattr(self, t)) for t in _TABLES}
+        return PropertyGraph(self.spark, schema=self.schema, **kwargs)
+
+    # -- point reads / listings (PropertyGraphReader, lib.rs:80-104) --------
+
+    def read_node(self, vertex_id: str):
+        return self.vertices.filter(F.col("id") == vertex_id).first()
+
+    def read_edge(self, edge_id: str):
+        return self.edges.filter(F.col("edge_id") == edge_id).first()
+
+    def read_property(self, prop_hash: str):
+        return self.properties.filter(F.col("prop_hash") == prop_hash).first()
+
+    def node_adjacency(self, vertex_ids: Sequence[str]) -> DataFrame:
+        """Derived incoming/outgoing edge sets (the reference materializes
+        these on the node record; we derive them with one pass over edges)."""
+        ids = self.spark.createDataFrame([(v,) for v in vertex_ids], "id string")
+        out = (
+            self.edges.join(F.broadcast(ids), F.col("src") == F.col("id"))
+            .select("id", F.col("edge_id"), F.lit("outgoing").alias("direction"))
+        )
+        inc = (
+            self.edges.join(F.broadcast(ids), F.col("dst") == F.col("id"))
+            .select("id", F.col("edge_id"), F.lit("incoming").alias("direction"))
+        )
+        return out.unionByName(inc)
+
+    # -- CRUD (GraphStore, kv_graph_store.rs:531-752) ------------------------
+
+    def _assert_new_node_ids(self, ids: list[str]) -> None:
+        ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
+        clash = self.vertices.join(F.broadcast(ids_df), "id", "leftsemi").limit(1).collect()
+        if clash:
+            raise NodeExistsError(f"node {clash[0]['id']} already exists")
+
+    def create_nodes(
+        self, items: Iterable[tuple[Optional[str], Prop]]
+    ) -> tuple["PropertyGraph", list[str]]:
+        """Batch create_node (kv_graph_store.rs:531-553): errors if any id
+        exists, dedups property content, writes index backlinks."""
+        b = GraphBatchBuilder(self.schema)
+        ids = [b.add_node(prop, id=vid) for vid, prop in items]
+        self._assert_new_node_ids(ids)
+        v, e, p, r = b.frames(self.spark)
+        return (
+            self._with(
+                vertices=self.vertices.unionByName(v),
+                properties=self.properties.unionByName(p).dropDuplicates(["prop_hash"]),
+                prop_refs=self.prop_refs.unionByName(r).dropDuplicates(),
+            ),
+            ids,
+        )
+
+    def update_nodes(
+        self, items: Iterable[tuple[str, Prop]]
+    ) -> "PropertyGraph":
+        """Batch update_node (kv_graph_store.rs:555-582): swap the node's
+        property; old property rows become garbage collected by ``gc()``."""
+        items = list(items)
+        b = GraphBatchBuilder(self.schema)
+        for vid, prop in items:
+            b.add_node(prop, id=vid)
+        v, _, p, r = b.frames(self.spark)
+        new_v = v.select("id", "prop_hash")
+        vertices = (
+            self.vertices.join(F.broadcast(new_v.select("id")), "id", "leftanti")
+            .unionByName(new_v)
+        )
+        # drop the old node->prop backlinks, add the new ones
+        old_refs = self.vertices.join(F.broadcast(new_v.select("id")), "id", "leftsemi")
+        prop_refs = (
+            self.prop_refs.join(
+                F.broadcast(
+                    old_refs.select(
+                        F.col("prop_hash"), F.lit("node").alias("ref_kind"), F.col("id").alias("ref_id")
+                    )
+                ),
+                ["prop_hash", "ref_kind", "ref_id"],
+                "leftanti",
+            )
+            .unionByName(r)
+            .dropDuplicates()
+        )
+        return self._with(
+            vertices=vertices,
+            properties=self.properties.unionByName(p).dropDuplicates(["prop_hash"]),
+            prop_refs=prop_refs,
+        )
+
+    def delete_nodes(self, vertex_ids: Sequence[str], cascade: bool = True) -> "PropertyGraph":
+        """Batch delete_node. ``cascade=True`` removes incident edges — the
+        *documented* behavior (docs/key_value_store.adoc:543-544); the
+        reference code leaves them dangling (kv_graph_store.rs:584-602) —
+        pass ``cascade=False`` to replicate that."""
+        ids = self.spark.createDataFrame([(v,) for v in vertex_ids], "id string")
+        vertices = self.vertices.join(F.broadcast(ids), "id", "leftanti")
+        refs_gone = self.prop_refs.join(
+            F.broadcast(ids.select(F.col("id").alias("ref_id"))), "ref_id", "leftanti"
+        ).unionByName(
+            self.prop_refs.join(
+                F.broadcast(ids.select(F.col("id").alias("ref_id"))), "ref_id", "leftsemi"
+            ).filter(F.col("ref_kind") != "node")
+        )
+        g = self._with(vertices=vertices, prop_refs=refs_gone)
+        if cascade:
+            doomed = (
+                self.edges.join(F.broadcast(ids), F.col("src") == F.col("id"), "leftsemi")
+                .unionByName(
+                    self.edges.join(F.broadcast(ids), F.col("dst") == F.col("id"), "leftsemi")
+                )
+                .select("edge_id")
+                .distinct()
+            )
+            g = g._delete_edges_df(doomed)
+        return g
+
+    def create_edges(
+        self, items: Iterable[tuple[str, str, Prop]]
+    ) -> tuple["PropertyGraph", list[str]]:
+        """Batch create_edge (kv_graph_store.rs:604-655). Content-addressed
+        ids: duplicate (src, dst, props) collapse to one edge. No adjacency
+        upkeep needed (derived)."""
+        b = GraphBatchBuilder(self.schema)
+        ids = [b.add_edge(s, d, prop) for s, d, prop in items]
+        _, e, p, r = b.frames(self.spark)
+        return (
+            self._with(
+                edges=self.edges.unionByName(e).dropDuplicates(["edge_id"]),
+                properties=self.properties.unionByName(p).dropDuplicates(["prop_hash"]),
+                prop_refs=self.prop_refs.unionByName(r).dropDuplicates(),
+            ),
+            ids,
+        )
+
+    def _delete_edges_df(self, edge_ids: DataFrame) -> "PropertyGraph":
+        edges = self.edges.join(
+            F.broadcast(edge_ids.select("edge_id")), "edge_id", "leftanti"
+        )
+        prop_refs = self.prop_refs.join(
+            F.broadcast(edge_ids.select(F.col("edge_id").alias("ref_id"))),
+            "ref_id",
+            "leftanti",
+        ).unionByName(
+            self.prop_refs.join(
+                F.broadcast(edge_ids.select(F.col("edge_id").alias("ref_id"))),
+                "ref_id",
+                "leftsemi",
+            ).filter(F.col("ref_kind") != "edge")
+        )
+        return self._with(edges=edges, prop_refs=prop_refs)
+
+    def delete_edges(self, edge_ids: Sequence[str]) -> "PropertyGraph":
+        ids = self.spark.createDataFrame([(e,) for e in edge_ids], "edge_id string")
+        return self._delete_edges_df(ids)
+
+    def gc(self, max_iters: int = 10) -> "PropertyGraph":
+        """Refcount GC of unreferenced properties as a batch job.
+
+        The reference refcounts per-op via index backlinks
+        (kv_graph_store.rs:388-404,736-752); at scale a periodic anti-join
+        fixpoint is cheaper. A property is live iff it has ≥1 prop_refs row;
+        deleting a dead parent drops its nesting refs, which may orphan
+        children — iterate to fixpoint (depth = nesting depth, tiny)."""
+        properties, prop_refs = self.properties, self.prop_refs
+        for _ in range(max_iters):
+            dead = properties.join(
+                prop_refs.select("prop_hash").distinct(), "prop_hash", "leftanti"
+            ).select("prop_hash")
+            if dead.isEmpty():
+                break
+            dead = dead.cache()
+            properties = properties.join(dead, "prop_hash", "leftanti")
+            prop_refs = prop_refs.join(
+                dead.select(F.col("prop_hash").alias("ref_id")), "ref_id", "leftanti"
+            )
+        return self._with(properties=properties, prop_refs=prop_refs)
+
+    # -- integrity (planned CLI db_info/doctor, backends_filestore.adoc) ----
+
+    def db_info(self) -> dict:
+        return {
+            "nodes": self.vertices.count(),
+            "edges": self.edges.count(),
+            "properties": self.properties.count(),
+            "prop_refs": self.prop_refs.count(),
+        }
+
+
+class GraphBatchBuilder:
+    """Accumulate nodes/edges driver-side, emit the four DataFrames.
+
+    This is the literal/ingest path (GraphBuilder trait, lib.rs:67-77).
+    For bulk ingest from existing DataFrames use
+    ``gravitydb_spark.sources.ingest`` instead — this builder is for
+    fixtures, tests, and small CRUD batches.
+    """
+
+    def __init__(self, schema: Schema | None = None):
+        self.schema = schema or DEFAULT_SCHEMA
+        self._vertices: list[tuple[str, str]] = []
+        self._edges: dict[str, tuple[str, str, str, str]] = {}
+        self._properties: dict[str, tuple[str, str, str, str]] = {}
+        self._prop_refs: set[tuple[str, str, str]] = set()
+
+    def _register_prop(self, prop: Prop) -> str:
+        props, refs = _prop_rows(prop, self.schema)
+        for row in props:
+            self._properties[row[0]] = row
+        self._prop_refs.update(refs)
+        return prop.hash
+
+    def add_node(self, prop: Prop, id: Optional[str] = None) -> str:
+        vid = id or str(uuid.uuid4())
+        ph = self._register_prop(prop)
+        self._vertices.append((vid, ph))
+        self._prop_refs.add((ph, "node", vid))
+        return vid
+
+    def add_edge(self, src: str, dst: str, prop: Prop) -> str:
+        ph = self._register_prop(prop)
+        eid = edge_hash(src, dst, ph)
+        self._edges[eid] = (eid, src, dst, ph)
+        self._prop_refs.add((ph, "edge", eid))
+        return eid
+
+    def frames(
+        self, spark: SparkSession
+    ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+        return (
+            spark.createDataFrame(self._vertices, VERTICES_SCHEMA),
+            spark.createDataFrame(list(self._edges.values()), EDGES_SCHEMA),
+            spark.createDataFrame(list(self._properties.values()), PROPERTIES_SCHEMA),
+            spark.createDataFrame(sorted(self._prop_refs), PROP_REFS_SCHEMA),
+        )
+
+    def build(self, spark: SparkSession) -> PropertyGraph:
+        v, e, p, r = self.frames(spark)
+        return PropertyGraph(spark, v, e, p, r, self.schema)
