@@ -326,7 +326,7 @@ class PropertyGraph:
             properties = properties.join(dead, "prop_hash", "leftanti")
             prop_refs = prop_refs.join(
                 dead.select(F.col("prop_hash").alias("ref_id")), "ref_id", "leftanti"
-            )
+            ).select("prop_hash", "ref_kind", "ref_id")
         return self._with(properties=properties, prop_refs=prop_refs)
 
     # -- integrity (planned CLI db_info/doctor, backends_filestore.adoc) ----

@@ -1,0 +1,4 @@
+from .graphml import import_graphml
+from .ingest import ingest_graph, prop_hash_col, tagged_json_col
+
+__all__ = ["import_graphml", "ingest_graph", "prop_hash_col", "tagged_json_col"]

@@ -1,0 +1,74 @@
+"""GraphML importer.
+
+Mirrors the reference importer's behavior (import/graphml.rs:7-165): walk
+``<node id=...>`` / ``<edge source=... target=...>`` elements, map the raw
+string id through a pluggable ``node_key_mapper`` (default: stable fresh
+uuid per distinct id), map each element's *inner XML* through a pluggable
+``prop_mapper`` (default: parse the single child element ``<Tag>text</Tag>``
+into ``Prop(Tag, text)``), and create nodes/edges.
+
+Parsing is driver-side (GraphML files are metadata-sized); the resulting
+graph lives in DataFrames. For bulk data use ``sources.ingest`` instead.
+"""
+
+from __future__ import annotations
+
+import uuid
+import xml.etree.ElementTree as ET
+from typing import Callable, Optional
+
+from pyspark.sql import SparkSession
+
+from ..graph import GraphBatchBuilder, PropertyGraph
+from ..schema import Prop, Schema
+
+__all__ = ["import_graphml", "default_prop_mapper", "uuid_mapper"]
+
+
+def uuid_mapper(raw_id: str, mappings: dict[str, str]) -> str:
+    """Stable fresh uuid per distinct GraphML id (graphml.rs:90-97)."""
+    if raw_id not in mappings:
+        mappings[raw_id] = str(uuid.uuid4())
+    return mappings[raw_id]
+
+
+def default_prop_mapper(element: ET.Element) -> Prop:
+    """Parse ``<Tag>text</Tag>`` inner content into ``Prop(Tag, text)`` —
+    the serde `from_str::<Schema>` pattern of the reference test
+    (tests/test_import_graphml.rs)."""
+    children = list(element)
+    if len(children) == 1:
+        child = children[0]
+        return Prop(child.tag, child.text)
+    if element.text and element.text.strip():
+        return Prop("Value", element.text.strip())
+    raise ValueError(f"cannot map properties of <{element.tag}>")
+
+
+def import_graphml(
+    spark: SparkSession,
+    xml_data: str,
+    node_key_mapper: Callable[[str, dict], str] = uuid_mapper,
+    prop_mapper: Callable[[ET.Element], Prop] = default_prop_mapper,
+    schema: Optional[Schema] = None,
+) -> tuple[PropertyGraph, dict[str, str]]:
+    """Import a GraphML document; returns (graph, raw-id → vertex-id map)."""
+    root = ET.fromstring(xml_data)
+    graph_el = root if root.tag.endswith("graph") else root.find(".//graph")
+    if graph_el is None:
+        raise ValueError("no <graph> element found")
+
+    b = GraphBatchBuilder(schema)
+    mappings: dict[str, str] = {}
+    for el in graph_el:
+        tag = el.tag.rsplit("}", 1)[-1]  # tolerate namespaces
+        if tag == "node":
+            raw = el.attrib["id"]
+            b.add_node(prop_mapper(el), id=node_key_mapper(raw, mappings))
+        elif tag == "edge":
+            src = node_key_mapper(el.attrib["source"], mappings)
+            dst = node_key_mapper(el.attrib["target"], mappings)
+            b.add_edge(src, dst, prop_mapper(el))
+        else:
+            raise ValueError(f"unexpected element <{tag}>")
+    return b.build(spark), mappings

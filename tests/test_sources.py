@@ -1,0 +1,81 @@
+"""GraphML import (FIXTURES.md §4) + bulk-ingest hash parity."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from gravitydb_spark import Prop, execute
+from gravitydb_spark.ql import eq_all, vq_all
+from gravitydb_spark.sources import import_graphml, ingest_graph
+from gravitydb_spark.sources.ingest import edge_hash_col, prop_hash_col
+from gravitydb_spark.hashing import edge_hash, prop_hash
+
+GRAPHML = """
+<graph>
+    <node id="1"><Label>Node 1</Label></node>
+    <node id="2"><Label>Node 2</Label></node>
+    <edge source="1" target="2"><Label>Edge from Node 1 to Node 2</Label></edge>
+</graph>
+"""
+
+
+def test_import_simple_graphml(spark):
+    g, mappings = import_graphml(spark, GRAPHML)
+    assert len(mappings) == 2
+
+    res = execute(g, vq_all())
+    got = sorted(r["tagged"] for r in res.extract_properties().collect())
+    assert got == [
+        json.dumps({"Label": f"Node {i}"}, separators=(",", ":")) for i in (1, 2)
+    ]
+
+    res = execute(g, eq_all())
+    got = [r["tagged"] for r in res.extract_properties().collect()]
+    assert got == [
+        json.dumps({"Label": "Edge from Node 1 to Node 2"}, separators=(",", ":"))
+    ]
+
+
+def test_bulk_ingest_hash_parity(spark, cocktail_graph):
+    """Spark-side sha2(tagged JSON) must equal Python-side hashing for
+    every property value in the cocktail fixture (incl. non-ASCII
+    'crème de cacao') and for edge hashes."""
+    from tests.fixtures.cocktail_data import NODES
+
+    pdf = spark.createDataFrame(
+        [(kind, value) for _, kind, value in NODES], "schema_type string, payload string"
+    )
+    got = pdf.select(
+        "schema_type",
+        "payload",
+        prop_hash_col(F.col("schema_type"), F.col("payload")).alias("h"),
+    ).collect()
+    for r in got:
+        assert r["h"] == prop_hash(r["schema_type"], r["payload"]), r
+
+    e = spark.createDataFrame(
+        [("a", "b", prop_hash("Includes"))], "src string, dst string, ph string"
+    ).select(edge_hash_col(F.col("src"), F.col("dst"), F.col("ph")).alias("h"))
+    assert e.first()["h"] == edge_hash("a", "b", prop_hash("Includes"))
+
+
+def test_ingest_graph_matches_builder(spark, cocktail_graph):
+    """Bulk-ingesting the cocktail fixture must produce the exact same four
+    tables as the row-at-a-time GraphBatchBuilder."""
+    from tests.fixtures.cocktail_data import EDGES, NODES
+    from tests.fixtures.cocktails import node_id
+
+    vertices = spark.createDataFrame(
+        [(node_id(var), kind, value) for var, kind, value in NODES],
+        "id string, schema_type string, payload string",
+    )
+    edges = spark.createDataFrame(
+        [(node_id(s), node_id(d), et, None) for s, d, et in EDGES],
+        "src string, dst string, schema_type string, payload string",
+    )
+    g2 = ingest_graph(spark, vertices, edges)
+
+    for table in ("vertices", "edges", "properties", "prop_refs"):
+        a = sorted(tuple(r) for r in getattr(cocktail_graph, table).collect())
+        b = sorted(tuple(r) for r in getattr(g2, table).collect())
+        assert a == b, f"{table} mismatch"
