@@ -1,0 +1,66 @@
+"""Query registry: every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) is registered here with
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame``
+- an equivalent DuckDB oracle SQL string (or None for genuinely
+  non-SQL-expressible ops, which get a weaker rows-only check)
+
+``__spark_entry__.py`` re-exports these as ``queries()`` / ``oracle_sql()``.
+
+Cross-engine parity rules (so value hashes match):
+- every computed column is aliased identically on both sides
+- doubles are rounded (2-4 dp) on both sides; oracle casts DuckDB HUGEINT
+  sums to BIGINT and decimals to DOUBLE
+- timestamps are returned as formatted strings, never raw
+- fold-order-sensitive float math (dot products) uses the same left-fold
+  on both sides so IEEE results are bit-identical
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["REGISTRY", "register", "queries", "oracle_sql", "load"]
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def _ensure_loaded() -> None:
+    """Import all modules that register queries."""
+    from . import graph_queries  # noqa: F401
+    from . import relational_queries  # noqa: F401
+    from . import pipeline_queries  # noqa: F401

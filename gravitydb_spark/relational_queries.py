@@ -1,0 +1,412 @@
+"""Relational/analytics queries over the TPC-H-ish tables.
+
+The reference has NO first-class aggregations/windows/sorts (SURVEY.md
+§2.5-2.7) — its tests compute them host-side. Here they are Catalyst plans:
+partial aggregation map-side, broadcast joins for dimensions, window
+functions for deterministic top-k. These are the headline BENCH queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.5 made first-class)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity)::DOUBLE, 2)                                   AS sum_qty,
+           round(sum(l_extendedprice)::DOUBLE, 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount))::DOUBLE, 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))::DOUBLE, 2) AS sum_charge,
+           round(avg(l_quantity)::DOUBLE, 4)                                   AS avg_qty,
+           round(avg(l_extendedprice)::DOUBLE, 4)                              AS avg_price,
+           round(avg(l_discount)::DOUBLE, 4)                                   AS avg_disc,
+           count(*)::BIGINT                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: two-column groupBy, 8 aggregates. One shuffle;
+    partial aggregation happens map-side automatically."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount))::DOUBLE, 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter broadcast into the fact
+    join, then top-k with deterministic tiebreak."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount))::DOUBLE, 2) AS revenue
+    FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; dimensions broadcast, facts shuffle once."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "agg_order_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           count(DISTINCT o_custkey)::BIGINT AS n_customers,
+           round(avg(o_totalprice)::DOUBLE, 4) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count + distinct-count + avg per group (distinct agg expands to a
+    two-phase plan under AQE)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT coalesce(r.r_name, 'ALL') AS region_name,
+           coalesce(n.n_name, 'ALL') AS nation_name,
+           count(*)::BIGINT AS n_customers,
+           round(sum(c.c_acctbal)::DOUBLE, 2) AS total_acctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set rollup — absent in the reference (SURVEY.md §2.5),
+    free via Catalyst's Expand."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k / windows (SURVEY.md §2.6-2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_parts_by_quantity",
+    oracle="""
+    SELECT l_partkey, round(sum(l_quantity)::DOUBLE, 2) AS total_qty
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY total_qty DESC, l_partkey ASC LIMIT 10
+    """,
+)
+def topk_parts_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with the reference tests' deterministic tiebreak (count desc,
+    key asc — gravitydb-test-utils/src/lib.rs:298-312). Spark executes
+    orderBy+limit as TakeOrderedAndProject (no full sort)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 2)
+             AS running_total
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total analytic window (frame spec), absent in reference."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("running_total", F.round(F.sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "running_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time-series / JSON / sessionization (streaming-shaped, batch SQL)
+#
+# The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects; we read it with nanosAsLong and do exact integer-epoch
+# arithmetic (ns ~1.7e18 does NOT fit a double's 53-bit mantissa, so
+# float division would corrupt timestamps — integer DIV only). This also
+# makes results timezone-free on both engines.
+# ---------------------------------------------------------------------------
+
+NS_PER_HOUR = 3_600_000_000_000
+NS_PER_SEC = 1_000_000_000
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@register(
+    "events_hourly_rollup",
+    oracle=f"""
+    SELECT (epoch_ns(ts) // {NS_PER_HOUR}) * 3600 AS hour_epoch_s,
+           event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value)::DOUBLE, 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: tumbling 1h windows batch-side
+    (the streaming twin is stream_hourly_rollup)."""
+    return (
+        load_events(spark, sf_dir)
+        .groupBy(
+            (F.expr(f"ts DIV {NS_PER_HOUR}") * 3600).alias("hour_epoch_s"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(avg(json_extract_string(props, '$.k')::INT)::DOUBLE, 4) AS avg_k,
+           max(json_extract_string(props, '$.k')::INT)::BIGINT AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property access (the reference's properties are
+    JSON blobs — schema.rs:72-83; here: JSON functions in the scan)."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).cast("long").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch_ns(ts) // {NS_PER_SEC}
+                    - lag(epoch_ns(ts) // {NS_PER_SEC})
+                        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                    > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                     IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id,
+           sum(new_session)::BIGINT AS n_sessions,
+           count(*)::BIGINT AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap>30min — the classic window idiom."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    sec = F.expr(f"ts DIV {NS_PER_SEC}")
+    prev = F.lag(sec).over(w)
+    new_session = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    return (
+        load_events(spark, sf_dir)
+        .withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range scan + pruning (PropertyQuery::FromTo's relational face, §2.1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_shipdate_scan",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           count(*)::BIGINT AS n,
+           round(sum(l_extendedprice)::DOUBLE, 2) AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def range_shipdate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate pushed to the parquet scan (check PushedFilters in
+    .explain) — the FromTo range-scan capability at relational scale."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+        )
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )

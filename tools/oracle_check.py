@@ -1,0 +1,109 @@
+"""Local mirror of the driver's correctness gate: run every registered
+query on Spark AND its DuckDB oracle on the same parquet, compare
+row-count + sorted-column schema + exact values.
+
+Usage: python tools/oracle_check.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(round(v, 9))
+            elif v is None:
+                v = "NULL"
+            else:
+                v = str(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from gravitydb_spark.registry import oracle_sql, queries
+    from gravitydb_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle_check")
+    con = duck_con(sf_dir)
+    qs, os_ = queries(), oracle_sql()
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"✗ {name}: spark error {str(e)[:300]}")
+            continue
+        sql = os_.get(name)
+        if sql is None:
+            print(f"~ {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        try:
+            ddf = con.sql(sql)
+            d_cols = ddf.columns
+            d_rows = ddf.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"✗ {name}: duckdb error {str(e)[:300]}")
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            failures.append((name, f"schema {sorted(s_cols)} != {sorted(d_cols)}"))
+            print(f"✗ {name}: schema mismatch {sorted(s_cols)} vs {sorted(d_cols)}")
+            continue
+        a, b = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
+        if len(a) != len(b):
+            failures.append((name, f"rowcount {len(a)} != {len(b)}"))
+            print(f"✗ {name}: rowcount {len(a)} vs {len(b)}")
+            continue
+        if a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            failures.append((name, f"values differ, e.g. {diff}"))
+            print(f"✗ {name}: value mismatch, e.g. {diff}")
+            continue
+        print(f"✓ {name} ({len(a)} rows)")
+
+    print(f"\n{len(failures)} failures / {len(qs)} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
