@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship query (graph traversal + revenue rollup) at
+sf0.001; ``queries()`` / ``oracle_sql()`` expose every implemented
+operator from SURVEY.md §2 plus the training-data-pipeline operators,
+each with a DuckDB oracle (see gravitydb_spark/registry.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: customers in region EUROPE found by a two-hop zoe graph
+    traversal (Region ← PartOf ← Nation ← LocatedIn ← Customer), joined to
+    their orders for a per-nation revenue rollup."""
+    from gravitydb_spark.graph_queries import _customers_in_region, tpch_graph
+    from gravitydb_spark.plans.compiler import execute
+    from gravitydb_spark.registry import load
+
+    sf_dir = "/root/testdata/sf0.001"
+    g = tpch_graph(spark, sf_dir)
+    europe_customers = execute(g, _customers_in_region("EUROPE")).vertices
+
+    custkeys = europe_customers.select(
+        F.substring("id", 2, 100).cast("long").alias("c_custkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(custkeys, o.o_custkey == custkeys.c_custkey)
+        .join(c, "c_custkey")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from gravitydb_spark.registry import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gravitydb_spark.registry import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,1 +1,455 @@
-"""Graph-engine queries (placeholder, filled in below)."""
+"""Graph-engine queries for the correctness gate.
+
+Each query builds a deterministic property graph from the TPC-H-ish tables
+(bulk ``ingest_graph`` — customers/suppliers/nations/regions as typed
+vertices; LocatedIn / PartOf edges), runs a zoe-AST query through the
+Catalyst compiler, and returns *business-attribute* columns so a plain-SQL
+DuckDB oracle can verify the result. This exercises every operator family
+of SURVEY.md §2 end-to-end: scans, point lookups, property-index lookups,
+range scans, traversals both directions, all four set ops, filters, store,
+property chaining, path extraction, hulls, and db_info.
+
+Vertex ids: ``c<custkey> / s<suppkey> / n<nationkey> / r<regionkey>``.
+Property payloads: the entity names (c_name / s_name / n_name / r_name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .hashing import prop_hash
+from .operators.hull import outer_hull
+from .plans.compiler import execute
+from .ql import ExprFilter, pq_from_id, pq_from_to, vq_all, vq_from_ids
+from .registry import load, register
+from .schema import Prop
+from .sources.ingest import ingest_graph
+
+# ---------------------------------------------------------------------------
+# Graph construction (cached per sf_dir within a session)
+# ---------------------------------------------------------------------------
+
+_graph_cache: dict = {}
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str):
+    key = (id(spark._jsparkSession), sf_dir)
+    if key in _graph_cache:
+        return _graph_cache[key]
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+
+    def vid(prefix, col):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    vertices = (
+        c.select(vid("c", "c_custkey").alias("id"), F.lit("Customer").alias("schema_type"), F.col("c_name").alias("payload"))
+        .unionByName(s.select(vid("s", "s_suppkey").alias("id"), F.lit("Supplier").alias("schema_type"), F.col("s_name").alias("payload")))
+        .unionByName(n.select(vid("n", "n_nationkey").alias("id"), F.lit("Nation").alias("schema_type"), F.col("n_name").alias("payload")))
+        .unionByName(r.select(vid("r", "r_regionkey").alias("id"), F.lit("Region").alias("schema_type"), F.col("r_name").alias("payload")))
+    )
+    edges = (
+        c.select(vid("c", "c_custkey").alias("src"), vid("n", "c_nationkey").alias("dst"), F.lit("LocatedIn").alias("schema_type"), F.lit(None).cast("string").alias("payload"))
+        .unionByName(s.select(vid("s", "s_suppkey").alias("src"), vid("n", "s_nationkey").alias("dst"), F.lit("LocatedIn").alias("schema_type"), F.lit(None).cast("string").alias("payload")))
+        .unionByName(n.select(vid("n", "n_nationkey").alias("src"), vid("r", "n_regionkey").alias("dst"), F.lit("PartOf").alias("schema_type"), F.lit(None).cast("string").alias("payload")))
+    )
+    g = ingest_graph(spark, vertices, edges).cache()
+    _graph_cache[key] = g
+    return g
+
+
+# query-builder sugar shared by several queries
+def _prop(schema_type: str, payload=None):
+    return pq_from_id(Prop(schema_type, payload).hash)
+
+
+def _typed_vertices(type_name: str):
+    """SchemaType(T).referencing_properties().referencing_vertices()"""
+    return _prop("SchemaType", type_name).referencing_properties().referencing_vertices()
+
+
+def _customers_in_nation(nation_name: str):
+    """Nation(X).referencing_vertices().ingoing(LocatedIn).ingoing() ∩ Customer"""
+    return (
+        _prop("Nation", nation_name)
+        .referencing_vertices()
+        .ingoing(_prop("LocatedIn"))
+        .ingoing()
+        .intersect(_typed_vertices("Customer"))
+    )
+
+
+def _customers_in_region(region_name: str):
+    """two-hop: Region → PartOf⁻¹ → Nation → LocatedIn⁻¹ → {Customer}"""
+    return (
+        _prop("Region", region_name)
+        .referencing_vertices()
+        .ingoing(_prop("PartOf"))
+        .ingoing()
+        .ingoing(_prop("LocatedIn"))
+        .ingoing()
+        .intersect(_typed_vertices("Customer"))
+    )
+
+
+def _ids(result) -> DataFrame:
+    return result.vertices.select("id")
+
+
+# ---------------------------------------------------------------------------
+# Scans & lookups (§2.1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_vq_all",
+    oracle="""
+    SELECT 'c' || c_custkey AS id FROM customer
+    UNION ALL SELECT 's' || s_suppkey FROM supplier
+    UNION ALL SELECT 'n' || n_nationkey FROM nation
+    UNION ALL SELECT 'r' || r_regionkey FROM region
+    """,
+)
+def g_vq_all(spark, sf_dir):
+    """VertexQuery::All — full vertex scan (kv_graph_store.rs:146-150)."""
+    return _ids(execute(tpch_graph(spark, sf_dir), vq_all()))
+
+
+@register(
+    "g_vq_specific",
+    oracle="""
+    SELECT 'c' || c_custkey AS id FROM customer WHERE c_custkey IN (1, 2, 3)
+    """,
+)
+def g_vq_specific(spark, sf_dir):
+    """VertexQuery::Specific — point lookups by id list."""
+    return _ids(execute(tpch_graph(spark, sf_dir), vq_from_ids(["c1", "c2", "c3"])))
+
+
+@register(
+    "g_vq_property",
+    oracle="SELECT 'n' || n_nationkey AS id FROM nation WHERE n_name = 'NATION_3'",
+)
+def g_vq_property(spark, sf_dir):
+    """VertexQuery::Property — inverted property-index lookup."""
+    q = _prop("Nation", "NATION_3").referencing_vertices()
+    return _ids(execute(tpch_graph(spark, sf_dir), q))
+
+
+@register(
+    "g_eq_all",
+    oracle="""
+    SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer
+    UNION ALL SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+    UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+    """,
+)
+def g_eq_all(spark, sf_dir):
+    """EdgeQuery::All — full edge scan, mapped back to endpoints."""
+    g = tpch_graph(spark, sf_dir)
+    from .ql import eq_all
+
+    res = execute(g, eq_all())
+    return res.edges.join(g.edges, res.edges.id == g.edges.edge_id).select("src", "dst")
+
+
+@register(
+    "g_eq_property",
+    oracle="SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst FROM nation",
+)
+def g_eq_property(spark, sf_dir):
+    """EdgeQuery::Property — edges having the PartOf label (broadcast
+    semi-join against the one-row property dimension)."""
+    g = tpch_graph(spark, sf_dir)
+    res = execute(g, _prop("PartOf").referencing_edges())
+    return res.edges.join(g.edges, res.edges.id == g.edges.edge_id).select("src", "dst")
+
+
+@register(
+    "g_pq_fromto",
+    oracle="""
+    WITH all_props AS (
+      SELECT DISTINCT sha256('{"Customer":"' || c_name || '"}') AS prop_hash FROM customer
+      UNION SELECT DISTINCT sha256('{"Supplier":"' || s_name || '"}') FROM supplier
+      UNION SELECT DISTINCT sha256('{"Nation":"' || n_name || '"}') FROM nation
+      UNION SELECT DISTINCT sha256('{"Region":"' || r_name || '"}') FROM region
+      UNION SELECT sha256(x) FROM (SELECT unnest(['"LocatedIn"', '"PartOf"',
+        '{"SchemaType":"Customer"}', '{"SchemaType":"Supplier"}',
+        '{"SchemaType":"Nation"}', '{"SchemaType":"Region"}',
+        '{"SchemaType":"LocatedIn"}', '{"SchemaType":"PartOf"}']) AS x))
+    SELECT prop_hash FROM all_props
+    WHERE prop_hash >= '0' AND prop_hash <= '4'
+    """,
+)
+def g_pq_fromto(spark, sf_dir):
+    """PropertyQuery::FromTo — range scan over ordered property ids
+    (kv_graph_store.rs:336-340; documented range semantics)."""
+    res = execute(tpch_graph(spark, sf_dir), pq_from_to("0", "4"))
+    return res.properties.select("prop_hash")
+
+
+# ---------------------------------------------------------------------------
+# Traversals (§2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_traverse_out",
+    oracle="SELECT DISTINCT 'n' || c_nationkey AS id FROM customer",
+)
+def g_traverse_out(spark, sf_dir):
+    """Customer vertices → outgoing LocatedIn edges → target nations
+    (EdgeQuery::Out + VertexQuery::Out, kv_graph_store.rs:271-285,192-199)."""
+    q = _typed_vertices("Customer").outgoing(_prop("LocatedIn")).outgoing()
+    return _ids(execute(tpch_graph(spark, sf_dir), q))
+
+
+@register(
+    "g_traverse_in",
+    oracle="""
+    SELECT 'c' || c_custkey AS id FROM customer
+    JOIN nation ON n_nationkey = c_nationkey WHERE n_name = 'NATION_3'
+    """,
+)
+def g_traverse_in(spark, sf_dir):
+    """Reverse traversal: nation ← LocatedIn ← {customers}, intersected
+    with the Customer type tag (suppliers excluded)."""
+    return _ids(execute(tpch_graph(spark, sf_dir), _customers_in_nation("NATION_3")))
+
+
+@register(
+    "g_two_hop",
+    oracle="""
+    SELECT 'c' || c_custkey AS id FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+)
+def g_two_hop(spark, sf_dir):
+    """Two-hop reverse traversal through the nation layer."""
+    return _ids(execute(tpch_graph(spark, sf_dir), _customers_in_region("EUROPE")))
+
+
+# ---------------------------------------------------------------------------
+# Set algebra (§2.4)
+# ---------------------------------------------------------------------------
+
+_CUST_IN_NATION_SQL = """
+    SELECT 'c' || c_custkey AS id FROM customer
+    JOIN nation ON n_nationkey = c_nationkey WHERE n_name = '{n}'
+"""
+
+
+@register(
+    "g_set_union",
+    oracle=f"{_CUST_IN_NATION_SQL.format(n='NATION_3')} UNION {_CUST_IN_NATION_SQL.format(n='NATION_7')}",
+)
+def g_set_union(spark, sf_dir):
+    q = _customers_in_nation("NATION_3").union(_customers_in_nation("NATION_7"))
+    return _ids(execute(tpch_graph(spark, sf_dir), q))
+
+
+@register(
+    "g_set_intersect",
+    oracle=_CUST_IN_NATION_SQL.format(n="NATION_3"),
+)
+def g_set_intersect(spark, sf_dir):
+    """EUROPE customers ∩ NATION_3 customers = NATION_3 customers
+    (NATION_3 is in EUROPE)."""
+    q = _customers_in_region("EUROPE").intersect(_customers_in_nation("NATION_3"))
+    return _ids(execute(tpch_graph(spark, sf_dir), q))
+
+
+@register(
+    "g_set_subtract",
+    oracle="""
+    SELECT 'c' || c_custkey AS id FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE' AND n_name != 'NATION_3'
+    """,
+)
+def g_set_subtract(spark, sf_dir):
+    q = _customers_in_region("EUROPE").substract(_customers_in_nation("NATION_3"))
+    return _ids(execute(tpch_graph(spark, sf_dir), q))
+
+
+@register(
+    "g_set_disjunctive_union",
+    oracle=f"{_CUST_IN_NATION_SQL.format(n='NATION_3')} UNION {_CUST_IN_NATION_SQL.format(n='NATION_13')}",
+)
+def g_set_disjunctive_union(spark, sf_dir):
+    """(N3 ∪ N8) △ (N8 ∪ N13) = N3 ∪ N13 — DOCUMENTED symmetric
+    difference (docs/query_language.adoc:461-474), which the reference's
+    helper gets wrong (kv_graph_store.rs:921-936)."""
+    a = _customers_in_nation("NATION_3").union(_customers_in_nation("NATION_8"))
+    b = _customers_in_nation("NATION_8").union(_customers_in_nation("NATION_13"))
+    return _ids(execute(tpch_graph(spark, sf_dir), a.disjunctive_union(b)))
+
+
+# ---------------------------------------------------------------------------
+# Filters, Store, property chaining (§2.2, §2.10, §2.12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_filter_expr",
+    oracle="""
+    SELECT 'c' || c_custkey AS id FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND (c_name LIKE '%0' OR c_name LIKE '%5')
+    """,
+)
+def g_filter_expr(spark, sf_dir):
+    """VertexQuery::Filter with a JVM-side ExprFilter over the property
+    payload — replaces the reference's never-executed ShellFilter
+    (kv_graph_store.rs:208,301) with an in-plan predicate."""
+    flt = ExprFilter(
+        lambda value, schema_type: value.endswith('0"') | value.endswith('5"'),
+        name="name_ends_with_0_or_5",
+    )
+    q = _customers_in_region("EUROPE").filter(flt)
+    return _ids(execute(tpch_graph(spark, sf_dir), q))
+
+
+@register(
+    "g_store",
+    oracle="""
+    SELECT 'c' || c_custkey AS id FROM customer
+    JOIN nation ON n_nationkey = c_nationkey WHERE n_name = 'NATION_3'
+    UNION SELECT 'n3'
+    """,
+)
+def g_store(spark, sf_dir):
+    """Store stashes the traversal's intermediate selection into the final
+    result (documented semantics, query_language.adoc:662-695)."""
+    q = (
+        _customers_in_nation("NATION_3")
+        .store()
+        .outgoing(_prop("LocatedIn"))
+        .outgoing()
+    )
+    return _ids(execute(tpch_graph(spark, sf_dir), q))
+
+
+@register(
+    "g_referencing_properties",
+    oracle="SELECT DISTINCT '\"' || n_name || '\"' AS value FROM nation",
+)
+def g_referencing_properties(spark, sf_dir):
+    """PropertyQuery::ReferencingProperties — all value-properties nesting
+    the SchemaType('Nation') tag, i.e. the nation names."""
+    g = tpch_graph(spark, sf_dir)
+    res = execute(g, _prop("SchemaType", "Nation").referencing_properties())
+    return res.properties.join(g.properties, "prop_hash").select("value")
+
+
+@register(
+    "g_referenced_properties",
+    oracle="""SELECT sha256('{"SchemaType":"Nation"}') AS prop_hash""",
+)
+def g_referenced_properties(spark, sf_dir):
+    """Inverse nesting lookup — implemented per the AST docs (the reference
+    stubs it to empty, kv_graph_store.rs:348-351)."""
+    res = execute(
+        tpch_graph(spark, sf_dir),
+        _prop("Nation", "NATION_3").referenced_properties(),
+    )
+    return res.properties.select("prop_hash")
+
+
+@register(
+    "g_extract_properties",
+    oracle="""
+    SELECT 'Customer' AS schema_type, '"' || c_name || '"' AS value
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    WHERE n_name = 'NATION_3'
+    """,
+)
+def g_extract_properties(spark, sf_dir):
+    """extract_properties (kv_graph_store.rs:96-106): result ids → property
+    payloads."""
+    res = execute(tpch_graph(spark, sf_dir), _customers_in_nation("NATION_3"))
+    return res.extract_properties().select("schema_type", "value")
+
+
+@register(
+    "g_paths_1hop",
+    oracle="""
+    SELECT '{"Nation":"NATION_3"}' AS p0, '"LocatedIn"' AS p1,
+           '{"Customer":"' || c_name || '"}' AS p2
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    WHERE n_name = 'NATION_3'
+    """,
+)
+def g_paths_1hop(spark, sf_dir):
+    """extract_path_properties (kv_graph_store.rs:108-137): each result
+    carries its traversal path [startVertex, edge, endVertex]."""
+    res = execute(tpch_graph(spark, sf_dir), _customers_in_nation("NATION_3"))
+    paths = res.extract_path_properties()
+    return paths.select(
+        F.col("props")[0].alias("p0"),
+        F.col("props")[1].alias("p1"),
+        F.col("props")[2].alias("p2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hulls & db_info (§2.11 planned ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_outer_hull",
+    oracle="""
+    SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+)
+def g_outer_hull(spark, sf_dir):
+    """result_outer_hull (docs/backends_filestore.adoc:908-982): all edges
+    between result vertices — here {EUROPE nations + EUROPE region}."""
+    g = tpch_graph(spark, sf_dir)
+    members = (
+        _prop("Region", "EUROPE")
+        .referencing_vertices()
+        .ingoing(_prop("PartOf"))
+        .ingoing()
+        .union(_prop("Region", "EUROPE").referencing_vertices())
+    )
+    res = execute(g, members)
+    return outer_hull(g, res.vertices).select("src", "dst")
+
+
+@register(
+    "g_db_info",
+    oracle="""
+    WITH c AS (SELECT count(*) n, count(DISTINCT c_name) d FROM customer),
+         s AS (SELECT count(*) n, count(DISTINCT s_name) d FROM supplier),
+         n AS (SELECT count(*) n, count(DISTINCT n_name) d FROM nation),
+         r AS (SELECT count(*) n, count(DISTINCT r_name) d FROM region)
+    SELECT (c.n + s.n + n.n + r.n)::BIGINT AS nodes,
+           (c.n + s.n + n.n)::BIGINT AS edges,
+           (c.d + s.d + n.d + r.d + 2 + 6)::BIGINT AS properties,
+           ((c.n + s.n + n.n + r.n) + (c.n + s.n + n.n)
+            + (c.d + s.d + n.d + r.d + 2))::BIGINT AS prop_refs
+    FROM c, s, n, r
+    """,
+)
+def g_db_info(spark, sf_dir):
+    """db_info (planned CLI, docs/backends_filestore.adoc:908-982): table
+    cardinalities. properties = distinct payload values + 2 unit edge props
+    + 6 type tags; prop_refs = node refs + edge refs + one nesting ref per
+    non-tag property."""
+    g = tpch_graph(spark, sf_dir)
+    info = g.db_info()
+    return g.spark.createDataFrame(
+        [(info["nodes"], info["edges"], info["properties"], info["prop_refs"])],
+        "nodes long, edges long, properties long, prop_refs long",
+    )

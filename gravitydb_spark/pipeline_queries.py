@@ -1,1 +1,687 @@
-"""Pipeline queries (placeholder)."""
+"""Training-data-pipeline operators over ``documents`` / ``embeddings``:
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
+search (brute-force cosine top-k + LSH-bucketed scale path), text analysis
+(language-ID, quality scoring, token counting, fingerprinting), and
+multimodal binary-column plumbing.
+
+Everything is expressed with built-in JVM functions (higher-order array
+lambdas, sha2/md5, bit ops) — no Python UDFs in the hot path except the
+multimodal decoder, which is an Arrow-batched ``mapInPandas`` by design.
+
+Cross-engine determinism: hash family = md5 hex (identical in Spark and
+DuckDB); dot products use the same left-fold order so doubles are
+bit-identical; minhash takes lexicographic min over hex strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from .registry import load, register
+
+# shared tokenization: split on whitespace runs after trim
+_TOKENS = F.split(F.trim(F.col("text")), r"\s+")
+_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_TOKENS})::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars_actual,
+           len(list_distinct({_DUCK_TOKENS}))::BIGINT AS n_unique_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + char/unique counts, all inside codegen."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_TOKENS).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(F.array_distinct(_TOKENS)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+STOPWORDS = ("the", "a")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(len(list_filter({_DUCK_TOKENS}, t -> t IN ('the', 'a')))
+                 / len({_DUCK_TOKENS})::DOUBLE, 4) AS stopword_ratio,
+           round(length(replace(text, ' ', ''))
+                 / len({_DUCK_TOKENS})::DOUBLE, 4) AS avg_token_len,
+           round(len(list_distinct({_DUCK_TOKENS}))
+                 / len({_DUCK_TOKENS})::DOUBLE, 4) AS unique_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: stopword ratio, mean token length, lexical
+    diversity — the length/punct/stopword family of pretrain filters."""
+    n_tokens = F.size(_TOKENS).cast("double")
+    stop = F.size(
+        F.filter(_TOKENS, lambda t: t.isin(*STOPWORDS))
+    ).cast("double")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tokens, 4
+        ).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct(_TOKENS)) / n_tokens, 4).alias("unique_ratio"),
+    )
+
+
+# marker-token profiles for the n-gram language-ID heuristic
+_LANG_PROFILES = {
+    "en": ("the", "a", "small", "big"),
+    "dat": ("data", "table", "row", "column", "value"),
+    "qry": ("query", "join", "filter", "sort", "merge"),
+}
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter({_DUCK_TOKENS}, t -> t IN ('the','a','small','big'))) AS s_en,
+             len(list_filter({_DUCK_TOKENS}, t -> t IN ('data','table','row','column','value'))) AS s_dat,
+             len(list_filter({_DUCK_TOKENS}, t -> t IN ('query','join','filter','sort','merge'))) AS s_qry
+      FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_dat AND s_en >= s_qry THEN 'en'
+                WHEN s_dat >= s_qry THEN 'dat'
+                ELSE 'qry' END AS predicted_lang,
+           greatest(s_en, s_dat, s_qry)::BIGINT AS top_score
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID: score each profile by marker hits, argmax
+    with a fixed precedence order (en > dat > qry on ties)."""
+    def profile_score(markers):
+        # NB: the lambda must be unary — PySpark treats a second lambda
+        # param as the array-index argument of F.filter
+        return F.size(F.filter(_TOKENS, lambda t: t.isin(*markers)))
+
+    scores = {lang: profile_score(m) for lang, m in _LANG_PROFILES.items()}
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["dat"]) & (scores["en"] >= scores["qry"]), "en"
+        )
+        .when(scores["dat"] >= scores["qry"], "dat")
+        .otherwise("qry")
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted.alias("predicted_lang"),
+        F.greatest(*scores.values()).cast("long").alias("top_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized content fingerprint (md5 of canonical text) —
+    the document-identity hash used by dedup_exact's cluster keys."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalized).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id)::BIGINT AS keep_doc_id,
+           count(*)::BIGINT AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; keep the smallest doc_id per
+    cluster. One shuffle on the hash — embarrassingly scalable."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# word 3-shingles, distinct, as an array column
+def _shingles_col():
+    w = _TOKENS
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+    )
+
+
+_DUCK_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_DUCK_TOKENS}) - 2, 0)), "
+    f"i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1] || ' ' || {_DUCK_TOKENS}[i+2]))"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle,
+             len({_DUCK_SHINGLES}) AS n_sh
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter, any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter / (n_a + n_b - inter)::DOUBLE, 4) AS jaccard
+    FROM pairs
+    WHERE inter / (n_a + n_b - inter)::DOUBLE >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.6) via the
+    inverted-shingle self-join: explode distinct 3-shingles, equi-join on
+    shingle, |A∩B| by count, |A∪B| = |A|+|B|−|A∩B|. The shuffle key is the
+    shingle, so skew = max docs-per-shingle (bounded and checked; at scale
+    super-common shingles would be dropped before the join)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingles_col().alias("shingles")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return inter.filter(jac >= 0.6).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def _minhash_sig():
+    """16-component minhash: component i = lexicographic min over shingles
+    of md5(i || ':' || shingle). Hex-string min is a valid uniform minhash
+    and is engine-portable (md5 is identical everywhere)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+_DUCK_SIG = (
+    "list_transform(generate_series(0, 15), i -> "
+    "list_min(list_transform(shingles, s -> md5(i::VARCHAR || ':' || s))))"
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {_DUCK_SIG} AS sig
+      FROM (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents)),
+    bands AS (
+      SELECT doc_id, sig, unnest(generate_series(0, {LSH_BANDS - 1})) AS band
+      FROM sigs),
+    keyed AS (
+      SELECT doc_id, sig, band,
+             md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS band_key
+      FROM bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM keyed a JOIN keyed b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           round(len(list_filter(generate_series(1, {N_MINHASH}),
+                                 i -> sig_a[i] = sig_b[i]))
+                 / {N_MINHASH}.0, 4) AS est_jaccard
+    FROM cand
+    WHERE len(list_filter(generate_series(1, {N_MINHASH}), i -> sig_a[i] = sig_b[i]))
+          / {N_MINHASH}.0 >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, the scale path for dedup:
+    shingle → 16-component minhash signature → 4 LSH bands → bucket
+    equi-join on (band, band-key) → candidate pairs → signature-estimated
+    Jaccard ≥ 0.5. Join cost is proportional to bucket collisions, not n²."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingles_col().alias("shingles")
+    )
+    sigs = docs.select("doc_id", _minhash_sig().alias("sig"))
+    rows_per_band = N_MINHASH // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band
+                ),
+                ",",
+            )
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    matches = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(N_MINHASH)),
+            lambda i: F.element_at(F.col("sig_a"), i)
+            == F.element_at(F.col("sig_b"), i),
+        )
+    )
+    est = matches / F.lit(float(N_MINHASH))
+    return cand.filter(est >= 0.5).select(
+        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+_SIMHASH_SUMS = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"CASE WHEN w{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END" for j in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKENS})) AS token
+      FROM documents),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tok),
+    bits AS (
+      SELECT doc_id,
+             {_SIMHASH_SUMS}
+      FROM th GROUP BY doc_id)
+    SELECT doc_id, ({_SIMHASH_COMBINE})::BIGINT AS simhash
+    FROM bits
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint over distinct tokens: token hash = first
+    8 md5 hex digits as int; bit j weight = Σ±1; fingerprint = sign bits.
+    Near-dups share fingerprints (or differ in few bits — hamming join)."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(_TOKENS)).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    th = tok.select("doc_id", h.alias("h"))
+    bit_weights = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"w{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    weights = th.groupBy("doc_id").agg(*bit_weights)
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"w{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return weights.select("doc_id", simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+# identical left-fold dot product on both engines → bit-identical doubles
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _duck_dot(a, b):
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({a}, {b}), z -> z[1]::DOUBLE * z[2]::DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "embedding_norm",
+    oracle=f"""
+    SELECT vec_id, label,
+           round(sqrt({_duck_dot('embedding', 'embedding')}), 3) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(_dot(F.col("v"), F.col("v"))), 3).alias("l2_norm"),
+    )
+
+
+ANN_K = 10
+ANN_N_QUERIES = 5
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round({_duck_dot('q.qv', 'e.embedding')}
+               / (sqrt({_duck_dot('q.qv', 'q.qv')})
+                  * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 3) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id != q.q_id),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= {ANN_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against the
+    corpus (no shuffle for scoring; one shuffle for the per-query top-k).
+    This is the exact baseline; ann_lsh_topk is the approximate scale path."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("v"), F.col("v")))
+            ),
+            3,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )
+
+
+@register("ann_lsh_topk", oracle=None)  # approximate: rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 8 deterministic
+    pseudo-random hyperplanes (md5-derived ±1 per dimension) bucket the
+    corpus; queries only score their own bucket. At 100 TB this turns the
+    n·q scoring into per-bucket work. Approximate → no SQL oracle; the
+    rows-only check pins shape and determinism (buckets are md5-seeded,
+    not RNG-seeded, so results are stable across runs/engines)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+
+    def bucket_bit(vec, plane: int):
+        # deterministic hyperplane: sign((-1)^bit of md5(plane:dim))
+        signs = F.transform(
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda d: F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{plane}:"), d.cast("string"))), 1, 2
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                1.0,
+            ).otherwise(-1.0),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = None
+    for p in range(8):
+        bit = bucket_bit(F.col("v"), p) * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    emb = emb.withColumn("bucket", bucket)
+    q = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    scored = emb.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                ),
+                3,
+            ).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing
+# ---------------------------------------------------------------------------
+
+
+def decode_image(data: bytes) -> dict:
+    """STUB: image decode needs codec libs not present in this container.
+    The Spark-side plumbing (binary column, Arrow batching, schema) is real;
+    swap this for PIL/libvips in production."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           strlen(text)::BIGINT AS n_bytes,
+           upper(substr(md5(text), 1, 8)) AS header_sig,
+           (strlen(text) % 7 = 0) AS valid_flag
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary pipeline: text → binary column (stand-in for image
+    bytes) → Arrow-batched mapInPandas 'decoder' emitting typed metadata.
+    The decode itself is a deterministic fake (see decode_image stub);
+    the batching, schema and binary handling are the real thing."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("header_sig", T.StringType()),
+            T.StructField("valid_flag", T.BooleanType()),
+        ]
+    )
+
+    def fake_decode(batches):
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "header_sig": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()[:8].upper()
+                    ),
+                    "valid_flag": payloads.map(lambda b: len(b) % 7 == 0),
+                }
+            )
+
+    return docs.mapInPandas(fake_decode, schema)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (absent in reference, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_hourly_rollup",
+    oracle=f"""
+    SELECT (epoch_ns(ts) // {3_600_000_000_000}) * 3600 AS hour_epoch_s,
+           event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value)::DOUBLE, 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events_hourly_rollup aggregation executed as a Structured
+    Streaming query (readStream → watermark → window → memory sink, driven
+    to completion) — proving the same plan runs incrementally. At scale
+    this is the Kafka-fed rollup; here the parquet dir is the stream."""
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    agg = (
+        stream.withColumn("ts_utc", ts)
+        .withWatermark("ts_utc", "1 hour")
+        .groupBy(F.window("ts_utc", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    name = f"hourly_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return out.select(
+        (F.unix_timestamp(F.col("window.start"))).alias("hour_epoch_s"),
+        "event_type",
+        "n",
+        "total_value",
+    )
