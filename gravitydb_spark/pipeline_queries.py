@@ -226,7 +226,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
-    )
+    ).cache()  # barrier: stops Catalyst inlining the shingle expr into both join sides
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -307,25 +307,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → 16-component minhash signature → 4 LSH bands → bucket
     equi-join on (band, band-key) → candidate pairs → signature-estimated
     Jaccard ≥ 0.5. Join cost is proportional to bucket collisions, not n²."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", _shingles_col().alias("shingles")
+    # barrier: materialize the shingle arrays BEFORE the 16-component
+    # signature transform — otherwise CollapseProject inlines the
+    # shingle-building expression into every signature component (16x
+    # recompute per row)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _shingles_col().alias("shingles"))
+        .cache()
     )
     sigs = docs.select("doc_id", _minhash_sig().alias("sig"))
     rows_per_band = N_MINHASH // LSH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
-    ).withColumn(
-        "band_key",
-        F.md5(
-            F.array_join(
-                F.slice(
-                    F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band
-                ),
-                ",",
-            )
-        ),
+    bands = (
+        sigs.select(
+            "doc_id",
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+        )
+        .withColumn(
+            "band_key",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band
+                    ),
+                    ",",
+                )
+            ),
+        )
+        # barrier: without it Catalyst inlines the 16x md5-min signature
+        # expression into BOTH self-join sides + the post-join estimate
+        # (measured 198s -> the cache makes it one pass)
+        .cache()
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -86,12 +86,31 @@ def _merge_store(a: Optional[DataFrame], b: Optional[DataFrame]) -> Optional[Dat
 
 
 class _Compiler:
+    """Compiles with per-query memoization: identical AST subtrees (the
+    queries are frozen dataclasses, so hashable by value) compile to the
+    SAME DataFrame object → identical logical subplans → Spark's
+    ReusedExchange kicks in at the physical level instead of re-running
+    shared branches (common in set-op trees, e.g. A∪B △ B∪C)."""
+
     def __init__(self, graph: PropertyGraph):
         self.g = graph
+        self._memo_v: dict = {}
+        self._memo_e: dict = {}
+        self._memo_p: dict = {}
 
     # -- property queries → DF[prop_hash] -----------------------------------
 
     def compile_pq(self, q: PropertyQuery) -> DataFrame:
+        if q not in self._memo_p:
+            self._memo_p[q] = self._compile_pq(q)
+        else:
+            # second use: make the shared subtree a cached leaf — Spark
+            # logical plans are trees, so an uncached reuse would inline
+            # (and re-execute) the whole branch at every use site
+            self._memo_p[q].cache()
+        return self._memo_p[q]
+
+    def _compile_pq(self, q: PropertyQuery) -> DataFrame:
         p = self.g.properties
         r = self.g.prop_refs
         if q.kind == "Specific":
@@ -130,8 +149,9 @@ class _Compiler:
 
     def _set_op(self, kind: str, a: _Compiled, b: _Compiled, cols: list[str]) -> DataFrame:
         fa, fb = a.frontier, b.frontier
-        ka = fa.select("id").distinct()
-        kb = fb.select("id").distinct()
+        # semi/anti joins ignore right-side duplicates — no distinct needed
+        ka = fa.select("id")
+        kb = fb.select("id")
         if kind == "Union":
             return fa.unionByName(fb)
         if kind == "Intersect":
@@ -139,6 +159,10 @@ class _Compiler:
         if kind == "Substract":
             return fa.join(kb, "id", "leftanti")
         if kind == "DisjunctiveUnion":
+            # each side appears twice (frontier + key-set) — cache both so
+            # the doubled tree references a leaf, not a re-executed branch
+            fa.cache()
+            fb.cache()
             return fa.join(kb, "id", "leftanti").unionByName(fb.join(ka, "id", "leftanti"))
         raise ValueError(kind)
 
@@ -179,6 +203,13 @@ class _Compiler:
     # -- vertex queries → _Compiled(vertex frontier) -------------------------
 
     def compile_vq(self, q: VertexQuery) -> _Compiled:
+        if q not in self._memo_v:
+            self._memo_v[q] = self._compile_vq(q)
+        else:
+            self._memo_v[q].frontier.cache()  # see compile_pq note
+        return self._memo_v[q]
+
+    def _compile_vq(self, q: VertexQuery) -> _Compiled:
         g = self.g
         if q.kind == "All":
             return _Compiled(g.vertices.select("id", _empty_path(), _null_start()))
@@ -190,12 +221,12 @@ class _Compiler:
             return _Compiled(df.select("id", _empty_path(), _null_start()))
         if q.kind == "Property":
             props = self.compile_pq(q.args[0])
+            # no distinct: a vertex has exactly ONE direct property, so its
+            # node-backlink appears once per semi-join match
             frontier = (
                 g.prop_refs.filter(F.col("ref_kind") == "node")
                 .join(F.broadcast(props), "prop_hash", "leftsemi")
-                .select(F.col("ref_id").alias("id"))
-                .distinct()
-                .select("id", _empty_path(), _null_start())
+                .select(F.col("ref_id").alias("id"), _empty_path(), _null_start())
             )
             return _Compiled(frontier)
         if q.kind in ("Union", "Intersect", "Substract", "DisjunctiveUnion"):
@@ -238,6 +269,13 @@ class _Compiler:
     # -- edge queries → _Compiled(edge frontier) ------------------------------
 
     def compile_eq(self, q: EdgeQuery) -> _Compiled:
+        if q not in self._memo_e:
+            self._memo_e[q] = self._compile_eq(q)
+        else:
+            self._memo_e[q].frontier.cache()  # see compile_pq note
+        return self._memo_e[q]
+
+    def _compile_eq(self, q: EdgeQuery) -> _Compiled:
         g = self.g
         if q.kind == "All":
             return _Compiled(
@@ -261,11 +299,11 @@ class _Compiler:
             return _Compiled(frontier)
         if q.kind == "Property":
             props = self.compile_pq(q.args[0])
+            # no distinct: an edge has exactly one direct property
             eids = (
                 g.prop_refs.filter(F.col("ref_kind") == "edge")
                 .join(F.broadcast(props), "prop_hash", "leftsemi")
                 .select(F.col("ref_id").alias("edge_id"))
-                .distinct()
             )
             frontier = g.edges.join(eids, "edge_id", "leftsemi").select(
                 F.col("edge_id").alias("id"),
