@@ -28,12 +28,14 @@ HEADLINE = [
     "g_two_hop",
     "g_set_disjunctive_union",
     "g_paths_1hop",
+    "g_connected_components",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_quality_score",
     "text_lang_id",
+    "text_bpe_token_count",
     "ann_cosine_topk",
     "multimodal_binary_meta",
 ]

@@ -55,8 +55,13 @@ def cmd_init(args) -> int:
 def cmd_create_node(args) -> int:
     spark = get_spark("gravitydb_cli")
     g = _load(spark, args.db)
-    g2, ids = g.create_nodes([(args.id, Prop(args.type, args.value))])
-    _save_over(spark, g2, args.db)
+    item = (args.id, Prop(args.type, args.value))
+    if args.get_or_create:
+        g2, ids = g.get_or_create_nodes([item])
+    else:
+        g2, ids = g.create_nodes([item])
+    if g2 is not g:
+        _save_over(spark, g2, args.db)
     print(ids[0])
     return 0
 
@@ -118,6 +123,32 @@ def cmd_db_info(args) -> int:
     return 0
 
 
+def cmd_repl(args) -> int:
+    """EP3 analog: the reference embeds a Lua REPL (lua.rs:368-449); here
+    Python *is* the scripting surface — drop into an interactive session
+    with the db and the query builders pre-bound."""
+    import code
+
+    from . import ql
+    from .plans.compiler import execute as _execute
+
+    spark = get_spark("gravitydb_cli")
+    db = _load(spark, args.db)
+    ns = {
+        "spark": spark,
+        "db": db,
+        "execute": lambda q: _execute(db, q),
+        "Prop": Prop,
+        **{n: getattr(ql, n) for n in ql.__all__},
+    }
+    code.interact(
+        banner="gravitydb_spark repl — db, execute(q), Prop, vq_all(), "
+        "eq_all(), pq_from_id(), ... are bound",
+        local=ns,
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gravitydb_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -131,6 +162,12 @@ def main(argv=None) -> int:
     sp.add_argument("--type", required=True)
     sp.add_argument("--value")
     sp.add_argument("--id")
+    sp.add_argument(
+        "--get-or-create",
+        action="store_true",
+        help="return the existing node with identical property content "
+        "instead of erroring (cli_helpers.rs:137-160)",
+    )
     sp.set_defaults(fn=cmd_create_node)
 
     sp = sub.add_parser("create-edge")
@@ -159,6 +196,10 @@ def main(argv=None) -> int:
     sp = sub.add_parser("db-info")
     sp.add_argument("--db", required=True)
     sp.set_defaults(fn=cmd_db_info)
+
+    sp = sub.add_parser("repl")
+    sp.add_argument("--db", required=True)
+    sp.set_defaults(fn=cmd_repl)
 
     args = p.parse_args(argv)
     return args.fn(args)

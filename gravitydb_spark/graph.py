@@ -205,6 +205,32 @@ class PropertyGraph:
             ids,
         )
 
+    def get_or_create_nodes(
+        self, items: Iterable[tuple[Optional[str], Prop]]
+    ) -> tuple["PropertyGraph", list[str]]:
+        """CLI --get-or-create semantics (cli_helpers.rs:137-160): probe the
+        property index for an existing node with identical property content;
+        create only the misses. Returns ids in input order (existing id for
+        hits, fresh for misses)."""
+        items = list(items)
+        hashes = list({p.hash for _, p in items})
+        h_df = self.spark.createDataFrame([(h,) for h in hashes], "prop_hash string")
+        existing = {
+            r["prop_hash"]: r["ref_id"]
+            for r in self.prop_refs.filter(F.col("ref_kind") == "node")
+            .join(F.broadcast(h_df), "prop_hash", "leftsemi")
+            .groupBy("prop_hash")
+            .agg(F.min("ref_id").alias("ref_id"))
+            .collect()
+        }
+        to_create = [(vid, p) for vid, p in items if p.hash not in existing]
+        g, created = (self.create_nodes(to_create) if to_create else (self, []))
+        created_iter = iter(created)
+        out = [
+            existing.get(p.hash) or next(created_iter) for _, p in items
+        ]
+        return g, out
+
     def update_nodes(
         self, items: Iterable[tuple[str, Prop]]
     ) -> "PropertyGraph":

@@ -428,6 +428,44 @@ def g_outer_hull(spark, sf_dir):
 
 
 @register(
+    "g_connected_components",
+    oracle="""
+    WITH comp AS (
+      SELECT n_regionkey AS rk, min('c' || c_custkey) AS component
+      FROM customer JOIN nation ON n_nationkey = c_nationkey GROUP BY 1)
+    SELECT 'c' || c_custkey AS id, component FROM customer
+      JOIN nation ON n_nationkey = c_nationkey JOIN comp ON comp.rk = n_regionkey
+    UNION ALL SELECT 's' || s_suppkey, component FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey JOIN comp ON comp.rk = n_regionkey
+    UNION ALL SELECT 'n' || n_nationkey, component FROM nation
+      JOIN comp ON comp.rk = n_regionkey
+    UNION ALL SELECT 'r' || r_regionkey, component FROM region
+      JOIN comp ON comp.rk = r_regionkey
+    """,
+)
+def g_connected_components(spark, sf_dir):
+    """Weakly-connected components by min-label propagation (iterative
+    DataFrame fixpoint, operators/iterative.py). On this graph the five
+    regions are the components; the oracle derives each component's
+    canonical label (lexicographic-min member id, always a customer)
+    relationally."""
+    from .operators.iterative import connected_components
+
+    return connected_components(tpch_graph(spark, sf_dir))
+
+
+@register("g_pagerank", oracle=None)  # iterative float fixpoint: rows-only
+def g_pagerank(spark, sf_dir):
+    """PageRank power iteration (5 rounds, damping 0.85). Float accumulation
+    order differs between engines, so this gets the rows-only check;
+    determinism within Spark is pinned by the fixed iteration count."""
+    from .operators.iterative import pagerank
+
+    g = tpch_graph(spark, sf_dir)
+    return pagerank(g, iters=5).select("id", F.round("rank", 6).alias("rank"))
+
+
+@register(
     "g_db_info",
     oracle="""
     WITH c AS (SELECT count(*) n, count(DISTINCT c_name) d FROM customer),

@@ -583,6 +583,74 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_duck_dot('a.embedding', 'b.embedding')}
+             / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+                * sqrt({_duck_dot('b.embedding', 'b.embedding')})), 3) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_duck_dot('a.embedding', 'b.embedding')}
+             / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+                * sqrt({_duck_dot('b.embedding', 'b.embedding')})), 3) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold on the ROUNDED score so
+    both engines compare identical doubles). Brute-force n²/2 here — the
+    scale path reuses ann_lsh_topk's hyperplane buckets to bound candidate
+    pairs, same as minhash-LSH bounds the shingle join."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn(
+            "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
+        )
+        .cache()  # barrier: one norm computation, not one per join side
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")), 3
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT
+             AS n_pieces,
+           len(list_distinct(
+             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))::BIGINT
+             AS n_unique_pieces
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword tokenization: alpha runs / digit runs / single
+    punctuation as pieces (the pre-tokenizer regex most BPE vocabularies
+    use), counted entirely inside codegen."""
+    pieces = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_unique_pieces"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary-column plumbing
 # ---------------------------------------------------------------------------

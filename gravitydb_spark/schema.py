@@ -27,13 +27,23 @@ __all__ = ["Prop", "Schema", "SCHEMA_TYPE"]
 
 @dataclass(frozen=True)
 class Prop:
-    """A property literal: an externally-tagged (schema_type, payload) pair."""
+    """A property literal: an externally-tagged (schema_type, payload) pair.
+
+    ``key`` overrides the content hash as the property id — the reference's
+    custom ``get_key`` mechanism for range-ordered keys (e.g. ``la_48.13``
+    for geo scans, docs/tutorials/designing_a_schema.adoc:240-300). With a
+    custom key, ``FromTo(lo, hi)`` range queries prune on meaningful order;
+    content dedup then keys on the custom id, exactly like the reference.
+    """
 
     schema_type: str
     payload: Any = None
+    key: str = None  # type: ignore[assignment]
 
     @property
     def hash(self) -> str:
+        if self.key is not None:
+            return self.key
         return prop_hash(self.schema_type, self.payload)
 
     @property

@@ -1,0 +1,80 @@
+"""Iterative analytics, custom range-ordered keys, get-or-create."""
+
+from pyspark.sql import functions as F
+
+from gravitydb_spark import GraphBatchBuilder, Prop, PropertyGraph, execute
+from gravitydb_spark.operators.iterative import connected_components, pagerank
+from gravitydb_spark.ql import pq_from_to
+from gravitydb_spark.schema import Schema
+
+RAW = Schema(no_tag=frozenset({"T", "Sensor"}))
+
+
+def test_connected_components_two_islands(spark):
+    b = GraphBatchBuilder(RAW)
+    a1 = b.add_node(Prop("T", "a1"), id="00000000-0000-0000-0000-00000000000a")
+    a2 = b.add_node(Prop("T", "a2"), id="00000000-0000-0000-0000-00000000000b")
+    a3 = b.add_node(Prop("T", "a3"), id="00000000-0000-0000-0000-00000000000c")
+    z1 = b.add_node(Prop("T", "z1"), id="ffffffff-0000-0000-0000-000000000001")
+    z2 = b.add_node(Prop("T", "z2"), id="ffffffff-0000-0000-0000-000000000002")
+    b.add_edge(a1, a2, Prop("T", "e"))
+    b.add_edge(a3, a2, Prop("T", "e"))  # direction must not matter (weak CC)
+    b.add_edge(z1, z2, Prop("T", "e"))
+    g = b.build(spark)
+
+    comps = {r["id"]: r["component"] for r in connected_components(g).collect()}
+    assert comps[a1] == comps[a2] == comps[a3] == a1
+    assert comps[z1] == comps[z2] == z1
+    assert comps[a1] != comps[z1]
+
+
+def test_pagerank_star(spark):
+    """Hub of a 3-spoke in-star must outrank the spokes."""
+    b = GraphBatchBuilder(RAW)
+    hub = b.add_node(Prop("T", "hub"))
+    spokes = [b.add_node(Prop("T", f"s{i}")) for i in range(3)]
+    for s in spokes:
+        b.add_edge(s, hub, Prop("T", "e"))
+    g = b.build(spark)
+    ranks = {r["id"]: r["rank"] for r in pagerank(g, iters=10).collect()}
+    assert ranks[hub] > max(ranks[s] for s in spokes)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_custom_range_ordered_keys(spark):
+    """designing_a_schema.adoc:240-300 — custom get_key enables meaningful
+    FromTo range scans (e.g. la_<lat> geo keys)."""
+    readings = [
+        Prop("Sensor", f"reading@{lat}", key=f"la_{lat:06.2f}")
+        for lat in (47.10, 48.13, 49.99, 52.52, 53.55)
+    ]
+    b = GraphBatchBuilder(RAW)
+    for p in readings:
+        b.add_node(p)
+    g = b.build(spark)
+
+    res = execute(g, pq_from_to("la_048.00", "la_053.00"))
+    got = sorted(r["prop_hash"] for r in res.properties.collect())
+    assert got == ["la_048.13", "la_049.99", "la_052.52"]
+
+    # dedup still keys on the custom id: re-adding the same key collapses
+    g2, _ = g.create_nodes(
+        [("99999999-0000-0000-0000-000000000001", readings[0])]
+    )
+    assert (
+        g2.properties.filter(F.col("prop_hash") == "la_047.10").count() == 1
+    )
+
+
+def test_get_or_create_nodes(spark):
+    g, [vid] = PropertyGraph.empty(spark, RAW).create_nodes(
+        [(None, Prop("T", "x"))]
+    )
+    # hit: same content -> existing id, graph unchanged
+    g2, [got] = g.get_or_create_nodes([(None, Prop("T", "x"))])
+    assert got == vid
+    assert g2.vertices.count() == 1
+    # miss: new content -> created
+    g3, [new] = g2.get_or_create_nodes([(None, Prop("T", "y"))])
+    assert new != vid
+    assert g3.vertices.count() == 2
