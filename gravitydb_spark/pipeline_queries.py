@@ -19,8 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 
 from .registry import load, register
 
-# shared tokenization: split on whitespace runs after trim
-_TOKENS = F.split(F.trim(F.col("text")), r"\s+")
+# shared tokenization: split on whitespace runs after trim.
+# NB: a function, not a module-level Column — constructing a Column requires
+# an active SparkContext, and this module must import before the driver's
+# session exists.
+def _TOKENS_FN():
+    return F.split(F.trim(F.col("text")), r"\s+")
 _DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
 
 
@@ -43,9 +47,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokenization + char/unique counts, all inside codegen."""
     return load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(_TOKENS).cast("long").alias("n_tokens"),
+        F.size(_TOKENS_FN()).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
-        F.size(F.array_distinct(_TOKENS)).cast("long").alias("n_unique_tokens"),
+        F.size(F.array_distinct(_TOKENS_FN())).cast("long").alias("n_unique_tokens"),
     )
 
 
@@ -68,9 +72,9 @@ STOPWORDS = ("the", "a")
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics: stopword ratio, mean token length, lexical
     diversity — the length/punct/stopword family of pretrain filters."""
-    n_tokens = F.size(_TOKENS).cast("double")
+    n_tokens = F.size(_TOKENS_FN()).cast("double")
     stop = F.size(
-        F.filter(_TOKENS, lambda t: t.isin(*STOPWORDS))
+        F.filter(_TOKENS_FN(), lambda t: t.isin(*STOPWORDS))
     ).cast("double")
     return load(spark, sf_dir, "documents").select(
         "doc_id",
@@ -78,7 +82,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_tokens, 4
         ).alias("avg_token_len"),
-        F.round(F.size(F.array_distinct(_TOKENS)) / n_tokens, 4).alias("unique_ratio"),
+        F.round(F.size(F.array_distinct(_TOKENS_FN())) / n_tokens, 4).alias("unique_ratio"),
     )
 
 
@@ -113,7 +117,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     def profile_score(markers):
         # NB: the lambda must be unary — PySpark treats a second lambda
         # param as the array-index argument of F.filter
-        return F.size(F.filter(_TOKENS, lambda t: t.isin(*markers)))
+        return F.size(F.filter(_TOKENS_FN(), lambda t: t.isin(*markers)))
 
     scores = {lang: profile_score(m) for lang, m in _LANG_PROFILES.items()}
     predicted = (
@@ -177,7 +181,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # word 3-shingles, distinct, as an array column
 def _shingles_col():
-    w = _TOKENS
+    w = _TOKENS_FN()
     idx = F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0)))
     return F.array_distinct(
         F.transform(
@@ -254,18 +258,27 @@ N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
 
-def _minhash_sig():
-    """16-component minhash: component i = lexicographic min over shingles
-    of md5(i || ':' || shingle). Hex-string min is a valid uniform minhash
-    and is engine-portable (md5 is identical everywhere)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
-        ),
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """16-component minhash signatures: component i = lexicographic min
+    over shingles of md5(i || ':' || shingle). Hex-string min is a valid
+    uniform minhash and engine-portable (md5 identical everywhere).
+
+    Computed via explode + 16 codegen'd min-aggregates (one shuffle on
+    doc_id) instead of nested higher-order array lambdas — Spark's HOFs
+    run in the expression interpreter, not whole-stage codegen, and were
+    the dominant cost of this operator (~2x the whole query)."""
+    ex = docs.select("doc_id", F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    return (
+        ex.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"h{i}") for i in range(N_MINHASH)]).alias("sig"),
+        )
     )
 
 
@@ -307,16 +320,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → 16-component minhash signature → 4 LSH bands → bucket
     equi-join on (band, band-key) → candidate pairs → signature-estimated
     Jaccard ≥ 0.5. Join cost is proportional to bucket collisions, not n²."""
-    # barrier: materialize the shingle arrays BEFORE the 16-component
-    # signature transform — otherwise CollapseProject inlines the
-    # shingle-building expression into every signature component (16x
-    # recompute per row)
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", _shingles_col().alias("shingles"))
-        .cache()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingles_col().alias("shingles")
     )
-    sigs = docs.select("doc_id", _minhash_sig().alias("sig"))
+    sigs = _minhash_sigs(docs)
     rows_per_band = N_MINHASH // LSH_BANDS
     bands = (
         sigs.select(
@@ -403,7 +410,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 md5 hex digits as int; bit j weight = Σ±1; fingerprint = sign bits.
     Near-dups share fingerprints (or differ in few bits — hamming join)."""
     tok = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.array_distinct(_TOKENS)).alias("token")
+        "doc_id", F.explode(F.array_distinct(_TOKENS_FN())).alias("token")
     )
     h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
     th = tok.select("doc_id", h.alias("h"))
