@@ -511,7 +511,11 @@ def execute(graph: PropertyGraph, query) -> QueryResult:
         ids = c.frontier.select("id").distinct()
         vertices = _merge_store(ids, c.v_store) if c.v_store is not None else ids
         edges = c.e_store if c.e_store is not None else empty_ids
-        paths = c.frontier.select("start", "path", F.col("id").alias("end"))
+        # all distinct paths (deterministic superset of the reference's
+        # one-arbitrary-path-per-id, SURVEY.md §7 hard-part 2)
+        paths = c.frontier.select(
+            "start", "path", F.col("id").alias("end")
+        ).dropDuplicates()
         return QueryResult(graph, vertices, edges, paths)
     if q.kind == "E":
         c = comp.compile_eq(q.query)
@@ -520,7 +524,7 @@ def execute(graph: PropertyGraph, query) -> QueryResult:
         vertices = c.v_store if c.v_store is not None else empty_ids
         paths = c.frontier.select(
             "start", "path", F.lit(None).cast("string").alias("end")
-        )
+        ).dropDuplicates()
         return QueryResult(graph, vertices, edges, paths)
     if q.kind == "P":
         props = comp.compile_pq(q.query).distinct()
