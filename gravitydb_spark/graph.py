@@ -145,6 +145,39 @@ class PropertyGraph:
             f"{path}/prop_refs"
         )
 
+    def save_bucketed(self, prefix: str, buckets: int = 64) -> None:
+        """Persist as BUCKETED catalog tables (``<prefix>_vertices`` etc.):
+        edges bucketed+sorted by ``src``, vertices by ``id``, properties and
+        prop_refs by ``prop_hash``. Traversal joins on the bucket key then
+        read pre-shuffled data — no exchange on the bucketed side (the
+        co-located-join strategy from SCALE.md §1; at 100 TB this is the
+        difference between shuffling the edge table per query and never
+        shuffling it)."""
+        writes = [
+            (self.vertices, "vertices", "id"),
+            (self.edges, "edges", "src"),
+            (self.properties, "properties", "prop_hash"),
+            (self.prop_refs, "prop_refs", "prop_hash"),
+        ]
+        for df, name, key in writes:
+            (
+                df.write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(f"{prefix}_{name}")
+            )
+
+    @staticmethod
+    def load_bucketed(
+        spark: SparkSession, prefix: str, schema: Schema | None = None
+    ) -> "PropertyGraph":
+        return PropertyGraph(
+            spark,
+            *(spark.table(f"{prefix}_{t}") for t in _TABLES),
+            schema or DEFAULT_SCHEMA,
+        )
+
     def cache(self) -> "PropertyGraph":
         for df in (self.vertices, self.edges, self.properties, self.prop_refs):
             df.cache()
@@ -237,6 +270,14 @@ class PropertyGraph:
         """Batch update_node (kv_graph_store.rs:555-582): swap the node's
         property; old property rows become garbage collected by ``gc()``."""
         items = list(items)
+        # reference semantics: updating a nonexistent node is an error
+        # (update_node does read_node first, kv_graph_store.rs:555-560)
+        ids_df = self.spark.createDataFrame(
+            [(vid,) for vid, _ in items], "id string"
+        )
+        missing = ids_df.join(self.vertices, "id", "leftanti").limit(1).collect()
+        if missing:
+            raise KeyError(f"update_nodes: node {missing[0]['id']} does not exist")
         b = GraphBatchBuilder(self.schema)
         for vid, prop in items:
             b.add_node(prop, id=vid)

@@ -428,6 +428,61 @@ def g_outer_hull(spark, sf_dir):
 
 
 @register(
+    "g_degrees",
+    oracle="""
+    WITH nation_in AS (
+      SELECT n_nationkey,
+             (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+             + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
+             AS in_deg
+      FROM nation)
+    SELECT 'c' || c_custkey AS id, 1::BIGINT AS out_degree, 0::BIGINT AS in_degree
+    FROM customer
+    UNION ALL SELECT 's' || s_suppkey, 1::BIGINT, 0::BIGINT FROM supplier
+    UNION ALL SELECT 'n' || n_nationkey, 1::BIGINT, in_deg::BIGINT FROM nation_in
+    UNION ALL SELECT 'r' || r_regionkey, 0::BIGINT,
+      (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)::BIGINT
+    FROM region
+    """,
+)
+def g_degrees(spark, sf_dir):
+    """Per-vertex in/out degree — the adjacency sets the reference keeps
+    on each node record (kv_graph_store.rs:798-802), derived on demand."""
+    from .operators.analytics import degrees
+
+    return degrees(tpch_graph(spark, sf_dir))
+
+
+@register(
+    "g_inner_hull",
+    oracle="""
+    SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+)
+def g_inner_hull(spark, sf_dir):
+    """result_inner_hull: keep only result edges whose endpoints both lie
+    in the result vertex set — PartOf edges of EUROPE minus any edge
+    leaving {EUROPE nations + region} (all customer/supplier edges leave
+    the set, so exactly the 5 nation→region edges remain)."""
+    from .operators.hull import inner_hull
+    from .ql import eq_all
+
+    g = tpch_graph(spark, sf_dir)
+    members = (
+        _prop("Region", "EUROPE")
+        .referencing_vertices()
+        .ingoing(_prop("PartOf"))
+        .ingoing()
+        .union(_prop("Region", "EUROPE").referencing_vertices())
+    )
+    vres = execute(g, members)
+    eres = execute(g, eq_all())
+    return inner_hull(g, eres.edges, vres.vertices).select("src", "dst")
+
+
+@register(
     "g_connected_components",
     oracle="""
     WITH comp AS (

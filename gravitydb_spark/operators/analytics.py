@@ -97,6 +97,25 @@ def type_counts(graph: PropertyGraph, pairs: DataFrame) -> DataFrame:
     )
 
 
+def degrees(graph: PropertyGraph) -> DataFrame:
+    """DF[id, out_degree, in_degree] for every vertex (0 for isolated).
+    Two aggregations over edges + one outer join against vertices — the
+    adjacency the reference materializes per-node, computed on demand."""
+    out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_deg = graph.edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        graph.vertices.select("id")
+        .join(out_deg, "id", "left")
+        .join(in_deg, "id", "left")
+        .fillna(0, ["out_degree", "in_degree"])
+        .select("id", F.col("out_degree").cast("long"), F.col("in_degree").cast("long"))
+    )
+
+
 def top_k_by_count(
     df: DataFrame, key_col: str, count_col: str, k: int
 ) -> DataFrame:

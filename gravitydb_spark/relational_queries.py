@@ -379,6 +379,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_asof_join",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type, value, ts,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_purchase_value
+      FROM events)
+    SELECT event_id, user_id,
+           round(coalesce(last_purchase_value, 0.0)::DOUBLE, 2)
+             AS last_purchase_value
+    FROM ordered WHERE event_type = 'click'
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY/pyspark guide): for
+    each click, the most recent STRICTLY PRIOR purchase value of the same
+    user, via a single ignore-nulls last_value window over the merged
+    event stream — one shuffle on user_id, no range join explosion. The
+    same window formulation runs verbatim on the oracle."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        load_events(spark, sf_dir)
+        .withColumn("last_purchase_value", F.last(purchase_val, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.coalesce("last_purchase_value", F.lit(0.0)), 2).alias(
+                "last_purchase_value"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Range scan + pruning (PropertyQuery::FromTo's relational face, §2.1)
 # ---------------------------------------------------------------------------

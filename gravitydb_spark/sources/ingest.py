@@ -42,18 +42,29 @@ def value_json_col(payload: Column) -> Column:
     )
 
 
-def tagged_json_col(schema_type: Column, payload: Column) -> Column:
+def tagged_json_col(
+    schema_type: Column, payload: Column, payload_is_json: bool = False
+) -> Column:
     """Externally-tagged canonical JSON:
-    ``{"Cocktail":"Alexander"}`` / ``"Includes"`` (unit)."""
-    vj = value_json_col(payload)
+    ``{"Cocktail":"Alexander"}`` / ``"Includes"`` (unit).
+
+    With ``payload_is_json`` the payload column already holds *canonical*
+    JSON (sorted keys, compact — the caller guarantees it, e.g. via
+    ``F.to_json`` of a sorted struct), enabling non-string payloads in
+    bulk ingest; NULL or ``'null'`` payloads encode as unit variants.
+    """
+    vj = payload if payload_is_json else value_json_col(payload)
+    is_unit = payload.isNull() | (F.lit(payload_is_json) & (payload == "null"))
     return F.when(
-        payload.isNull(),
+        is_unit,
         F.concat(F.lit('"'), schema_type, F.lit('"')),
     ).otherwise(F.concat(F.lit('{"'), schema_type, F.lit('":'), vj, F.lit("}")))
 
 
-def prop_hash_col(schema_type: Column, payload: Column) -> Column:
-    return F.sha2(tagged_json_col(schema_type, payload), 256)
+def prop_hash_col(
+    schema_type: Column, payload: Column, payload_is_json: bool = False
+) -> Column:
+    return F.sha2(tagged_json_col(schema_type, payload, payload_is_json), 256)
 
 
 def edge_hash_col(src: Column, dst: Column, prop_hash: Column) -> Column:
@@ -67,16 +78,26 @@ def edge_hash_col(src: Column, dst: Column, prop_hash: Column) -> Column:
     return F.sha2(record, 256)
 
 
-def _prop_table(elements: DataFrame, schema: Schema) -> tuple[DataFrame, DataFrame]:
+def _prop_table(
+    elements: DataFrame, schema: Schema, payload_is_json: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """properties + prop-nesting refs for the distinct properties of
     ``elements(schema_type, payload)`` — includes the type-tag closure."""
     spark = elements.sparkSession
     distinct_props = (
         elements.select(
-            prop_hash_col(F.col("schema_type"), F.col("payload")).alias("prop_hash"),
+            prop_hash_col(
+                F.col("schema_type"), F.col("payload"), payload_is_json
+            ).alias("prop_hash"),
             "schema_type",
-            value_json_col(F.col("payload")).alias("value"),
-            tagged_json_col(F.col("schema_type"), F.col("payload")).alias("tagged"),
+            (
+                F.coalesce(F.col("payload"), F.lit("null"))
+                if payload_is_json
+                else value_json_col(F.col("payload"))
+            ).alias("value"),
+            tagged_json_col(
+                F.col("schema_type"), F.col("payload"), payload_is_json
+            ).alias("tagged"),
         )
         .dropDuplicates(["prop_hash"])
     )
@@ -116,6 +137,7 @@ def ingest_graph(
     vertices: DataFrame,
     edges: Optional[DataFrame] = None,
     schema: Optional[Schema] = None,
+    payload_is_json: bool = False,
 ) -> PropertyGraph:
     """Build a PropertyGraph from raw DataFrames.
 
@@ -131,10 +153,12 @@ def ingest_graph(
         edges = spark.createDataFrame([], "src string, dst string, schema_type string, payload string")
 
     v = vertices.withColumn(
-        "prop_hash", prop_hash_col(F.col("schema_type"), F.col("payload"))
+        "prop_hash",
+        prop_hash_col(F.col("schema_type"), F.col("payload"), payload_is_json),
     )
     e = edges.withColumn(
-        "prop_hash", prop_hash_col(F.col("schema_type"), F.col("payload"))
+        "prop_hash",
+        prop_hash_col(F.col("schema_type"), F.col("payload"), payload_is_json),
     ).withColumn("edge_id", edge_hash_col(F.col("src"), F.col("dst"), F.col("prop_hash")))
 
     vertices_t = v.select("id", "prop_hash")
@@ -143,7 +167,7 @@ def ingest_graph(
     all_props = v.select("schema_type", "payload").unionByName(
         e.select("schema_type", "payload")
     )
-    properties_t, nest_refs = _prop_table(all_props, schema)
+    properties_t, nest_refs = _prop_table(all_props, schema, payload_is_json)
 
     node_refs = vertices_t.select(
         "prop_hash", F.lit("node").alias("ref_kind"), F.col("id").alias("ref_id")

@@ -1,0 +1,111 @@
+"""Degrees, hulls, PandasFilter, multi-hop paths, save/load, JSON-payload
+ingest, update-missing-node semantics."""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gravitydb_spark import GraphBatchBuilder, Prop, PropertyGraph, execute
+from gravitydb_spark.hashing import canonical_json, prop_hash
+from gravitydb_spark.operators import degrees, inner_hull, outer_hull
+from gravitydb_spark.ql import PandasFilter, eq_all, pq_from_id, vq_all, vq_from_ids
+from gravitydb_spark.schema import Schema
+from gravitydb_spark.sources import ingest_graph
+
+RAW = Schema(no_tag=frozenset({"T"}))
+
+
+def _chain(spark, n=4):
+    """v0 -> v1 -> v2 -> v3 chain."""
+    b = GraphBatchBuilder(RAW)
+    ids = [
+        b.add_node(Prop("T", f"v{i}"), id=f"00000000-0000-0000-0000-0000000000{i:02d}")
+        for i in range(n)
+    ]
+    for i in range(n - 1):
+        b.add_edge(ids[i], ids[i + 1], Prop("T", f"e{i}"))
+    return b.build(spark), ids
+
+
+def test_degrees(spark):
+    g, ids = _chain(spark)
+    got = {r["id"]: (r["out_degree"], r["in_degree"]) for r in degrees(g).collect()}
+    assert got[ids[0]] == (1, 0)
+    assert got[ids[1]] == (1, 1)
+    assert got[ids[3]] == (0, 1)
+
+
+def test_hulls(spark):
+    g, ids = _chain(spark)
+    members = spark.createDataFrame([(ids[0],), (ids[1],), (ids[2],)], "id string")
+    hull = outer_hull(g, members)
+    assert {(r["src"], r["dst"]) for r in hull.collect()} == {
+        (ids[0], ids[1]),
+        (ids[1], ids[2]),
+    }
+    all_edges = execute(g, eq_all()).edges
+    inner = inner_hull(g, all_edges, members)
+    assert inner.count() == 2  # the v2->v3 edge leaves the set
+
+
+def test_pandas_filter(spark):
+    g, ids = _chain(spark)
+
+    def is_even(value, schema_type):
+        # value is the JSON payload, e.g. '"v2"'
+        return value.str.contains('[02]"$', regex=True)
+
+    res = execute(g, vq_all().filter(PandasFilter(is_even, "even")))
+    got = sorted(r["id"] for r in res.vertices.collect())
+    assert got == sorted([ids[0], ids[2]])
+
+
+def test_two_hop_path_properties(spark):
+    """Multi-hop path ordering: [v0, e0, v1, e1, v2] (sane semantics for
+    the cases the reference never tested beyond 1 hop)."""
+    g, ids = _chain(spark)
+    q = vq_from_ids([ids[0]]).outgoing().outgoing().outgoing().outgoing()
+    res = execute(g, q)
+    rows = res.extract_path_properties().collect()
+    assert len(rows) == 1
+    props = [json.loads(p) for p in rows[0]["props"]]
+    assert props == [
+        {"T": "v0"},
+        {"T": "e0"},
+        {"T": "v1"},
+        {"T": "e1"},
+        {"T": "v2"},
+    ]
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    g, ids = _chain(spark)
+    path = str(tmp_path / "chain")
+    g.save(path)
+    g2 = PropertyGraph.load(spark, path, RAW)
+    res = execute(g2, vq_from_ids([ids[0]]).outgoing().outgoing())
+    assert [r["id"] for r in res.vertices.collect()] == [ids[1]]
+    for t in ("vertices", "edges", "properties", "prop_refs"):
+        assert getattr(g, t).count() == getattr(g2, t).count()
+
+
+def test_ingest_json_payloads(spark):
+    """payload_is_json: structured payloads hash identically to the Python
+    path's canonical encoding."""
+    payload = {"name": "Berlin", "pop": 3600000}
+    vertices = spark.createDataFrame(
+        [("v1", "City", canonical_json(payload)), ("v2", "Unit", "null")],
+        "id string, schema_type string, payload string",
+    )
+    g = ingest_graph(spark, vertices, payload_is_json=True)
+    hashes = {r["prop_hash"] for r in g.vertices.collect()}
+    assert prop_hash("City", payload) in hashes
+    assert prop_hash("Unit") in hashes  # 'null' payload -> unit variant
+
+
+def test_update_missing_node_errors(spark):
+    g, ids = _chain(spark)
+    with pytest.raises(KeyError):
+        g.update_nodes([("ffffffff-0000-0000-0000-000000000000", Prop("T", "x"))])
