@@ -25,6 +25,7 @@ HEADLINE = [
     "window_top_orders_per_customer",
     "events_hourly_rollup",
     "events_sessionize",
+    "events_asof_join",
     "g_two_hop",
     "g_set_disjunctive_union",
     "g_paths_1hop",
@@ -37,6 +38,8 @@ HEADLINE = [
     "text_lang_id",
     "text_bpe_token_count",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
     "multimodal_binary_meta",
 ]
 

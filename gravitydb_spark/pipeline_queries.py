@@ -199,6 +199,23 @@ _DUCK_SHINGLES = (
 )
 
 
+_shingle_cache: dict = {}
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF[doc_id, shingles] with the shingle arrays MATERIALIZED once and
+    shared by every shingle-based dedup operator (jaccard + minhash) —
+    the shingle build is the common expensive prefix."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _shingle_cache:
+        _shingle_cache[key] = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", _shingles_col().alias("shingles"))
+            .cache()
+        )
+    return _shingle_cache[key]
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -223,9 +240,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle, |A∩B| by count, |A∪B| = |A|+|B|−|A∩B|. The shuffle key is the
     shingle, so skew = max docs-per-shingle (bounded and checked; at scale
     super-common shingles would be dropped before the join)."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", _shingles_col().alias("shingles")
-    )
+    docs = _shingled_docs(spark, sf_dir)
     sh = docs.select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
@@ -320,9 +335,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → 16-component minhash signature → 4 LSH bands → bucket
     equi-join on (band, band-key) → candidate pairs → signature-estimated
     Jaccard ≥ 0.5. Join cost is proportional to bucket collisions, not n²."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", _shingles_col().alias("shingles")
-    )
+    docs = _shingled_docs(spark, sf_dir)
     sigs = _minhash_sigs(docs)
     rows_per_band = N_MINHASH // LSH_BANDS
     bands = (
@@ -523,47 +536,96 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk", oracle=None)  # approximate: rows-only check
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def _hyperplane_signs() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: sign[p][d] = ±1 from the
+    parity of md5(f"{p}:{d}"). Precomputed in Python and inlined as
+    LITERALS into both the Spark plan and the oracle SQL, so the bucketing
+    is identical across engines (no per-row hashing either)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
+            for d in range(EMB_DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+_SIGNS = _hyperplane_signs()
+
+# oracle bucket expression: 8 explicit ±e_i sums (left-to-right, matching
+# the Spark fold), combined into a bucket id
+_DUCK_PLANE_PROJS = [
+    " + ".join(
+        f"({'' if _SIGNS[p][d] > 0 else '-'}embedding[{d + 1}]::DOUBLE)"
+        for d in range(EMB_DIM)
+    )
+    for p in range(N_PLANES)
+]
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)"
+    for p, proj in enumerate(_DUCK_PLANE_PROJS)
+)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, ({_DUCK_BUCKET}) AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM bucketed
+          WHERE vec_id < {{n_queries}}),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round({{dot_qe}}
+               / (sqrt({{dot_qq}}) * sqrt({{dot_ee}})), 3) AS cosine
+      FROM q JOIN bucketed e ON e.bucket = q.bucket AND e.vec_id != q.q_id),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= {{k}}
+    """.format(
+        n_queries=ANN_N_QUERIES,
+        k=ANN_K,
+        dot_qe=_duck_dot("q.qv", "e.embedding"),
+        dot_qq=_duck_dot("q.qv", "q.qv"),
+        dot_ee=_duck_dot("e.embedding", "e.embedding"),
+    ),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH: 8 deterministic
-    pseudo-random hyperplanes (md5-derived ±1 per dimension) bucket the
-    corpus; queries only score their own bucket. At 100 TB this turns the
-    n·q scoring into per-bucket work. Approximate → no SQL oracle; the
-    rows-only check pins shape and determinism (buckets are md5-seeded,
-    not RNG-seeded, so results are stable across runs/engines)."""
+    hyperplanes (precomputed ±1 literals, see _hyperplane_signs) bucket
+    the corpus; queries only score their own bucket. At 100 TB this turns
+    q·n scoring into per-bucket work. Because the planes are literal and
+    the projections use the same left-to-right addition on both engines,
+    even this approximate operator has a full value-matched oracle."""
+    from functools import reduce
+
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
 
-    def bucket_bit(vec, plane: int):
-        # deterministic hyperplane: sign((-1)^bit of md5(plane:dim))
-        signs = F.transform(
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda d: F.when(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{plane}:"), d.cast("string"))), 1, 2
-                    ),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-                == 0,
-                1.0,
-            ).otherwise(-1.0),
-        )
-        proj = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+    def proj(plane: int):
+        terms = [
+            F.col("v")[d] * F.lit(_SIGNS[plane][d]) for d in range(EMB_DIM)
+        ]
+        return reduce(lambda x, y: x + y, terms)
 
-    bucket = None
-    for p in range(8):
-        bit = bucket_bit(F.col("v"), p) * (1 << p)
-        bucket = bit if bucket is None else bucket + bit
-    emb = emb.withColumn("bucket", bucket)
+    bucket = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(N_PLANES)
+        ],
+    )
+    emb = emb.withColumn("bucket", bucket).cache()
     q = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket")
     )

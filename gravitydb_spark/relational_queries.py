@@ -380,6 +380,63 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_extendedprice)::DOUBLE, 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9)::DOUBLE, 4) AS p90_price,
+           round(quantile_cont(l_extendedprice, 0.99)::DOUBLE, 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles (linear interpolation — the same definition in both
+    engines, so they hash-match; approx sketches never would). At scale
+    exact percentiles sort within groups; swap to percentile_approx when
+    a bounded-error sketch is acceptable."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round((sum(l_extendedprice) / 7.0)::DOUBLE, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — Catalyst decorrelates
+    it into an aggregate + join (no per-row re-execution), exactly the
+    rewrite the reference lacks any machinery for (SURVEY.md §4)."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_q17")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem_q17 l JOIN part_q17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM lineitem_q17 l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@register(
     "events_asof_join",
     oracle=f"""
     WITH ordered AS (
