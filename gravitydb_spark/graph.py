@@ -153,6 +153,10 @@ class PropertyGraph:
         co-located-join strategy from SCALE.md §1; at 100 TB this is the
         difference between shuffling the edge table per query and never
         shuffling it)."""
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(self.spark.conf.get("spark.sql.warehouse.dir")).path
         writes = [
             (self.vertices, "vertices", "id"),
             (self.edges, "edges", "src"),
@@ -160,12 +164,18 @@ class PropertyGraph:
             (self.prop_refs, "prop_refs", "prop_hash"),
         ]
         for df, name, key in writes:
+            table = f"{prefix}_{name}"
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+            # a managed-table location left behind by a PREVIOUS session is
+            # unknown to this session's in-memory catalog and blocks the
+            # write (LOCATION_ALREADY_EXISTS) — clear it
+            shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
             (
                 df.write.mode("overwrite")
                 .bucketBy(buckets, key)
                 .sortBy(key)
                 .format("parquet")
-                .saveAsTable(f"{prefix}_{name}")
+                .saveAsTable(table)
             )
 
     @staticmethod
