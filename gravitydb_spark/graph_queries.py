@@ -428,6 +428,29 @@ def g_outer_hull(spark, sf_dir):
 
 
 @register(
+    "g_motif_2hop",
+    oracle="""
+    SELECT 'c' || c_custkey AS c, 'n' || c_nationkey AS n,
+           'r' || n_regionkey AS r
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+)
+def g_motif_2hop(spark, sf_dir):
+    """Motif matching (GraphFrames-style, beyond the reference's linear
+    chains): (c:Customer)-[..LocatedIn]->(n)-[..PartOf]->(r) — compiled to
+    a join chain with type constraints pushed down as broadcast semi-joins."""
+    from .operators.motif import match_pattern
+
+    g = tpch_graph(spark, sf_dir)
+    return match_pattern(
+        g,
+        [("c", "_e1", "n"), ("n", "_e2", "r")],
+        vertex_types={"c": "Customer"},
+        edge_types={"_e1": "LocatedIn", "_e2": "PartOf"},
+    )
+
+
+@register(
     "g_degrees",
     oracle="""
     WITH nation_in AS (

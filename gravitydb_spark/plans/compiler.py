@@ -147,11 +147,39 @@ class _Compiler:
 
     # -- shared element-query plumbing --------------------------------------
 
-    def _set_op(self, kind: str, a: _Compiled, b: _Compiled, cols: list[str]) -> DataFrame:
+    def _prop_leaf_ids(self, q, element: str) -> Optional[DataFrame]:
+        """Peephole: a Property leaf used only as a set-op KEY SET doesn't
+        need its full frontier (which joins the edges table for src/dst) —
+        the prop_refs backlinks ARE the id set. Saves one join per filtered
+        traversal (`.outgoing(filter)` compiles to Intersect(..., Property))."""
+        if getattr(q, "kind", None) != "Property":
+            return None
+        props = self.compile_pq(q.args[0])
+        ref_kind = "node" if element == "v" else "edge"
+        return (
+            self.g.prop_refs.filter(F.col("ref_kind") == ref_kind)
+            .join(F.broadcast(props), "prop_hash", "leftsemi")
+            .select(F.col("ref_id").alias("id"))
+        )
+
+    def _set_op(
+        self,
+        kind: str,
+        a: _Compiled,
+        b: _Compiled,
+        cols: list[str],
+        qa=None,
+        qb=None,
+        element: str = "v",
+    ) -> DataFrame:
         fa, fb = a.frontier, b.frontier
         # semi/anti joins ignore right-side duplicates — no distinct needed
         ka = fa.select("id")
         kb = fb.select("id")
+        if qb is not None:
+            kb_direct = self._prop_leaf_ids(qb, element)
+            if kb_direct is not None and kind in ("Intersect", "Substract"):
+                kb = kb_direct
         if kind == "Union":
             return fa.unionByName(fb)
         if kind == "Intersect":
@@ -232,7 +260,7 @@ class _Compiler:
         if q.kind in ("Union", "Intersect", "Substract", "DisjunctiveUnion"):
             a, b = self.compile_vq(q.args[0]), self.compile_vq(q.args[1])
             return _Compiled(
-                self._set_op(q.kind, a, b, _V_COLS),
+                self._set_op(q.kind, a, b, _V_COLS, q.args[0], q.args[1], "v"),
                 _merge_store(a.v_store, b.v_store),
                 _merge_store(a.e_store, b.e_store),
             )
@@ -316,7 +344,7 @@ class _Compiler:
         if q.kind in ("Union", "Intersect", "Substract", "DisjunctiveUnion"):
             a, b = self.compile_eq(q.args[0]), self.compile_eq(q.args[1])
             return _Compiled(
-                self._set_op(q.kind, a, b, _E_COLS),
+                self._set_op(q.kind, a, b, _E_COLS, q.args[0], q.args[1], "e"),
                 _merge_store(a.v_store, b.v_store),
                 _merge_store(a.e_store, b.e_store),
             )
