@@ -79,3 +79,29 @@ def test_ingest_graph_matches_builder(spark, cocktail_graph):
         a = sorted(tuple(r) for r in getattr(cocktail_graph, table).collect())
         b = sorted(tuple(r) for r in getattr(g2, table).collect())
         assert a == b, f"{table} mismatch"
+
+
+def test_import_edge_list(spark):
+    """Distributed edge-list import: vertices discovered from endpoints,
+    ids preserved, traversals work immediately."""
+    from gravitydb_spark.ql import pq_from_id
+    from gravitydb_spark.schema import Prop
+    from gravitydb_spark.sources import import_edge_list
+
+    edges = spark.createDataFrame(
+        [("u1", "u2", "follows"), ("u2", "u3", "follows"), ("u1", "u3", "blocks")],
+        "src string, dst string, label string",
+    )
+    g = import_edge_list(spark, edges, vertex_type="User", edge_type="Rel")
+    assert g.vertices.count() == 3
+    assert g.edges.count() == 3
+
+    # traverse: who does u1 reach via 'follows'?
+    q = (
+        pq_from_id(Prop("User", "u1").hash)
+        .referencing_vertices()
+        .outgoing(pq_from_id(Prop("Rel", "follows").hash))
+        .outgoing()
+    )
+    res = execute(g, q)
+    assert sorted(r["id"] for r in res.vertices.collect()) == ["u2"]
