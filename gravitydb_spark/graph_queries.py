@@ -532,15 +532,64 @@ def g_connected_components(spark, sf_dir):
     return connected_components(tpch_graph(spark, sf_dir))
 
 
-@register("g_pagerank", oracle=None)  # iterative float fixpoint: rows-only
+_PR_SCALE = 10**12
+_PR_ITERS = 5
+
+
+def _pagerank_oracle_sql(iters: int = _PR_ITERS, scale: int = _PR_SCALE,
+                         dn: int = 85, dd: int = 100) -> str:
+    """Unrolled scaled-BIGINT power iteration as a DuckDB CTE chain —
+    the exact integer recurrence of ``pagerank_scaled`` (see
+    operators/iterative.py), so the match is bit-for-bit."""
+    n = "(SELECT n FROM nv)"
+    base = f"(({scale} * {dd - dn}) // ({dd} * {n}))"
+    parts = [
+        "WITH verts AS (SELECT 'c' || c_custkey AS id FROM customer"
+        " UNION ALL SELECT 's' || s_suppkey FROM supplier"
+        " UNION ALL SELECT 'n' || n_nationkey FROM nation"
+        " UNION ALL SELECT 'r' || r_regionkey FROM region),",
+        "edges AS (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst"
+        " FROM customer"
+        " UNION ALL SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier"
+        " UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),",
+        "deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),",
+        "nv AS (SELECT count(*)::BIGINT AS n FROM verts),",
+        f"pr0 AS (SELECT id, ({scale} // {n})::BIGINT AS r FROM verts),",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"dng{k} AS (SELECT (COALESCE(sum(p.r), 0)::BIGINT // {n})::BIGINT"
+            f" AS dpn FROM pr{k} p LEFT JOIN deg d ON d.src = p.id"
+            " WHERE d.src IS NULL),"
+        )
+        parts.append(
+            f"pr{k + 1} AS (SELECT v.id, ({base} + ({dn} * (COALESCE(a.in_rank, 0)"
+            f" + (SELECT dpn FROM dng{k}))) // {dd})::BIGINT AS r"
+            " FROM verts v LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(p.r // d.deg)::BIGINT AS in_rank"
+            f" FROM pr{k} p JOIN deg d ON d.src = p.id JOIN edges e ON e.src = p.id"
+            " GROUP BY e.dst) a ON a.id = v.id),"
+        )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT id, round(r::DOUBLE / {float(scale)}, 6) AS rank FROM pr{iters}"
+
+
+@register("g_pagerank", oracle=_pagerank_oracle_sql())
 def g_pagerank(spark, sf_dir):
-    """PageRank power iteration (5 rounds, damping 0.85). Float accumulation
-    order differs between engines, so this gets the rows-only check;
-    determinism within Spark is pinned by the fixed iteration count."""
-    from .operators.iterative import pagerank
+    """PageRank power iteration (5 rounds, damping 0.85) in scaled-BIGINT
+    arithmetic (operators/iterative.py:pagerank_scaled): integer addition
+    commutes, so unlike float PageRank the result is independent of
+    Spark's aggregation order and has a FULL value-matched DuckDB oracle
+    (an unrolled CTE chain of the same recurrence). Dangling mass is a
+    broadcast 1-row aggregate inside each iteration's plan — one job per
+    iteration, no driver-side collect."""
+    from .operators.iterative import pagerank_scaled
 
     g = tpch_graph(spark, sf_dir)
-    return pagerank(g, iters=5).select("id", F.round("rank", 6).alias("rank"))
+    pr = pagerank_scaled(g, iters=_PR_ITERS, scale=_PR_SCALE)
+    return pr.select(
+        "id", F.round(F.col("rank") / F.lit(float(_PR_SCALE)), 6).alias("rank")
+    )
 
 
 @register(

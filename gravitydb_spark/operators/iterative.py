@@ -4,10 +4,17 @@ DataFrame-iterated fixpoints with lineage truncation).
 
 The zoe language has no recursion (author note,
 docs/query_language.adoc:717-718), so these are additions, not ports:
-connected components (small-star/large-star-style label propagation) and
-PageRank. Each iteration is one join + one aggregation; ``localCheckpoint``
+connected components (alternating large-star/small-star, the standard
+MapReduce CC that converges in O(log n) rounds instead of O(diameter))
+and PageRank (dangling mass folded into the per-iteration plan — one
+Spark job per iteration, no driver-side ``.first()``). ``localCheckpoint``
 truncates lineage so plans stay O(1) per iteration instead of growing —
 the same plan-size discipline as the set-op compiler (SCALE.md §2).
+
+``pagerank_scaled`` runs the power iteration in scaled BIGINT arithmetic
+(integer division only), which is fold-order independent — so the gate
+query can have a full value-matched DuckDB oracle even though float
+summation order differs between engines.
 """
 
 from __future__ import annotations
@@ -16,54 +23,116 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..graph import PropertyGraph
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "pagerank_scaled"]
 
 
-def _undirected(graph: PropertyGraph) -> DataFrame:
-    e = graph.edges.select("src", "dst")
-    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-
-
-def connected_components(graph: PropertyGraph, max_iters: int = 20) -> DataFrame:
+def connected_components(graph: PropertyGraph, max_iters: int = 40) -> DataFrame:
     """DF[id, component] — component = min vertex id (lexicographic) in the
-    weakly-connected component. Label propagation to fixpoint: each vertex
-    adopts the min label among itself and its neighbors."""
-    edges = _undirected(graph).localCheckpoint(eager=False)
-    labels = graph.vertices.select("id", F.col("id").alias("component"))
+    weakly-connected component.
+
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): converges in O(log n) rounds on
+    any graph, vs O(diameter) for plain label propagation — the difference
+    between 20 shuffles and 600 on a 100 TB web-ish graph. Each round is
+    two groupBy+join passes over the (shrinking) edge set; at the fixpoint
+    the edge set is a star forest linking every vertex to its component's
+    minimum id.
+
+    Raises RuntimeError if ``max_iters`` rounds don't reach the fixpoint
+    (silently returning unconverged labels would be wrong answers).
+    """
+    # undirected, no self-loops; all ids are non-null strings (lexicographic
+    # total order — the same order min-label propagation used)
+    edges = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    prev_sig = None
+    converged = False
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("n_comp"))
+        # -- large-star: for each u, link every LARGER neighbor v to
+        #    m = min(N(u) ∪ {u}); keeps (v > m) orientation by construction
+        sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint()  # truncate lineage: O(1) plan per iteration
+        mins = sym.groupBy("u").agg(F.min("v").alias("nmin"))
+        mins = mins.select("u", F.least("nmin", "u").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+
+        # -- small-star: orient (hi → lo); for each hi, link hi and all its
+        #    smaller neighbors to m = min of those neighbors
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        edges = (
+            large.join(smins, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(smins.select(F.col("hi"), F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint()  # truncate lineage: O(1) plan per round
         )
-        labels = new_labels
-        if changed == 0:
+
+        # converged when the edge set is stable (count + order-free hash sum;
+        # decimal sum can't overflow under ANSI mode)
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)),
+                F.coalesce(
+                    F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ),
+            ).first()
+        )
+        if sig == prev_sig:
+            converged = True
             break
-    return labels
+        prev_sig = sig
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(pathological graph?); raise max_iters"
+        )
+
+    # fixpoint edge set is a star forest: (v, component_min) for every
+    # non-minimum vertex; isolated vertices / minima label themselves
+    stars = edges.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+    return (
+        graph.vertices.select("id")
+        .join(stars, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def _dangling_df(ranks: DataFrame, out_deg: DataFrame, expr: str) -> DataFrame:
+    """1-row DF with the aggregated rank mass of dangling vertices (no
+    out-edges), computed inside the plan — broadcast-joined into the next
+    iteration instead of ``.first()``-ed on the driver (one job/iteration)."""
+    return (
+        ranks.join(out_deg, ranks.id == out_deg.src, "leftanti")
+        .agg(F.expr(expr).alias("dpn"))
+    )
 
 
 def pagerank(
     graph: PropertyGraph, iters: int = 10, damping: float = 0.85
 ) -> DataFrame:
     """DF[id, rank] — standard power iteration with dangling-mass
-    redistribution. Deterministic given fixed iteration count."""
+    redistribution. Deterministic given fixed iteration count.
+
+    The dangling-mass aggregate is a 1-row DataFrame broadcast into the
+    rank-update join, so each iteration is ONE Spark job (the eager
+    localCheckpoint) — no extra driver action per iteration."""
     n = graph.vertices.count()
     out_deg = graph.edges.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = graph.vertices.select("id", F.lit(1.0 / n).alias("rank"))
@@ -76,21 +145,75 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("in_rank"))
         )
-        dangling = (
-            ranks.join(out_deg, ranks.id == out_deg.src, "leftanti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
+        dng = _dangling_df(
+            ranks, out_deg, f"coalesce(sum(rank), cast(0.0 as double)) / {n}"
         )
         ranks = (
             graph.vertices.select("id")
             .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dng))
             .select(
                 "id",
                 (
                     F.lit((1 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.col("dpn"))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_scaled(
+    graph: PropertyGraph,
+    iters: int = 10,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """DF[id, rank: long] — the same power iteration in scaled-integer
+    arithmetic: ranks are BIGINTs in units of 1/``scale``, every division
+    is integer division (DIV). Integer addition commutes exactly, so the
+    result is independent of aggregation order — unlike float PageRank,
+    this can be value-matched bit-for-bit against any other engine
+    (the DuckDB oracle mirrors the identical recurrence with ``//``).
+
+    Recurrence (all integer ops, all values non-negative so trunc == floor):
+        rank0     = scale DIV n
+        contrib   = rank DIV deg                  (per out-edge)
+        dpn       = sum(dangling rank) DIV n
+        rank'     = base + (dn * (in_rank + dpn)) DIV dd
+        base      = (scale * (dd - dn)) DIV (dd * n)
+    """
+    n = graph.vertices.count()
+    dn, dd = damping_num, damping_den
+    base = (scale * (dd - dn)) // (dd * n)
+    out_deg = graph.edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = graph.vertices.select(
+        "id", F.lit(scale // n).cast("long").alias("rank")
+    )
+    edges = graph.edges.select("src", "dst").localCheckpoint(eager=False)
+    for _ in range(iters):
+        contribs = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges.src == ranks.id)
+            .select(F.col("dst").alias("id"), F.expr("rank DIV deg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        dng = _dangling_df(
+            ranks, out_deg, f"coalesce(sum(rank), cast(0 as bigint)) DIV {n}"
+        )
+        ranks = (
+            graph.vertices.select("id")
+            .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dng))
+            .select(
+                "id",
+                F.expr(
+                    f"cast({base} + ({dn} * (coalesce(in_rank, 0) + dpn)) DIV {dd}"
+                    " as bigint)"
                 ).alias("rank"),
             )
             .localCheckpoint()

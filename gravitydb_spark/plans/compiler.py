@@ -110,6 +110,20 @@ class _Compiler:
             self._memo_p[q].cache()
         return self._memo_p[q]
 
+    @staticmethod
+    def _pq_predicate(q, col: str = "prop_hash") -> Optional[F.Column]:
+        """Literal property probes (Specific / FromTo) compile to a
+        pushed-down predicate instead of a broadcast semi-join: no
+        broadcast-build job per probe, and the equality/range predicate
+        reaches the parquet scan (PushedFilters). At 100 TB this turns a
+        probe into a footer-pruned point read; at gate scale it collapses
+        ~10 scheduler round-trips per traversal into zero."""
+        if q.kind == "Specific":
+            return F.col(col) == q.args[0]
+        if q.kind == "FromTo":
+            return F.col(col).between(q.args[0], q.args[1])
+        return None
+
     def _compile_pq(self, q: PropertyQuery) -> DataFrame:
         p = self.g.properties
         r = self.g.prop_refs
@@ -121,8 +135,15 @@ class _Compiler:
             # range predicate — pushed down to the parquet scan
             return p.filter(F.col("prop_hash").between(lo, hi)).select("prop_hash")
         if q.kind == "ReferencingProperties":
-            inner = self.compile_pq(q.args[0])
             # parents that nest any of ``inner`` (backlinks ref_kind='prop')
+            pred = self._pq_predicate(q.args[0])
+            if pred is not None:
+                return (
+                    r.filter((F.col("ref_kind") == "prop") & pred)
+                    .select(F.col("ref_id").alias("prop_hash"))
+                    .distinct()
+                )
+            inner = self.compile_pq(q.args[0])
             return (
                 r.filter(F.col("ref_kind") == "prop")
                 .join(F.broadcast(inner), "prop_hash", "leftsemi")
@@ -132,6 +153,13 @@ class _Compiler:
         if q.kind == "ReferencedProperties":
             # inverse lookup — reference stubs this to empty
             # (kv_graph_store.rs:348-351); implemented per the AST docs.
+            pred = self._pq_predicate(q.args[0], col="ref_id")
+            if pred is not None:
+                return (
+                    r.filter((F.col("ref_kind") == "prop") & pred)
+                    .select("prop_hash")
+                    .distinct()
+                )
             inner = self.compile_pq(q.args[0])
             return (
                 r.filter(F.col("ref_kind") == "prop")
@@ -154,8 +182,14 @@ class _Compiler:
         traversal (`.outgoing(filter)` compiles to Intersect(..., Property))."""
         if getattr(q, "kind", None) != "Property":
             return None
-        props = self.compile_pq(q.args[0])
         ref_kind = "node" if element == "v" else "edge"
+        pred = self._pq_predicate(q.args[0])
+        if pred is not None:
+            return (
+                self.g.prop_refs.filter((F.col("ref_kind") == ref_kind) & pred)
+                .select(F.col("ref_id").alias("id"))
+            )
+        props = self.compile_pq(q.args[0])
         return (
             self.g.prop_refs.filter(F.col("ref_kind") == ref_kind)
             .join(F.broadcast(props), "prop_hash", "leftsemi")
@@ -167,8 +201,6 @@ class _Compiler:
         kind: str,
         a: _Compiled,
         b: _Compiled,
-        cols: list[str],
-        qa=None,
         qb=None,
         element: str = "v",
     ) -> DataFrame:
@@ -248,9 +280,15 @@ class _Compiler:
             # (kv_graph_store.rs:151-155) — nonexistent ids pass through
             return _Compiled(df.select("id", _empty_path(), _null_start()))
         if q.kind == "Property":
-            props = self.compile_pq(q.args[0])
             # no distinct: a vertex has exactly ONE direct property, so its
             # node-backlink appears once per semi-join match
+            pred = self._pq_predicate(q.args[0])
+            if pred is not None:  # literal probe → pushed-down scan predicate
+                frontier = g.prop_refs.filter(
+                    (F.col("ref_kind") == "node") & pred
+                ).select(F.col("ref_id").alias("id"), _empty_path(), _null_start())
+                return _Compiled(frontier)
+            props = self.compile_pq(q.args[0])
             frontier = (
                 g.prop_refs.filter(F.col("ref_kind") == "node")
                 .join(F.broadcast(props), "prop_hash", "leftsemi")
@@ -260,7 +298,7 @@ class _Compiler:
         if q.kind in ("Union", "Intersect", "Substract", "DisjunctiveUnion"):
             a, b = self.compile_vq(q.args[0]), self.compile_vq(q.args[1])
             return _Compiled(
-                self._set_op(q.kind, a, b, _V_COLS, q.args[0], q.args[1], "v"),
+                self._set_op(q.kind, a, b, q.args[1], "v"),
                 _merge_store(a.v_store, b.v_store),
                 _merge_store(a.e_store, b.e_store),
             )
@@ -326,13 +364,19 @@ class _Compiler:
             )
             return _Compiled(frontier)
         if q.kind == "Property":
-            props = self.compile_pq(q.args[0])
             # no distinct: an edge has exactly one direct property
-            eids = (
-                g.prop_refs.filter(F.col("ref_kind") == "edge")
-                .join(F.broadcast(props), "prop_hash", "leftsemi")
-                .select(F.col("ref_id").alias("edge_id"))
-            )
+            pred = self._pq_predicate(q.args[0])
+            if pred is not None:  # literal probe → pushed-down scan predicate
+                eids = g.prop_refs.filter(
+                    (F.col("ref_kind") == "edge") & pred
+                ).select(F.col("ref_id").alias("edge_id"))
+            else:
+                props = self.compile_pq(q.args[0])
+                eids = (
+                    g.prop_refs.filter(F.col("ref_kind") == "edge")
+                    .join(F.broadcast(props), "prop_hash", "leftsemi")
+                    .select(F.col("ref_id").alias("edge_id"))
+                )
             frontier = g.edges.join(eids, "edge_id", "leftsemi").select(
                 F.col("edge_id").alias("id"),
                 "src",
@@ -344,7 +388,7 @@ class _Compiler:
         if q.kind in ("Union", "Intersect", "Substract", "DisjunctiveUnion"):
             a, b = self.compile_eq(q.args[0]), self.compile_eq(q.args[1])
             return _Compiled(
-                self._set_op(q.kind, a, b, _E_COLS, q.args[0], q.args[1], "e"),
+                self._set_op(q.kind, a, b, q.args[1], "e"),
                 _merge_store(a.v_store, b.v_store),
                 _merge_store(a.e_store, b.e_store),
             )

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 import sys
 import os
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -65,6 +66,7 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -73,9 +75,10 @@ def main():
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"✗ {name}: spark error {str(e)[:300]}")
             continue
+        spark_s = time.monotonic() - t0
         sql = os_.get(name)
         if sql is None:
-            print(f"~ {name}: rows-only ({len(s_rows)} rows)")
+            print(f"~ {name}: rows-only ({len(s_rows)} rows) [{spark_s:.1f}s]")
             continue
         try:
             ddf = con.sql(sql)
@@ -99,7 +102,7 @@ def main():
             failures.append((name, f"values differ, e.g. {diff}"))
             print(f"✗ {name}: value mismatch, e.g. {diff}")
             continue
-        print(f"✓ {name} ({len(a)} rows)")
+        print(f"✓ {name} ({len(a)} rows) [{spark_s:.1f}s]")
 
     print(f"\n{len(failures)} failures / {len(qs)} queries")
     return 1 if failures else 0
