@@ -53,12 +53,50 @@ def cmd_init(args) -> int:
 
 
 def cmd_create_node(args) -> int:
+    # flag rules mirror cli_helpers.rs:104-115
+    if args.update and not args.id:
+        print("to update a node you need to provide an id", file=sys.stderr)
+        return 1
+    if args.create_id and args.get_or_create:
+        print(
+            "you can either force creating an id or use an existing one "
+            "if possible but not both",
+            file=sys.stderr,
+        )
+        return 1
     spark = get_spark("gravitydb_cli")
     g = _load(spark, args.db)
-    item = (args.id, Prop(args.type, args.value))
+    prop = Prop(args.type, args.value)
+    if args.update:
+        # gc mirrors the reference's per-op refcount delete of the old
+        # property once unreferenced (kv_graph_store.rs:555-582)
+        g2 = g.update_nodes([(args.id, prop)]).gc()
+        _save_over(spark, g2, args.db)
+        print(args.id)
+        return 0
+    item = (args.id, prop)
     if args.get_or_create:
         g2, ids = g.get_or_create_nodes([item])
     else:
+        if not args.create_id and args.id is None:
+            # duplicate-content guard (cli_helpers.rs:168-170): same content
+            # without an explicit id needs --create-id or --get-or-create
+            from pyspark.sql import functions as F
+
+            exists = (
+                g.prop_refs.filter(
+                    (F.col("ref_kind") == "node") & (F.col("prop_hash") == prop.hash)
+                )
+                .limit(1)
+                .count()
+            )
+            if exists:
+                print(
+                    "node allready exists. Please use `--create-id` to create "
+                    "a node with equal data anyway",
+                    file=sys.stderr,
+                )
+                return 1
         g2, ids = g.create_nodes([item])
     if g2 is not g:
         _save_over(spark, g2, args.db)
@@ -87,6 +125,103 @@ def cmd_delete_node(args) -> int:
 def cmd_property_id(args) -> int:
     print(prop_hash(args.type, args.value))
     return 0
+
+
+def cmd_property_blob(args) -> int:
+    """PropertyBlob (cli_helpers.rs:206-211): serialize property content to
+    the exact storage blob bytes — the canonical JSON that is hashed for
+    content addressing."""
+    from .hashing import canonical_json, tagged_property
+
+    sys.stdout.write(canonical_json(tagged_property(args.type, args.value)))
+    return 0
+
+
+def cmd_script(args) -> int:
+    """Script (cli_helpers.rs:229-234): run a script file against the db —
+    the ``lua_run`` analog; here the scripting surface is Python. The
+    script runs with the same bindings as the REPL (``spark``, ``db``,
+    ``execute(q)``, ``Prop``, and the query builders)."""
+    from . import ql
+    from .plans.compiler import execute as _execute
+
+    spark = get_spark("gravitydb_cli")
+    db = _load(spark, args.db)
+    ns = {
+        "spark": spark,
+        "db": db,
+        "execute": lambda q: _execute(db, q),
+        "Prop": Prop,
+        **{n: getattr(ql, n) for n in ql.__all__},
+    }
+    with open(args.script, encoding="utf-8") as f:
+        code_text = f.read()
+    exec(compile(code_text, args.script, "exec"), ns)  # noqa: S102 — the verb's purpose
+    return 0
+
+
+def cmd_result_data(args) -> int:
+    """ResultData (cli_helpers.rs:236-248; docs/backends_filestore.adoc:918-924):
+    enrich a QueryResult (ids only) with the elements' property data. The
+    reference TODO-stubs the enrichment and echoes the input; implemented
+    here per the documented purpose."""
+    raw = (
+        sys.stdin.read()
+        if args.input in (None, "-")
+        else open(args.input, encoding="utf-8").read()
+    )
+    data = json.loads(raw)
+    spark = get_spark("gravitydb_cli")
+    g = _load(spark, args.db)
+    from pyspark.sql import functions as F
+
+    def enrich(ids: list, table, key: str) -> list:
+        if not ids:
+            return []
+        id_df = spark.createDataFrame([(i,) for i in ids], f"{key} string")
+        rows = (
+            table.join(F.broadcast(id_df), key)
+            .join(g.properties, "prop_hash", "left")
+            .select(key, "prop_hash", "schema_type", "value")
+            .collect()
+        )
+        by_id = {
+            r[key]: {
+                "properties": r["prop_hash"],
+                "schema_type": r["schema_type"],
+                "value": None if r["value"] is None else json.loads(r["value"]),
+            }
+            for r in rows
+        }
+        return [{"id": i, **by_id.get(i, {"properties": None})} for i in ids]
+
+    out = {
+        "vertices": enrich(data.get("vertices", []), g.vertices, "id"),
+        "edges": enrich(data.get("edges", []), g.edges, "edge_id"),
+        "paths": data.get("paths", []),
+        "variables": data.get("variables", {}),
+    }
+    json.dump(out, sys.stdout, indent=2)
+    print()
+    return 0
+
+
+def cmd_doctor(args) -> int:
+    """doctor (docs/backends_filestore.adoc:969-973, planned there):
+    integrity audit — prints per-check violation counts (+ examples) and
+    exits nonzero if the store is unhealthy."""
+    spark = get_spark("gravitydb_cli")
+    g = _load(spark, args.db)
+    report, bad = {}, False
+    for check, df in g.doctor().items():
+        sample = [list(r) for r in df.limit(5).collect()]
+        n = df.count()
+        bad = bad or n > 0
+        report[check] = {"violations": n, "examples": sample}
+    report["healthy"] = not bad
+    json.dump(report, sys.stdout, indent=2)
+    print()
+    return 1 if bad else 0
 
 
 def cmd_query_db(args) -> int:
@@ -168,6 +303,18 @@ def main(argv=None) -> int:
         help="return the existing node with identical property content "
         "instead of erroring (cli_helpers.rs:137-160)",
     )
+    sp.add_argument(
+        "--update",
+        action="store_true",
+        help="update the node's properties instead of creating (requires "
+        "--id; cli_helpers.rs:104-115,178-182)",
+    )
+    sp.add_argument(
+        "--create-id",
+        action="store_true",
+        help="force a fresh node even when identical property content "
+        "exists (cli_helpers.rs:125-127)",
+    )
     sp.set_defaults(fn=cmd_create_node)
 
     sp = sub.add_parser("create-edge")
@@ -187,6 +334,25 @@ def main(argv=None) -> int:
     sp.add_argument("--type", required=True)
     sp.add_argument("--value")
     sp.set_defaults(fn=cmd_property_id)
+
+    sp = sub.add_parser("property-blob")
+    sp.add_argument("--type", required=True)
+    sp.add_argument("--value")
+    sp.set_defaults(fn=cmd_property_blob)
+
+    sp = sub.add_parser("script")
+    sp.add_argument("--db", required=True)
+    sp.add_argument("script", help="Python file to run against the db")
+    sp.set_defaults(fn=cmd_script)
+
+    sp = sub.add_parser("result-data")
+    sp.add_argument("--db", required=True)
+    sp.add_argument("--input")
+    sp.set_defaults(fn=cmd_result_data)
+
+    sp = sub.add_parser("doctor")
+    sp.add_argument("--db", required=True)
+    sp.set_defaults(fn=cmd_doctor)
 
     sp = sub.add_parser("query-db")
     sp.add_argument("--db", required=True)

@@ -266,11 +266,22 @@ class PropertyGraph:
             .agg(F.min("ref_id").alias("ref_id"))
             .collect()
         }
-        to_create = [(vid, p) for vid, p in items if p.hash not in existing]
+        # dedupe misses by content hash WITHIN the batch: the reference CLI
+        # path is sequential, so a second identical item returns the first's
+        # id — mirror that by creating one node per distinct missing content
+        # and mapping every item with that hash to it
+        to_create, seen = [], set()
+        for vid, p in items:
+            if p.hash not in existing and p.hash not in seen:
+                seen.add(p.hash)
+                to_create.append((vid, p))
         g, created = (self.create_nodes(to_create) if to_create else (self, []))
-        created_iter = iter(created)
+        created_by_hash = {
+            p.hash: cid for (_, p), cid in zip(to_create, created)
+        }
         out = [
-            existing.get(p.hash) or next(created_iter) for _, p in items
+            existing[p.hash] if p.hash in existing else created_by_hash[p.hash]
+            for _, p in items
         ]
         return g, out
 
@@ -414,6 +425,87 @@ class PropertyGraph:
             "edges": self.edges.count(),
             "properties": self.properties.count(),
             "prop_refs": self.prop_refs.count(),
+        }
+
+    def doctor(self) -> dict[str, DataFrame]:
+        """Integrity audit (the reference's planned ``doctor`` verb,
+        docs/backends_filestore.adoc:969-973 — "checks the database is
+        valid and lists errors"; TODO-stubbed there, implemented here).
+
+        Five checks, each one anti-join (so the whole audit is a handful
+        of shuffle-free broadcast/semi passes over the four tables):
+
+        - ``dangling_edges``       — edges whose src or dst vertex is gone
+          (the reference's non-cascading delete_node leaves these,
+          kv_graph_store.rs:584-602)
+        - ``missing_properties``   — vertices/edges whose prop_hash has no
+          properties row (content blob lost)
+        - ``stale_refs``           — prop_refs backlinks whose referrer
+          (node/edge/parent property) no longer exists (refcount audit:
+          these rows keep garbage alive)
+        - ``missing_refs``         — vertices/edges with NO backlink row
+          (refcount audit: property-index lookups can't find them)
+        - ``orphaned_properties``  — properties rows with zero backlinks
+          (dead content a ``gc()`` would collect)
+
+        Returns {check_name: violation DataFrame} — empty DataFrames mean
+        a healthy store.
+        """
+        v, e, p, r = self.vertices, self.edges, self.properties, self.prop_refs
+        vids = v.select("id")
+        dangling_edges = (
+            e.join(vids.withColumnRenamed("id", "src"), "src", "leftanti")
+            .unionByName(e.join(vids.withColumnRenamed("id", "dst"), "dst", "leftanti"))
+            .dropDuplicates(["edge_id"])
+        )
+        phashes = p.select("prop_hash")
+        missing_properties = (
+            v.select(F.lit("node").alias("kind"), F.col("id").alias("ref_id"), "prop_hash")
+            .unionByName(
+                e.select(
+                    F.lit("edge").alias("kind"),
+                    F.col("edge_id").alias("ref_id"),
+                    "prop_hash",
+                )
+            )
+            .join(phashes, "prop_hash", "leftanti")
+        )
+        referrers = (
+            v.select(F.lit("node").alias("ref_kind"), F.col("id").alias("ref_id"))
+            .unionByName(
+                e.select(F.lit("edge").alias("ref_kind"), F.col("edge_id").alias("ref_id"))
+            )
+            .unionByName(
+                p.select(F.lit("prop").alias("ref_kind"), F.col("prop_hash").alias("ref_id"))
+            )
+        )
+        stale_refs = r.join(referrers, ["ref_kind", "ref_id"], "leftanti")
+        node_refs = r.filter(F.col("ref_kind") == "node").select(
+            F.col("ref_id").alias("id")
+        )
+        edge_refs = r.filter(F.col("ref_kind") == "edge").select(
+            F.col("ref_id").alias("edge_id")
+        )
+        missing_refs = (
+            v.join(node_refs, "id", "leftanti")
+            .select(F.lit("node").alias("kind"), F.col("id").alias("ref_id"), "prop_hash")
+            .unionByName(
+                e.join(edge_refs, "edge_id", "leftanti").select(
+                    F.lit("edge").alias("kind"),
+                    F.col("edge_id").alias("ref_id"),
+                    "prop_hash",
+                )
+            )
+        )
+        orphaned_properties = p.join(
+            r.select("prop_hash").distinct(), "prop_hash", "leftanti"
+        ).select("prop_hash", "schema_type")
+        return {
+            "dangling_edges": dangling_edges,
+            "missing_properties": missing_properties,
+            "stale_refs": stale_refs,
+            "missing_refs": missing_refs,
+            "orphaned_properties": orphaned_properties,
         }
 
 

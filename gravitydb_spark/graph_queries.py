@@ -318,6 +318,65 @@ def g_filter_expr(spark, sf_dir):
 
 
 @register(
+    "g_filter_path",
+    oracle="""
+    SELECT DISTINCT 'c' || c_custkey AS id FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE' AND 'n' || n_nationkey = 'n3'
+    """,
+)
+def g_filter_path(spark, sf_dir):
+    """Path-dependent filtering via the documented filter context
+    (query_language.adoc:536-543): the 3-arg ExprFilter receives
+    ``ctx.id/.path/.start/.variables`` and keeps only EUROPE customers
+    whose traversal path passed through vertex ``n3`` — unexpressible
+    with the value-only filter signature."""
+    flt = ExprFilter(
+        lambda value, schema_type, ctx: F.exists(
+            ctx.path, lambda hop: hop["v"] == "n3"
+        ),
+        name="path_through_n3",
+    )
+    q = _customers_in_region("EUROPE").filter(flt)
+    return _ids(execute(tpch_graph(spark, sf_dir), q)).distinct()
+
+
+@register(
+    "g_eq_specific",
+    oracle="""
+    SELECT sha256('{"n1":"n' || n_nationkey || '","n2":"r' || n_regionkey
+                   || '","properties":"' || sha256('"PartOf"') || '"}') AS id
+    FROM nation WHERE n_nationkey <= 2
+    UNION ALL SELECT 'not-a-real-edge-id'
+    """,
+)
+def g_eq_specific(spark, sf_dir):
+    """EdgeQuery::Specific point lookup, including one UNKNOWN edge id:
+    the reference builds contexts without a store lookup
+    (kv_graph_store.rs:229-233), so nonexistent ids pass through into the
+    result set — pinned here by the sentinel id. Edge ids are
+    content-addressed (hashing.edge_hash), so both engines derive the
+    same ids from the nation→region rows."""
+    from .hashing import edge_hash
+    from .ql import eq_from_ids
+
+    g = tpch_graph(spark, sf_dir)
+    ph = Prop("PartOf").hash
+    pairs = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") <= 2)
+        .select("n_nationkey", "n_regionkey")
+        .collect()  # point reads: ids are driver-known by definition
+    )
+    ids = [
+        edge_hash(f"n{r.n_nationkey}", f"r{r.n_regionkey}", ph) for r in pairs
+    ]
+    ids.append("not-a-real-edge-id")
+    return execute(g, eq_from_ids(ids)).edges
+
+
+@register(
     "g_store",
     oracle="""
     SELECT 'c' || c_custkey AS id FROM customer

@@ -49,18 +49,31 @@ def match_pattern(
     bound_vars: set[str] = set()
 
     for src_var, edge_var, dst_var in pattern:
-        rel = edge_rel(edge_var).select(
-            F.col("src").alias(src_var),
-            F.col("edge_id").alias(edge_var),
-            F.col("dst").alias(dst_var),
-        )
+        if edge_var in (src_var, dst_var):
+            raise ValueError(
+                f"edge variable {edge_var!r} reuses a vertex variable"
+            )
+        base = edge_rel(edge_var)
+        if src_var == dst_var:
+            # self-loop pattern (a)-[e]->(a): unify the endpoints as an
+            # equality filter instead of aliasing two columns to one name
+            rel = base.filter(F.col("src") == F.col("dst")).select(
+                F.col("src").alias(src_var), F.col("edge_id").alias(edge_var)
+            )
+            pat_vars = [src_var, edge_var]
+        else:
+            rel = base.select(
+                F.col("src").alias(src_var),
+                F.col("edge_id").alias(edge_var),
+                F.col("dst").alias(dst_var),
+            )
+            pat_vars = [src_var, edge_var, dst_var]
         if bound is None:
             bound = rel
-            bound_vars = {src_var, edge_var, dst_var}
+            bound_vars = set(pat_vars)
         else:
             join_keys = [
-                v for v in (src_var, edge_var, dst_var)
-                if v in bound_vars and not v.startswith("_")
+                v for v in pat_vars if v in bound_vars and not v.startswith("_")
             ]
             if not join_keys:
                 raise ValueError(
@@ -69,11 +82,10 @@ def match_pattern(
                 )
             # avoid duplicate columns: rename unshared, join on shared
             rel = rel.select(
-                *[F.col(v) for v in (src_var, edge_var, dst_var) if v not in bound_vars
-                  or v in join_keys]
+                *[F.col(v) for v in pat_vars if v not in bound_vars or v in join_keys]
             )
             bound = bound.join(rel, join_keys)
-            bound_vars |= {src_var, edge_var, dst_var}
+            bound_vars |= set(pat_vars)
 
     assert bound is not None, "empty pattern"
 

@@ -249,13 +249,49 @@ class _Compiler:
                 "left",
             )
         )
+        import inspect
+
+        from ..ql import FilterContext
+
+        wants_ctx = len(inspect.signature(flt.fn).parameters) >= 3
         if isinstance(flt, ExprFilter):
-            keep = flt.fn(F.col("value"), F.col("schema_type"))
+            if wants_ctx:
+                # documented filter contract (query_language.adoc:536-543):
+                # the program sees the element id, the path so far, the
+                # start edge, and the side-effect variables
+                ctx = FilterContext(
+                    id=F.col("id"),
+                    path=F.coalesce(F.col("path"), F.lit([]).cast(PATH_TYPE)),
+                    start=F.col("start"),
+                    variables={},
+                )
+                keep = flt.fn(F.col("value"), F.col("schema_type"), ctx)
+            else:
+                keep = flt.fn(F.col("value"), F.col("schema_type"))
         elif isinstance(flt, PandasFilter):
             from pyspark.sql.functions import pandas_udf
 
-            udf = pandas_udf(flt.fn, "boolean")
-            keep = udf(F.col("value"), F.col("schema_type"))
+            if wants_ctx:
+                user_fn = flt.fn
+
+                def _with_ctx(value, schema_type, ids, paths, starts):
+                    return user_fn(
+                        value,
+                        schema_type,
+                        FilterContext(id=ids, path=paths, start=starts, variables={}),
+                    )
+
+                udf = pandas_udf(_with_ctx, "boolean")
+                keep = udf(
+                    F.col("value"),
+                    F.col("schema_type"),
+                    F.col("id"),
+                    F.coalesce(F.col("path"), F.lit([]).cast(PATH_TYPE)),
+                    F.col("start"),
+                )
+            else:
+                udf = pandas_udf(flt.fn, "boolean")
+                keep = udf(F.col("value"), F.col("schema_type"))
         else:
             raise TypeError(f"unsupported filter: {type(flt).__name__}")
         return enriched.filter(keep).select(*cols)

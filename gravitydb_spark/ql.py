@@ -38,6 +38,7 @@ __all__ = [
     "ShellFilter",
     "ExprFilter",
     "PandasFilter",
+    "FilterContext",
     "vq_all",
     "vq_from_ids",
     "vq_from_property",
@@ -66,21 +67,46 @@ class ShellFilter:
 
 
 @dataclass(frozen=True)
+class FilterContext:
+    """The query context the documented filter contract hands to filter
+    programs (docs/query_language.adoc:536-543; VertexQueryContext/
+    EdgeQueryContext, ql.rs:246-352): the reached element's id, the path
+    that led there, the starting edge (if the chain began at an edge), and
+    the side-effect variables map.
+
+    For :class:`ExprFilter` the fields are Spark ``Column``s (``path`` is
+    ``array<struct<v,e>>``, never null — empty array when no hops yet);
+    for :class:`PandasFilter` they are ``pd.Series`` per Arrow batch.
+    ``variables`` is the query's variables map — a plain dict, empty today
+    because nothing writes variables (true of the reference as well)."""
+
+    id: Any
+    path: Any
+    start: Any
+    variables: dict
+
+
+@dataclass(frozen=True)
 class ExprFilter:
-    """Fast-path filter: ``fn(value_col, schema_type_col) -> bool Column``.
+    """Fast-path filter: ``fn(value_col, schema_type_col) -> bool Column``,
+    or ``fn(value_col, schema_type_col, ctx: FilterContext) -> bool Column``
+    (arity is inspected; the 3-arg form receives the documented query
+    context — element id, path, start, variables).
 
     Runs JVM-side inside whole-stage codegen; ``value_col`` is the element's
     property payload as a JSON string column, ``schema_type_col`` its type.
     """
 
-    fn: Callable  # (Column, Column) -> Column
+    fn: Callable  # (Column, Column[, FilterContext]) -> Column
     name: str = "expr_filter"
 
 
 @dataclass(frozen=True)
 class PandasFilter:
     """Slow-path filter: ``fn(value: pd.Series, schema_type: pd.Series) ->
-    bool pd.Series`` — Arrow-batched, for predicates SQL can't express."""
+    bool pd.Series`` — Arrow-batched, for predicates SQL can't express.
+    A 3-arg form ``fn(value, schema_type, ctx: FilterContext)`` receives
+    the documented query context as per-batch ``pd.Series`` fields."""
 
     fn: Callable
     name: str = "pandas_filter"

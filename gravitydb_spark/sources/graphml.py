@@ -54,7 +54,13 @@ def import_graphml(
 ) -> tuple[PropertyGraph, dict[str, str]]:
     """Import a GraphML document; returns (graph, raw-id → vertex-id map)."""
     root = ET.fromstring(xml_data)
-    graph_el = root if root.tag.endswith("graph") else root.find(".//graph")
+    # {*} wildcard: accept spec-conformant namespaced GraphML
+    # (xmlns="http://graphml.graphdrawing.org/xmlns") as well as bare tags
+    graph_el = (
+        root
+        if root.tag.rsplit("}", 1)[-1] == "graph"
+        else root.find(".//{*}graph")
+    )
     if graph_el is None:
         raise ValueError("no <graph> element found")
 

@@ -69,11 +69,13 @@ def prop_hash_col(
 
 def edge_hash_col(src: Column, dst: Column, prop_hash: Column) -> Column:
     """Canonical edge record hash; key order n1 < n2 < properties matches
-    ``hashing.edge_hash``."""
-    record = F.concat(
-        F.lit('{"n1":"'), src,
-        F.lit('","n2":"'), dst,
-        F.lit('","properties":"'), prop_hash, F.lit('"}'),
+    ``hashing.edge_hash``. Built with ``to_json(struct(...))`` so Jackson
+    escapes ids exactly like Python's ``canonical_json`` does (``"``, ``\\``
+    and control characters) — raw concatenation would hash differently for
+    ids containing JSON metacharacters, silently breaking cross-path edge
+    dedup/delete between ``GraphBatchBuilder`` and bulk ingest."""
+    record = F.to_json(
+        F.struct(src.alias("n1"), dst.alias("n2"), prop_hash.alias("properties"))
     )
     return F.sha2(record, 256)
 
