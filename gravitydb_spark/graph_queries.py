@@ -652,6 +652,33 @@ def g_pagerank(spark, sf_dir):
 
 
 @register(
+    "g_doctor",
+    oracle="""
+    SELECT 0::BIGINT AS dangling_edges, 0::BIGINT AS missing_properties,
+           0::BIGINT AS stale_refs, 0::BIGINT AS missing_refs,
+           0::BIGINT AS orphaned_properties
+    """,
+)
+def g_doctor(spark, sf_dir):
+    """doctor integrity audit (docs/backends_filestore.adoc:969-973) over
+    the bulk-ingested TPC-H graph: five anti-join checks, all of which
+    must be empty — pinning that ``ingest_graph`` produces a consistent
+    content-addressed store (every edge endpoint resolves, every element's
+    property blob and backlink exist, no garbage)."""
+    g = tpch_graph(spark, sf_dir)
+    checks = g.doctor()
+    names = [
+        "dangling_edges",
+        "missing_properties",
+        "stale_refs",
+        "missing_refs",
+        "orphaned_properties",
+    ]
+    counts = [checks[n].count() for n in names]
+    return spark.createDataFrame([tuple(counts)], ", ".join(f"{n} long" for n in names))
+
+
+@register(
     "g_db_info",
     oracle="""
     WITH c AS (SELECT count(*) n, count(DISTINCT c_name) d FROM customer),

@@ -260,13 +260,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     ).cache()  # barrier: stops Catalyst inlining the shingle expr into both join sides
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
+    # df cap as a window count over the SAME partitioning the join needs
+    # (one shuffle on shingle, no extra aggregate+semi-join round trip)
+    shf = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
         .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("shingle")
+        .drop("df")
     )
-    shf = sh.join(rare, "shingle", "leftsemi")
     a = shf.alias("a")
     b = shf.alias("b")
     inter = (
@@ -676,6 +676,123 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      WHERE vec_id < {IVF_CELLS}),
+    assign_scored AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             {_duck_dot('e.embedding', 'c.cv')} AS d
+      FROM embeddings e JOIN cent c ON TRUE),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d DESC, cell ASC) AS rn
+        FROM assign_scored) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_duck_dot('e.embedding', 'c.cv')} DESC,
+                                           c.cell ASC) AS rn
+        FROM embeddings e JOIN cent c ON TRUE
+        WHERE e.vec_id < {ANN_N_QUERIES}) WHERE rn <= {IVF_NPROBE}),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, a.vec_id,
+             round({_duck_dot('q.qv', 'a.embedding')}
+               / (sqrt({_duck_dot('q.qv', 'q.qv')})
+                  * sqrt({_duck_dot('a.embedding', 'a.embedding')})), 3) AS cosine
+      FROM q JOIN probes p ON p.q_id = q.q_id
+             JOIN assigned a ON a.cell = p.cell AND a.vec_id != q.q_id),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= {ANN_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the other classic scale path besides LSH:
+    a coarse quantizer assigns every vector to its nearest of
+    ``IVF_CELLS`` centroids (inverted lists); a query probes only its
+    ``IVF_NPROBE`` closest cells. At 100 TB the corpus-side work is one
+    linear assignment pass (n × K dot products, embarrassingly parallel)
+    and each query touches ~nprobe/K of the data, partitioned by cell.
+
+    Deterministic and oracle-matched end to end: centroids are the first
+    K vectors by vec_id (no iterative k-means — float iteration order
+    isn't portable), assignment/probing use the same left-fold dot
+    product and (score DESC, id ASC) tie-breaks on both engines."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    cent = emb.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    # corpus → nearest centroid (argmax dot, tie-break on cell id)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cell"))
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "v", "cell", _dot(F.col("v"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    # queries → nprobe nearest cells
+    probes = (
+        emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .join(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "cell",
+            _dot(F.col("v"), F.col("cv")).alias("d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("d"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "cell")
+    )
+    q = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        q.join(F.broadcast(probes), "q_id")
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                ),
+                3,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -899,3 +1016,107 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication executed as a real Structured Streaming
+    query: readStream → ``dropDuplicates`` on the dedup key → append-mode
+    memory sink. WHICH physical row survives per key is
+    arrival-order-dependent, so the gate returns the kept KEY SET — that
+    set is deterministic and oracle-checkable (SELECT DISTINCT). The
+    bounded-state variant (``dropDuplicatesWithinWatermark``, the 100 TB
+    posture where state for keys older than the watermark is evicted) is
+    exercised in tests/test_streaming_dedup_buckets.py."""
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    name = f"dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+_NS_PER_SEC = 1_000_000_000
+
+
+@register(
+    "stream_sessionize",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_ns(ts) // {_NS_PER_SEC} AS sec FROM events),
+    g AS (
+      SELECT user_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC)),
+    s AS (
+      SELECT user_id, sec,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY sec ASC
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+    sess AS (
+      SELECT user_id, sid, min(sec)::BIGINT AS session_start_s,
+             max(sec)::BIGINT AS session_end_s, count(*)::BIGINT AS n_events
+      FROM s GROUP BY 1, 2),
+    last AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1)
+    SELECT sess.user_id, session_start_s, session_end_s, n_events
+    FROM sess JOIN last USING (user_id) WHERE sid != last_sid
+    """,
+)
+def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (applyInPandasWithState
+    sessionizer, streaming/stateful.py) driven to completion as a real
+    streaming query. It emits sessions CLOSED by a >30 min gap; each
+    user's final session stays open in the state store — so the oracle is
+    the static sessionization minus every user's last session. Session
+    membership depends only on epoch seconds (ties share a session on
+    both engines), which is what makes a value-matched oracle possible
+    for an arbitrary-stateful streaming op."""
+    import uuid as _uuid
+
+    from .streaming.stateful import stream_sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    src = stream.select(
+        "user_id", F.expr(f"ts DIV {_NS_PER_SEC}").alias("sec")
+    )
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream_sessionize(src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

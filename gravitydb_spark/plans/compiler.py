@@ -77,6 +77,28 @@ class _Compiled:
     e_store: Optional[DataFrame] = None  # DF[id]
 
 
+# above this optimizer-estimated size, pin shared subtrees with
+# localCheckpoint (lineage cut, partitions on executor-local disk) instead
+# of cache (block-manager memory+disk) — estimates are coarse upper bounds,
+# so this only redirects genuinely join-amplified frontiers
+_PIN_MAX_CACHE_BYTES = 8 * 1024**3
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Make a shared plan subtree a reusable leaf (plans are trees, not
+    DAGs — an unpinned reuse re-executes the whole branch at every use
+    site). Cache when small, localCheckpoint when the optimizer's size
+    estimate says caching twice would pressure executor memory."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # estimation unavailable — default to cache
+        size = -1
+    if 0 <= _PIN_MAX_CACHE_BYTES < size:
+        return df.localCheckpoint(eager=False)
+    df.cache()
+    return df
+
+
 def _merge_store(a: Optional[DataFrame], b: Optional[DataFrame]) -> Optional[DataFrame]:
     if a is None:
         return b
@@ -219,10 +241,15 @@ class _Compiler:
         if kind == "Substract":
             return fa.join(kb, "id", "leftanti")
         if kind == "DisjunctiveUnion":
-            # each side appears twice (frontier + key-set) — cache both so
-            # the doubled tree references a leaf, not a re-executed branch
-            fa.cache()
-            fb.cache()
+            # each side appears twice (frontier + key-set) — pin both so the
+            # doubled tree references a leaf, not a re-executed branch.
+            # Size-aware: small frontiers cache (memory+disk); frontiers the
+            # optimizer estimates beyond the threshold localCheckpoint
+            # instead, so a 100 TB frontier doesn't occupy block-manager
+            # memory twice (SCALE.md §2).
+            fa = _pin(fa)
+            fb = _pin(fb)
+            ka, kb = fa.select("id"), fb.select("id")
             return fa.join(kb, "id", "leftanti").unionByName(fb.join(ka, "id", "leftanti"))
         raise ValueError(kind)
 

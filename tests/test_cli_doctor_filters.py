@@ -284,6 +284,16 @@ class TestAdviceFixes:
             canonical_json({"n1": tricky, "n2": "plain", "properties": "x"})
         )["n1"] == tricky
 
+    def test_embedding_cosine_plan_is_equi_join(self, spark, sf_dir):
+        """The LSH-bucket candidate join must be a hash/merge equi-join on
+        bucket — never a BroadcastNestedLoopJoin over all pairs."""
+        from gravitydb_spark.registry import queries
+
+        df = queries()["dedup_embedding_cosine"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_get_or_create_batch_dedupes_misses(self, spark):
         g = PropertyGraph.empty(spark)
         g2, ids = g.get_or_create_nodes(
