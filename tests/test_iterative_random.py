@@ -1,0 +1,124 @@
+"""Randomized correctness for the iterative graph operators: connected
+components against a Python union-find model, and scaled-integer PageRank
+against a pure-Python execution of the identical recurrence (plus mass
+conservation). Seeded RNG — deterministic, no hypothesis shrinking needed
+for graph shapes."""
+
+import random
+import sys
+import os
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gravitydb_spark.graph import (
+    EDGES_SCHEMA,
+    PROP_REFS_SCHEMA,
+    PROPERTIES_SCHEMA,
+    PropertyGraph,
+    VERTICES_SCHEMA,
+)
+from gravitydb_spark.operators.iterative import (
+    connected_components,
+    pagerank,
+    pagerank_scaled,
+)
+
+
+def _raw_graph(spark, n_vertices, edge_pairs):
+    """Minimal PropertyGraph: ids v00..vNN, given (src, dst) index pairs."""
+    ids = [f"v{i:03d}" for i in range(n_vertices)]
+    v = spark.createDataFrame([(i, "x") for i in ids], VERTICES_SCHEMA)
+    e = spark.createDataFrame(
+        [(f"e{k}", ids[a], ids[b], "x") for k, (a, b) in enumerate(edge_pairs)],
+        EDGES_SCHEMA,
+    )
+    p = spark.createDataFrame([], PROPERTIES_SCHEMA)
+    r = spark.createDataFrame([], PROP_REFS_SCHEMA)
+    return ids, PropertyGraph(spark, v, e, p, r)
+
+
+class _UnionFind:
+    def __init__(self, items):
+        self.parent = {x: x for x in items}
+
+    def find(self, x):
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_connected_components_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(20, 60)
+    m = rng.randint(0, n * 2)
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    # include self-loops and duplicates deliberately
+    if n > 1:
+        pairs += [(0, 0), (1, 1)] + pairs[:3]
+    ids, g = _raw_graph(spark, n, pairs)
+
+    uf = _UnionFind(ids)
+    for a, b in pairs:
+        uf.union(ids[a], ids[b])
+    expected = {x: uf.find(x) for x in ids}
+
+    got = {
+        r["id"]: r["component"] for r in connected_components(g).collect()
+    }
+    assert got == expected
+
+
+def _python_pagerank_scaled(ids, pairs, iters, scale=10**12, dn=85, dd=100):
+    """The exact integer recurrence of pagerank_scaled, in pure Python."""
+    n = len(ids)
+    out_edges = {}
+    for a, b in pairs:
+        out_edges.setdefault(ids[a], []).append(ids[b])
+    deg = {k: len(v) for k, v in out_edges.items()}
+    base = (scale * (dd - dn)) // (dd * n)
+    rank = {x: scale // n for x in ids}
+    for _ in range(iters):
+        contrib = {x: 0 for x in ids}
+        for src, dsts in out_edges.items():
+            c = rank[src] // deg[src]
+            for d in dsts:
+                contrib[d] += c
+        dangling = sum(rank[x] for x in ids if x not in deg)
+        dpn = dangling // n
+        rank = {x: base + (dn * (contrib[x] + dpn)) // dd for x in ids}
+    return rank
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_pagerank_scaled_matches_python_recurrence(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(10, 40)
+    m = rng.randint(n, n * 3)
+    # distinct (src, dst) pairs: duplicate edges collapse in a content-
+    # addressed store, and the Python model counts degree per unique edge
+    pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+    ids, g = _raw_graph(spark, n, pairs)
+
+    expected = _python_pagerank_scaled(ids, pairs, iters=4)
+    got = {r["id"]: r["rank"] for r in pagerank_scaled(g, iters=4).collect()}
+    assert got == expected
+
+    # mass conservation: loses < 1 unit per division per iteration
+    total = sum(got.values())
+    assert abs(total - 10**12) < 100 * n * 4
+
+    # the float version agrees to float tolerance
+    fl = {r["id"]: r["rank"] for r in pagerank(g, iters=4).collect()}
+    for x in ids:
+        assert abs(fl[x] - got[x] / 1e12) < 1e-6

@@ -1,0 +1,80 @@
+"""Plan-shape regression guards: the physical plans that make this engine
+work at 100 TB, asserted so a future change can't silently trade them away
+(SCALE.md documents why each shape matters)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    from gravitydb_spark.registry import queries
+
+    qs = queries()
+
+    def plan_of(name: str) -> str:
+        df = qs[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_q1_filter_pushdown_and_column_pruning(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:200]
+    # column pruning: the scan must not read all 16 lineitem columns
+    read = p.split("ReadSchema", 1)[1][:400]
+    assert "l_comment" not in read
+
+
+def test_q5_broadcasts_every_dimension(plans):
+    p = plans("q5_region_revenue")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 5
+
+
+def test_topk_compiles_to_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans("topk_parts_by_quantity")
+
+
+def test_property_probe_is_pushed_predicate_not_join(plans):
+    # literal Specific-probe: the hash-equality predicate reaches the
+    # prop_refs scan (InMemoryTableScan filter list for the cached graph;
+    # PushedFilters when reading parquet directly) — the probe is a scan
+    # predicate, not a broadcast semi-join
+    import re
+
+    p = plans("g_vq_property")
+    assert re.search(
+        r"InMemoryTableScan \[[^\]]*\], \[[^\]]*prop_hash#\d+ = [0-9a-f]{64}", p
+    )
+
+
+def test_embedding_dedup_has_no_nested_loop(plans):
+    p = plans("dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ngram_jaccard_join_and_cap_share_shuffle(plans):
+    # the df-cap window and the self-join both hash-partition on shingle —
+    # no extra aggregate+semi-join exchange pattern
+    p = plans("dedup_ngram_jaccard")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_join_is_window_not_range_explosion(plans):
+    p = plans("events_asof_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ann_lsh_is_equi_join_on_bucket(plans):
+    p = plans("ann_lsh_topk")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
