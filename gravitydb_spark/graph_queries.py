@@ -652,6 +652,27 @@ def g_pagerank(spark, sf_dir):
 
 
 @register(
+    "g_bfs_from_regions",
+    oracle="""
+    SELECT 'r' || r_regionkey AS id, 0::BIGINT AS dist FROM region
+    UNION ALL SELECT 'n' || n_nationkey, 1::BIGINT FROM nation
+    UNION ALL SELECT 'c' || c_custkey, 2::BIGINT FROM customer
+    UNION ALL SELECT 's' || s_suppkey, 2::BIGINT FROM supplier
+    """,
+)
+def g_bfs_from_regions(spark, sf_dir):
+    """BFS hop distances over reversed edges from all Region vertices
+    (operators/iterative.py:bfs_distances): regions 0, nations 1,
+    customers/suppliers 2 — the relational oracle derives the distances
+    from the foreign-key structure."""
+    from .operators.iterative import bfs_distances
+
+    g = tpch_graph(spark, sf_dir)
+    res = execute(g, _typed_vertices("Region"))
+    return bfs_distances(g, res.vertices, direction="in")
+
+
+@register(
     "g_doctor",
     oracle="""
     SELECT 0::BIGINT AS dangling_edges, 0::BIGINT AS missing_properties,

@@ -23,7 +23,46 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..graph import PropertyGraph
 
-__all__ = ["connected_components", "pagerank", "pagerank_scaled"]
+__all__ = ["bfs_distances", "connected_components", "pagerank", "pagerank_scaled"]
+
+
+def bfs_distances(
+    graph: PropertyGraph,
+    sources: DataFrame,
+    direction: str = "out",
+    max_depth: int = 20,
+) -> DataFrame:
+    """DF[id, dist] — unweighted BFS hop distance from the ``sources`` id
+    set (DF[id]), following edges forward (``out``: src→dst) or backward
+    (``in``). Unreached vertices are absent from the result.
+
+    Frontier-at-a-time: each level is one join + anti-join against the
+    visited set; ``localCheckpoint`` keeps the per-level plan O(1). The
+    loop runs `diameter` rounds — BFS is inherently level-synchronous, so
+    unlike connected components there is no log-round shortcut."""
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    src, dst = ("src", "dst") if direction == "out" else ("dst", "src")
+    edges = graph.edges.select(
+        F.col(src).alias("from_id"), F.col(dst).alias("to_id")
+    ).localCheckpoint(eager=False)
+    frontier = sources.select("id").distinct().localCheckpoint()
+    visited = frontier.withColumn("dist", F.lit(0).cast("long")).localCheckpoint()
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier, edges.from_id == frontier.id)
+            .select(F.col("to_id").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "leftanti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(depth).cast("long"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited
 
 
 def connected_components(graph: PropertyGraph, max_iters: int = 40) -> DataFrame:

@@ -179,20 +179,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# word 3-shingles, distinct, as an array column
-def _shingles_col():
-    w = _TOKENS_FN()
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-            ),
-        )
-    )
-
-
 _DUCK_SHINGLES = (
     f"list_distinct(list_transform(generate_series(1, greatest(len({_DUCK_TOKENS}) - 2, 0)), "
     f"i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1] || ' ' || {_DUCK_TOKENS}[i+2]))"
@@ -203,16 +189,33 @@ _shingle_cache: dict = {}
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DF[doc_id, shingles] with the shingle arrays MATERIALIZED once and
-    shared by every shingle-based dedup operator (jaccard + minhash) —
-    the shingle build is the common expensive prefix."""
+    """DF[doc_id, shingle, n_sh] — distinct word 3-shingles, EXPLODED, with
+    the per-doc distinct-shingle count attached; materialized once and
+    shared by every shingle-based dedup operator (jaccard + minhash).
+
+    Built codegen-first: posexplode the token array, window-lead the next
+    two tokens, concat — every step whole-stage-codegen or a plain shuffle.
+    The previous array-building form (``transform`` + ``element_at`` +
+    ``array_distinct``) ran in the expression INTERPRETER (Spark HOFs
+    never codegen) and was the single biggest cost of the dedup bench
+    (~7s of minhash's 9.3s at sf0.1, measured); both consumers exploded
+    the array immediately anyway, so the exploded relation is also the
+    more useful shape."""
     key = (id(spark._jsparkSession), sf_dir)
     if key not in _shingle_cache:
-        _shingle_cache[key] = (
-            load(spark, sf_dir, "documents")
-            .select("doc_id", _shingles_col().alias("shingles"))
-            .cache()
+        tok = load(spark, sf_dir, "documents").select(
+            "doc_id", F.posexplode(_TOKENS_FN()).alias("pos", "w")
         )
+        w_ = Window.partitionBy("doc_id").orderBy("pos")
+        sh = (
+            tok.withColumn("w1", F.lead("w", 1).over(w_))
+            .withColumn("w2", F.lead("w", 2).over(w_))
+            .filter(F.col("w2").isNotNull())
+            .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("shingle"))
+            .dropDuplicates(["doc_id", "shingle"])
+            .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        )
+        _shingle_cache[key] = sh.cache()
     return _shingle_cache[key]
 
 
@@ -254,12 +257,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic lower bound on true Jaccard on both engines. The df
     aggregation shuffles on the same key as the join, so it adds no new
     shuffle pattern."""
-    docs = _shingled_docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
-    ).cache()  # barrier: stops Catalyst inlining the shingle expr into both join sides
+    # cached exploded shingles (the cache doubles as the barrier that stops
+    # Catalyst inlining the shingle build into both join sides)
+    sh = _shingled_docs(spark, sf_dir)
     # df cap as a window count over the SAME partitioning the join needs
     # (one shuffle on shingle, no extra aggregate+semi-join round trip)
     shf = (
@@ -294,22 +294,22 @@ N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
 
-def _minhash_sigs(docs: DataFrame) -> DataFrame:
-    """16-component minhash signatures: component i = lexicographic min
-    over shingles of md5(i || ':' || shingle). Hex-string min is a valid
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """16-component minhash signatures over the exploded shingle relation
+    (DF[doc_id, shingle, ...]): component i = lexicographic min over
+    shingles of md5(i || ':' || shingle). Hex-string min is a valid
     uniform minhash and engine-portable (md5 identical everywhere).
 
-    Computed via explode + 16 codegen'd min-aggregates (one shuffle on
-    doc_id) instead of nested higher-order array lambdas — Spark's HOFs
-    run in the expression interpreter, not whole-stage codegen, and were
-    the dominant cost of this operator (~2x the whole query)."""
-    ex = docs.select("doc_id", F.explode("shingles").alias("s"))
+    16 codegen'd min-aggregates in one shuffle on doc_id — never nested
+    higher-order array lambdas (Spark HOFs run in the expression
+    interpreter, not whole-stage codegen, and were the dominant cost of
+    this operator, ~2x the whole query)."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(N_MINHASH)
     ]
     return (
-        ex.groupBy("doc_id")
+        sh.groupBy("doc_id")
         .agg(*aggs)
         .select(
             "doc_id",
@@ -356,8 +356,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → 16-component minhash signature → 4 LSH bands → bucket
     equi-join on (band, band-key) → candidate pairs → signature-estimated
     Jaccard ≥ 0.5. Join cost is proportional to bucket collisions, not n²."""
-    docs = _shingled_docs(spark, sf_dir)
-    sigs = _minhash_sigs(docs)
+    sh = _shingled_docs(spark, sf_dir)
+    sigs = _minhash_sigs(sh)
     rows_per_band = N_MINHASH // LSH_BANDS
     bands = (
         sigs.select(
@@ -960,6 +960,65 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(fake_decode, schema)
+
+
+N_FRAMES = 4
+FRAME_CHARS = 64
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, f.frame_idx,
+           md5(substr(text, (f.frame_idx * length(text)) // {N_FRAMES} + 1,
+                      {FRAME_CHARS})) AS frame_sig,
+           length(substr(text, (f.frame_idx * length(text)) // {N_FRAMES} + 1,
+                         {FRAME_CHARS}))::BIGINT AS frame_chars
+    FROM documents,
+         (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS frame_idx) f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over an opaque payload column: each
+    document's payload stands in for a video blob; the Arrow-batched
+    ``mapInPandas`` 'decoder' emits ``N_FRAMES`` evenly spaced frames per
+    input row (1 row in → N rows out — the shape a real frame sampler
+    has), each with a content signature. A real codec would slice on
+    keyframe boundaries inside the same UDF (see ``decode_image`` stub
+    note); the frame arithmetic here is deterministic character slicing so
+    the whole pipeline — batching, fan-out schema, per-frame hashing — is
+    value-matched against the oracle."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame_sig", T.StringType()),
+            T.StructField("frame_chars", T.LongType()),
+        ]
+    )
+
+    def sample_frames(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_sig": [], "frame_chars": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                for i in range(N_FRAMES):
+                    frame = text[(i * n) // N_FRAMES:(i * n) // N_FRAMES + FRAME_CHARS]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_sig"].append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
+                    out["frame_chars"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(sample_frames, schema)
 
 
 # ---------------------------------------------------------------------------
