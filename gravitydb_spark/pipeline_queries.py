@@ -179,10 +179,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_SHINGLES = (
-    f"list_distinct(list_transform(generate_series(1, greatest(len({_DUCK_TOKENS}) - 2, 0)), "
-    f"i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1] || ' ' || {_DUCK_TOKENS}[i+2]))"
-)
+# Exploded distinct-shingle relation as MATERIALIZED CTEs. The previous
+# form (unnest of a per-row list_transform shingle array straight off
+# `documents`, inlined into both self-join sides) re-evaluated the
+# shingle-building lambda once per join probe: 120s at sf0.01 vs 0.08s
+# for this form (measured, identical results). MATERIALIZED forces DuckDB
+# to build the shingle table once — the same role `.cache()` plays on the
+# Spark side.
+_DUCK_SH_CTES = f"""
+    toks AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t)-2, 0))) AS u(i)))"""
 
 
 _shingle_cache: dict = {}
@@ -225,13 +236,11 @@ SHINGLE_DF_CAP = 50  # drop shingles shared by more than this many docs
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle,
-             len({_DUCK_SHINGLES}) AS n_sh
-      FROM documents),
-    rare AS (
-      SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {SHINGLE_DF_CAP}),
-    shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    WITH {_DUCK_SH_CTES},
+    shf AS MATERIALIZED (
+      SELECT doc_id, shingle, n_sh FROM (
+        SELECT sh.*, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+      WHERE df <= {SHINGLE_DF_CAP}),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(*) AS inter, any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
@@ -318,18 +327,22 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
     )
 
 
+# 16 plain min-aggregates over the exploded shingle relation — the same
+# shape as the Spark side (_minhash_sigs) and ~10x faster in DuckDB than
+# the nested list_transform-over-list_transform form it replaces.
 _DUCK_SIG = (
-    "list_transform(generate_series(0, 15), i -> "
-    "list_min(list_transform(shingles, s -> md5(i::VARCHAR || ':' || s))))"
+    "["
+    + ", ".join(f"min(md5('{i}:' || shingle))" for i in range(N_MINHASH))
+    + "]"
 )
 
 
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH sigs AS (
-      SELECT doc_id, {_DUCK_SIG} AS sig
-      FROM (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents)),
+    WITH {_DUCK_SH_CTES},
+    sigs AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_SIG} AS sig FROM sh GROUP BY doc_id),
     bands AS (
       SELECT doc_id, sig, unnest(generate_series(0, {LSH_BANDS - 1})) AS band
       FROM sigs),
