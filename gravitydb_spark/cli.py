@@ -64,13 +64,23 @@ def cmd_create_node(args) -> int:
             file=sys.stderr,
         )
         return 1
+    if args.update and args.get_or_create:
+        print(
+            "you can either update a node or get-or-create one but not both",
+            file=sys.stderr,
+        )
+        return 1
     spark = get_spark("gravitydb_cli")
     g = _load(spark, args.db)
     prop = Prop(args.type, args.value)
     if args.update:
         # gc mirrors the reference's per-op refcount delete of the old
         # property once unreferenced (kv_graph_store.rs:555-582)
-        g2 = g.update_nodes([(args.id, prop)]).gc()
+        try:
+            g2 = g.update_nodes([(args.id, prop)]).gc()
+        except KeyError as e:
+            print(str(e.args[0]) if e.args else str(e), file=sys.stderr)
+            return 1
         _save_over(spark, g2, args.db)
         print(args.id)
         return 0
@@ -214,8 +224,12 @@ def cmd_doctor(args) -> int:
     g = _load(spark, args.db)
     report, bad = {}, False
     for check, df in g.doctor().items():
-        sample = [list(r) for r in df.limit(5).collect()]
-        n = df.count()
+        df = df.cache()  # each check is a full-store anti-join: run it once
+        try:
+            sample = [list(r) for r in df.limit(5).collect()]
+            n = df.count()
+        finally:
+            df.unpersist()
         bad = bad or n > 0
         report[check] = {"violations": n, "examples": sample}
     report["healthy"] = not bad

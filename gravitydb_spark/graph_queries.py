@@ -695,7 +695,20 @@ def g_doctor(spark, sf_dir):
         "missing_refs",
         "orphaned_properties",
     ]
-    counts = [checks[n].count() for n in names]
+    # one union-of-aggregates plan → one Spark job for all five audits
+    from functools import reduce as _reduce
+
+    counts_df = _reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            checks[n].agg(F.count(F.lit(1)).alias("c")).select(
+                F.lit(n).alias("k"), "c"
+            )
+            for n in names
+        ],
+    )
+    by_name = {r["k"]: r["c"] for r in counts_df.collect()}
+    counts = [by_name[n] for n in names]
     return spark.createDataFrame([tuple(counts)], ", ".join(f"{n} long" for n in names))
 
 

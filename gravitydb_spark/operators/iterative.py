@@ -39,7 +39,11 @@ def bfs_distances(
     Frontier-at-a-time: each level is one join + anti-join against the
     visited set; ``localCheckpoint`` keeps the per-level plan O(1). The
     loop runs `diameter` rounds — BFS is inherently level-synchronous, so
-    unlike connected components there is no log-round shortcut."""
+    unlike connected components there is no log-round shortcut.
+
+    Raises RuntimeError if the frontier is still non-empty after
+    ``max_depth`` rounds (silently dropping vertices at depth > max_depth
+    would be indistinguishable from them being unreachable)."""
     if direction not in ("out", "in"):
         raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
     src, dst = ("src", "dst") if direction == "out" else ("dst", "src")
@@ -62,6 +66,19 @@ def bfs_distances(
             nxt.withColumn("dist", F.lit(depth).cast("long"))
         ).localCheckpoint()
         frontier = nxt
+    else:
+        # loop exhausted without the frontier draining: exact check for
+        # still-unreached-but-reachable vertices (one extra join)
+        remaining = (
+            edges.join(frontier, edges.from_id == frontier.id)
+            .select(F.col("to_id").alias("id"))
+            .join(visited.select("id"), "id", "leftanti")
+        )
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"bfs_distances: reachable vertices remain beyond max_depth="
+                f"{max_depth} rounds; raise max_depth"
+            )
     return visited
 
 

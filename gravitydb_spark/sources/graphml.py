@@ -39,7 +39,9 @@ def default_prop_mapper(element: ET.Element) -> Prop:
     children = list(element)
     if len(children) == 1:
         child = children[0]
-        return Prop(child.tag, child.text)
+        # strip any xmlns prefix so a namespaced document hashes/types
+        # identically to the same document without xmlns
+        return Prop(child.tag.rsplit("}", 1)[-1], child.text)
     if element.text and element.text.strip():
         return Prop("Value", element.text.strip())
     raise ValueError(f"cannot map properties of <{element.tag}>")

@@ -302,3 +302,115 @@ class TestAdviceFixes:
         )
         assert ids[0] == ids[1] != ids[2]
         assert g2.vertices.count() == 2
+
+
+class TestReviewFixes:
+    """Regressions for the round-2 code-review findings."""
+
+    def test_graphml_namespaced_strips_prop_types(self, spark):
+        """A namespaced document must produce the same property type tags
+        (and therefore content hashes) as the identical bare document."""
+        from gravitydb_spark.sources.graphml import import_graphml
+
+        body = (
+            '<graph id="G" edgedefault="directed">'
+            '<node id="n0"><City>Berlin</City></node>'
+            '<node id="n1"><City>Paris</City></node>'
+            '<edge source="n0" target="n1"><Road>A1</Road></edge>'
+            "</graph>"
+        )
+        bare = f"<graphml>{body}</graphml>"
+        namespaced = (
+            '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'
+            + body
+            + "</graphml>"
+        )
+        g1, _ = import_graphml(spark, bare)
+        g2, _ = import_graphml(spark, namespaced)
+        types1 = sorted(r["schema_type"] for r in g1.properties.collect())
+        types2 = sorted(r["schema_type"] for r in g2.properties.collect())
+        assert types1 == types2
+        assert not any("{" in t for t in types2)
+        hashes1 = sorted(r["prop_hash"] for r in g1.properties.collect())
+        hashes2 = sorted(r["prop_hash"] for r in g2.properties.collect())
+        assert hashes1 == hashes2
+
+    def test_filter_with_defaulted_param_is_not_ctx(self, spark):
+        """A 2-arg filter with a defaulted option must NOT receive the
+        FilterContext as its option."""
+        g = _abc_graph(spark)
+        seen_strict = []
+
+        def fn(value, schema_type, strict=False):
+            seen_strict.append(strict)
+            return value == '"B"'
+
+        q = (
+            pq_from_id(Prop("City", "A").hash)
+            .referencing_vertices()
+            .outgoing()
+            .outgoing()
+            .filter(ExprFilter(fn))
+        )
+        res = execute(g, q)
+        assert sorted(r["id"] for r in res.vertices.collect()) == ["b"]
+        assert seen_strict == [False]
+
+    def test_filter_varargs_is_not_ctx(self, spark):
+        g = _abc_graph(spark)
+        q = (
+            pq_from_id(Prop("City", "A").hash)
+            .referencing_vertices()
+            .outgoing()
+            .outgoing()
+            .filter(ExprFilter(lambda value, schema_type, *extra: value == '"B"'))
+        )
+        res = execute(g, q)
+        assert sorted(r["id"] for r in res.vertices.collect()) == ["b"]
+
+    def test_bfs_raises_when_reachable_beyond_max_depth(self, spark):
+        from gravitydb_spark.operators.iterative import bfs_distances
+
+        b = GraphBatchBuilder()
+        prev = b.add_node(Prop("City", "v0"), id="v0")
+        for i in range(1, 4):  # path v0 -> v1 -> v2 -> v3
+            cur = b.add_node(Prop("City", f"v{i}"), id=f"v{i}")
+            b.add_edge(prev, cur, Prop("Road", f"r{i}"))
+            prev = cur
+        g = b.build(spark)
+        sources = spark.createDataFrame([("v0",)], "id string")
+
+        with pytest.raises(RuntimeError, match="max_depth"):
+            bfs_distances(g, sources, max_depth=2)
+
+        # exact-depth completion must NOT raise (deepest level == max_depth)
+        dists = {
+            r["id"]: r["dist"]
+            for r in bfs_distances(g, sources, max_depth=3).collect()
+        }
+        assert dists == {"v0": 0, "v1": 1, "v2": 2, "v3": 3}
+
+    def test_cli_update_errors_cleanly(self, spark, tmp_path, capsys):
+        from gravitydb_spark.cli import main
+
+        db = str(tmp_path / "g")
+        assert main(["init", "--db", db]) == 0
+        capsys.readouterr()
+
+        # nonexistent id: clean rc=1 + stderr message, not a KeyError traceback
+        rc = main(
+            ["create-node", "--db", db, "--id", "no-such-id",
+             "--type", "City", "--value", "X", "--update"]
+        )
+        err = capsys.readouterr().err
+        assert rc == 1
+        assert "does not exist" in err
+
+        # --update + --get-or-create is contradictory
+        rc = main(
+            ["create-node", "--db", db, "--id", "no-such-id",
+             "--type", "City", "--value", "X", "--update", "--get-or-create"]
+        )
+        err = capsys.readouterr().err
+        assert rc == 1
+        assert "not both" in err
