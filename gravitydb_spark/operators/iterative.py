@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..graph import PropertyGraph
 
-__all__ = ["bfs_distances", "connected_components", "pagerank", "pagerank_scaled"]
+__all__ = [
+    "bfs_distances",
+    "cc_labels",
+    "connected_components",
+    "pagerank",
+    "pagerank_scaled",
+    "triangle_counts",
+]
 
 
 def bfs_distances(
@@ -82,17 +89,17 @@ def bfs_distances(
     return visited
 
 
-def connected_components(graph: PropertyGraph, max_iters: int = 40) -> DataFrame:
-    """DF[id, component] — component = min vertex id (lexicographic) in the
-    weakly-connected component.
+def _star_contraction(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star contraction over an undirected
+    edge DF[src, dst]; returns the fixpoint star forest DF[id, component]
+    (one row per NON-minimum vertex of each component — minima and
+    isolated vertices are absent, callers coalesce to self-labels).
 
-    Alternating large-star/small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond"): converges in O(log n) rounds on
-    any graph, vs O(diameter) for plain label propagation — the difference
-    between 20 shuffles and 600 on a 100 TB web-ish graph. Each round is
-    two groupBy+join passes over the (shrinking) edge set; at the fixpoint
-    the edge set is a star forest linking every vertex to its component's
-    minimum id.
+    Kiveris et al., "Connected Components in MapReduce and Beyond":
+    converges in O(log n) rounds on any graph, vs O(diameter) for plain
+    label propagation — the difference between 20 shuffles and 600 on a
+    100 TB web-ish graph. Each round is two groupBy+join passes over the
+    (shrinking) edge set.
 
     Raises RuntimeError if ``max_iters`` rounds don't reach the fixpoint
     (silently returning unconverged labels would be wrong answers).
@@ -100,7 +107,7 @@ def connected_components(graph: PropertyGraph, max_iters: int = 40) -> DataFrame
     # undirected, no self-loops; all ids are non-null strings (lexicographic
     # total order — the same order min-label propagation used)
     edges = (
-        graph.edges.select("src", "dst")
+        edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .select(
             F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
@@ -161,13 +168,96 @@ def connected_components(graph: PropertyGraph, max_iters: int = 40) -> DataFrame
         )
 
     # fixpoint edge set is a star forest: (v, component_min) for every
-    # non-minimum vertex; isolated vertices / minima label themselves
-    stars = edges.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+    # non-minimum vertex
+    return edges.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+
+
+def connected_components(graph: PropertyGraph, max_iters: int = 40) -> DataFrame:
+    """DF[id, component] — component = min vertex id (lexicographic) in the
+    weakly-connected component; every graph vertex gets a row (isolated
+    vertices and component minima label themselves)."""
+    stars = _star_contraction(graph.edges, max_iters)
     return (
         graph.vertices.select("id")
         .join(stars, "id", "left")
         .select("id", F.coalesce("component", "id").alias("component"))
     )
+
+
+def cc_labels(edges: DataFrame, max_iters: int = 40) -> DataFrame:
+    """DF[id, component] for every vertex APPEARING in ``edges``
+    (DF[src, dst]) — the edge-list form of :func:`connected_components`,
+    for derived graphs with no vertex table (e.g. near-duplicate pair
+    graphs from the dedup operators)."""
+    stars = _star_contraction(edges, max_iters)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return nodes.join(stars, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """DF[id, triangles] — per-vertex triangle participation counts over
+    the undirected simple graph induced by ``edges`` (DF[src, dst]);
+    vertices in no triangle are absent.
+
+    Degree-ordered orientation (the standard MapReduce triangle count):
+    orient every edge from its lower-(degree, id) endpoint to the higher
+    one, enumerate wedges from each vertex's outgoing pairs, close them
+    against the oriented edge set. Max out-degree under this orientation
+    is O(sqrt(m)), so wedge count is O(m^1.5) regardless of skew — a
+    celebrity vertex with 10⁶ followers contributes no wedges from its
+    own (huge) in-neighborhood. Three equi-joins, no driver iteration."""
+    canon = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("lo").alias("id"))
+        .unionByName(canon.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    keyed = canon.join(
+        deg.select(F.col("id").alias("lo"), F.col("deg").alias("deg_lo")), "lo"
+    ).join(deg.select(F.col("id").alias("hi"), F.col("deg").alias("deg_hi")), "hi")
+    # lo < hi lexicographically by construction, so the (deg, id) tiebreak
+    # keeps lo first on equal degrees
+    lo_first = F.col("deg_lo") <= F.col("deg_hi")
+    oriented = keyed.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(
+            lo_first, F.struct(F.col("deg_hi").alias("d"), F.col("hi").alias("i"))
+        )
+        .otherwise(F.struct(F.col("deg_lo").alias("d"), F.col("lo").alias("i")))
+        .alias("vkey"),
+    ).cache()  # barrier: used three times below — don't recompute degrees
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.vkey") < F.col("e2.vkey")),
+    ).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    )
+    # closing edge b→c exists iff the triangle closes: key(b) < key(c) holds
+    # by wedge construction, so the oriented set contains it exactly then
+    closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closer, ["b", "c"])
+    members = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+    )
+    return members.groupBy("id").agg(F.count("*").cast("long").alias("triangles"))
 
 
 def _dangling_df(ranks: DataFrame, out_deg: DataFrame, expr: str) -> DataFrame:

@@ -337,10 +337,16 @@ _DUCK_SIG = (
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_DUCK_SH_CTES},
+# matching-component count between two minhash signatures (DuckDB side)
+_DUCK_MATCHES = (
+    f"len(list_filter(generate_series(1, {N_MINHASH}), i -> sig_a[i] = sig_b[i]))"
+)
+
+# the whole LSH candidate-pair pipeline as a reusable WITH-list: shingles →
+# signatures → bands → bucket keys → candidate pairs → est-Jaccard-filtered
+# near-dup pairs. Shared by dedup_minhash_lsh and the cluster/triangle
+# consumers so the pair semantics can never drift between oracles.
+_DUCK_PAIR_CTES = f"""{_DUCK_SH_CTES},
     sigs AS MATERIALIZED (
       SELECT doc_id, {_DUCK_SIG} AS sig FROM sh GROUP BY doc_id),
     bands AS (
@@ -354,21 +360,23 @@ _DUCK_SIG = (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
       FROM keyed a JOIN keyed b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-           round(len(list_filter(generate_series(1, {N_MINHASH}),
-                                 i -> sig_a[i] = sig_b[i]))
-                 / {N_MINHASH}.0, 4) AS est_jaccard
-    FROM cand
-    WHERE len(list_filter(generate_series(1, {N_MINHASH}), i -> sig_a[i] = sig_b[i]))
-          / {N_MINHASH}.0 >= 0.5
-    """,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection, the scale path for dedup:
-    shingle → 16-component minhash signature → 4 LSH bands → bucket
-    equi-join on (band, band-key) → candidate pairs → signature-estimated
-    Jaccard ≥ 0.5. Join cost is proportional to bucket collisions, not n²."""
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b, {_DUCK_MATCHES} / {N_MINHASH}.0 AS est
+      FROM cand
+      WHERE {_DUCK_MATCHES} / {N_MINHASH}.0 >= 0.5)"""
+
+
+_pair_cache: dict = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF[doc_a, doc_b, est] — LSH near-dup candidate pairs with estimated
+    Jaccard ≥ 0.5 (doc_a < doc_b). Cached per (session, sf_dir): the pair
+    graph feeds three gate queries (pairs, clusters, triangles)."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key in _pair_cache:
+        return _pair_cache[key]
     sh = _shingled_docs(spark, sf_dir)
     sigs = _minhash_sigs(sh)
     rows_per_band = N_MINHASH // LSH_BANDS
@@ -419,9 +427,104 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     est = matches / F.lit(float(N_MINHASH))
-    return cand.filter(est >= 0.5).select(
-        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
+    out = cand.filter(est >= 0.5).select("doc_a", "doc_b", est.alias("est")).cache()
+    _pair_cache[key] = out
+    return out
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_PAIR_CTES}
+    SELECT doc_a, doc_b, round(est, 4) AS est_jaccard FROM pairs
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, the scale path for dedup:
+    shingle → 16-component minhash signature → 4 LSH bands → bucket
+    equi-join on (band, band-key) → candidate pairs → signature-estimated
+    Jaccard ≥ 0.5. Join cost is proportional to bucket collisions, not n²."""
+    return _minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.round(F.col("est"), 4).alias("est_jaccard")
     )
+
+
+@register(
+    "dedup_minhash_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIR_CTES},
+    dedges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT u AS src, u AS node FROM (SELECT DISTINCT u FROM dedges)
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN dedges e ON r.node = e.u)
+    SELECT src AS doc_id, min(node) AS cluster,
+           CASE WHEN src = min(node) THEN 1 ELSE 0 END AS keep
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate CLUSTERING — the operator a training-data
+    pipeline actually runs: LSH near-dup pairs (est Jaccard ≥ 0.5) form an
+    undirected graph; weakly-connected components give transitive dup
+    clusters; the lexicographically-smallest doc per cluster is the keeper
+    (``keep`` = 1), everything else is dropped.
+
+    Spark path: large-star/small-star contraction over the pair graph —
+    O(log n) shuffle rounds regardless of cluster diameter (a chain of
+    pairwise-similar docs still collapses in a handful of rounds at 100 TB).
+    The DuckDB oracle computes the same transitive closure with a recursive
+    CTE — exponential-ish in cluster size, fine at gate scale, and a
+    genuinely independent formulation of the same semantics."""
+    from .operators.iterative import cc_labels
+
+    pairs = _minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = cc_labels(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        F.when(F.col("id") == F.col("component"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+@register(
+    "dedup_pair_triangles",
+    oracle=f"""
+    WITH {_DUCK_PAIR_CTES},
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+    SELECT doc_id, count(*)::BIGINT AS triangles
+    FROM (SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY doc_id
+    """,
+)
+def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the near-dup pair graph — triples
+    of mutually-similar documents (a tighter signal than components: a
+    triangle means every pair crossed the similarity threshold, not just a
+    transitive chain). Exercises the degree-ordered-orientation triangle
+    operator (operators/iterative.triangle_counts): wedge work is bounded
+    O(m^1.5) no matter how skewed the boilerplate clusters are. The oracle
+    is the naive 3-way join over canonically-oriented pairs — an
+    independent formulation that must agree exactly."""
+    from .operators.iterative import triangle_counts
+
+    pairs = _minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return triangle_counts(pairs).withColumnRenamed("id", "doc_id")
 
 
 SIMHASH_BITS = 32

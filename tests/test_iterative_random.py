@@ -122,3 +122,43 @@ def test_pagerank_scaled_matches_python_recurrence(spark, seed):
     fl = {r["id"]: r["rank"] for r in pagerank(g, iters=4).collect()}
     for x in ids:
         assert abs(fl[x] - got[x] / 1e12) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [3, 11, 99])
+def test_triangle_counts_matches_brute_force(spark, seed):
+    from itertools import combinations
+
+    from gravitydb_spark.operators.iterative import triangle_counts
+
+    rng = random.Random(seed)
+    n = rng.randint(8, 25)
+    m = rng.randint(n, n * 3)
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    if n > 2:  # self-loops + duplicates + a guaranteed triangle
+        pairs += [(0, 0), (0, 1), (1, 2), (2, 0)] + pairs[:2]
+    ids = [f"v{i:03d}" for i in range(n)]
+    adj = {(min(ids[a], ids[b]), max(ids[a], ids[b])) for a, b in pairs if a != b}
+
+    expected = {}
+    for a, b, c in combinations(sorted({x for e in adj for x in e}), 3):
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj:
+            for x in (a, b, c):
+                expected[x] = expected.get(x, 0) + 1
+
+    edges = spark.createDataFrame(
+        [(lo, hi) for lo, hi in adj], "src string, dst string"
+    )
+    got = {r["id"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == expected
+
+
+def test_cc_labels_edge_list_form(spark):
+    from gravitydb_spark.operators.iterative import cc_labels
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z")],
+        "src string, dst string",
+    )
+    got = {r["id"]: r["component"] for r in cc_labels(edges).collect()}
+    # z only appears in a self-loop: still labeled (itself)
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
