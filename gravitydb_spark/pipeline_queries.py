@@ -152,6 +152,84 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    tok AS MATERIALIZED (
+      SELECT doc_id, len(t) AS n, t[i] AS w, i AS pos
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+    tcnt AS (SELECT doc_id, n, w, count(*) AS c FROM tok GROUP BY ALL),
+    topt AS (
+      SELECT doc_id, w AS top_token, round(c / n::DOUBLE, 4) AS top_token_frac
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn
+            FROM tcnt)
+      WHERE rn = 1),
+    big AS (
+      SELECT doc_id, len(t) AS n, t[i] || ' ' || t[i+1] AS bg
+      FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)),
+    bcnt AS (SELECT doc_id, n, bg, count(*) AS c FROM big GROUP BY ALL),
+    topb AS (
+      SELECT doc_id, round(c / (n-1)::DOUBLE, 4) AS top_bigram_frac
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+            FROM bcnt)
+      WHERE rn = 1)
+    SELECT t.doc_id, top_token, top_token_frac,
+           coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM topt t LEFT JOIN topb b ON t.doc_id = b.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of tokens accounted
+    for by the most frequent token, and of bigram slots by the most
+    frequent bigram (ties broken by count desc, token asc — identical
+    total orders in both engines). High values flag boilerplate/spam for
+    pretraining filters.
+
+    Shape at scale: explode → per-(doc, gram) count → per-doc top-1 via
+    row_number window. Every shuffle is keyed by doc_id (the natural
+    partitioning; map-side partial counts apply); no collect, no UDFs —
+    all codegen except the window rank."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", _TOKENS_FN().alias("t"))
+    tok = docs.select(
+        "doc_id", F.size("t").alias("n"), F.posexplode("t").alias("pos", "w")
+    )
+    tcnt = tok.groupBy("doc_id", "n", "w").agg(F.count("*").alias("c"))
+    w_tok = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("w").asc())
+    top_tok = (
+        tcnt.withColumn("rn", F.row_number().over(w_tok))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("w").alias("top_token"),
+            F.round(F.col("c") / F.col("n"), 4).alias("top_token_frac"),
+        )
+    )
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("w", 1).over(w_pos))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "n", F.concat_ws(" ", "w", "w2").alias("bg"))
+    )
+    bcnt = big.groupBy("doc_id", "n", "bg").agg(F.count("*").alias("c"))
+    w_big = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("bg").asc())
+    top_big = (
+        bcnt.withColumn("rn", F.row_number().over(w_big))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.round(F.col("c") / (F.col("n") - 1), 4).alias("top_bigram_frac"),
+        )
+    )
+    return top_tok.join(top_big, "doc_id", "left").select(
+        "doc_id",
+        "top_token",
+        "top_token_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -1227,6 +1305,62 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NS_PER_SEC = 1_000_000_000
+
+
+@register(
+    "stream_view_click_join",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, epoch_ns(ts) // 1000 AS vus
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus
+          FROM events WHERE event_type = 'click')
+    SELECT v.user_id, view_id, click_id, (cus - vus) // 1000000 AS gap_s
+    FROM v JOIN c ON v.user_id = c.user_id
+                 AND cus >= vus AND cus <= vus + 3600000000
+    """,
+)
+def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the attribution query every
+    event pipeline runs: each view joined to the same user's clicks within
+    the following 60 minutes. Both sides carry a 1-hour watermark and the
+    join predicate is a bounded event-time range, so Spark can evict join
+    state for rows older than (watermark − range) — bounded state at
+    100 TB/day event volume, the whole point of the streaming formulation.
+    The inner-join pair set is arrival-order independent, hence exactly
+    oracle-checkable against the batch join."""
+
+    def attach(stream):
+        base = stream.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("ts DIV 1000").alias("us"),
+        ).withColumn("ts_utc", F.timestamp_micros(F.col("us")))
+        v = (
+            base.filter(F.col("event_type") == "view")
+            .withWatermark("ts_utc", "1 hour")
+            .alias("v")
+        )
+        c = (
+            base.filter(F.col("event_type") == "click")
+            .withWatermark("ts_utc", "1 hour")
+            .alias("c")
+        )
+        j = v.join(
+            c,
+            F.expr(
+                "v.user_id = c.user_id AND c.ts_utc >= v.ts_utc "
+                "AND c.ts_utc <= v.ts_utc + INTERVAL 60 MINUTES"
+            ),
+        )
+        return j.select(
+            F.col("v.user_id").alias("user_id"),
+            F.col("v.event_id").alias("view_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.expr("(c.us - v.us) DIV 1000000").alias("gap_s"),
+        )
+
+    return _run_events_stream(spark, sf_dir, attach, "append", "vcjoin")
 
 
 @register(
