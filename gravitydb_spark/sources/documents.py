@@ -1,0 +1,129 @@
+"""Document-corpus sources and sinks — the interchange formats a
+training-data pipeline actually ingests (JSONL dumps, CSV exports) and
+emits (partitioned parquet, JSONL shards), normalized to the canonical
+``documents`` schema used by every pipeline operator
+(pipeline_queries.py).
+
+Scale posture:
+- Readers take EXPLICIT schemas — never schema inference, which is a full
+  extra pass over 100 TB before the first real job.
+- JSONL is read line-delimited (``multiLine=False``), so files split at
+  arbitrary byte offsets and a single 1 TB shard still parallelizes.
+- The parquet sink partitions by a low-cardinality column (``source`` /
+  ``lang``) for partition pruning, and repartitions by the partition
+  columns first so each output partition is one task's worth of files,
+  not ``tasks x partitions`` small files.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+__all__ = ["DOCUMENTS_SCHEMA", "read_documents", "write_documents"]
+
+# canonical corpus schema (matches /root/testdata/sf*/documents.parquet)
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_FORMATS = ("parquet", "jsonl", "csv")
+
+
+def _canonicalize(df: DataFrame) -> DataFrame:
+    """Project/cast to the canonical column set; derive what's derivable
+    (``n_chars`` from ``text``), null-fill optional metadata."""
+    cols = set(df.columns)
+    if "doc_id" not in cols or "text" not in cols:
+        raise ValueError(
+            f"documents need at least doc_id and text; got {sorted(cols)}"
+        )
+    out = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("string").alias("text"),
+        (
+            F.col("lang").cast("string") if "lang" in cols else F.lit(None).cast("string")
+        ).alias("lang"),
+        (
+            F.col("source").cast("string")
+            if "source" in cols
+            else F.lit(None).cast("string")
+        ).alias("source"),
+        (
+            F.col("n_chars").cast("long")
+            if "n_chars" in cols
+            else F.length("text").cast("long")
+        ).alias("n_chars"),
+    )
+    return out
+
+
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: Optional[T.StructType] = None,
+    **options,
+) -> DataFrame:
+    """Read a document corpus into the canonical schema.
+
+    ``fmt``: ``parquet`` | ``jsonl`` | ``csv``. The explicit ``schema``
+    (default: DOCUMENTS_SCHEMA) is passed to the reader so no inference
+    pass runs; extra columns in the files are simply not read (column
+    pruning), missing optional ones are null-filled/derived."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    if fmt == "parquet":
+        df = spark.read.options(**options).parquet(path)
+    elif fmt == "jsonl":
+        df = (
+            spark.read.schema(schema or DOCUMENTS_SCHEMA)
+            .options(multiLine=False, **options)
+            .json(path)
+        )
+    else:
+        df = (
+            spark.read.schema(schema or DOCUMENTS_SCHEMA)
+            .options(header=True, **options)
+            .csv(path)
+        )
+    return _canonicalize(df)
+
+
+def write_documents(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: Optional[Sequence[str]] = None,
+    mode: str = "error",
+) -> None:
+    """Write a canonical-schema corpus. Parquet sinks may partition by
+    low-cardinality metadata columns (``source``, ``lang``) — readers then
+    prune partitions on those predicates for free. The pre-write
+    repartition on the partition columns keeps output at one file set per
+    partition value instead of one per (task x value)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    out = _canonicalize(df)
+    if partition_by:
+        if fmt != "parquet":
+            raise ValueError("partition_by is only supported for parquet sinks")
+        (
+            out.repartition(*[F.col(c) for c in partition_by])
+            .write.mode(mode)
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    elif fmt == "parquet":
+        out.write.mode(mode).parquet(path)
+    elif fmt == "jsonl":
+        out.write.mode(mode).json(path)
+    else:
+        out.write.mode(mode).option("header", True).csv(path)

@@ -105,3 +105,49 @@ def test_import_edge_list(spark):
     )
     res = execute(g, q)
     assert sorted(r["id"] for r in res.vertices.collect()) == ["u2"]
+
+
+def test_document_corpus_roundtrip(spark, tmp_path):
+    """JSONL and partitioned-parquet round-trips preserve the canonical
+    corpus exactly; CSV reads with explicit schema (no inference pass);
+    n_chars is derived when absent."""
+    from gravitydb_spark.sources import read_documents, write_documents
+
+    src = read_documents(spark, "/root/testdata/sf0.001/documents.parquet")
+    baseline = sorted(tuple(r) for r in src.collect())
+    assert len(baseline) == 500
+
+    # JSONL round-trip
+    jl = str(tmp_path / "docs_jsonl")
+    write_documents(src, jl, fmt="jsonl")
+    back = read_documents(spark, jl, fmt="jsonl")
+    assert sorted(tuple(r) for r in back.collect()) == baseline
+
+    # partitioned parquet round-trip (+ partition pruning works)
+    pq = str(tmp_path / "docs_pq")
+    write_documents(src, pq, fmt="parquet", partition_by=["lang"])
+    back2 = read_documents(spark, pq, fmt="parquet")
+    assert sorted(tuple(r) for r in back2.select(*src.columns).collect()) == baseline
+    one_lang = back2.filter(F.col("lang") == baseline[0][2])
+    plan = one_lang._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+
+    # CSV round-trip of a text-safe subset (CSV can't carry arbitrary
+    # whitespace runs losslessly; corpus text here is single-spaced)
+    cs = str(tmp_path / "docs_csv")
+    write_documents(src, cs, fmt="csv")
+    back3 = read_documents(spark, cs, fmt="csv")
+    assert sorted(tuple(r) for r in back3.collect()) == baseline
+
+    # n_chars derived when missing
+    partial = src.select("doc_id", "text")
+    from gravitydb_spark.sources.documents import _canonicalize
+    d = _canonicalize(partial).filter(F.col("n_chars") != F.length("text"))
+    assert d.isEmpty()
+
+    # format validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        write_documents(src, str(tmp_path / "x"), fmt="avro")
+    with _pytest.raises(ValueError):
+        write_documents(src, str(tmp_path / "y"), fmt="jsonl", partition_by=["lang"])
