@@ -32,8 +32,13 @@ HEADLINE = [
     "g_connected_components",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_cluster",
+    "dedup_pair_triangles",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "text_repetition",
+    "corpus_vocab_topk",
+    "sketch_kmv_distinct",
     "text_quality_score",
     "text_lang_id",
     "text_bpe_token_count",

@@ -252,11 +252,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # by wedge construction, so the oriented set contains it exactly then
     closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
     tri = wedges.join(closer, ["b", "c"])
-    members = (
-        tri.select(F.col("a").alias("id"))
-        .unionByName(tri.select(F.col("b").alias("id")))
-        .unionByName(tri.select(F.col("c").alias("id")))
-    )
+    # one pass over the triangle set: explode the 3 member roles instead of
+    # unioning three projections (a union re-evaluates the join per branch)
+    members = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
     return members.groupBy("id").agg(F.count("*").cast("long").alias("triangles"))
 
 
