@@ -15,6 +15,8 @@ bit-identical; minhash takes lexicographic min over hex strings.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from .registry import load, register
@@ -776,6 +778,126 @@ def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return triangle_counts(pairs).withColumnRenamed("id", "doc_id")
+
+
+CLEAN_MIN_TOKENS = 30
+CLEAN_MAX_TOP_TOKEN_FRAC = 0.15
+
+
+def clean_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: Optional[str] = None,
+    min_tokens: int = CLEAN_MIN_TOKENS,
+    max_top_token_frac: float = CLEAN_MAX_TOP_TOKEN_FRAC,
+) -> DataFrame:
+    """The end-to-end corpus-cleaning materialization — what a pretraining
+    data pipeline actually ships: quality gate ∧ exact-dup canonical ∧
+    near-dup cluster keeper, intersected, optionally written out as a
+    partitioned parquet corpus.
+
+    Every predicate is computed INDEPENDENTLY on the full corpus and then
+    intersected — a sequential pipeline (dedup after filter) would make
+    cluster membership depend on filter order; this formulation is
+    deterministic and embarrassingly parallel: three keyed aggregations +
+    two (semi/anti) joins against small keeper/dropper sets.
+
+    Returns DF[doc_id, source, n_tokens] of the kept documents."""
+    docs = load(spark, sf_dir, "documents")
+
+    # quality: token count + top-token fraction (max count / n — no rank
+    # needed, just the max aggregate)
+    tok = docs.select(
+        "doc_id", F.size(_TOKENS_FN()).alias("n"), F.explode(_TOKENS_FN()).alias("w")
+    )
+    rep = (
+        tok.groupBy("doc_id", "n", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(F.max(F.col("c") / F.col("n")).alias("ttf"))
+    )
+
+    # exact-dup canonical: min doc_id per normalized-content fingerprint
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fkeep = (
+        docs.select("doc_id", F.md5(normalized).alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    # near-dup cluster non-keepers (docs in a cluster, not its minimum)
+    from .operators.iterative import cc_labels
+
+    pairs = _minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nonkeep = (
+        cc_labels(pairs)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+
+    kept = (
+        docs.select("doc_id", "source")
+        .join(rep, "doc_id")
+        .filter(
+            (F.col("n") >= min_tokens) & (F.col("ttf") <= max_top_token_frac)
+        )
+        .join(fkeep, "doc_id", "leftsemi")
+        .join(nonkeep, "doc_id", "leftanti")
+        .select("doc_id", "source", F.col("n").cast("long").alias("n_tokens"))
+    )
+    if out_path is not None:
+        from .sources.documents import write_documents
+
+        write_documents(
+            docs.join(kept.select("doc_id"), "doc_id", "leftsemi"),
+            out_path,
+            partition_by=["source"],
+        )
+    return kept
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIR_CTES},
+    dedges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT u AS src, u AS node FROM (SELECT DISTINCT u FROM dedges)
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN dedges e ON r.node = e.u),
+    nonkeep AS (
+      SELECT src AS doc_id FROM reach GROUP BY src HAVING src != min(node)),
+    fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents),
+    fkeep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    tokx AS (
+      SELECT doc_id, len(t) AS n, t[i] AS w
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+    tcnt2 AS (SELECT doc_id, n, w, count(*) AS c FROM tokx GROUP BY ALL),
+    rep AS (
+      SELECT doc_id, n, max(c / n::DOUBLE) AS ttf
+      FROM tcnt2 GROUP BY doc_id, n)
+    SELECT d.doc_id, d.source, r.n::BIGINT AS n_tokens
+    FROM documents d
+    JOIN rep r ON d.doc_id = r.doc_id
+    JOIN fkeep ON d.doc_id = fkeep.doc_id
+    WHERE r.n >= {CLEAN_MIN_TOKENS} AND r.ttf <= {CLEAN_MAX_TOP_TOKEN_FRAC}
+      AND d.doc_id NOT IN (SELECT doc_id FROM nonkeep)
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for :func:`clean_corpus` (no write). The oracle composes
+    the same three predicates from the shared CTEs — quality thresholds,
+    exact-fingerprint canonical, recursive-CTE cluster keepers — so the
+    whole composition is value-checked end to end."""
+    return clean_corpus(spark, sf_dir)
 
 
 SIMHASH_BITS = 32

@@ -151,3 +151,22 @@ def test_document_corpus_roundtrip(spark, tmp_path):
         write_documents(src, str(tmp_path / "x"), fmt="avro")
     with _pytest.raises(ValueError):
         write_documents(src, str(tmp_path / "y"), fmt="jsonl", partition_by=["lang"])
+
+
+def test_clean_corpus_materialization(spark, tmp_path):
+    """clean_corpus writes exactly the kept documents, partitioned by
+    source, and the result reads back as a valid canonical corpus."""
+    from gravitydb_spark.pipeline_queries import clean_corpus
+    from gravitydb_spark.sources import read_documents
+
+    out = str(tmp_path / "clean")
+    kept = clean_corpus(spark, "/root/testdata/sf0.001", out_path=out)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 < len(kept_ids) < 500
+
+    back = read_documents(spark, out)
+    back_ids = {r["doc_id"] for r in back.collect()}
+    assert back_ids == kept_ids
+    # partitioned layout on disk
+    import os
+    assert any(d.startswith("source=") for d in os.listdir(out))
