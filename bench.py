@@ -21,6 +21,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q18_large_volume_customers",
     "topk_parts_by_quantity",
     "window_top_orders_per_customer",
     "events_hourly_rollup",
