@@ -633,6 +633,80 @@ def _pagerank_oracle_sql(iters: int = _PR_ITERS, scale: int = _PR_SCALE,
     return body + f"SELECT id, round(r::DOUBLE / {float(scale)}, 6) AS rank FROM pr{iters}"
 
 
+_HITS_ITERS = 3
+_HITS_SCALE = 10**12
+
+
+def _hits_oracle_sql(iters: int = _HITS_ITERS, scale: int = _HITS_SCALE) -> str:
+    """Unrolled scaled-integer HITS as a DuckDB CTE chain — the exact
+    recurrence of ``hits_scaled`` (operators/iterative.py): L1 normalize
+    each half-step with HUGEINT products and integer division, so the
+    match with Spark's DECIMAL(38,0) arithmetic is bit-for-bit."""
+    parts = [
+        "WITH verts AS (SELECT 'c' || c_custkey AS id FROM customer"
+        " UNION ALL SELECT 's' || s_suppkey FROM supplier"
+        " UNION ALL SELECT 'n' || n_nationkey FROM nation"
+        " UNION ALL SELECT 'r' || r_regionkey FROM region),",
+        "edges AS (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst"
+        " FROM customer"
+        " UNION ALL SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier"
+        " UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),",
+        f"h0 AS (SELECT id, {scale}::BIGINT AS hub FROM verts),",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"ar{k} AS (SELECT e.dst AS id, sum(h.hub)::HUGEINT AS r"
+            f" FROM h{k} h JOIN edges e ON e.src = h.id GROUP BY e.dst),"
+        )
+        parts.append(
+            f"asum{k} AS (SELECT greatest(COALESCE(sum(r), 0), 1)::HUGEINT AS s"
+            f" FROM ar{k}),"
+        )
+        parts.append(
+            f"a{k + 1} AS (SELECT v.id, (COALESCE(ar.r, 0)::HUGEINT * {scale}"
+            f" // (SELECT s FROM asum{k}))::BIGINT AS auth"
+            f" FROM verts v LEFT JOIN ar{k} ar ON ar.id = v.id),"
+        )
+        parts.append(
+            f"hr{k} AS (SELECT e.src AS id, sum(a.auth)::HUGEINT AS r"
+            f" FROM a{k + 1} a JOIN edges e ON e.dst = a.id GROUP BY e.src),"
+        )
+        parts.append(
+            f"hsum{k} AS (SELECT greatest(COALESCE(sum(r), 0), 1)::HUGEINT AS s"
+            f" FROM hr{k}),"
+        )
+        parts.append(
+            f"h{k + 1} AS (SELECT v.id, (COALESCE(hr.r, 0)::HUGEINT * {scale}"
+            f" // (SELECT s FROM hsum{k}))::BIGINT AS hub"
+            f" FROM verts v LEFT JOIN hr{k} hr ON hr.id = v.id),"
+        )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + (
+        f"SELECT a.id, round(a.auth::DOUBLE / {float(scale)}, 6) AS auth,"
+        f" round(h.hub::DOUBLE / {float(scale)}, 6) AS hub"
+        f" FROM a{iters} a JOIN h{iters} h ON h.id = a.id"
+    )
+
+
+@register("g_hits", oracle=_hits_oracle_sql())
+def g_hits(spark, sf_dir):
+    """HITS hubs/authorities (3 iterations) in scaled-integer arithmetic
+    (operators/iterative.py:hits_scaled). Same trick as g_pagerank:
+    integer sums commute and integral division truncates identically, so
+    an iterative centrality algorithm gets a FULL value-matched oracle
+    (unrolled CTE chain). On this graph customers/suppliers are pure hubs
+    (auth 0), nations score both ways, regions are pure authorities."""
+    from .operators.iterative import hits_scaled
+
+    g = tpch_graph(spark, sf_dir)
+    res = hits_scaled(g, iters=_HITS_ITERS, scale=_HITS_SCALE)
+    return res.select(
+        "id",
+        F.round(F.col("auth") / F.lit(float(_HITS_SCALE)), 6).alias("auth"),
+        F.round(F.col("hub") / F.lit(float(_HITS_SCALE)), 6).alias("hub"),
+    )
+
+
 @register("g_pagerank", oracle=_pagerank_oracle_sql())
 def g_pagerank(spark, sf_dir):
     """PageRank power iteration (5 rounds, damping 0.85) in scaled-BIGINT

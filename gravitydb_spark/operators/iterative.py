@@ -27,6 +27,7 @@ __all__ = [
     "bfs_distances",
     "cc_labels",
     "connected_components",
+    "hits_scaled",
     "pagerank",
     "pagerank_scaled",
     "triangle_counts",
@@ -363,3 +364,60 @@ def pagerank_scaled(
             .localCheckpoint()
         )
     return ranks
+
+
+def hits_scaled(
+    graph: PropertyGraph, iters: int = 3, scale: int = 10**12
+) -> DataFrame:
+    """DF[id, auth: long, hub: long] — HITS (Kleinberg) hubs-and-
+    authorities in scaled-integer arithmetic, L1-normalized each half-step
+    (``x * scale DIV sum(x)``), in units of 1/``scale``.
+
+    Like :func:`pagerank_scaled`, every operation is integer (sums commute,
+    integral division truncates identically everywhere), so the result is
+    independent of Spark's aggregation order and value-matchable against
+    any other engine running the same recurrence. Intermediate products
+    are DECIMAL(38,0) (max ~scale², beyond int64); every normalized value
+    is ≤ scale so the final cast back to BIGINT is safe.
+
+    Per iteration: two keyed aggregations over the edge list + two 1-row
+    normalization aggregates broadcast into the update — a fixed number of
+    shuffles per round, lineage truncated via ``localCheckpoint``."""
+    verts = graph.vertices.select("id").localCheckpoint(eager=False)
+    edges = graph.edges.select("src", "dst").localCheckpoint(eager=False)
+
+    def _normalized(raw: DataFrame, col: str) -> DataFrame:
+        """raw: DF[id, r] (BIGINT ≥ 0, possibly missing ids) → DF[id, col]
+        with x*scale DIV sum(x) over ALL vertices (missing → 0)."""
+        total = raw.agg(
+            F.greatest(F.coalesce(F.sum("r"), F.lit(0)), F.lit(1))
+            .cast("decimal(38,0)")
+            .alias("s")
+        )
+        return (
+            verts.join(raw, "id", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "id",
+                F.expr(
+                    f"CAST((CAST(coalesce(r, 0) AS DECIMAL(38,0)) * {scale}) DIV s AS BIGINT)"
+                ).alias(col),
+            )
+        )
+
+    hubs = verts.select("id", F.lit(scale).cast("long").alias("hub"))
+    auths = None
+    for _ in range(iters):
+        auth_raw = (
+            edges.join(hubs, edges.src == hubs.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("r"))
+        )
+        auths = _normalized(auth_raw, "auth").localCheckpoint()
+        hub_raw = (
+            edges.join(auths, edges.dst == auths.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("r"))
+        )
+        hubs = _normalized(hub_raw, "hub").localCheckpoint()
+    return auths.join(hubs, "id")

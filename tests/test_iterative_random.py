@@ -162,3 +162,33 @@ def test_cc_labels_edge_list_form(spark):
     got = {r["id"]: r["component"] for r in cc_labels(edges).collect()}
     # z only appears in a self-loop: still labeled (itself)
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_hits_scaled_matches_python_model(spark, seed):
+    from gravitydb_spark.operators.iterative import hits_scaled
+
+    rng = random.Random(seed)
+    n = rng.randint(8, 20)
+    m = rng.randint(n, n * 2)
+    pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+    ids, g = _raw_graph(spark, n, pairs)
+    scale, iters = 10**12, 3
+
+    # pure-Python run of the identical integer recurrence
+    hub = {x: scale for x in ids}
+    auth = {x: 0 for x in ids}
+    for _ in range(iters):
+        raw = {x: 0 for x in ids}
+        for a, b in pairs:
+            raw[ids[b]] += hub[ids[a]]
+        s = max(sum(raw.values()), 1)
+        auth = {x: raw[x] * scale // s for x in ids}
+        raw = {x: 0 for x in ids}
+        for a, b in pairs:
+            raw[ids[a]] += auth[ids[b]]
+        s = max(sum(raw.values()), 1)
+        hub = {x: raw[x] * scale // s for x in ids}
+
+    got = {r["id"]: (r["auth"], r["hub"]) for r in hits_scaled(g, iters=iters).collect()}
+    assert got == {x: (auth[x], hub[x]) for x in ids}
