@@ -49,6 +49,9 @@ HEADLINE = [
     "ann_lsh_topk",
     "dedup_embedding_cosine",
     "multimodal_binary_meta",
+    "text_pii_redact",
+    "text_decontaminate",
+    "dedup_segments",
 ]
 
 

@@ -1702,3 +1702,230 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         "sess",
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / benchmark decontamination / segment-level dedup
+# ---------------------------------------------------------------------------
+
+# Regex subset shared by Java (Spark) and RE2 (DuckDB): character classes,
+# bounded repetition, \b word boundaries. No backreferences / lookaround —
+# those exist in Java regex but not RE2, so using them would silently
+# diverge the two engines.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+# The synthetic corpus has no natural PII, so the operator deterministically
+# plants some (same arithmetic in both engines) before masking — the regex
+# path is exercised for real and the oracle stays exact.
+_DUCK_PII_AUG = """
+    concat(text,
+      CASE WHEN doc_id % 5 = 0
+           THEN ' mail user' || doc_id::VARCHAR || '@example.com' ELSE '' END,
+      CASE WHEN doc_id % 7 = 0
+           THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END,
+      CASE WHEN doc_id % 11 = 0
+           THEN ' host 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                || ((doc_id * 7) % 256)::VARCHAR ELSE '' END)"""
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_DUCK_PII_AUG} AS s FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(s, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(s, '{_PII_IP}'))::BIGINT AS n_ips,
+           len(regexp_extract_all(s, '{_PII_PHONE}'))::BIGINT AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(s,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_sig
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (emails / IPv4 / phone-like numbers -> placeholder
+    tokens) — the scrubbing pass every pretraining pipeline runs before
+    tokenization. Pure ``regexp_count``/``regexp_replace`` column
+    expressions: JVM-side, whole-stage codegen, embarrassingly parallel —
+    no shuffle at any scale. Replacement order (email, IP, phone) is fixed
+    so the passes cannot interact.
+
+    Returns per-doc match counts plus an md5 signature of the redacted
+    text (signature rather than the text itself keeps the gate compare
+    cheap)."""
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" mail user"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(""),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" call 555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" host 10."), (did % 256).cast("string"),
+                        F.lit(".0."), ((did * 7) % 256).cast("string"))).otherwise(""),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_sig"),
+    )
+
+
+# Deterministic eval-set membership for the decontamination check: every
+# 97th doc plays the "benchmark" role. Real pipelines would read the
+# benchmark shingle set from a side input; the shape (tiny broadcast set,
+# semi-join against the corpus) is identical.
+_DECON_MOD = 97
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH {_DUCK_SH_CTES},
+    ev AS MATERIALIZED (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_overlap, any_value(s.n_sh) AS n_sh
+      FROM sh s JOIN ev USING (shingle)
+      WHERE s.doc_id % {_DECON_MOD} <> 0
+      GROUP BY 1)
+    SELECT doc_id, n_overlap::BIGINT AS n_overlap, n_sh::BIGINT AS n_sh,
+           round(n_overlap / n_sh::DOUBLE, 4) AS overlap_frac
+    FROM hits
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing word
+    3-shingles with a (deterministic) eval set — the n-gram-overlap
+    contamination check from LLM data pipelines.
+
+    Scale posture: the eval shingle set is small BY CONSTRUCTION
+    (benchmarks are ~1e4 docs regardless of corpus size), so it
+    broadcasts; the corpus side is a broadcast hash join probe plus one
+    groupBy(doc_id) shuffle — linear in corpus size, no self-join. Reuses
+    the cached exploded-shingle relation shared by the dedup family."""
+    sh = _shingled_docs(spark, sf_dir)
+    is_eval = (F.col("doc_id") % _DECON_MOD) == 0
+    ev = sh.filter(is_eval).select("shingle").distinct()
+    hits = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"), F.first("n_sh").alias("n_sh"))
+    )
+    frac = F.col("n_overlap") / F.col("n_sh")
+    return hits.select(
+        "doc_id",
+        F.col("n_overlap").cast("long"),
+        F.col("n_sh").cast("long"),
+        F.round(frac, 4).alias("overlap_frac"),
+    )
+
+
+SEGMENT_WORDS = 8  # segment granularity for cross-doc boilerplate removal
+SEGMENT_DF_BAN = 2  # a segment in >= this many distinct docs is boilerplate
+
+
+@register(
+    "dedup_segments",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    seg AS MATERIALIZED (
+      SELECT doc_id, (u.i - 1) // {SEGMENT_WORDS} AS seg_idx,
+             string_agg(t[u.i], ' ' ORDER BY u.i) AS seg
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+      GROUP BY 1, 2),
+    banned AS (
+      SELECT seg FROM (
+        SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+      WHERE nd >= {SEGMENT_DF_BAN}),
+    totals AS (SELECT doc_id, count(*)::BIGINT AS n_segs FROM seg GROUP BY 1),
+    clean AS (
+      SELECT doc_id, count(*)::BIGINT AS n_kept,
+             md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_sig
+      FROM seg ANTI JOIN banned USING (seg)
+      GROUP BY doc_id)
+    SELECT t.doc_id, n_segs, coalesce(n_kept, 0)::BIGINT AS n_kept,
+           coalesce(clean_sig, md5('')) AS clean_sig
+    FROM totals t LEFT JOIN clean USING (doc_id)
+    """,
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (paragraph-style) dedup: split every doc into
+    consecutive {SEGMENT_WORDS}-word segments, drop segments that appear
+    in >= {SEGMENT_DF_BAN} distinct docs (cross-document boilerplate —
+    the Gopher/RefinedWeb "remove repeated paragraphs" pass), and rebuild
+    the cleaned text in original order. The corpus has no newlines, so
+    fixed-width word windows stand in for paragraphs; the chunking rule
+    is mirrored exactly in the oracle (0-based pos // {SEGMENT_WORDS} ==
+    1-based (i-1) // {SEGMENT_WORDS}).
+
+    Scale posture: one shuffle to assemble segments (groupBy doc_id,
+    seg_idx), a partial-agg distinct-doc count whose over-threshold
+    survivors form a small broadcast ban list (boilerplate is rare by
+    definition), and one groupBy(doc_id) to rebuild. No self-join, no
+    all-pairs anything; linear at 100 TB. The per-segment/per-doc
+    ``transform`` lambdas run interpreted but only over <= {SEGMENT_WORDS}-
+    element (resp. per-doc segment-count) arrays AFTER the heavy lifting
+    is done by codegen'd explode + shuffle."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(_TOKENS_FN()).alias("pos", "w")
+    )
+    seg = (
+        tok.withColumn("seg_idx", F.floor(F.col("pos") / SEGMENT_WORDS))
+        .groupBy("doc_id", "seg_idx")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+            ).alias("seg")
+        )
+    )
+    seg = seg.cache()  # shared by ban-list build + both per-doc rollups
+    banned = (
+        seg.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= SEGMENT_DF_BAN)
+        .select("seg")
+    )
+    totals = seg.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
+    clean = (
+        seg.join(F.broadcast(banned), "seg", "leftanti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                        lambda x: x["seg"],
+                    ),
+                )
+            ).alias("clean_sig"),
+        )
+    )
+    return totals.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_segs").cast("long"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_sig"), F.md5(F.lit(""))).alias("clean_sig"),
+    )

@@ -108,3 +108,24 @@ def test_triangle_wedges_close_by_equi_join(plans):
     p = plans("dedup_pair_triangles")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pii_redact_is_pure_scan_project(plans):
+    # regex masking is a per-row projection: no shuffle, no Python UDF
+    p = plans("text_pii_redact")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_decontaminate_broadcasts_eval_set(plans):
+    # the eval shingle set is small by construction -> broadcast probe,
+    # never a shuffled or nested-loop join against the corpus
+    p = plans("text_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_segment_dedup_ban_list_is_broadcast_anti_join(plans):
+    p = plans("dedup_segments")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
