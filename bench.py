@@ -52,6 +52,8 @@ HEADLINE = [
     "text_pii_redact",
     "text_decontaminate",
     "dedup_segments",
+    "embed_kmeans",
+    "dedup_semantic",
 ]
 
 

@@ -1929,3 +1929,196 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("clean_sig"), F.md5(F.lit(""))).alias("clean_sig"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means semantic clustering + SemDeDup-style within-cluster dedup
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_SCALE = 100000  # float -> scaled BIGINT; integer sums commute, so
+# Lloyd's algorithm becomes exactly portable across engines (the same trick
+# g_pagerank uses). Centroid means use floor(sum/count) with the division
+# done in doubles: sums stay far below 2^53 here so the double is exact; at
+# extreme cluster sizes swap the division to DECIMAL(38,0).
+
+
+def _duck_kmeans_ctes() -> str:
+    """Unrolled Lloyd-iteration CTE chain ending in ``kfinal(vec_id,
+    cluster, sq_dist)`` — mirrors the Spark loop iteration for iteration."""
+    parts = [
+        f"""ex AS MATERIALIZED (
+      SELECT vec_id, u.i AS i,
+             CAST(round(embedding[u.i]::DOUBLE * {KMEANS_SCALE}) AS BIGINT) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    c0 AS (SELECT vec_id AS cl, i, x AS cx FROM ex WHERE vec_id < {KMEANS_K})"""
+    ]
+    prev = "c0"
+    for it in range(KMEANS_ITERS):
+        parts.append(
+            f"""a{it} AS (
+      SELECT vec_id, cl, sum((x - cx) * (x - cx)) AS d
+      FROM ex JOIN {prev} USING (i) GROUP BY 1, 2),
+    b{it} AS (
+      SELECT vec_id, cl FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cl ASC) AS rn
+        FROM a{it}) WHERE rn = 1),
+    c{it + 1} AS (
+      SELECT cl, i, CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS cx
+      FROM ex JOIN b{it} USING (vec_id) GROUP BY 1, 2)"""
+        )
+        prev = f"c{it + 1}"
+    parts.append(
+        f"""af AS (
+      SELECT vec_id, cl, sum((x - cx) * (x - cx)) AS d
+      FROM ex JOIN {prev} USING (i) GROUP BY 1, 2),
+    kfinal AS (
+      SELECT vec_id, cl AS cluster, d AS sq_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cl ASC) AS rn
+        FROM af) WHERE rn = 1)"""
+    )
+    return ",\n    ".join(parts)
+
+
+_DUCK_KMEANS_CTES = _duck_kmeans_ctes()
+
+
+def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF[vec_id, cluster, sq_dist] — Lloyd's k-means over scaled-integer
+    embeddings, deterministic end to end: init = first-K vectors by id,
+    argmin tie-break on cluster id, centroid update floor(sum/count).
+
+    Everything runs in the EXPLODED (vec_id, dim, value) relation, so every
+    step is whole-stage codegen + plain shuffles: assignment is a broadcast
+    join against K*dim centroid rows + groupBy(vec_id, cl); the update is
+    one groupBy(cl, dim). No higher-order array lambdas in the loop (those
+    run interpreted). Per iteration that is one linear pass — the exact
+    shape real-scale SemDeDup clustering uses."""
+    ex = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding")).alias("p", "xf"),
+        )
+        .select(
+            "vec_id",
+            (F.col("p") + 1).alias("i"),
+            F.round(F.col("xf").cast("double") * KMEANS_SCALE, 0)
+            .cast("long")
+            .alias("x"),
+        )
+    ).cache()
+    cent = ex.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cl"), "i", F.col("x").alias("cx")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d = (
+            ex.join(F.broadcast(centroids), "i")
+            .groupBy("vec_id", "cl")
+            .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cl"))
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cl", "d")
+        )
+
+    for _ in range(KMEANS_ITERS):
+        members = assign(cent).select("vec_id", "cl")
+        cent = (
+            ex.join(members, "vec_id")
+            .groupBy("cl", "i")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count("*")
+                ).cast("long").alias("cx")
+            )
+        ).cache()  # tiny (K*dim rows); cuts the per-iteration lineage
+    return assign(cent).select(
+        "vec_id", F.col("cl").alias("cluster"), F.col("d").alias("sq_dist")
+    )
+
+
+@register(
+    "embed_kmeans",
+    oracle=f"""
+    WITH {_DUCK_KMEANS_CTES}
+    SELECT vec_id, cluster, sq_dist FROM kfinal
+    """,
+)
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus ({KMEANS_K} cells,
+    {KMEANS_ITERS} Lloyd iterations) — the partitioning step of semantic
+    dedup (SemDeDup) and of cluster-balanced data curation. FULL oracle:
+    scaled-BIGINT arithmetic makes every sum order-independent, so the
+    DuckDB unrolled-CTE chain reproduces the Spark loop bit for bit."""
+    return _kmeans_clusters(spark, sf_dir)
+
+
+SEMANTIC_COSINE_T = 0.4
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_DUCK_KMEANS_CTES}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           any_value(ka.cluster) AS cluster,
+           round({_duck_dot('a.embedding', 'b.embedding')}
+             / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+                * sqrt({_duck_dot('b.embedding', 'b.embedding')})), 3) AS cosine
+    FROM kfinal ka JOIN kfinal kb
+      ON ka.cluster = kb.cluster AND ka.vec_id < kb.vec_id
+    JOIN embeddings a ON a.vec_id = ka.vec_id
+    JOIN embeddings b ON b.vec_id = kb.vec_id
+    GROUP BY a.vec_id, b.vec_id, a.embedding, b.embedding
+    HAVING round({_duck_dot('a.embedding', 'b.embedding')}
+             / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+                * sqrt({_duck_dot('b.embedding', 'b.embedding')})), 3)
+           >= {SEMANTIC_COSINE_T}
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means partitions the
+    corpus, exact cosine runs only WITHIN a cluster (equi-join on the
+    cluster id — never an all-pairs join), threshold on the ROUNDED score
+    so both engines compare identical doubles.
+
+    Scale posture: pair work is sum of per-cluster sizes squared; K grows
+    with the corpus (K ~ sqrt(n) in SemDeDup practice) to keep cells
+    bounded, and the cluster equi-join shuffles both sides on the same
+    key. This is the principled complement to dedup_embedding_cosine's
+    LSH buckets: data-adaptive cells instead of fixed hyperplanes."""
+    cl = _kmeans_clusters(spark, sf_dir).select("vec_id", "cluster").cache()
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    sided = cl.join(emb, "vec_id")
+    a = sided.select(
+        F.col("vec_id").alias("vec_a"), F.col("cluster"), F.col("v").alias("va")
+    )
+    b = sided.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("v").alias("vb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(_dot(F.col("va"), F.col("va")))
+            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+        ),
+        3,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", "cluster", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMANTIC_COSINE_T)
+    )

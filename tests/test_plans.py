@@ -129,3 +129,19 @@ def test_segment_dedup_ban_list_is_broadcast_anti_join(plans):
     p = plans("dedup_segments")
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_kmeans_assignment_is_broadcast_equi_join(plans):
+    # Lloyd assignment joins the exploded corpus against K*dim centroid
+    # rows: broadcast equi-join + hash agg, never a nested loop
+    p = plans("embed_kmeans")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_semantic_dedup_pairs_only_within_cluster(plans):
+    # the pair join must carry the cluster equi-key (SortMergeJoin or
+    # ShuffledHashJoin on cluster) — an all-pairs nested loop means the
+    # cluster restriction was lost
+    p = plans("dedup_semantic")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
