@@ -54,6 +54,9 @@ HEADLINE = [
     "dedup_segments",
     "embed_kmeans",
     "dedup_semantic",
+    "pack_sequences",
+    "mix_domains",
+    "text_cc_filters",
 ]
 
 

@@ -285,8 +285,9 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each partition keeps its k smallest, merge keeps the k smallest of
     the union) — here expressed as a window top-k, the same shuffle key
     as the groupBy."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .relational_queries import load_events
+
+    ev = load_events(spark, sf_dir)
     h = ev.select(
         "event_type", _h32(F.col("user_id").cast("string")).alias("hv")
     ).distinct()
@@ -1516,6 +1517,8 @@ def _run_events_stream(spark, sf_dir, transform, output_mode, name_prefix):
     drift between them."""
     import uuid as _uuid
 
+    from .relational_queries import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
@@ -1525,7 +1528,7 @@ def _run_events_stream(spark, sf_dir, transform, output_mode, name_prefix):
     )
     name = f"{name_prefix}_{_uuid.uuid4().hex[:8]}"
     q = (
-        transform(stream)
+        transform(normalize_events_ts(stream))
         .writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
@@ -2121,4 +2124,203 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_a", "vec_b", "cluster", cos.alias("cosine"))
         .filter(F.col("cosine") >= SEMANTIC_COSINE_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-batch construction: sequence packing / domain mixture / CC filters
+# ---------------------------------------------------------------------------
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DUCK_TOKENS})::BIGINT AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           (tok_start // {SEQ_BUDGET})::BIGINT AS seq_id,
+           (tok_start % {SEQ_BUDGET})::BIGINT AS seq_offset,
+           CASE WHEN n_tokens = 0 THEN tok_start // {SEQ_BUDGET}
+                ELSE (tok_start + n_tokens - 1) // {SEQ_BUDGET}
+           END::BIGINT AS seq_id_end
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence packing, concat-and-chunk style: documents are
+    concatenated in doc_id order WITHIN EACH SOURCE SHARD and split into
+    fixed SEQ_BUDGET-token sequences; each doc reports the sequence it
+    starts in, its offset there, and the last sequence it spans.
+
+    Scale posture: the window partitions by ``source`` — one shuffle on the
+    shard key, each shard packed independently in parallel, no global
+    ordering bottleneck. That is exactly how a 100 TB pretraining corpus is
+    packed (per input shard), and the running sum is integer-exact so the
+    oracle matches bit-for-bit."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_TOKENS_FN()).cast("long").alias("n_tokens")
+    )
+    c = t.withColumn(
+        "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    seq_end = F.when(
+        F.col("n_tokens") == 0, F.expr(f"tok_start DIV {SEQ_BUDGET}")
+    ).otherwise(F.expr(f"(tok_start + n_tokens - 1) DIV {SEQ_BUDGET}"))
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"tok_start DIV {SEQ_BUDGET}").cast("long").alias("seq_id"),
+        (F.col("tok_start") % SEQ_BUDGET).cast("long").alias("seq_offset"),
+        seq_end.cast("long").alias("seq_id_end"),
+    )
+
+
+# Domain mixture: target weight per source shard in basis points, derived
+# arithmetically from the shard suffix so the spec needs no side table and
+# is identical at every scale factor: srcN -> 2000 + 1500*(N % 4) bp.
+_MIX_BP = "2000 + 1500 * (CAST(substr(source, 4) AS BIGINT) % 4)"
+
+
+@register(
+    "mix_domains",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             {_MIX_BP} AS weight_bp,
+             CASE WHEN {_duck_h32("doc_id::VARCHAR || source")}
+                  < ({_H32_SPACE} * ({_MIX_BP})) // 10000
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT source, weight_bp::BIGINT AS weight_bp,
+           count(*)::BIGINT AS n_total,
+           sum(kept)::BIGINT AS n_kept
+    FROM d GROUP BY 1, 2
+    """,
+)
+def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture sampling: each source shard is downsampled to its
+    target mixture weight by a deterministic per-document hash threshold
+    (md5-based, seedless, identical in both engines) — the standard way to
+    hit a target domain mix without a shuffle or an RNG whose stream
+    depends on partitioning. Returns per-source totals, kept counts and
+    the target weight in basis points.
+
+    Scale posture: the keep decision is a pure per-row predicate (no join,
+    no window); the rollup is one partial-aggregated groupBy on the shard
+    key. Changing the mixture spec re-samples only the affected shards."""
+    weight_bp = F.expr(_MIX_BP).cast("long")
+    thresh = F.expr(f"({_H32_SPACE} * ({_MIX_BP})) DIV 10000")
+    kept = (
+        _h32(F.concat(F.col("doc_id").cast("string"), F.col("source"))) < thresh
+    ).cast("long")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("source", weight_bp.alias("weight_bp"), kept.alias("kept"))
+        .groupBy("source", "weight_bp")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
+# Gopher/C4-style heuristic filter thresholds (integer/exact arithmetic so
+# the rule bitmask is oracle-matched; the RE subset is Java+RE2 safe).
+_CCF_MIN_TOKENS = 5
+_CCF_MAX_MEAN_TOKEN_LEN_X100 = 1200  # mean token length <= 12.00 chars
+_CCF_MAX_SYMBOL_PER_1000 = 100  # >10% non [a-zA-Z0-9 .,] chars -> drop
+_CCF_SYMBOL_RE = r"[^a-zA-Z0-9 .,]"
+
+
+@register(
+    "text_cc_filters",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({_DUCK_TOKENS})::BIGINT AS n_tokens,
+             length(replace(text, ' ', ''))::BIGINT AS n_nonspace,
+             len(regexp_extract_all(text, '{_CCF_SYMBOL_RE}'))::BIGINT AS n_symbols,
+             length(text)::BIGINT AS n_chars,
+             CASE WHEN len(list_filter({_DUCK_TOKENS},
+                                       t -> t IN ('the', 'a'))) > 0
+                  THEN 1 ELSE 0 END AS has_stopword
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens < {_CCF_MIN_TOKENS} THEN 1 ELSE 0 END
+             + CASE WHEN n_tokens > 0 AND n_nonspace * 100
+                        > n_tokens * {_CCF_MAX_MEAN_TOKEN_LEN_X100}
+                    THEN 2 ELSE 0 END
+             + CASE WHEN n_chars > 0 AND n_symbols * 1000
+                        > n_chars * {_CCF_MAX_SYMBOL_PER_1000}
+                    THEN 4 ELSE 0 END
+             + CASE WHEN has_stopword = 0 THEN 8 ELSE 0 END AS fail_mask,
+           CASE WHEN n_tokens >= {_CCF_MIN_TOKENS}
+                 AND n_nonspace * 100 <= n_tokens * {_CCF_MAX_MEAN_TOKEN_LEN_X100}
+                 AND (n_chars = 0 OR n_symbols * 1000
+                      <= n_chars * {_CCF_MAX_SYMBOL_PER_1000})
+                 AND has_stopword = 1
+           THEN 1 ELSE 0 END AS keep
+    FROM m
+    """,
+)
+def text_cc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality filters as one codegen pass:
+    minimum token count, mean-token-length cap, symbol-character-ratio
+    cap, and required-stopword presence. Emits a per-rule failure bitmask
+    (1=too short, 2=tokens too long, 4=too symbol-heavy, 8=no stopword)
+    plus the combined keep flag.
+
+    All thresholds compare integer cross-products (n_nonspace*100 vs
+    n_tokens*1200), never float ratios, so both engines agree exactly.
+    Scale posture: a single projection over the scan — no shuffle at all;
+    at 100 TB this is the map stage fused into whatever runs next."""
+    toks = _TOKENS_FN()
+    m = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias("n_nonspace"),
+        F.regexp_count("text", F.lit(_CCF_SYMBOL_RE)).cast("long").alias("n_symbols"),
+        F.length("text").cast("long").alias("n_chars"),
+        (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) > 0)
+        .cast("long")
+        .alias("has_stopword"),
+    )
+    too_short = F.col("n_tokens") < _CCF_MIN_TOKENS
+    too_long_tokens = (F.col("n_tokens") > 0) & (
+        F.col("n_nonspace") * 100 > F.col("n_tokens") * _CCF_MAX_MEAN_TOKEN_LEN_X100
+    )
+    too_symbolic = (F.col("n_chars") > 0) & (
+        F.col("n_symbols") * 1000 > F.col("n_chars") * _CCF_MAX_SYMBOL_PER_1000
+    )
+    no_stopword = F.col("has_stopword") == 0
+    mask = (
+        too_short.cast("long")
+        + too_long_tokens.cast("long") * 2
+        + too_symbolic.cast("long") * 4
+        + no_stopword.cast("long") * 8
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        mask.cast("long").alias("fail_mask"),
+        (mask == 0).cast("long").alias("keep"),
     )

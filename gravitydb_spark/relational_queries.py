@@ -277,20 +277,39 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Events: time-series / JSON / sessionization (streaming-shaped, batch SQL)
 #
-# The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects; we read it with nanosAsLong and do exact integer-epoch
-# arithmetic (ns ~1.7e18 does NOT fit a double's 53-bit mantissa, so
-# float division would corrupt timestamps — integer DIV only). This also
-# makes results timezone-free on both engines.
+# The events parquet has shipped as TIMESTAMP(NANOS) (rounds 1-2) and as
+# TIMESTAMP(MICROS, NTZ) (round 3+). Either way, every downstream query
+# does exact integer-epoch arithmetic on a BIGINT nanosecond column
+# (ns ~1.7e18 does NOT fit a double's 53-bit mantissa, so float division
+# would corrupt timestamps — integer DIV only; also timezone-free on both
+# engines, matching DuckDB's epoch_ns() on a naive timestamp).
+# ``load_events`` normalizes both physical encodings to that contract:
+# NANOS files read as BIGINT via the legacy nanosAsLong conf; MICROS files
+# read as TIMESTAMP_NTZ and are converted with unix_micros (session tz is
+# UTC, so the naive wall clock maps to the same epoch as the oracle).
 # ---------------------------------------------------------------------------
 
 NS_PER_HOUR = 3_600_000_000_000
 NS_PER_SEC = 1_000_000_000
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Return events with ``ts`` as BIGINT nanoseconds since epoch."""
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df
+    ts = F.col("ts")
+    if isinstance(dt, T.TimestampNTZType):
+        # session tz is UTC (session.py), so NTZ wall clock == UTC instant
+        ts = ts.cast("timestamp")
+    return df.withColumn("ts", (F.unix_micros(ts) * F.lit(1000)).cast("long"))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 @register(
