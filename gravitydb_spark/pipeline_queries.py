@@ -2095,34 +2095,38 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded, and the cluster equi-join shuffles both sides on the same
     key. This is the principled complement to dedup_embedding_cosine's
     LSH buckets: data-adaptive cells instead of fixed hyperplanes."""
-    cl = _kmeans_clusters(spark, sf_dir).select("vec_id", "cluster").cache()
+    cl = _kmeans_clusters(spark, sf_dir).select("vec_id", "cluster")
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    sided = cl.join(emb, "vec_id")
-    a = sided.select(
-        F.col("vec_id").alias("vec_a"), F.col("cluster"), F.col("v").alias("va")
-    )
-    b = sided.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("cluster").alias("cluster_b"),
-        F.col("v").alias("vb"),
-    )
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (
-            F.sqrt(_dot(F.col("va"), F.col("va")))
-            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-        ),
-        3,
-    )
+    # Flatten to EMB_DIM real double columns BEFORE the self-join so the
+    # pair-side dot is a flat codegen'd sum-of-products (the interpreted
+    # F.aggregate fold was the bottleneck here — same fix as
+    # dedup_embedding_cosine, measured 9.4s -> ~4s at sf0.1). Chained
+    # left-assoc addition keeps IEEE parity with the oracle's left fold
+    # (0.0 + p0 ≡ p0). Norm is computed once per vector, not per pair.
+    v = F.col("v")
+    flat = emb.select("vec_id", *[v[i].alias(f"e{i}") for i in range(EMB_DIM)])
+    norm_sql = "sqrt(" + " + ".join(f"(e{i} * e{i})" for i in range(EMB_DIM)) + ")"
+    sided = (
+        flat.withColumn("norm", F.expr(norm_sql)).join(cl, "vec_id").cache()
+    )  # one kmeans+norm pass shared by both join sides
+    a = sided.alias("a")
+    b = sided.alias("b")
+    dot = F.expr(" + ".join(f"(a.e{i} * b.e{i})" for i in range(EMB_DIM)))
+    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 3)
     return (
         a.join(
             b,
-            (F.col("cluster") == F.col("cluster_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select("vec_a", "vec_b", "cluster", cos.alias("cosine"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cluster").alias("cluster"),
+            cos.alias("cosine"),
+        )
         .filter(F.col("cosine") >= SEMANTIC_COSINE_T)
     )
 
