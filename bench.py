@@ -57,6 +57,8 @@ HEADLINE = [
     "pack_sequences",
     "mix_domains",
     "text_cc_filters",
+    "dedup_substring_spans",
+    "embed_outliers",
 ]
 
 

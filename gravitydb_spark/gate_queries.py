@@ -431,9 +431,21 @@ _compound(
                 "sig": "clean_sig",
             },
         ),
+        (
+            "substring_spans",
+            "dedup_substring_spans",
+            {
+                "doc_id": "doc_id",
+                "n1": "n_dup_positions",
+                "n2": "covered_tokens",
+                "n3": "n_tokens",
+                "m": "dup_frac",
+            },
+        ),
     ],
     "Gate family for corpus cleaning: PII redaction counts/signature,"
-    " benchmark n-gram decontamination overlap, segment-level dedup.",
+    " benchmark n-gram decontamination overlap, segment-level dedup, and"
+    " substring-span (duplicated 8-gram coverage) dedup.",
 )
 
 _compound(
@@ -535,10 +547,15 @@ _compound(
             "dedup_semantic",
             {"a": "vec_a", "b": "vec_b", "c": "cluster", "v": "cosine"},
         ),
+        (
+            "outliers",
+            "embed_outliers",
+            {"a": "vec_id", "b": "cluster", "c": "sq_dist", "v": "outlier"},
+        ),
     ],
     "Gate family for embedding-space ops: L2 norms, LSH-bucketed"
-    " embedding-cosine near-dup pairs, deterministic k-means, and"
-    " cluster-scoped semantic dedup.",
+    " embedding-cosine near-dup pairs, deterministic k-means,"
+    " cluster-scoped semantic dedup, and per-cell distance outliers.",
 )
 
 _compound(

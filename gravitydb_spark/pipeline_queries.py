@@ -2328,3 +2328,149 @@ def text_cc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask.cast("long").alias("fail_mask"),
         (mask == 0).cast("long").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup / embedding outliers
+# ---------------------------------------------------------------------------
+
+SPAN_W = 8  # tokens per duplicated-substring detection window
+
+_SPAN_SHINGLE_DUCK = " || ' ' || ".join(f"t[i+{k}]" for k in range(SPAN_W))
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    psh AS MATERIALIZED (
+      SELECT doc_id, i AS pos, {_SPAN_SHINGLE_DUCK} AS shingle
+      FROM toks, unnest(generate_series(1, greatest(len(t)-{SPAN_W - 1}, 0))) AS u(i)),
+    dupsh AS (
+      SELECT shingle FROM psh GROUP BY shingle
+      HAVING count(DISTINCT doc_id) > 1),
+    dup AS (
+      SELECT doc_id, pos,
+             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM psh WHERE shingle IN (SELECT shingle FROM dupsh)),
+    cov AS (
+      SELECT doc_id, count(*)::BIGINT AS n_dup_positions,
+             sum(CASE WHEN nxt IS NULL OR nxt - pos >= {SPAN_W}
+                      THEN {SPAN_W} ELSE nxt - pos END)::BIGINT AS covered_tokens
+      FROM dup GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(t.t)::BIGINT AS n_tokens,
+           COALESCE(c.n_dup_positions, 0)::BIGINT AS n_dup_positions,
+           COALESCE(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+           round(COALESCE(c.covered_tokens, 0)
+                 / greatest(len(t.t), 1)::DOUBLE, 4) AS dup_frac
+    FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report (the 'dedup training data at the
+    span level' operator): every {SPAN_W}-token window that also occurs in
+    ANOTHER document marks its span; per doc we report how many window
+    positions are duplicated and how many tokens the UNION of those spans
+    covers (interval union via one lead() window — sum of
+    min(next_pos - pos, W) with W for the last span).
+
+    Scale posture: positioned shingles are linear in corpus tokens; the
+    duplicated-shingle set comes from one partial-aggregated groupBy on
+    the shingle (count distinct docs > 1) and joins back as an equi-join
+    on the shingle key — never a doc×doc comparison. At 100 TB the
+    duplicated-shingle side is the small side (boilerplate + true dups)
+    and broadcasts; AQE picks that up from runtime stats."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(_TOKENS_FN()).alias("pos", "w")
+    )
+    w_ = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("w", k).over(w_).alias(f"w{k}") for k in range(1, SPAN_W)]
+    psh = (
+        tok.select("doc_id", "pos", "w", *lead_cols)
+        .filter(F.col(f"w{SPAN_W - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ", "w", *[f"w{k}" for k in range(1, SPAN_W)]
+            ).alias("shingle"),
+        )
+    ).cache()  # barrier: build positioned shingles once, reuse on both plan arms
+    dupsh = (
+        psh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("shingle")
+    )
+    dup = psh.join(dupsh, "shingle").withColumn("nxt", F.lead("pos").over(w_))
+    span = F.when(
+        F.col("nxt").isNull() | (F.col("nxt") - F.col("pos") >= SPAN_W),
+        F.lit(SPAN_W),
+    ).otherwise(F.col("nxt") - F.col("pos"))
+    cov = dup.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_positions"),
+        F.sum(span).cast("long").alias("covered_tokens"),
+    )
+    n_tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_TOKENS_FN()).cast("long").alias("n_tokens")
+    )
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long")
+    return n_tok.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("long").alias(
+            "n_dup_positions"
+        ),
+        covered.alias("covered_tokens"),
+        F.round(
+            covered / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"), 4
+        ).alias("dup_frac"),
+    )
+
+
+OUTLIER_PCT = 5  # flag the top 5% most-distant vectors per k-means cell
+
+
+@register(
+    "embed_outliers",
+    oracle=f"""
+    WITH {_DUCK_KMEANS_CTES},
+    ranked AS (
+      SELECT vec_id, cluster, sq_dist,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY sq_dist DESC, vec_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS n_cl
+      FROM kfinal)
+    SELECT vec_id, cluster, sq_dist,
+           CASE WHEN rn <= (n_cl * {OUTLIER_PCT} + 99) // 100
+                THEN 1 ELSE 0 END::BIGINT AS outlier
+    FROM ranked
+    """,
+)
+def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier flagging for data curation: within each k-means
+    cell, the top {OUTLIER_PCT}% most-distant vectors (ceil, deterministic
+    sq_dist-desc/vec_id tie-break) are flagged — the 'prototypicality'
+    pruning signal used alongside SemDeDup. Integer sq_dist + integer
+    ceil arithmetic keep both engines bit-identical.
+
+    Scale posture: one window over the cluster-partitioned shuffle the
+    k-means output already has; no joins."""
+    ranked = _kmeans_clusters(spark, sf_dir)
+    w_ = Window.partitionBy("cluster").orderBy(
+        F.desc("sq_dist"), F.asc("vec_id")
+    )
+    wc = Window.partitionBy("cluster")
+    k_out = (F.count("*").over(wc) * OUTLIER_PCT + 99) / 100
+    return (
+        ranked.withColumn("rn", F.row_number().over(w_))
+        .withColumn("k_out", F.floor(k_out).cast("long"))
+        .select(
+            "vec_id",
+            "cluster",
+            "sq_dist",
+            (F.col("rn") <= F.col("k_out")).cast("long").alias("outlier"),
+        )
+    )

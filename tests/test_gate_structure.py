@@ -45,7 +45,12 @@ COMPOUND_MEMBERS = {
     "text_counts": ["text_token_count", "text_bpe_token_count"],
     "text_quality_signals": ["text_quality_score", "text_repetition"],
     "text_langid_fingerprint": ["text_lang_id", "text_fingerprint"],
-    "text_cleaning": ["text_pii_redact", "text_decontaminate", "dedup_segments"],
+    "text_cleaning": [
+        "text_pii_redact",
+        "text_decontaminate",
+        "dedup_segments",
+        "dedup_substring_spans",
+    ],
     "corpus_sketch_vocab": ["sketch_kmv_distinct", "corpus_vocab_topk"],
     "corpus_sampling": ["sample_documents_hash", "sample_stratified_by_source"],
     "dedup_minhash_family": [
@@ -59,6 +64,7 @@ COMPOUND_MEMBERS = {
         "dedup_embedding_cosine",
         "embed_kmeans",
         "dedup_semantic",
+        "embed_outliers",
     ],
     "multimodal_family": ["multimodal_binary_meta", "multimodal_frame_sample"],
     "stream_rollup_join": ["stream_hourly_rollup", "stream_view_click_join"],
