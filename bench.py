@@ -59,6 +59,7 @@ HEADLINE = [
     "text_cc_filters",
     "dedup_substring_spans",
     "embed_outliers",
+    "dedup_jaccard_verify",
 ]
 
 

@@ -497,10 +497,16 @@ _compound(
             {"a": "doc_id", "b": "cluster", "v": "keep"},
         ),
         ("triangles", "dedup_pair_triangles", {"a": "doc_id", "b": "triangles"}),
+        (
+            "verify",
+            "dedup_jaccard_verify",
+            {"a": "doc_a", "b": "doc_b", "v": "jaccard"},
+        ),
     ],
     "Gate family for MinHash near-dup dedup: banded-LSH candidate pairs"
     " with estimated Jaccard, connected-component clustering with"
-    " keep-choice, and triangle counts over the pair graph.",
+    " keep-choice, triangle counts over the pair graph, and exact-Jaccard"
+    " verification of the candidates (the two-stage production shape).",
 )
 
 _compound(

@@ -632,7 +632,17 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _pair_cache:
         return _pair_cache[key]
     sh = _shingled_docs(spark, sf_dir)
-    sigs = _minhash_sigs(sh)
+    out = _pairs_from_sigs(_minhash_sigs(sh)).cache()
+    _pair_cache[key] = out
+    return out
+
+
+def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b, est ≥ 0.5) from a
+    DF[doc_id, sig] of minhash signatures. Factored out so consumers can
+    choose WHICH rows join: the pairwise gate query feeds every doc; the
+    cluster operator feeds one representative per DISTINCT signature
+    (exact-dup groups collapse before the quadratic step)."""
     rows_per_band = N_MINHASH // LSH_BANDS
     bands = (
         sigs.select(
@@ -681,9 +691,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     est = matches / F.lit(float(N_MINHASH))
-    out = cand.filter(est >= 0.5).select("doc_a", "doc_b", est.alias("est")).cache()
-    _pair_cache[key] = out
-    return out
+    return cand.filter(est >= 0.5).select("doc_a", "doc_b", est.alias("est"))
 
 
 @register(
@@ -731,20 +739,47 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise-similar docs still collapses in a handful of rounds at 100 TB).
     The DuckDB oracle computes the same transitive closure with a recursive
     CTE — exponential-ish in cluster size, fine at gate scale, and a
-    genuinely independent formulation of the same semantics."""
+    genuinely independent formulation of the same semantics.
+
+    Skew guard (measured, SCALE.md §7): identical texts have identical
+    signatures, so K exact copies of one boilerplate doc put K docs in the
+    same bucket — K²/2 candidate pairs (12.5M at K=5000) if every doc
+    joins. Clustering only needs the graph up to signature equality:
+    collapse each DISTINCT signature to its min-doc_id representative
+    BEFORE the band join, run CC on representatives, then attach members
+    back. Semantics-preserving because identical sigs always share every
+    band key with est = 1.0 ≥ 0.5 (same cluster by construction), and
+    rep = min of its group keeps cluster labels = global min doc_id.
+    Output rows: members of multi-doc signature groups plus docs whose
+    representative has a near-dup edge — exactly the docs the pairwise
+    formulation reaches."""
     from .operators.iterative import cc_labels
 
-    pairs = _minhash_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    sigs = _minhash_sigs(_shingled_docs(spark, sf_dir))
+    grp = sigs.groupBy("sig").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("gsize")
     )
-    labels = cc_labels(pairs)
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        F.col("component").alias("cluster"),
-        F.when(F.col("id") == F.col("component"), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("keep"),
+    membership = sigs.join(grp, "sig").select("doc_id", "rep", "gsize")
+    rep_pairs = _pairs_from_sigs(
+        grp.select(F.col("rep").alias("doc_id"), "sig")
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rep_labels = cc_labels(rep_pairs).select(
+        F.col("id").alias("rep"), F.col("component")
+    )
+    return (
+        membership.join(rep_labels, "rep", "left")
+        .filter((F.col("gsize") >= 2) | F.col("component").isNotNull())
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("rep")).alias("cluster"),
+            F.when(
+                F.col("doc_id") == F.coalesce(F.col("component"), F.col("rep")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+        )
     )
 
 
@@ -2473,4 +2508,67 @@ def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sq_dist",
             (F.col("rn") <= F.col("k_out")).cast("long").alias("outlier"),
         )
+    )
+
+
+@register(
+    "dedup_jaccard_verify",
+    oracle=f"""
+    WITH {_DUCK_PAIR_CTES},
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS inter,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter / (n_a + n_b - inter)::DOUBLE, 4) AS jaccard
+    FROM inter
+    WHERE inter / (n_a + n_b - inter)::DOUBLE >= 0.6
+    """,
+)
+def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard verification of the MinHash-LSH candidate pairs —
+    the two-stage production shape (LSH recall, exact precision). Unlike
+    ``dedup_ngram_jaccard`` (brute inverted-shingle join, bounded by the
+    absolute df cap), this path needs NO frequency cap: the pair set is
+    already bounded by LSH bucket collisions, so the shingle join fans
+    out per candidate pair, not per corpus shingle. Measured on a 10×
+    replica-inflated corpus the capped brute path's recall collapses to 0
+    (every shingle crosses the cap) while this path keeps finding every
+    replica pair — see SCALE.md §7.
+
+    Scale posture: join candidates (small side) to the exploded shingle
+    relation on doc id, close the intersection on (doc_b, shingle) —
+    equi-joins all the way; the candidate side broadcasts at real scale."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _shingled_docs(spark, sf_dir)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b2"),
+        F.col("shingle").alias("shingle_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return inter.filter(jac >= 0.6).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )

@@ -57,6 +57,7 @@ COMPOUND_MEMBERS = {
         "dedup_minhash_lsh",
         "dedup_minhash_cluster",
         "dedup_pair_triangles",
+        "dedup_jaccard_verify",
     ],
     "ann_topk_methods": ["ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk"],
     "embed_similarity_family": [

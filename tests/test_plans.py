@@ -145,3 +145,43 @@ def test_semantic_dedup_pairs_only_within_cluster(plans):
     # cluster restriction was lost
     p = plans("dedup_semantic")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_pack_sequences_window_partitions_by_shard(plans):
+    # the running token sum must partition by source (per-shard-parallel
+    # packing); a global (empty-partition) window would serialize the
+    # corpus through one task
+    p = plans("pack_sequences")
+    assert "hashpartitioning(source" in p
+    assert "SinglePartition" not in p
+
+
+def test_mix_domains_is_scan_plus_partial_agg(plans):
+    # keep decision is a per-row predicate: no join anywhere, and the
+    # rollup must have a map-side partial aggregate
+    p = plans("mix_domains")
+    assert "Join" not in p
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_cc_filters_is_pure_scan_project(plans):
+    p = plans("text_cc_filters")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_substring_spans_duplicated_set_joins_on_shingle(plans):
+    # span detection joins positioned shingles to the duplicated-shingle
+    # set on the shingle key — never a doc-by-doc comparison
+    p = plans("dedup_substring_spans")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_embed_outliers_single_cluster_window_no_join(plans):
+    # one window over the cluster-partitioned shuffle; the only joins
+    # allowed are inside the reused k-means subplan (broadcast centroid)
+    p = plans("embed_outliers")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(cluster" in p
