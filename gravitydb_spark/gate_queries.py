@@ -625,10 +625,16 @@ _compound(
                 "n4": "gap_s",
             },
         ),
+        (
+            "incremental_dedup",
+            "stream_incremental_dedup",
+            {"n1": "doc_id"},
+        ),
     ],
-    "Gate family for Structured Streaming (windowed agg + stream-stream):"
-    " watermarked hourly rollup and the bounded-state view→click"
-    " attribution join, both driven to completion on the events stream.",
+    "Gate family for Structured Streaming joins/aggs: watermarked hourly"
+    " rollup, the bounded-state view→click attribution join, and online"
+    " near-dup dedup of a document stream against a static LSH corpus"
+    " index (stateless stream-static anti-joins).",
 )
 
 _compound(

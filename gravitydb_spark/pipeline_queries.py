@@ -622,6 +622,17 @@ _DUCK_PAIR_CTES = f"""{_DUCK_SH_CTES},
 
 
 _pair_cache: dict = {}
+_sigs_cache: dict = {}
+
+
+def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF[doc_id, sig] — minhash signatures, cached per (session, sf_dir):
+    shared by the pair join, the signature-collapse clustering, and the
+    incremental-dedup static index."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _sigs_cache:
+        _sigs_cache[key] = _minhash_sigs(_shingled_docs(spark, sf_dir)).cache()
+    return _sigs_cache[key]
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,8 +642,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark._jsparkSession), sf_dir)
     if key in _pair_cache:
         return _pair_cache[key]
-    sh = _shingled_docs(spark, sf_dir)
-    out = _pairs_from_sigs(_minhash_sigs(sh)).cache()
+    out = _pairs_from_sigs(_doc_sigs(spark, sf_dir)).cache()
     _pair_cache[key] = out
     return out
 
@@ -755,7 +765,7 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation reaches."""
     from .operators.iterative import cc_labels
 
-    sigs = _minhash_sigs(_shingled_docs(spark, sf_dir))
+    sigs = _doc_sigs(spark, sf_dir)
     grp = sigs.groupBy("sig").agg(
         F.min("doc_id").alias("rep"), F.count("*").alias("gsize")
     )
@@ -2572,3 +2582,136 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(jac >= 0.6).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (stream-vs-corpus) near-dup dedup
+# ---------------------------------------------------------------------------
+
+# Per-ROW minhash band keys (no aggregation, no window) — required on the
+# streaming side where groupBy/window need watermarks the documents table
+# doesn't have. Produces EXACTLY the same band keys as the batch path
+# (_minhash_sigs + slice/md5): min over a shingle multiset == min over the
+# distinct set, and the band key concatenates the same 4 components with
+# the same ','. Higher-order funcs run interpreted, which is fine for the
+# per-batch stream side; the 100 TB static index is built ONCE with the
+# codegen batch path and only the (band, band_key) set is retained.
+_ROW_SHINGLES = (
+    "transform(sequence(1, greatest(size(t) - 2, 0)),"
+    " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+    " element_at(t, i + 2)))"
+)
+
+
+def _row_band_keys(df: DataFrame) -> DataFrame:
+    """DF[..., bk0..bk{LSH_BANDS-1}] from a ``text`` column, per-row."""
+    out = df.withColumn("t", _TOKENS_FN()).filter(F.size("t") >= 3)
+    out = out.withColumn("shingles", F.expr(_ROW_SHINGLES))
+    for i in range(N_MINHASH):
+        # NB: F.expr, not a Python lambda — a 2-arg lambda (to close over
+        # i) would be called as (element, array_index) by F.transform
+        out = out.withColumn(
+            f"s{i}",
+            F.expr(f"array_min(transform(shingles, s -> md5('{i}:' || s)))"),
+        )
+    rows = N_MINHASH // LSH_BANDS
+    for b in range(LSH_BANDS):
+        out = out.withColumn(
+            f"bk{b}",
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"s{b * rows + k}") for k in range(rows)]
+                )
+            ),
+        )
+    return out.drop("t", "shingles", *[f"s{i}" for i in range(N_MINHASH)])
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, shingle FROM (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t)-2, 0))) AS u(i))),
+    sigs AS (SELECT doc_id, {_DUCK_SIG} AS sig FROM sh GROUP BY doc_id),
+    keyed AS (
+      SELECT doc_id, band,
+             md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS band_key
+      FROM sigs, unnest(generate_series(0, {LSH_BANDS - 1})) AS u(band)),
+    hits AS (
+      SELECT DISTINCT s.doc_id
+      FROM keyed s JOIN keyed t
+        ON s.band = t.band AND s.band_key = t.band_key
+      WHERE s.doc_id % 2 = 1 AND t.doc_id % 2 = 0)
+    SELECT doc_id FROM sigs
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE near-dup dedup — the shape a continuously-fed corpus needs:
+    even-doc_id documents are the existing corpus (its LSH band index is a
+    static DataFrame); odd-doc_id documents arrive as a STREAM, and a doc
+    is emitted only if NONE of its {LSH_BANDS} band keys hits the index.
+
+    Each band check is a stateless stream-static LEFT ANTI equi-join (band
+    keys are per-row column expressions, so no streaming aggregation or
+    watermark is needed). At 100 TB the static index is the compact
+    (band, key) set — built once with the codegen batch path, broadcast or
+    bucket-joined — and state NEVER accumulates: this is the
+    bounded-memory property that makes streaming dedup viable, vs the
+    stateful dropDuplicates variant whose state grows with the key space
+    (stream_dedup_keys covers that contract)."""
+    import uuid as _uuid
+
+    static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # static index via the CODEGEN batch path (exploded shingles + min
+    # aggregates) — only the stream side needs the per-row formulation
+    rows = N_MINHASH // LSH_BANDS
+    sigs = _doc_sigs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    index = (
+        sigs.select(
+            F.array(
+                *[
+                    F.md5(F.array_join(F.slice("sig", b * rows + 1, rows), ","))
+                    for b in range(LSH_BANDS)
+                ]
+            ).alias("bks")
+        )
+        .select(F.posexplode("bks").alias("band", "bk"))
+        .distinct()
+        .cache()
+    )
+    band_indexes = [
+        index.filter(F.col("band") == b).select(F.col("bk").alias(f"ibk{b}"))
+        for b in range(LSH_BANDS)
+    ]
+
+    stream = (
+        spark.readStream.schema(static_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    novel = _row_band_keys(stream.filter(F.col("doc_id") % 2 == 1))
+    for b in range(LSH_BANDS):
+        novel = novel.join(
+            band_indexes[b],
+            novel[f"bk{b}"] == band_indexes[b][f"ibk{b}"],
+            "left_anti",
+        )
+    novel = novel.select("doc_id")
+
+    name = f"incdedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        novel.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

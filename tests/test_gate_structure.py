@@ -68,7 +68,11 @@ COMPOUND_MEMBERS = {
         "embed_outliers",
     ],
     "multimodal_family": ["multimodal_binary_meta", "multimodal_frame_sample"],
-    "stream_rollup_join": ["stream_hourly_rollup", "stream_view_click_join"],
+    "stream_rollup_join": [
+        "stream_hourly_rollup",
+        "stream_view_click_join",
+        "stream_incremental_dedup",
+    ],
     "stream_stateful": ["stream_dedup_keys", "stream_sessionize"],
 }
 
