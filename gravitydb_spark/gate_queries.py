@@ -39,6 +39,10 @@ from . import pipeline_queries  # noqa: E402,F401
 
 _DUCK = {"string": "VARCHAR", "long": "BIGINT", "double": "DOUBLE"}
 
+# compound name -> member query names, recorded by _compound so tests and
+# docs derive the mapping from the single authoritative source
+COMPOUND_MEMBERS: dict[str, list[str]] = {}
+
 
 def _compound(name: str, cols: list[tuple[str, str]], parts, doc: str) -> None:
     """Register a tagged-union compound query.
@@ -50,9 +54,12 @@ def _compound(name: str, cols: list[tuple[str, str]], parts, doc: str) -> None:
     for _, sub, mapping in parts:
         if sub not in REGISTRY:
             raise RuntimeError(f"{name}: unknown member query {sub!r}")
+        if REGISTRY[sub].oracle is None:
+            raise RuntimeError(f"{name}: member {sub!r} has no oracle to wrap")
         unknown = set(mapping) - {c for c, _ in cols}
         if unknown:
             raise RuntimeError(f"{name}/{sub}: unmapped columns {unknown}")
+    COMPOUND_MEMBERS[name] = [sub for _, sub, _ in parts]
 
     union_sql = []
     for tag, sub, mapping in parts:

@@ -56,13 +56,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STOPWORDS = ("the", "a")
+_DUCK_STOPWORDS = ", ".join(repr(s) for s in STOPWORDS)  # shared with oracles
 
 
 @register(
     "text_quality_score",
     oracle=f"""
     SELECT doc_id,
-           round(len(list_filter({_DUCK_TOKENS}, t -> t IN ('the', 'a')))
+           round(len(list_filter({_DUCK_TOKENS}, t -> t IN ({_DUCK_STOPWORDS})))
                  / len({_DUCK_TOKENS})::DOUBLE, 4) AS stopword_ratio,
            round(length(replace(text, ' ', ''))
                  / len({_DUCK_TOKENS})::DOUBLE, 4) AS avg_token_len,
@@ -623,6 +624,7 @@ _DUCK_PAIR_CTES = f"""{_DUCK_SH_CTES},
 
 _pair_cache: dict = {}
 _sigs_cache: dict = {}
+_rep_pair_cache: dict = {}
 
 
 def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,13 +768,22 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.iterative import cc_labels
 
     sigs = _doc_sigs(spark, sf_dir)
-    grp = sigs.groupBy("sig").agg(
-        F.min("doc_id").alias("rep"), F.count("*").alias("gsize")
-    )
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _rep_pair_cache:
+        grp = sigs.groupBy("sig").agg(
+            F.min("doc_id").alias("rep"), F.count("*").alias("gsize")
+        )
+        # memoized like _pair_cache: _pairs_from_sigs pins a cached bands
+        # relation per call, so repeated invocations (standalone query +
+        # family compound + bench) must share one
+        _rep_pair_cache[key] = (
+            grp.cache(),
+            _pairs_from_sigs(grp.select(F.col("rep").alias("doc_id"), "sig"))
+            .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .cache(),
+        )
+    grp, rep_pairs = _rep_pair_cache[key]
     membership = sigs.join(grp, "sig").select("doc_id", "rep", "gsize")
-    rep_pairs = _pairs_from_sigs(
-        grp.select(F.col("rep").alias("doc_id"), "sig")
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rep_labels = cc_labels(rep_pairs).select(
         F.col("id").alias("rep"), F.col("component")
     )
@@ -2309,7 +2320,7 @@ _CCF_SYMBOL_RE = r"[^a-zA-Z0-9 .,]"
              len(regexp_extract_all(text, '{_CCF_SYMBOL_RE}'))::BIGINT AS n_symbols,
              length(text)::BIGINT AS n_chars,
              CASE WHEN len(list_filter({_DUCK_TOKENS},
-                                       t -> t IN ('the', 'a'))) > 0
+                                       t -> t IN ({_DUCK_STOPWORDS}))) > 0
                   THEN 1 ELSE 0 END AS has_stopword
       FROM documents
     )
@@ -2508,10 +2519,12 @@ def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("sq_dist"), F.asc("vec_id")
     )
     wc = Window.partitionBy("cluster")
-    k_out = (F.count("*").over(wc) * OUTLIER_PCT + 99) / 100
+    # integer DIV, matching the oracle's (n_cl*5+99)//100 literally —
+    # never float division that merely rounds the same way
     return (
         ranked.withColumn("rn", F.row_number().over(w_))
-        .withColumn("k_out", F.floor(k_out).cast("long"))
+        .withColumn("n_cl", F.count("*").over(wc))
+        .withColumn("k_out", F.expr(f"(n_cl * {OUTLIER_PCT} + 99) DIV 100"))
         .select(
             "vec_id",
             "cluster",

@@ -20,61 +20,9 @@ from gravitydb_spark.registry import GATE_ORDER, REGISTRY, oracle_sql, queries
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# compound -> members, kept in sync with gate_queries.py (COVERAGE.md table)
-COMPOUND_MEMBERS = {
-    "g_probes": ["g_vq_specific", "g_vq_property", "g_eq_specific", "g_eq_property"],
-    "g_property_queries": [
-        "g_pq_fromto",
-        "g_referencing_properties",
-        "g_referenced_properties",
-    ],
-    "g_traverse": ["g_traverse_out", "g_traverse_in", "g_two_hop"],
-    "g_set_ops": [
-        "g_set_union",
-        "g_set_intersect",
-        "g_set_subtract",
-        "g_set_disjunctive_union",
-    ],
-    "g_filters": ["g_filter_expr", "g_filter_path"],
-    "g_extract_paths": ["g_extract_properties", "g_paths_1hop"],
-    "g_hulls": ["g_outer_hull", "g_inner_hull"],
-    "g_doctor_info": ["g_doctor", "g_db_info"],
-    "agg_summary": ["agg_order_priority", "agg_rollup_region_nation", "agg_quantiles"],
-    "topk_range_scan": ["topk_parts_by_quantity", "range_shipdate_scan"],
-    "window_funcs": ["window_top_orders_per_customer", "window_running_revenue"],
-    "text_counts": ["text_token_count", "text_bpe_token_count"],
-    "text_quality_signals": ["text_quality_score", "text_repetition"],
-    "text_langid_fingerprint": ["text_lang_id", "text_fingerprint"],
-    "text_cleaning": [
-        "text_pii_redact",
-        "text_decontaminate",
-        "dedup_segments",
-        "dedup_substring_spans",
-    ],
-    "corpus_sketch_vocab": ["sketch_kmv_distinct", "corpus_vocab_topk"],
-    "corpus_sampling": ["sample_documents_hash", "sample_stratified_by_source"],
-    "dedup_minhash_family": [
-        "dedup_minhash_lsh",
-        "dedup_minhash_cluster",
-        "dedup_pair_triangles",
-        "dedup_jaccard_verify",
-    ],
-    "ann_topk_methods": ["ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk"],
-    "embed_similarity_family": [
-        "embedding_norm",
-        "dedup_embedding_cosine",
-        "embed_kmeans",
-        "dedup_semantic",
-        "embed_outliers",
-    ],
-    "multimodal_family": ["multimodal_binary_meta", "multimodal_frame_sample"],
-    "stream_rollup_join": [
-        "stream_hourly_rollup",
-        "stream_view_click_join",
-        "stream_incremental_dedup",
-    ],
-    "stream_stateful": ["stream_dedup_keys", "stream_sessionize"],
-}
+# compound -> member mapping comes from the single authoritative source
+# (recorded by gate_queries._compound at registration time)
+COMPOUND_MEMBERS = gate_queries.COMPOUND_MEMBERS
 
 
 def test_head50_is_gate_order():
