@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "embed_outliers",
     "dedup_jaccard_verify",
+    "bpe_pair_merge",
 ]
 
 

@@ -465,9 +465,11 @@ _compound(
             {"k": "event_type", "n1": "n_exact", "n2": "kmv_estimate"},
         ),
         ("vocab_topk", "corpus_vocab_topk", {"k": "token", "n1": "n", "n2": "rank"}),
+        ("bpe_merge", "bpe_pair_merge", {"k": "pair", "n1": "n", "n2": "rank"}),
     ],
     "Gate family for corpus statistics: KMV distinct-count sketch vs exact,"
-    " and the corpus vocabulary top-k.",
+    " the corpus vocabulary top-k, and BPE merge-candidate pair counting"
+    " (the tokenizer-training inner step).",
 )
 
 _compound(

@@ -2728,3 +2728,54 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training: BPE merge-candidate counting
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+BPE_MERGE_TOPK = 30
+
+
+@register(
+    "bpe_pair_merge",
+    oracle=f"""
+    WITH p AS (
+      SELECT regexp_extract_all(lower(text), '{_BPE_RE}') AS ps
+      FROM documents),
+    pairs AS (
+      SELECT ps[i] || '+' || ps[i+1] AS pair
+      FROM p, unnest(generate_series(1, greatest(len(ps) - 1, 0))) AS u(i)),
+    cnt AS (SELECT pair, count(*)::BIGINT AS n FROM pairs GROUP BY pair)
+    SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+    FROM cnt ORDER BY n DESC, pair LIMIT {BPE_MERGE_TOPK}
+    """,
+)
+def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner step of BPE tokenizer TRAINING: count adjacent-piece
+    pair frequencies across the corpus and rank the top merge candidates
+    (deterministic count-desc / pair-asc ties). One training iteration =
+    take rank 1, merge, recount; the counting step is the distributed
+    workload and is what this operator provides.
+
+    Scale posture: pairs explode linearly in corpus tokens; the groupBy
+    partial-aggregates map-side so the shuffle carries observed-pair
+    cardinality (bounded by vocab², in practice far smaller), and the
+    top-K compiles to TakeOrderedAndProject — never a full sort."""
+    pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
+    ex = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(pieces).alias("pos", "p")
+    )
+    w_ = Window.partitionBy("doc_id").orderBy("pos")
+    cnt = (
+        ex.withColumn("p2", F.lead("p").over(w_))
+        .filter(F.col("p2").isNotNull())
+        .select(F.concat_ws("+", "p", "p2").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(BPE_MERGE_TOPK)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return cnt.withColumn("rank", F.row_number().over(w))
