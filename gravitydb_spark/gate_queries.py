@@ -597,10 +597,21 @@ _compound(
                 "n2": "frame_chars",
             },
         ),
+        (
+            "resize",
+            "multimodal_resize",
+            {
+                "doc_id": "doc_id",
+                "n1": "stride",
+                "sig": "resize_sig",
+                "n2": "n_samples",
+            },
+        ),
     ],
-    "Gate family for multimodal binary columns: header/metadata extraction"
-    " over opaque bytes and deterministic frame sampling, both via"
-    " Arrow-batched mapInPandas (decode itself is stubbed — no codec libs).",
+    "Gate family for multimodal binary columns: header/metadata extraction,"
+    " deterministic frame sampling, and stride-downsample resize over"
+    " opaque bytes, all via Arrow-batched mapInPandas (codec decode itself"
+    " is stubbed — no image/audio libs in this container).",
 )
 
 _compound(

@@ -512,7 +512,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the intersection only counts capped shingles, so the score is a
     deterministic lower bound on true Jaccard on both engines. The df
     aggregation shuffles on the same key as the join, so it adds no new
-    shuffle pattern."""
+    shuffle pattern.
+
+    Known limit (measured, SCALE.md §4b): under heavy corpus-wide
+    replication the ABSOLUTE cap bans most shingles and recall collapses —
+    use ``dedup_jaccard_verify`` (exact Jaccard over LSH candidates, no
+    cap) as the production two-stage path; this operator is the bounded
+    brute-force baseline."""
     # cached exploded shingles (the cache doubles as the barrier that stops
     # Catalyst inlining the shingle build into both join sides)
     sh = _shingled_docs(spark, sf_dir)
@@ -2779,3 +2785,77 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("n").desc(), F.col("pair"))
     return cnt.withColumn("rank", F.row_number().over(w))
+
+
+RESIZE_TARGET = 64  # target "pixels" per resized payload
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+             greatest(strlen(text) // {RESIZE_TARGET}, 1)::BIGINT AS stride
+      FROM documents),
+    s AS (
+      SELECT m.doc_id, m.n_bytes, m.stride,
+             (SELECT array_to_string(list(text[i] ORDER BY i), '')
+              FROM (SELECT unnest(generate_series(1, strlen(d.text), m.stride)) AS i
+                    ORDER BY i LIMIT {RESIZE_TARGET}) _g) AS sampled
+      FROM m JOIN documents d ON d.doc_id = m.doc_id)
+    SELECT doc_id, n_bytes, stride,
+           strlen(sampled)::BIGINT AS n_samples,
+           md5(sampled) AS resize_sig
+    FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' for opaque binary payloads: deterministic stride
+    downsampling to ≤{RESIZE_TARGET} samples plus an md5 signature of the
+    resampled bytes — the real resize kernel needs codec libs this
+    container lacks (see decode_image), but the Spark-side contract is
+    complete: binary column in, Arrow-batched ``mapInPandas`` kernel,
+    typed (dims, signature) metadata out.
+
+    Scale posture: embarrassingly parallel map over Arrow batches; batch
+    size bounds executor memory regardless of payload size, and the bytes
+    never transit the driver."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("stride", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("resize_sig", T.StringType()),
+        ]
+    )
+
+    def resize_kernel(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_bytes": [],
+                "stride": [],
+                "n_samples": [],
+                "resize_sig": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                stride = max(len(b) // RESIZE_TARGET, 1)
+                sampled = b[::stride][:RESIZE_TARGET]
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(b))
+                out["stride"].append(stride)
+                out["n_samples"].append(len(sampled))
+                out["resize_sig"].append(hashlib.md5(sampled).hexdigest())
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(resize_kernel, schema)
