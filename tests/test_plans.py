@@ -185,3 +185,12 @@ def test_embed_outliers_single_cluster_window_no_join(plans):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "hashpartitioning(cluster" in p
+
+
+def test_bpe_pair_merge_is_take_ordered_over_partial_agg(plans):
+    # pair counting must partial-aggregate map-side and pick top-K with
+    # TakeOrderedAndProject — a full sort of the pair space is the
+    # regression this guards against
+    p = plans("bpe_pair_merge")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "HashAggregate" in p
