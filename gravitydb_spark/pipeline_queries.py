@@ -21,13 +21,22 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 
 from .registry import load, register
 
+# Explicit whitespace class shared by every tokenizer/normalizer regex on
+# BOTH engines: Java's \s includes \x0B (vertical tab) while RE2's does
+# not, so the shorthand silently diverges the engines on \x0B bytes.
+_WS = r"[ \t\n\x0b\f\r]"
+
+# BPE piece grammar (pre-tokenizer regex most BPE vocabs use), shared by
+# text_bpe_token_count and bpe_pair_merge and their oracles
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"
+
 # shared tokenization: split on whitespace runs after trim.
 # NB: a function, not a module-level Column — constructing a Column requires
 # an active SparkContext, and this module must import before the driver's
 # session exists.
 def _TOKENS_FN():
-    return F.split(F.trim(F.col("text")), r"\s+")
-_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
+    return F.split(F.trim(F.col("text")), _WS + "+")
+_DUCK_TOKENS = f"string_split_regex(trim(text), '{_WS}+')"
 
 
 # ---------------------------------------------------------------------------
@@ -140,16 +149,16 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_fingerprint",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+           md5(lower(regexp_replace(trim(text), '{_WS}+', ' ', 'g'))) AS fingerprint
     FROM documents
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-normalized content fingerprint (md5 of canonical text) —
     the document-identity hash used by dedup_exact's cluster keys."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), _WS + "+", " "))
     return load(spark, sf_dir, "documents").select(
         "doc_id", F.md5(normalized).alias("fingerprint")
     )
@@ -881,7 +890,7 @@ def clean_corpus(
     )
 
     # exact-dup canonical: min doc_id per normalized-content fingerprint
-    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), _WS + "+", " "))
     fkeep = (
         docs.select("doc_id", F.md5(normalized).alias("f"))
         .groupBy("f")
@@ -937,7 +946,7 @@ def clean_corpus(
       SELECT src AS doc_id FROM reach GROUP BY src HAVING src != min(node)),
     fp AS (
       SELECT doc_id,
-             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+             md5(lower(regexp_replace(trim(text), '{_WS}+', ' ', 'g'))) AS f
       FROM documents),
     fkeep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
     tokx AS (
@@ -1422,12 +1431,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_token_count",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT
+           len(regexp_extract_all(lower(text), '{_BPE_RE}'))::BIGINT
              AS n_pieces,
            len(list_distinct(
-             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')))::BIGINT
+             regexp_extract_all(lower(text), '{_BPE_RE}')))::BIGINT
              AS n_unique_pieces
     FROM documents
     """,
@@ -1437,7 +1446,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation as pieces (the pre-tokenizer regex most BPE vocabularies
     use), counted entirely inside codegen."""
     pieces = F.regexp_extract_all(
-        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+        F.lower(F.col("text")), F.lit(_BPE_RE), 0
     )
     return load(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2740,7 +2749,6 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Tokenizer training: BPE merge-candidate counting
 # ---------------------------------------------------------------------------
 
-_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 BPE_MERGE_TOPK = 30
 
 
@@ -2765,19 +2773,25 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     take rank 1, merge, recount; the counting step is the distributed
     workload and is what this operator provides.
 
-    Scale posture: pairs explode linearly in corpus tokens; the groupBy
-    partial-aggregates map-side so the shuffle carries observed-pair
-    cardinality (bounded by vocab², in practice far smaller), and the
-    top-K compiles to TakeOrderedAndProject — never a full sort."""
+    Scale posture: adjacent pairs are built PER ROW (a transform over the
+    piece array — same pattern as _ROW_SHINGLES), so the ONLY shuffle is
+    the pair aggregation, which partial-aggregates map-side and carries
+    observed-pair cardinality (bounded by vocab², in practice far
+    smaller); the top-K compiles to TakeOrderedAndProject — never a full
+    sort, and never a corpus-wide token shuffle (the earlier lead()-
+    window formulation exchanged+sorted EVERY token occurrence on
+    doc_id)."""
     pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
-    ex = load(spark, sf_dir, "documents").select(
-        "doc_id", F.posexplode(pieces).alias("pos", "p")
+    # (p, j) two-arg transform: j is the 0-based index within the slice,
+    # so the partner piece is element_at(ps, j + 2) — 1-based
+    pairs = F.expr(
+        "transform(slice(ps, 1, greatest(size(ps) - 1, 0)),"
+        " (p, j) -> p || '+' || element_at(ps, j + 2))"
     )
-    w_ = Window.partitionBy("doc_id").orderBy("pos")
     cnt = (
-        ex.withColumn("p2", F.lead("p").over(w_))
-        .filter(F.col("p2").isNotNull())
-        .select(F.concat_ws("+", "p", "p2").alias("pair"))
+        load(spark, sf_dir, "documents")
+        .select(pieces.alias("ps"))
+        .select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair"))
@@ -2794,17 +2808,19 @@ RESIZE_TARGET = 64  # target "pixels" per resized payload
     "multimodal_resize",
     oracle=f"""
     WITH m AS (
-      SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
-             greatest(strlen(text) // {RESIZE_TARGET}, 1)::BIGINT AS stride
+      SELECT doc_id, length(text)::BIGINT AS n_chars,
+             greatest(length(text) // {RESIZE_TARGET}, 1)::BIGINT AS stride
       FROM documents),
     s AS (
-      SELECT m.doc_id, m.n_bytes, m.stride,
-             (SELECT array_to_string(list(text[i] ORDER BY i), '')
-              FROM (SELECT unnest(generate_series(1, strlen(d.text), m.stride)) AS i
-                    ORDER BY i LIMIT {RESIZE_TARGET}) _g) AS sampled
+      SELECT m.doc_id, m.n_chars, m.stride,
+             COALESCE(
+               (SELECT array_to_string(list(text[i] ORDER BY i), '')
+                FROM (SELECT unnest(generate_series(1, length(d.text), m.stride)) AS i
+                      ORDER BY i LIMIT {RESIZE_TARGET}) _g),
+               '') AS sampled
       FROM m JOIN documents d ON d.doc_id = m.doc_id)
-    SELECT doc_id, n_bytes, stride,
-           strlen(sampled)::BIGINT AS n_samples,
+    SELECT doc_id, n_chars, stride,
+           length(sampled)::BIGINT AS n_samples,
            md5(sampled) AS resize_sig
     FROM s
     """,
@@ -2829,7 +2845,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
-            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
             T.StructField("stride", T.LongType()),
             T.StructField("n_samples", T.LongType()),
             T.StructField("resize_sig", T.StringType()),
@@ -2842,20 +2858,25 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {
                 "doc_id": [],
-                "n_bytes": [],
+                "n_chars": [],
                 "stride": [],
                 "n_samples": [],
                 "resize_sig": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                stride = max(len(b) // RESIZE_TARGET, 1)
-                sampled = b[::stride][:RESIZE_TARGET]
+                # decode step of the kernel: the payload arrives as bytes;
+                # sampling is CHARACTER-based so the oracle's text[i] char
+                # indexing matches on non-ASCII corpora too
+                s = bytes(payload).decode("utf-8")
+                stride = max(len(s) // RESIZE_TARGET, 1)
+                sampled = s[::stride][:RESIZE_TARGET]
                 out["doc_id"].append(doc_id)
-                out["n_bytes"].append(len(b))
+                out["n_chars"].append(len(s))
                 out["stride"].append(stride)
                 out["n_samples"].append(len(sampled))
-                out["resize_sig"].append(hashlib.md5(sampled).hexdigest())
+                out["resize_sig"].append(
+                    hashlib.md5(sampled.encode("utf-8")).hexdigest()
+                )
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(resize_kernel, schema)

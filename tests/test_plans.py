@@ -188,9 +188,15 @@ def test_embed_outliers_single_cluster_window_no_join(plans):
 
 
 def test_bpe_pair_merge_is_take_ordered_over_partial_agg(plans):
-    # pair counting must partial-aggregate map-side and pick top-K with
-    # TakeOrderedAndProject — a full sort of the pair space is the
-    # regression this guards against
+    # pairs are built per-row (transform over the piece array), so the
+    # ONLY shuffle is the map-side-partial pair aggregation and the top-K
+    # is TakeOrderedAndProject — a corpus-wide token exchange (the old
+    # lead()-window form) or a final-only aggregate is the regression
     p = plans("bpe_pair_merge")
     assert "TakeOrderedAndProject" in p
-    assert "partial_count" in p or "HashAggregate" in p
+    assert "partial_count" in p
+    # the only Window allowed is the rank over the final top-K rows,
+    # ABOVE TakeOrderedAndProject (earlier in the tree dump = nearer root)
+    assert p.count("+- Window") <= 1
+    if "Window" in p:
+        assert p.index("Window") < p.index("TakeOrderedAndProject")

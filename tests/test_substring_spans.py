@@ -19,7 +19,7 @@ from gravitydb_spark.pipeline_queries import (
 W = SPAN_W  # 8
 
 
-def _mk_docs(spark, tmpdir, rows):
+def _mk_docs(tmpdir, rows):
     """Write a SINGLE parquet file named documents.parquet (matching the
     testdata layout — the streaming reader's pathGlobFilter expects a
     file, not a parquet directory)."""
@@ -81,7 +81,7 @@ DOCS = [
 
 
 def test_substring_spans_crafted(spark, tmp_path):
-    d = _mk_docs(spark, f"/tmp/spans_crafted", DOCS)
+    d = _mk_docs(str(tmp_path / "spans"), DOCS)
     got = {
         r.doc_id: (r.n_tokens, r.n_dup_positions, r.covered_tokens)
         for r in dedup_substring_spans(spark, d).collect()
@@ -95,7 +95,7 @@ def test_substring_spans_crafted(spark, tmp_path):
     assert got[0][1] == 4 and got[0][2] == 11
 
 
-def test_incremental_dedup_crafted(spark):
+def test_incremental_dedup_crafted(spark, tmp_path):
     rows = [
         # even ids = corpus, odd ids = stream
         (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
@@ -107,6 +107,6 @@ def test_incremental_dedup_crafted(spark):
         # too short for a 3-shingle -> excluded entirely (matches oracle)
         (7, "tiny doc"),
     ]
-    d = _mk_docs(spark, "/tmp/incdedup_crafted", rows)
+    d = _mk_docs(str(tmp_path / "incdedup"), rows)
     got = {r.doc_id for r in stream_incremental_dedup(spark, d).collect()}
     assert got == {5}
