@@ -1,0 +1,35 @@
+"""Every registered oracle must at least PLAN in DuckDB against the real
+table schemas — a compound built from a bad member fragment (or a stray
+f-string placeholder) should fail here in seconds, not at the driver's
+correctness gate."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from gravitydb_spark.registry import oracle_sql
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_every_oracle_plans(con):
+    bad = {}
+    for name, sql in oracle_sql().items():
+        assert "{_" not in sql, f"{name}: unexpanded f-string placeholder"
+        try:
+            con.sql(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            bad[name] = str(e)[:200]
+    assert not bad, f"oracles that do not plan: {bad}"
