@@ -2,7 +2,10 @@
 query on Spark AND its DuckDB oracle on the same parquet, compare
 row-count + sorted-column schema + exact values.
 
-Usage: python tools/oracle_check.py [sf_dir] [name ...]
+Usage: python tools/oracle_check.py [--gate] [sf_dir] [name ...]
+
+--gate scopes to the head-50 of queries() — exactly the rows the driver's
+real CORRECTNESS gate records (see gravitydb_spark/gate_queries.py).
 """
 
 from __future__ import annotations
@@ -52,8 +55,11 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    gate_only = "--gate" in args
+    args = [a for a in args if a != "--gate"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from gravitydb_spark.registry import oracle_sql, queries
     from gravitydb_spark.session import get_spark
@@ -61,6 +67,8 @@ def main():
     spark = get_spark(app_name="oracle_check")
     con = duck_con(sf_dir)
     qs, os_ = queries(), oracle_sql()
+    if gate_only:
+        only.update(list(qs)[:50])
 
     failures = []
     for name, fn in qs.items():
