@@ -584,7 +584,7 @@ _compound(
                 "doc_id": "doc_id",
                 "n1": "n_bytes",
                 "sig": "header_sig",
-                "n2": "valid_flag",
+                "n2": "pixel_sum",
             },
         ),
         (
@@ -594,7 +594,7 @@ _compound(
                 "doc_id": "doc_id",
                 "n1": "frame_idx",
                 "sig": "frame_sig",
-                "n2": "frame_chars",
+                "n2": "frame_bytes",
             },
         ),
         (
@@ -602,16 +602,17 @@ _compound(
             "multimodal_resize",
             {
                 "doc_id": "doc_id",
-                "n1": "stride",
+                "n1": "src_pixels",
                 "sig": "resize_sig",
                 "n2": "n_samples",
             },
         ),
     ],
-    "Gate family for multimodal binary columns: header/metadata extraction,"
-    " deterministic frame sampling, and stride-downsample resize over"
-    " opaque bytes, all via Arrow-batched mapInPandas (codec decode itself"
-    " is stubbed — no image/audio libs in this container).",
+    "Gate family for multimodal binary columns: real dependency-free"
+    " 24-bit BMP decode (header parse, padded bottom-up pixel rows),"
+    " MJPEG-style frame-container demux, and nearest-neighbor resize over"
+    " decoded pixels, all via Arrow-batched mapInPandas"
+    " (gravitydb_spark/multimodal.py).",
 )
 
 _compound(

@@ -1456,123 +1456,221 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal binary-column plumbing
+# Multimodal binary columns: real byte-level decode (see multimodal.py).
+# The reference engine has no multimodal surface; this implements the
+# mandated "opaque binary column + typed metadata" capability with an
+# actual dependency-free 24-bit BMP codec — header fields parsed from
+# documented byte offsets, bottom-up padded pixel rows un-flipped — not a
+# stubbed fake. Payload generation is deterministic from (doc_id, text)
+# so the DuckDB oracles recompute the expected values in closed form: a
+# decoder that mis-reads padding, row order, or offsets hash-mismatches.
 # ---------------------------------------------------------------------------
+
+from .multimodal import (  # noqa: E402
+    decode_bmp,
+    decode_bmp_stream,
+    encode_bmp,
+    nearest_resize,
+)
+
+# deterministic image geometry per document, mirrored in every oracle:
+#   w = 4 + doc_id % 13   (4..16)
+#   h = 3 + doc_id % 7    (3..9)
+#   pixel byte i = (31*doc_id + length(text) + i) % 256
+_BMP_DIMS_SQL = (
+    "4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,"
+    " 31*doc_id + length(text) AS seed"
+)
+# BMP file size for w×h at 24bpp: 54-byte headers + 4-byte-padded rows
+_BMP_FSIZE_SQL = "(54 + ((3*w + 3) // 4 * 4) * h)::BIGINT"
 
 
 def decode_image(data: bytes) -> dict:
-    """STUB: image decode needs codec libs not present in this container.
-    The Spark-side plumbing (binary column, Arrow batching, schema) is real;
-    swap this for PIL/libvips in production."""
-    raise NotImplementedError("image codecs not available in this environment")
+    """Decode one image payload (24-bit BMP) to typed metadata + pixel
+    rows — real byte parsing via :func:`multimodal.decode_bmp`. Kept as
+    the kernel-level entry point the operators below share; swap for a
+    PIL/libvips call in an environment with codec libraries to accept
+    JPEG/PNG alongside BMP."""
+    return decode_bmp(data)
+
+
+def _bmp_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary) with a real BMP per row —
+    the deterministic test-data generator feeding the decode operators.
+    Arrow-batched; bytes are born on the executors and never transit the
+    driver."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_bmp(
+                            4 + int(d) % 13,
+                            3 + int(d) % 7,
+                            31 * int(d) + len(t),
+                        )
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, schema)
 
 
 @register(
     "multimodal_binary_meta",
-    oracle="""
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_BMP_DIMS_SQL} FROM documents)
     SELECT doc_id,
-           strlen(text)::BIGINT AS n_bytes,
-           upper(substr(md5(text), 1, 8)) AS header_sig,
-           (strlen(text) % 7 = 0) AS valid_flag
-    FROM documents
+           {_BMP_FSIZE_SQL} AS n_bytes,
+           printf('%04x%04x%02x', w, h, 24) AS header_sig,
+           SUM((seed + i) % 256)::BIGINT AS pixel_sum
+    FROM (SELECT *, unnest(generate_series(0, w*h*3 - 1)) AS i FROM d)
+    GROUP BY doc_id, w, h
     """,
 )
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary pipeline: text → binary column (stand-in for image
-    bytes) → Arrow-batched mapInPandas 'decoder' emitting typed metadata.
-    The decode itself is a deterministic fake (see decode_image stub);
-    the batching, schema and binary handling are the real thing."""
-    import pandas as pd
+    """Opaque-binary decode: BMP payload column → Arrow-batched
+    ``mapInPandas`` decoder parsing magic / file size / dimensions / bit
+    depth from header byte offsets and checksumming the (padding-
+    stripped, un-flipped) pixel array. ``n_bytes`` and ``header_sig``
+    come from the PARSED header, ``pixel_sum`` from the parsed pixel
+    rows; the oracle recomputes all three in closed form from the
+    generator arithmetic, so any decode error hash-mismatches.
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    Scale posture: embarrassingly parallel map over Arrow batches; batch
+    size bounds executor memory regardless of payload size."""
+    import pandas as pd
 
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("n_bytes", T.LongType()),
             T.StructField("header_sig", T.StringType()),
-            T.StructField("valid_flag", T.BooleanType()),
+            T.StructField("pixel_sum", T.LongType()),
         ]
     )
 
-    def fake_decode(batches):
-        import hashlib
-
+    def decode(batches):
         for pdf in batches:
-            payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len),
-                    "header_sig": payloads.map(
-                        lambda b: hashlib.md5(b).hexdigest()[:8].upper()
-                    ),
-                    "valid_flag": payloads.map(lambda b: len(b) % 7 == 0),
-                }
-            )
+            out = {"doc_id": [], "n_bytes": [], "header_sig": [], "pixel_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(img["file_size"])
+                out["header_sig"].append(
+                    f"{img['width']:04x}{img['height']:04x}{img['bpp']:02x}"
+                )
+                out["pixel_sum"].append(img["pixel_sum"])
+            yield pd.DataFrame(out)
 
-    return docs.mapInPandas(fake_decode, schema)
+    return _bmp_payloads(spark, sf_dir).mapInPandas(decode, schema)
 
 
 N_FRAMES = 4
-FRAME_CHARS = 64
+
+
+def _frame_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload) where payload is an MJPEG-style
+    container: ``N_FRAMES`` BMPs back-to-back, each frame's length given
+    only by its own header's file-size field (frame f: w = 4+(doc_id+f)%13,
+    h = 3+(doc_id+f)%7, seed = 31*doc_id + length(text) + 97*f)."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        b"".join(
+                            encode_bmp(
+                                4 + (int(d) + f) % 13,
+                                3 + (int(d) + f) % 7,
+                                31 * int(d) + len(t) + 97 * f,
+                            )
+                            for f in range(N_FRAMES)
+                        )
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, schema)
 
 
 @register(
     "multimodal_frame_sample",
     oracle=f"""
-    SELECT doc_id, f.frame_idx,
-           md5(substr(text, (f.frame_idx * length(text)) // {N_FRAMES} + 1,
-                      {FRAME_CHARS})) AS frame_sig,
-           length(substr(text, (f.frame_idx * length(text)) // {N_FRAMES} + 1,
-                         {FRAME_CHARS}))::BIGINT AS frame_chars
-    FROM documents,
-         (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS frame_idx) f
+    WITH g AS (
+      SELECT doc_id, frame_idx,
+             4 + (doc_id + frame_idx) % 13 AS w,
+             3 + (doc_id + frame_idx) % 7 AS h,
+             31*doc_id + length(text) + 97*frame_idx AS seed
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0, {N_FRAMES - 1})) AS frame_idx
+            FROM documents))
+    SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+           printf('%04x%04x%012x', w, h, SUM((seed + i) % 256)::BIGINT)
+             AS frame_sig,
+           {_BMP_FSIZE_SQL} AS frame_bytes
+    FROM (SELECT *, unnest(generate_series(0, w*h*3 - 1)) AS i FROM g)
+    GROUP BY doc_id, frame_idx, w, h
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling over an opaque payload column: each
-    document's payload stands in for a video blob; the Arrow-batched
-    ``mapInPandas`` 'decoder' emits ``N_FRAMES`` evenly spaced frames per
-    input row (1 row in → N rows out — the shape a real frame sampler
-    has), each with a content signature. A real codec would slice on
-    keyframe boundaries inside the same UDF (see ``decode_image`` stub
-    note); the frame arithmetic here is deterministic character slicing so
-    the whole pipeline — batching, fan-out schema, per-frame hashing — is
-    value-matched against the oracle."""
+    """Video-style frame extraction with REAL container parsing: each
+    payload is ``N_FRAMES`` concatenated BMPs and the Arrow-batched
+    decoder walks the byte stream frame by frame — each boundary is known
+    only from the frame's own parsed file-size field (1 row in → N rows
+    out, the shape a real demuxer has). ``frame_sig`` packs the parsed
+    dimensions + pixel checksum, so a mis-stepped boundary or header
+    mis-read corrupts every subsequent frame and hash-mismatches."""
     import pandas as pd
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("frame_idx", T.LongType()),
             T.StructField("frame_sig", T.StringType()),
-            T.StructField("frame_chars", T.LongType()),
+            T.StructField("frame_bytes", T.LongType()),
         ]
     )
 
-    def sample_frames(batches):
-        import hashlib
-
+    def demux(batches):
         for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "frame_sig": [], "frame_chars": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                n = len(text)
-                for i in range(N_FRAMES):
-                    frame = text[(i * n) // N_FRAMES:(i * n) // N_FRAMES + FRAME_CHARS]
+            out = {"doc_id": [], "frame_idx": [], "frame_sig": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, img in enumerate(decode_bmp_stream(bytes(payload))):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
                     out["frame_sig"].append(
-                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                        f"{img['width']:04x}{img['height']:04x}"
+                        f"{img['pixel_sum']:012x}"
                     )
-                    out["frame_chars"].append(len(frame))
+                    out["frame_bytes"].append(img["file_size"])
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(sample_frames, schema)
+    return _frame_payloads(spark, sf_dir).mapInPandas(demux, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -2801,82 +2899,64 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.withColumn("rank", F.row_number().over(w))
 
 
-RESIZE_TARGET = 64  # target "pixels" per resized payload
+RESIZE_TW = 4  # resize target width (pixels)
+RESIZE_TH = 4  # resize target height
 
 
 @register(
     "multimodal_resize",
     oracle=f"""
-    WITH m AS (
-      SELECT doc_id, length(text)::BIGINT AS n_chars,
-             greatest(length(text) // {RESIZE_TARGET}, 1)::BIGINT AS stride
-      FROM documents),
-    s AS (
-      SELECT m.doc_id, m.n_chars, m.stride,
-             COALESCE(
-               (SELECT array_to_string(list(text[i] ORDER BY i), '')
-                FROM (SELECT unnest(generate_series(1, length(d.text), m.stride)) AS i
-                      ORDER BY i LIMIT {RESIZE_TARGET}) _g),
-               '') AS sampled
-      FROM m JOIN documents d ON d.doc_id = m.doc_id)
-    SELECT doc_id, n_chars, stride,
-           length(sampled)::BIGINT AS n_samples,
-           md5(sampled) AS resize_sig
-    FROM s
+    WITH d AS (SELECT doc_id, {_BMP_DIMS_SQL} FROM documents)
+    SELECT doc_id, (w * h)::BIGINT AS src_pixels,
+           printf('%04x%04x%012x', w, h,
+                  SUM((seed
+                       + ((((t // {3 * RESIZE_TW}) * h) // {RESIZE_TH}) * w
+                          + (((t % {3 * RESIZE_TW}) // 3) * w) // {RESIZE_TW}) * 3
+                       + t % 3) % 256)::BIGINT) AS resize_sig,
+           {3 * RESIZE_TW * RESIZE_TH}::BIGINT AS n_samples
+    FROM (SELECT *,
+                 unnest(generate_series(0, {3 * RESIZE_TW * RESIZE_TH - 1})) AS t
+          FROM d)
+    GROUP BY doc_id, w, h
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Resize' for opaque binary payloads: deterministic stride
-    downsampling to ≤{RESIZE_TARGET} samples plus an md5 signature of the
-    resampled bytes — the real resize kernel needs codec libs this
-    container lacks (see decode_image), but the Spark-side contract is
-    complete: binary column in, Arrow-batched ``mapInPandas`` kernel,
-    typed (dims, signature) metadata out.
+    """Real image resize: decode the BMP payload (header parse + pixel
+    un-flip + padding strip), nearest-neighbor resample the decoded rows
+    to {RESIZE_TW}×{RESIZE_TH}, and emit the resized pixel checksum. The
+    oracle recomputes the resample in closed form — source pixel for
+    target (ty, tx) is (ty*h//{RESIZE_TH}, tx*w//{RESIZE_TW}) — so a
+    kernel that samples the wrong rows (e.g. forgets the bottom-up
+    un-flip) hash-mismatches.
 
     Scale posture: embarrassingly parallel map over Arrow batches; batch
     size bounds executor memory regardless of payload size, and the bytes
     never transit the driver."""
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
-            T.StructField("n_chars", T.LongType()),
-            T.StructField("stride", T.LongType()),
-            T.StructField("n_samples", T.LongType()),
+            T.StructField("src_pixels", T.LongType()),
             T.StructField("resize_sig", T.StringType()),
+            T.StructField("n_samples", T.LongType()),
         ]
     )
 
     def resize_kernel(batches):
-        import hashlib
-
         for pdf in batches:
-            out = {
-                "doc_id": [],
-                "n_chars": [],
-                "stride": [],
-                "n_samples": [],
-                "resize_sig": [],
-            }
+            out = {"doc_id": [], "src_pixels": [], "resize_sig": [], "n_samples": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                # decode step of the kernel: the payload arrives as bytes;
-                # sampling is CHARACTER-based so the oracle's text[i] char
-                # indexing matches on non-ASCII corpora too
-                s = bytes(payload).decode("utf-8")
-                stride = max(len(s) // RESIZE_TARGET, 1)
-                sampled = s[::stride][:RESIZE_TARGET]
-                out["doc_id"].append(doc_id)
-                out["n_chars"].append(len(s))
-                out["stride"].append(stride)
-                out["n_samples"].append(len(sampled))
-                out["resize_sig"].append(
-                    hashlib.md5(sampled.encode("utf-8")).hexdigest()
+                img = decode_image(bytes(payload))
+                resized = nearest_resize(
+                    img["rows"], img["width"], img["height"], RESIZE_TW, RESIZE_TH
                 )
+                out["doc_id"].append(doc_id)
+                out["src_pixels"].append(img["width"] * img["height"])
+                out["resize_sig"].append(
+                    f"{img['width']:04x}{img['height']:04x}{sum(resized):012x}"
+                )
+                out["n_samples"].append(len(resized))
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(resize_kernel, schema)
+    return _bmp_payloads(spark, sf_dir).mapInPandas(resize_kernel, schema)

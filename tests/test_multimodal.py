@@ -1,0 +1,127 @@
+"""Byte-level tests for the multimodal BMP codec (multimodal.py) and the
+mapInPandas decode operators built on it.
+
+The crafted-image tests build BMP byte strings BY HAND (literal headers +
+pixel rows, independent of encode_bmp) so they catch a codec that only
+round-trips with its own encoder: padding stripping, bottom-up row
+un-flipping, top-down negative-height handling, and container boundary
+stepping are each pinned against hand-computed values.
+"""
+
+import struct
+
+import pytest
+
+from gravitydb_spark.multimodal import (
+    PAD_BYTE,
+    decode_bmp,
+    decode_bmp_stream,
+    encode_bmp,
+    file_size,
+    nearest_resize,
+    row_size,
+)
+
+
+def _hand_bmp(width, height, rows_topdown, *, store_topdown=False, pad=b"\xaa"):
+    """Hand-assemble a 24bpp BMP from explicit top-down pixel rows,
+    without calling encode_bmp."""
+    rsize = row_size(width)
+    fsize = 54 + rsize * abs(height)
+    stored_h = -height if store_topdown else height
+    head = struct.pack("<2sIHHI", b"BM", fsize, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, stored_h, 1, 24, 0, rsize * height, 0, 0, 0, 0
+    )
+    padding = pad * (rsize - 3 * width)
+    stored = rows_topdown if store_topdown else rows_topdown[::-1]
+    return head + dib + b"".join(r + padding for r in stored)
+
+
+class TestCraftedImages:
+    # 2x2 image, rows given top-down; row stride is 8 so each stored row
+    # carries 2 padding bytes that must NOT reach pixel_sum
+    ROWS = [bytes([10, 20, 30, 40, 50, 60]), bytes([1, 2, 3, 4, 5, 6])]
+
+    def test_bottom_up_decode(self):
+        data = _hand_bmp(2, 2, self.ROWS)
+        img = decode_bmp(data)
+        assert (img["width"], img["height"], img["bpp"]) == (2, 2, 24)
+        assert img["file_size"] == len(data) == 54 + 8 * 2
+        assert img["rows"] == self.ROWS  # un-flipped back to top-down
+        assert img["pixel_sum"] == sum(sum(r) for r in self.ROWS)  # no padding
+
+    def test_top_down_negative_height(self):
+        # negative height = rows stored top-down; decode must NOT flip
+        data = _hand_bmp(2, 2, self.ROWS, store_topdown=True)
+        assert decode_bmp(data)["rows"] == self.ROWS
+
+    def test_padding_excluded_even_when_nonzero(self):
+        a = _hand_bmp(2, 2, self.ROWS, pad=b"\x00")
+        b = _hand_bmp(2, 2, self.ROWS, pad=b"\xff")
+        assert decode_bmp(a)["pixel_sum"] == decode_bmp(b)["pixel_sum"]
+
+    def test_rejects_malformed(self):
+        good = _hand_bmp(2, 2, self.ROWS)
+        with pytest.raises(ValueError):
+            decode_bmp(b"PNG" + good[3:])  # bad magic
+        with pytest.raises(ValueError):
+            decode_bmp(good[:20])  # truncated header
+        with pytest.raises(ValueError):
+            decode_bmp(good[:-4])  # truncated pixel array
+        bad_bpp = bytearray(good)
+        struct.pack_into("<H", bad_bpp, 28, 8)
+        with pytest.raises(ValueError):
+            decode_bmp(bytes(bad_bpp))
+
+    def test_container_demux(self):
+        one = _hand_bmp(2, 2, self.ROWS)
+        two = _hand_bmp(1, 1, [bytes([7, 8, 9])])
+        frames = decode_bmp_stream(one + two)
+        assert [(f["width"], f["height"]) for f in frames] == [(2, 2), (1, 1)]
+        assert frames[1]["pixel_sum"] == 24
+        with pytest.raises(ValueError):
+            decode_bmp_stream(one + two + b"JUNK")
+
+    def test_nearest_resize_hand_computed(self):
+        # 2x2 -> 4x4 upsample: target (ty,tx) reads source (ty*2//4, tx*2//4)
+        img = decode_bmp(_hand_bmp(2, 2, self.ROWS))
+        out = nearest_resize(img["rows"], 2, 2, 4, 4)
+        px = [self.ROWS[y][x * 3 : x * 3 + 3] for y in (0, 0, 1, 1) for x in (0, 0, 1, 1)]
+        assert out == b"".join(px)
+        assert len(out) == 4 * 4 * 3
+
+
+class TestEncoderContract:
+    def test_linear_seed_layout_and_sizes(self):
+        for w, h, seed in [(4, 3, 0), (16, 9, 12345), (5, 7, 250)]:
+            data = encode_bmp(w, h, seed)
+            assert len(data) == file_size(w, h)
+            img = decode_bmp(data)
+            flat = b"".join(img["rows"])
+            assert list(flat) == [(seed + i) % 256 for i in range(w * h * 3)]
+
+    def test_padding_byte_is_nonzero(self):
+        # 0xAA padding means a decoder that sums whole stored rows gets a
+        # visibly wrong checksum — keep it that way
+        data = encode_bmp(2, 1, 0)
+        assert data[54 + 6 : 54 + 8] == bytes([PAD_BYTE, PAD_BYTE])
+
+
+class TestSparkOperators:
+    def test_binary_meta_parses_real_bytes(self, spark, sf_dir):
+        from gravitydb_spark.pipeline_queries import multimodal_binary_meta
+
+        rows = {r["doc_id"]: r for r in multimodal_binary_meta(spark, sf_dir).collect()}
+        assert rows
+        d = min(rows)
+        w, h = 4 + d % 13, 3 + d % 7
+        assert rows[d]["n_bytes"] == file_size(w, h)
+        assert rows[d]["header_sig"] == f"{w:04x}{h:04x}18"
+
+    def test_frame_sample_fanout(self, spark, sf_dir):
+        from gravitydb_spark.pipeline_queries import N_FRAMES, multimodal_frame_sample
+
+        df = multimodal_frame_sample(spark, sf_dir)
+        counts = df.groupBy("doc_id").count().select("count").distinct().collect()
+        assert [r["count"] for r in counts] == [N_FRAMES]
