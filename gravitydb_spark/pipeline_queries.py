@@ -486,7 +486,15 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shingle_cache[key]
 
 
-SHINGLE_DF_CAP = 50  # drop shingles shared by more than this many docs
+# Boilerplate-shingle ban threshold: a shingle is banned when its document
+# frequency exceeds max(SHINGLE_DF_CAP, SHINGLE_DF_FRACTION * corpus size).
+# The FRACTION term makes the cap scale-invariant: under k-fold corpus
+# replication every shingle's df AND the corpus size grow k-fold together,
+# so the banned set is unchanged — the r3 10x probe showed a fixed absolute
+# cap banning nearly every shingle (0 result rows) on a replicated corpus.
+# The floor term keeps tiny corpora (where alpha*N < 50) at the old cap.
+SHINGLE_DF_CAP = 50
+SHINGLE_DF_FRACTION = 0.02  # ban shingles present in >2% of documents
 
 
 @register(
@@ -496,7 +504,9 @@ SHINGLE_DF_CAP = 50  # drop shingles shared by more than this many docs
     shf AS MATERIALIZED (
       SELECT doc_id, shingle, n_sh FROM (
         SELECT sh.*, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-      WHERE df <= {SHINGLE_DF_CAP}),
+      WHERE df <= greatest({SHINGLE_DF_CAP},
+                           {SHINGLE_DF_FRACTION} *
+                           (SELECT count(*) FROM documents))),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(*) AS inter, any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
@@ -514,20 +524,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle, |A∩B| by count, |A∪B| = |A|+|B|−|A∩B|.
 
     Scale guard: shingles whose document frequency exceeds
-    ``SHINGLE_DF_CAP`` are dropped BEFORE the self-join (boilerplate
-    n-grams — headers, licenses — otherwise make one join key explode to
-    df² pairs: a shingle shared by 10⁶ docs is 10¹² pair rows). The cap is
-    an explicit, oracle-mirrored predicate: |A|/|B| stay full-set sizes,
-    the intersection only counts capped shingles, so the score is a
+    ``max(SHINGLE_DF_CAP, SHINGLE_DF_FRACTION * corpus_size)`` are
+    dropped BEFORE the self-join (boilerplate n-grams — headers, licenses
+    — otherwise make one join key explode to df² pairs: a shingle shared
+    by 10⁶ docs is 10¹² pair rows). The cap is an explicit,
+    oracle-mirrored predicate: |A|/|B| stay full-set sizes, the
+    intersection only counts capped shingles, so the score is a
     deterministic lower bound on true Jaccard on both engines. The df
     aggregation shuffles on the same key as the join, so it adds no new
     shuffle pattern.
 
-    Known limit (measured, SCALE.md §4b): under heavy corpus-wide
-    replication the ABSOLUTE cap bans most shingles and recall collapses —
-    use ``dedup_jaccard_verify`` (exact Jaccard over LSH candidates, no
-    cap) as the production two-stage path; this operator is the bounded
-    brute-force baseline."""
+    The FRACTION term fixes the recall cliff the r3 probe measured
+    (SCALE.md §4b): a fixed absolute cap bans nearly every shingle once
+    the corpus is heavily replicated (df scales with corpus size), while
+    a corpus-fraction cap is invariant under replication — the banned set
+    is exactly the shingles in >2% of documents at ANY scale. For corpora
+    dominated by one hot near-dup cluster (>2% of docs sharing content),
+    ``dedup_jaccard_verify`` (exact Jaccard over LSH candidates, no cap)
+    remains the production two-stage path."""
     # cached exploded shingles (the cache doubles as the barrier that stops
     # Catalyst inlining the shingle build into both join sides)
     sh = _shingled_docs(spark, sf_dir)
@@ -539,10 +553,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 6.9s vs 3.9s at sf0.1. The ban list is small by nature
     # (only boilerplate shared by >cap docs); at extreme corpus scale
     # swap the broadcast for a bloom filter on the same aggregate.
+    # corpus size resolved up-front: count(*) on parquet is a
+    # footer-metadata aggregate (no column data read, seconds at 100 TB),
+    # and a literal cap stays constant-foldable inside the ban-list filter
+    # — a 1-row broadcast would compile to the BroadcastNestedLoopJoin the
+    # plan guard forbids
+    n_docs = load(spark, sf_dir, "documents").count()
+    cap = max(float(SHINGLE_DF_CAP), SHINGLE_DF_FRACTION * n_docs)
     banned = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .filter(F.col("df") > F.lit(cap))
         .select("shingle")
     )
     shf = sh.join(F.broadcast(banned), "shingle", "leftanti")
