@@ -591,7 +591,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_MINHASH = 16
-LSH_BANDS = 4  # 4 bands x 4 rows
+LSH_BANDS = 4
+# rows (signature components) per band — interpolated into BOTH engines'
+# band-key expressions so changing N_MINHASH/LSH_BANDS can't desync them
+LSH_ROWS = N_MINHASH // LSH_BANDS
 
 
 def _minhash_sigs(sh: DataFrame) -> DataFrame:
@@ -645,7 +648,9 @@ _DUCK_PAIR_CTES = f"""{_DUCK_SH_CTES},
       FROM sigs),
     keyed AS (
       SELECT doc_id, sig, band,
-             md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS band_key
+             md5(array_to_string(
+               sig[band*{LSH_ROWS}+1 : band*{LSH_ROWS}+{LSH_ROWS}], ','))
+               AS band_key
       FROM bands),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -691,7 +696,7 @@ def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     choose WHICH rows join: the pairwise gate query feeds every doc; the
     cluster operator feeds one representative per DISTINCT signature
     (exact-dup groups collapse before the quadratic step)."""
-    rows_per_band = N_MINHASH // LSH_BANDS
+    rows_per_band = LSH_ROWS
     bands = (
         sigs.select(
             "doc_id",
@@ -2761,17 +2766,56 @@ def _row_band_keys(df: DataFrame) -> DataFrame:
             f"s{i}",
             F.expr(f"array_min(transform(shingles, s -> md5('{i}:' || s)))"),
         )
-    rows = N_MINHASH // LSH_BANDS
     for b in range(LSH_BANDS):
         out = out.withColumn(
             f"bk{b}",
             F.md5(
                 F.concat_ws(
-                    ",", *[F.col(f"s{b * rows + k}") for k in range(rows)]
+                    ",", *[F.col(f"s{b * LSH_ROWS + k}") for k in range(LSH_ROWS)]
                 )
             ),
         )
     return out.drop("t", "shingles", *[f"s{i}" for i in range(N_MINHASH)])
+
+
+_stream_index_cache: dict = {}
+
+
+def _stream_band_index(spark: SparkSession, sf_dir: str) -> list:
+    """Per-band (band-key) static LSH index DataFrames for the
+    incremental-dedup stream, built from the even-doc_id corpus half via
+    the CODEGEN batch path (exploded shingles + min aggregates) — only
+    the stream side needs the per-row formulation. Memoized per
+    (session, sf_dir) like _sigs_cache: the standalone query, its gate
+    compound, and bench runs all reuse one cached index instead of
+    re-caching a fresh DataFrame per invocation (cache entries otherwise
+    accumulate — the 'Asked to cache already cached data' warnings in the
+    r3 bench tail)."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _stream_index_cache:
+        sigs = _doc_sigs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+        index = (
+            sigs.select(
+                F.array(
+                    *[
+                        F.md5(
+                            F.array_join(
+                                F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS), ","
+                            )
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                ).alias("bks")
+            )
+            .select(F.posexplode("bks").alias("band", "bk"))
+            .distinct()
+            .cache()
+        )
+        _stream_index_cache[key] = [
+            index.filter(F.col("band") == b).select(F.col("bk").alias(f"ibk{b}"))
+            for b in range(LSH_BANDS)
+        ]
+    return _stream_index_cache[key]
 
 
 @register(
@@ -2786,7 +2830,9 @@ def _row_band_keys(df: DataFrame) -> DataFrame:
     sigs AS (SELECT doc_id, {_DUCK_SIG} AS sig FROM sh GROUP BY doc_id),
     keyed AS (
       SELECT doc_id, band,
-             md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS band_key
+             md5(array_to_string(
+               sig[band*{LSH_ROWS}+1 : band*{LSH_ROWS}+{LSH_ROWS}], ','))
+               AS band_key
       FROM sigs, unnest(generate_series(0, {LSH_BANDS - 1})) AS u(band)),
     hits AS (
       SELECT DISTINCT s.doc_id
@@ -2814,27 +2860,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # static index via the CODEGEN batch path (exploded shingles + min
-    # aggregates) — only the stream side needs the per-row formulation
-    rows = N_MINHASH // LSH_BANDS
-    sigs = _doc_sigs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
-    index = (
-        sigs.select(
-            F.array(
-                *[
-                    F.md5(F.array_join(F.slice("sig", b * rows + 1, rows), ","))
-                    for b in range(LSH_BANDS)
-                ]
-            ).alias("bks")
-        )
-        .select(F.posexplode("bks").alias("band", "bk"))
-        .distinct()
-        .cache()
-    )
-    band_indexes = [
-        index.filter(F.col("band") == b).select(F.col("bk").alias(f"ibk{b}"))
-        for b in range(LSH_BANDS)
-    ]
+    band_indexes = _stream_band_index(spark, sf_dir)
 
     stream = (
         spark.readStream.schema(static_docs.schema)

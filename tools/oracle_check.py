@@ -6,6 +6,9 @@ Usage: python tools/oracle_check.py [--gate] [sf_dir] [name ...]
 
 --gate scopes to the head-50 of queries() — exactly the rows the driver's
 real CORRECTNESS gate records (see gravitydb_spark/gate_queries.py).
+Combined with explicit names, the run is the INTERSECTION (the named
+queries that sit in the head-50), so '--gate name' never silently widens
+the scope.
 """
 
 from __future__ import annotations
@@ -68,7 +71,11 @@ def main():
     con = duck_con(sf_dir)
     qs, os_ = queries(), oracle_sql()
     if gate_only:
-        only.update(list(qs)[:50])
+        head50 = set(list(qs)[:50])
+        only = only & head50 if only else head50
+        if not only:
+            print("--gate with names: none of the given names are in the head-50")
+            return 1
 
     failures = []
     for name, fn in qs.items():
