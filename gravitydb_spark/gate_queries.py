@@ -574,6 +574,20 @@ _compound(
 )
 
 _compound(
+    "g_distances",
+    [("id", "string"), ("dist", "long")],
+    [
+        ("bfs", "g_bfs_from_regions", {"id": "id", "dist": "dist"}),
+        ("sssp", "g_sssp_weighted", {"id": "id", "dist": "dist"}),
+    ],
+    "Gate family for graph distance operators: unweighted BFS hop"
+    " distances and weighted single-source shortest paths (frontier"
+    " Bellman-Ford, integer weights — closes the reference's declared-"
+    "but-unimplemented WeightedGraph trait, lib.rs:62-65), both from all"
+    " Region vertices.",
+)
+
+_compound(
     "multimodal_family",
     [("doc_id", "long"), ("n1", "long"), ("sig", "string"), ("n2", "long")],
     [
@@ -711,7 +725,7 @@ GATE_ORDER[:] = [
     "g_connected_components",
     "g_hits",
     "g_pagerank",
-    "g_bfs_from_regions",
+    "g_distances",
     "g_doctor_info",
     # relational / events (14)
     "q1_pricing_summary",

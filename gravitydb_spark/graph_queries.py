@@ -746,6 +746,134 @@ def g_bfs_from_regions(spark, sf_dir):
     return bfs_distances(g, res.vertices, direction="in")
 
 
+# --- weighted shortest paths (WeightedGraph trait closure) -----------------
+
+# weighted-graph layer over the TPC-H vertices: the tree edges of
+# tpch_graph (reversed, weighted) PLUS a nation→nation ring so the graph
+# has cycles and genuine multi-hop alternatives — a cheap ring detour can
+# beat an expensive direct region→nation edge, so the min in Bellman-Ford
+# does real work. All weights are closed-form BIGINTs from the keys,
+# mirrored verbatim in the oracle:
+#   region→nation  w = n_nationkey % 5 + 1
+#   nation ring    w = n_nationkey % 3 + 1   (to the next key, wrapping)
+#   nation→cust    w = c_custkey  % 7 + 1
+#   nation→supp    w = s_suppkey  % 7 + 1
+_SSSP_EDGES_SQL = """
+      SELECT 'r' || n_regionkey AS from_id, 'n' || n_nationkey AS to_id,
+             n_nationkey % 5 + 1 AS w
+      FROM nation
+      UNION ALL
+      SELECT 'n' || n_nationkey,
+             'n' || coalesce(lead(n_nationkey) OVER (ORDER BY n_nationkey),
+                             MIN(n_nationkey) OVER ()),
+             n_nationkey % 3 + 1
+      FROM nation
+      UNION ALL
+      SELECT 'n' || c_nationkey, 'c' || c_custkey, c_custkey % 7 + 1
+      FROM customer
+      UNION ALL
+      SELECT 'n' || s_nationkey, 's' || s_suppkey, s_suppkey % 7 + 1
+      FROM supplier
+"""
+
+_SSSP_ROUNDS = 10  # ≥ max edges on any shortest path (≤5 here; see proof
+# in g_sssp_weighted's docstring) — extra rounds are no-ops in both engines
+
+
+def _sssp_oracle_sql(rounds: int = _SSSP_ROUNDS) -> str:
+    """Unrolled Bellman-Ford CTE chain (same trick as the pagerank/HITS
+    oracles): d0 = sources at 0; d_k = min(d_{k-1}, relax over edges).
+    After k rounds d_k is exact for all shortest paths of ≤ k edges, so
+    with rounds ≥ the weighted diameter both engines converge to the same
+    fixpoint — integer weights make every min exact."""
+    parts = [
+        "d0 AS (SELECT 'r' || r_regionkey AS id, 0::BIGINT AS dist FROM region)"
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""d{k} AS (
+      SELECT id, MIN(dist)::BIGINT AS dist FROM (
+        SELECT id, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.to_id AS id, d.dist + e.w AS dist
+        FROM d{k - 1} d JOIN edges e ON e.from_id = d.id) _u
+      GROUP BY id)"""
+        )
+    return (
+        f"WITH edges AS ({_SSSP_EDGES_SQL}),\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, dist FROM d{rounds}"
+    )
+
+
+def _sssp_weighted_edges(spark, sf_dir):
+    """The Spark-side mirror of _SSSP_EDGES_SQL: DF[from_id, to_id, w]."""
+    from pyspark.sql import Window
+
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+
+    def vid(prefix, col):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    r2n = n.select(
+        vid("r", "n_regionkey").alias("from_id"),
+        vid("n", "n_nationkey").alias("to_id"),
+        (F.col("n_nationkey") % 5 + 1).alias("w"),
+    )
+    # ring over the 25 nations (tiny — the no-partition window is 25 rows)
+    wn = Window.orderBy("n_nationkey")
+    wall = wn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ring = n.select(
+        vid("n", "n_nationkey").alias("from_id"),
+        F.concat(
+            F.lit("n"),
+            F.coalesce(
+                F.lead("n_nationkey", 1).over(wn),
+                F.min("n_nationkey").over(wall),
+            ).cast("string"),
+        ).alias("to_id"),
+        (F.col("n_nationkey") % 3 + 1).alias("w"),
+    )
+    n2c = c.select(
+        vid("n", "c_nationkey").alias("from_id"),
+        vid("c", "c_custkey").alias("to_id"),
+        (F.col("c_custkey") % 7 + 1).alias("w"),
+    )
+    n2s = s.select(
+        vid("n", "s_nationkey").alias("from_id"),
+        vid("s", "s_suppkey").alias("to_id"),
+        (F.col("s_suppkey") % 7 + 1).alias("w"),
+    )
+    return r2n.unionByName(ring).unionByName(n2c).unionByName(n2s)
+
+
+@register("g_sssp_weighted", oracle=_sssp_oracle_sql())
+def g_sssp_weighted(spark, sf_dir):
+    """Weighted single-source shortest paths from all Region vertices —
+    closes the reference's ``WeightedGraph`` trait
+    (crates/gravitydb/src/lib.rs:62-65), which declares weight(source,
+    target) but is implemented by nothing in the reference (same
+    declared-but-unused closure as ReferencedProperties).
+
+    Graph: the reversed tpch_graph tree edges, integer-weighted from the
+    entity keys, plus a weighted nation→nation ring (cycles + genuine
+    multi-hop alternatives — a cheap ring detour can beat an expensive
+    direct edge, so Bellman-Ford's min does real work;
+    operators/iterative.py:sssp_weighted). Shortest paths here use ≤5
+    edges: a direct region→nation edge costs ≤5 while every ring hop
+    costs ≥1 on top of a ≥1 entry edge, so >4 ring hops can never beat
+    direct — the oracle's 10 unrolled rounds are a safe fixpoint."""
+    from .operators.iterative import sssp_weighted
+
+    sources = (
+        load(spark, sf_dir, "region")
+        .select(F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("id"))
+    )
+    return sssp_weighted(_sssp_weighted_edges(spark, sf_dir), sources)
+
+
 @register(
     "g_doctor",
     oracle="""

@@ -30,6 +30,7 @@ __all__ = [
     "hits_scaled",
     "pagerank",
     "pagerank_scaled",
+    "sssp_weighted",
     "triangle_counts",
 ]
 
@@ -421,3 +422,70 @@ def hits_scaled(
         )
         hubs = _normalized(hub_raw, "hub").localCheckpoint()
     return auths.join(hubs, "id")
+
+
+def sssp_weighted(
+    edges: DataFrame, sources: DataFrame, max_iters: int = 30
+) -> DataFrame:
+    """DF[id, dist: long] — single-source(-set) shortest path distances
+    over a weighted edge DF[from_id, to_id, w] with NON-NEGATIVE integer
+    weights, from the ``sources`` id set (distance 0). Unreached vertices
+    are absent from the result.
+
+    Closes the reference's declared-but-never-implemented ``WeightedGraph``
+    trait (/root/reference/crates/gravitydb/src/lib.rs:62-65: a weight
+    between two nodes) the same way ReferencedProperties was closed: real
+    semantics here, cited divergence-from-stub in COVERAGE.md.
+
+    Frontier Bellman-Ford: each round relaxes only edges out of vertices
+    whose distance IMPROVED last round (the classic SSSP-on-MapReduce
+    formulation) — one equi-join + min-aggregate + improvement anti-filter
+    per round, all shuffling on vertex id, ``localCheckpoint`` keeping the
+    per-round plan O(1). Weights must be integers so min-merging is exact
+    and fold-order independent (same engine-portability trick as
+    ``pagerank_scaled``); scale fractional weights before calling.
+
+    Converges in (weighted diameter in edges) rounds; raises RuntimeError
+    if the frontier hasn't drained after ``max_iters`` (an unconverged
+    distance table is silently wrong, and with a negative-weight cycle the
+    frontier never drains — detected here rather than looping forever).
+    """
+    edges = edges.select(
+        "from_id", "to_id", F.col("w").cast("long").alias("w")
+    ).localCheckpoint(eager=False)
+    dists = (
+        sources.select("id")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dists
+    for _ in range(max_iters):
+        relaxed = (
+            edges.join(frontier, edges.from_id == frontier.id)
+            .select(
+                F.col("to_id").alias("id"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            relaxed.join(dists, "id", "left")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("id", F.col("cand").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            return dists
+        dists = (
+            dists.unionByName(improved)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = improved
+    raise RuntimeError(
+        f"sssp_weighted did not converge in {max_iters} rounds "
+        "(graph deeper than max_iters, or a negative-weight cycle)"
+    )

@@ -78,3 +78,40 @@ def test_get_or_create_nodes(spark):
     g3, [new] = g2.get_or_create_nodes([(None, Prop("T", "y"))])
     assert new != vid
     assert g3.vertices.count() == 2
+
+
+def test_sssp_weighted_prefers_cheap_detour(spark):
+    """Hand-checked Bellman-Ford: the direct edge s->c costs 10 but the
+    s->a->b->c detour costs 3; cycles must not loop; unreached vertices
+    are absent."""
+    from gravitydb_spark.operators.iterative import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "c", 10),
+            ("s", "a", 1),
+            ("a", "b", 1),
+            ("b", "c", 1),
+            ("c", "a", 0),   # zero-weight back-edge: cycle, total stays 3
+            ("x", "y", 1),   # disconnected from s
+        ],
+        "from_id string, to_id string, w long",
+    )
+    sources = spark.createDataFrame([("s",)], "id string")
+    dists = {r["id"]: r["dist"] for r in sssp_weighted(edges, sources).collect()}
+    assert dists == {"s": 0, "a": 1, "b": 2, "c": 3}
+
+
+def test_sssp_weighted_negative_cycle_raises(spark):
+    from gravitydb_spark.operators.iterative import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [("s", "a", 1), ("a", "b", -2), ("b", "a", -2)],
+        "from_id string, to_id string, w long",
+    )
+    sources = spark.createDataFrame([("s",)], "id string")
+    try:
+        sssp_weighted(edges, sources, max_iters=6)
+        raise AssertionError("negative cycle must not converge silently")
+    except RuntimeError as e:
+        assert "converge" in str(e)
