@@ -151,12 +151,24 @@ def cmd_script(args) -> int:
     """Script (cli_helpers.rs:229-234): run a script file against the db —
     the ``lua_run`` analog; here the scripting surface is Python. The
     script runs with the same bindings as the REPL (``spark``, ``db``,
-    ``execute(q)``, ``Prop``, and the query builders)."""
+    ``execute(q)``, ``Prop``, and the query builders).
+
+    A ``.lua`` file (or ``--lua``) routes through the migration shim
+    (lua_shim.py): the reference's Lua builder subset is transliterated
+    and run with the lua.rs bindings, so existing gravitydb Lua scripts
+    work unchanged."""
     from . import ql
     from .plans.compiler import execute as _execute
 
     spark = get_spark("gravitydb_cli")
     db = _load(spark, args.db)
+    with open(args.script, encoding="utf-8") as f:
+        code_text = f.read()
+    if getattr(args, "lua", False) or args.script.endswith(".lua"):
+        from .lua_shim import run_lua_script
+
+        run_lua_script(db, code_text, args.script, extra_env={"spark": spark})
+        return 0
     ns = {
         "spark": spark,
         "db": db,
@@ -164,8 +176,6 @@ def cmd_script(args) -> int:
         "Prop": Prop,
         **{n: getattr(ql, n) for n in ql.__all__},
     }
-    with open(args.script, encoding="utf-8") as f:
-        code_text = f.read()
     exec(compile(code_text, args.script, "exec"), ns)  # noqa: S102 — the verb's purpose
     return 0
 
@@ -355,6 +365,11 @@ def main(argv=None) -> int:
     sp.set_defaults(fn=cmd_property_blob)
 
     sp = sub.add_parser("script")
+    sp.add_argument(
+        "--lua",
+        action="store_true",
+        help="treat the script as a gravitydb Lua script (migration shim)",
+    )
     sp.add_argument("--db", required=True)
     sp.add_argument("script", help="Python file to run against the db")
     sp.set_defaults(fn=cmd_script)

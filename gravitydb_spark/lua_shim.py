@@ -1,0 +1,207 @@
+"""Lua migration shim — the reference's third entry point (EP3).
+
+The reference embeds a Lua interpreter (`lua_repl` / `lua_run`,
+crates/gravitydb/src/lua.rs:27-449) whose ENTIRE scripting surface is:
+
+=========================  =====================================================
+Lua (lua.rs)               meaning
+=========================  =====================================================
+vq_all() / eq_all()        all-vertices / all-edges query        (lua.rs:89-91)
+vq_from_ids{...}           vertices by id                        (lua.rs:92-94)
+vq_from_property(p)        vertices referencing a property       (lua.rs:95-97)
+eq_from_ids{...} /
+eq_from_property(p)        edge analogs                          (lua.rs:99-107)
+pq_from_id(id)             property probe by content hash        (lua.rs:108-113)
+q:outgoing(f?) :ingoing()  traversal, optional auto-intersected
+                           property/element filter          (lua.rs:130-177,202-249)
+q:union(q2) :intersect(q2)
+ :substract(q2)            frontier set ops                      (lua.rs:178-190)
+p:referencing_properties() p:referenced_properties()
+p:referencing_vertices()   p:referencing_edges()                 (lua.rs:288-305)
+db:create_node(p) db:update_node(id,p) db:delete_node(id)
+db:create_edge(n1,n2,p) db:delete_edge(id) db:query(q)          (lua.rs:27-77)
+=========================  =====================================================
+
+No Lua interpreter is installable in this environment, but none is
+needed: ``ql.py`` deliberately exposes the SAME names as the Lua
+globals, so scripts in this surface differ from Python only in syntax.
+``transliterate`` rewrites that syntax mechanically (string-literal
+aware) and ``run_lua_script`` executes the result against the engine
+with the same bindings as the ``repl``/``script`` CLI verbs:
+
+- ``obj:method(...)``  →  ``obj.method(...)``
+- ``local x``          →  ``x``
+- ``{a, b}``           →  ``[a, b]``   (array tables — the only table
+  shape this surface takes)
+- ``--`` comments      →  ``#``; ``--[[ ]]`` blocks removed
+- ``nil/true/false``   →  ``None/True/False``
+- ``..`` concat        →  ``+``
+
+Lua control flow (``if/then``, ``for``, ``while``, ``function``…) is
+OUTSIDE the supported subset — those scripts are real programs and
+should be ported to Python (the engine-native scripting surface) — the
+shim raises ``LuaShimError`` naming the construct instead of
+mis-running it.
+
+``db`` is a :class:`LuaDb`: the six lua.rs methods operating on a
+(rebinding) PropertyGraph, plus ``extract_properties`` /
+``extract_path_properties`` — in the reference those live on the graph
+API itself (gravitydb-test-utils/src/lib.rs:119-147 calls them around
+every Lua-shaped query), so migrated scripts keep working end-to-end.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid as _uuid
+
+from .plans.compiler import execute
+from .schema import Prop
+
+__all__ = ["LuaDb", "LuaShimError", "run_lua_script", "transliterate"]
+
+
+class LuaShimError(ValueError):
+    pass
+
+
+# Lua control-flow keywords outside the lua.rs builder subset. NB:
+# and/or/not are NOT here — they are spelled identically in Python.
+_FORBIDDEN = (
+    "function end then elseif else if for while repeat until do goto"
+).split()
+
+# replacements applied to code segments (never inside string literals)
+_WORD_MAP = {"nil": "None", "true": "True", "false": "False"}
+
+
+def _split_strings(code: str):
+    """Yield (is_string, segment) pairs; string segments include quotes.
+    Handles ' and " literals with backslash escapes (long ``[[ ]]``
+    strings are not in the subset)."""
+    out, i, n = [], 0, len(code)
+    buf = []
+    while i < n:
+        ch = code[i]
+        if ch in "'\"":
+            if buf:
+                out.append((False, "".join(buf)))
+                buf = []
+            q, j = ch, i + 1
+            lit = [q]
+            while j < n:
+                c = code[j]
+                lit.append(c)
+                if c == "\\":
+                    j += 1
+                    if j < n:
+                        lit.append(code[j])
+                elif c == q:
+                    break
+                j += 1
+            out.append((True, "".join(lit)))
+            i = j + 1
+        else:
+            buf.append(ch)
+            i += 1
+    if buf:
+        out.append((False, "".join(buf)))
+    return out
+
+
+def transliterate(code: str) -> str:
+    """Mechanically rewrite the lua.rs scripting subset to Python; raise
+    LuaShimError on constructs outside it."""
+    # block comments first (may span lines), then per-segment rewrites
+    code = re.sub(r"--\[\[.*?\]\]", "", code, flags=re.S)
+    pieces = []
+    for is_str, seg in _split_strings(code):
+        if is_str:
+            pieces.append(seg)
+            continue
+        seg = re.sub(r"--[^\n]*", lambda m: "#" + m.group(0)[2:], seg)
+        for kw in _FORBIDDEN:
+            if re.search(rf"(?<![\w.]){kw}(?![\w])", seg):
+                raise LuaShimError(
+                    f"Lua construct {kw!r} is outside the shim subset "
+                    "(lua.rs exposes only the query-builder surface); port "
+                    "this script to Python — see the table in lua_shim.py"
+                )
+        seg = re.sub(r"(?<![\w.])local\s+", "", seg)
+        seg = re.sub(r":(\w+)\s*\(", r".\1(", seg)
+        seg = seg.replace("{", "[").replace("}", "]")
+        seg = re.sub(r"\.\.", "+", seg)
+        for lua_w, py_w in _WORD_MAP.items():
+            seg = re.sub(rf"(?<![\w.]){lua_w}(?![\w])", py_w, seg)
+        pieces.append(seg)
+    return "".join(pieces)
+
+
+class LuaDb:
+    """The ``db`` global a gravitydb Lua script sees (lua.rs:27-77),
+    backed by a rebinding PropertyGraph (the engine's store is immutable
+    snapshots; the reference's is in-place — same observable behavior)."""
+
+    def __init__(self, graph):
+        self.graph = graph
+
+    # -- mutations (lua.rs:27-62) -------------------------------------
+    def create_node(self, props: Prop) -> str:
+        vid = str(_uuid.uuid4())
+        self.graph, ids = self.graph.create_nodes([(vid, props)])
+        return ids[0]
+
+    def update_node(self, vid: str, props: Prop) -> str:
+        self.graph = self.graph.update_nodes([(vid, props)])
+        return vid
+
+    def delete_node(self, vid: str) -> str:
+        self.graph = self.graph.delete_nodes([vid])
+        return vid
+
+    def create_edge(self, n1: str, n2: str, props: Prop) -> str:
+        self.graph, ids = self.graph.create_edges([(n1, n2, props)])
+        return ids[0]
+
+    def delete_edge(self, edge_id: str) -> None:
+        self.graph = self.graph.delete_edges([edge_id])
+
+    # -- query (lua.rs:63-77: returns the serialized QueryResult) -----
+    def query(self, q):
+        self._last = execute(self.graph, q)
+        return {
+            "vertices": sorted(r["id"] for r in self._last.vertices.collect()),
+            "edges": sorted(r["id"] for r in self._last.edges.collect()),
+            "variables": self._last.variables,
+        }
+
+    # -- graph-API helpers every reference e2e test pairs with query()
+    #    (gravitydb-test-utils/src/lib.rs:146,160: extract_properties /
+    #    extract_path_properties on the Rust graph, not Lua) ----------
+    def extract_properties(self, _result=None) -> list:
+        """Sorted tagged-JSON payloads of the last query's elements."""
+        return sorted(r["tagged"] for r in self._last.extract_properties().collect())
+
+    def extract_path_properties(self, _result=None) -> list:
+        """Per-path tagged payload chains of the last query, sorted."""
+        rows = self._last.extract_path_properties().collect()
+        return sorted([s for s in r["props"]] for r in rows)
+
+
+def run_lua_script(graph, code: str, name: str = "<lua>", extra_env: dict | None = None):
+    """``lua_run`` analog (lua.rs:424-436): transliterate ``code`` and
+    execute it against ``graph``. Returns the (possibly mutated) graph
+    and the script namespace (for tests / REPL echo)."""
+    from . import ql
+
+    db = LuaDb(graph)
+    ns = {
+        "db": db,
+        "Prop": Prop,
+        "print": print,
+        **{n: getattr(ql, n) for n in ql.__all__},
+        **(extra_env or {}),
+    }
+    py_code = transliterate(code)
+    exec(compile(py_code, name, "exec"), ns)  # noqa: S102 — the verb's purpose
+    return db.graph, ns

@@ -210,6 +210,19 @@ def _with_edge_filter(eq: "EdgeQuery", flt) -> "EdgeQuery":
     raise TypeError(f"unsupported traversal filter: {type(flt).__name__}")
 
 
+def _with_vertex_filter(vq: "VertexQuery", flt) -> "VertexQuery":
+    """Edge→vertex flavor of the same Lua sugar (lua.rs:202-249):
+    ``eq:outgoing(filter)`` intersects the reached vertices with a
+    property/vertex filter query."""
+    if flt is None:
+        return vq
+    if isinstance(flt, PropertyQuery):
+        return vq.intersect(flt.referencing_vertices())
+    if isinstance(flt, VertexQuery):
+        return vq.intersect(flt)
+    raise TypeError(f"unsupported traversal filter: {type(flt).__name__}")
+
+
 @dataclass(frozen=True)
 class VertexQuery(_ElementQuery):
     kind: str
@@ -253,13 +266,13 @@ class EdgeQuery(_ElementQuery):
     def from_property(p: PropertyQuery) -> "EdgeQuery":
         return EdgeQuery("Property", (p,))
 
-    def outgoing(self) -> "VertexQuery":
+    def outgoing(self, flt=None) -> "VertexQuery":
         """Target vertices (n2) of these edges."""
-        return VertexQuery("Out", (self,))
+        return _with_vertex_filter(VertexQuery("Out", (self,)), flt)
 
-    def ingoing(self) -> "VertexQuery":
+    def ingoing(self, flt=None) -> "VertexQuery":
         """Source vertices (n1) of these edges."""
-        return VertexQuery("In", (self,))
+        return _with_vertex_filter(VertexQuery("In", (self,)), flt)
 
 
 @dataclass(frozen=True)

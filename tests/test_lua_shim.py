@@ -1,0 +1,159 @@
+"""Lua migration shim (lua_shim.py): transliteration rules, the lua.rs
+db surface, and the reference's gin-cocktails e2e query
+(gravitydb-test-utils/src/lib.rs:105-131) run FROM LUA SOURCE through
+both the library entry point and the CLI ``script`` verb."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from gravitydb_spark import Prop
+from gravitydb_spark.lua_shim import (
+    LuaShimError,
+    run_lua_script,
+    transliterate,
+)
+
+from tests.test_cocktails_e2e import GIN_COCKTAILS
+
+
+class TestTransliterate:
+    def test_method_calls_and_locals(self):
+        assert (
+            transliterate("local q = db:query(vq_all():outgoing())")
+            == "q = db.query(vq_all().outgoing())"
+        )
+
+    def test_tables_become_lists(self):
+        assert transliterate('vq_from_ids{"a", "b"}') == 'vq_from_ids["a", "b"]'
+        # NB: Python call-with-subscript is invalid; array tables as ARGS
+        # use parens in both languages: vq_from_ids({"a"}) works
+        assert transliterate('vq_from_ids({"a"})') == 'vq_from_ids(["a"])'
+
+    def test_strings_are_protected(self):
+        # ':' '{' '--' inside string literals must survive untouched
+        src = 'x = pq_from_id("ab:cd{ef--gh")'
+        assert transliterate(src) == src
+
+    def test_comments_and_keywords(self):
+        assert transliterate("-- note\nlocal x = nil") == "# note\nx = None"
+        assert transliterate("--[[ block\ncomment ]]x = true") == "x = True"
+        assert transliterate("s = 'a' .. 'b'") == "s = 'a' + 'b'"
+
+    def test_control_flow_rejected(self):
+        with pytest.raises(LuaShimError, match="outside the shim subset"):
+            transliterate("for i=1,10 do print(i) end")
+        with pytest.raises(LuaShimError, match="outside the shim subset"):
+            transliterate("function f() return 1 end")
+
+    def test_identifier_containing_keyword_ok(self):
+        # 'endpoint'/'do_it' contain forbidden keywords as substrings
+        assert transliterate("endpoint = doit(1)") == "endpoint = doit(1)"
+
+
+LUA_GIN_QUERY = """
+-- which cocktails include gin: gravitydb-test-utils/src/lib.rs:119-124,
+-- expressed in the lua.rs builder surface (pq_from_id + method chain)
+local gin = pq_from_id('{gin}')
+local includes = pq_from_id('{includes}')
+local cocktail = pq_from_id('{cocktail}')
+
+local q = gin:referencing_vertices():ingoing():intersect(includes:referencing_edges()):ingoing():intersect(cocktail:referencing_properties():referencing_vertices())
+
+local result = db:query(q)
+print('COCKTAILS\\t' .. table_json(db:extract_properties(result)))
+"""
+
+
+def _gin_lua_source():
+    return LUA_GIN_QUERY.format(
+        gin=Prop("Ingredient", "gin").hash,
+        includes=Prop("Includes").hash,
+        cocktail=Prop("SchemaType", "Cocktail").hash,
+    )
+
+
+def _expected_tagged():
+    return sorted(
+        json.dumps({"Cocktail": n}, separators=(",", ":")) for n in GIN_COCKTAILS
+    )
+
+
+class TestLuaRun:
+    def test_gin_cocktails_from_lua(self, cocktail_graph):
+        printed = []
+        _, ns = run_lua_script(
+            cocktail_graph,
+            _gin_lua_source(),
+            extra_env={
+                "print": lambda s: printed.append(s),
+                "table_json": json.dumps,
+            },
+        )
+        assert printed, "script printed nothing"
+        tag, payload = printed[0].split("\t", 1)
+        assert tag == "COCKTAILS"
+        assert json.loads(payload) == _expected_tagged()
+
+    def test_mutations_from_lua(self, spark):
+        from gravitydb_spark import GraphBatchBuilder
+
+        g = GraphBatchBuilder().build(spark)
+        code = """
+local berlin = db:create_node(Prop('City', 'Berlin'))
+local paris = db:create_node(Prop('City', 'Paris'))
+db:create_edge(berlin, paris, Prop('Road', 'A2'))
+local r = db:query(vq_all():outgoing():outgoing())
+"""
+        g2, ns = run_lua_script(g, code)
+        assert ns["db"].extract_properties() == [
+            json.dumps({"City": "Paris"}, separators=(",", ":"))
+        ]
+        assert g2.vertices.count() == 2 and g2.edges.count() == 1
+
+    def test_path_properties_from_lua(self, cocktail_graph):
+        code = (
+            f"local gin = pq_from_id('{Prop('Ingredient', 'gin').hash}')\n"
+            "local r = db:query(gin:referencing_vertices())\n"
+        )
+        _, ns = run_lua_script(cocktail_graph, code)
+        assert ns["db"].extract_properties() == [
+            json.dumps({"Ingredient": "gin"}, separators=(",", ":"))
+        ]
+
+
+class TestCliLuaScript:
+    def test_script_verb_runs_lua_cocktail_query(self, spark, cocktail_graph, tmp_path):
+        db_path = str(tmp_path / "cocktails_db")
+        cocktail_graph.save(db_path)
+        lua_file = tmp_path / "gin.lua"
+        # the CLI environment has no table_json helper: print the sorted
+        # list via the db helper's repr (stable: list of strings)
+        src = _gin_lua_source().replace(
+            "print('COCKTAILS\\t' .. table_json(db:extract_properties(result)))",
+            "print(db:extract_properties(result))",
+        )
+        lua_file.write_text(src, encoding="utf-8")
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "gravitydb_spark.cli",
+                "script",
+                "--db",
+                db_path,
+                str(lua_file),
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        out_lists = [
+            line for line in r.stdout.splitlines() if line.startswith("[")
+        ]
+        assert out_lists, r.stdout[-2000:]
+        assert eval(out_lists[-1]) == _expected_tagged()  # noqa: S307 — list-of-str repr
