@@ -1,0 +1,132 @@
+"""Transactional batch mutations — the reference's WAL/shadow-paging
+design (docs/key_value_store.adoc:489-525, essay only; nothing in the
+reference implements it) realized for the parquet backend.
+
+The doc's scheme: keep two copies of the store (cheap, because the
+content-addressed parts hard-link), plus a top-level pointer file naming
+the currently-valid read store; a writer edits the OTHER copy and
+commits by atomically replacing the pointer (file rename is atomic), so
+readers always see a complete, valid store and an aborted writer leaves
+the published state untouched.
+
+Spark translation — snapshots are already immutable, so "edit the other
+copy" is free:
+
+- :func:`transact` — run a mutation batch against an in-memory
+  snapshot, then run the post-batch schema-constraint check
+  (constraints.py, the reference's declared transaction-end hook). Pass
+  ⇒ the new snapshot is returned (the pointer swap); any failure ⇒ the
+  exception propagates and the caller still holds the unmodified base.
+- :class:`TransactionalStore` — the durable version: a store directory
+  holds numbered snapshot subdirectories plus a ``CURRENT`` pointer
+  file. ``commit`` writes the new snapshot into a FRESH subdirectory
+  (never touching the current one), re-reads it, checks constraints,
+  and only then atomically replaces ``CURRENT`` via ``os.replace``. A
+  constraint violation, write error, or crash anywhere before the
+  replace leaves the published store byte-identical — the doc's
+  invariant. A writer-lock file (``O_EXCL`` create, the doc's "zeigen
+  dass er gerade den Zugriff hat") serializes writers.
+
+At cluster scale ``CURRENT`` lives on the object store; the atomic-
+replace primitive becomes a conditional PUT — same protocol shape.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional
+
+from .constraints import check_constraints
+from .graph import PropertyGraph
+
+__all__ = ["TransactionalStore", "WriterLockHeld", "transact"]
+
+
+class WriterLockHeld(RuntimeError):
+    pass
+
+
+def transact(
+    graph: PropertyGraph,
+    batch: Callable[[PropertyGraph], PropertyGraph],
+    constraints: Iterable = (),
+) -> PropertyGraph:
+    """All-or-nothing batch over an immutable snapshot: apply ``batch``,
+    check ``constraints`` on the RESULT, return it only if everything
+    holds. On violation the exception propagates and the caller's
+    ``graph`` is untouched (snapshot semantics make rollback free)."""
+    out = batch(graph)
+    check_constraints(out, constraints)
+    return out
+
+
+class TransactionalStore:
+    """Durable shadow-paged store: ``<path>/snap-<n>/`` snapshot dirs +
+    an atomically-replaced ``CURRENT`` pointer file."""
+
+    CURRENT = "CURRENT"
+    LOCK = "WRITER_LOCK"
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- pointer file --------------------------------------------------
+    def _current_name(self) -> Optional[str]:
+        try:
+            with open(os.path.join(self.path, self.CURRENT), encoding="utf-8") as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def current_path(self) -> Optional[str]:
+        name = self._current_name()
+        return os.path.join(self.path, name) if name else None
+
+    def load(self, spark, schema=None) -> PropertyGraph:
+        cur = self.current_path()
+        if cur is None:
+            raise FileNotFoundError(f"{self.path}: no CURRENT snapshot (init first)")
+        return PropertyGraph.load(spark, cur, schema)
+
+    # -- commit protocol ----------------------------------------------
+    def init(self, graph: PropertyGraph) -> str:
+        """Publish the first snapshot."""
+        return self.commit(graph)
+
+    def commit(
+        self,
+        graph: PropertyGraph,
+        constraints: Iterable = (),
+    ) -> str:
+        """Write ``graph`` as a NEW snapshot directory, verify it
+        (constraints run against the re-read copy, so what is checked is
+        exactly what readers will see), then atomically swap ``CURRENT``.
+        Any failure before the swap leaves the published snapshot's bytes
+        untouched. Returns the new snapshot's directory name."""
+        lock = os.path.join(self.path, self.LOCK)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise WriterLockHeld(f"another writer holds {lock}")
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+
+            prev = self._current_name()
+            n = int(prev.split("-")[1]) + 1 if prev else 0
+            name = f"snap-{n}"
+            target = os.path.join(self.path, name)
+            graph.save(target, mode="error")  # fresh dir — never overwrite
+            # verify the COMMITTED bytes, not the in-memory lineage
+            committed = PropertyGraph.load(graph.spark, target, graph.schema)
+            check_constraints(committed, constraints)
+            tmp = os.path.join(self.path, self.CURRENT + ".tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(name)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.path, self.CURRENT))  # the atomic swap
+            return name
+        finally:
+            os.unlink(lock)

@@ -1,0 +1,117 @@
+"""Transactional batch mutations (transaction.py): the WAL/shadow-paging
+essay (docs/key_value_store.adoc:489-525) — an aborted batch (Prohibited
+constraint trips) must leave the published store BYTE-identical, and a
+committed batch swaps the CURRENT pointer atomically."""
+
+import hashlib
+import os
+
+import pytest
+
+from gravitydb_spark import GraphBatchBuilder, Prop
+from gravitydb_spark.constraints import ConstraintViolation, Prohibited, Required
+from gravitydb_spark.ql import pq_from_id, vq_all
+from gravitydb_spark.transaction import TransactionalStore, WriterLockHeld, transact
+
+A_ID = "00000000-0000-0000-0000-00000000000a"
+
+
+def _graph(spark):
+    b = GraphBatchBuilder()
+    b.add_node(Prop("City", "Berlin"), id=A_ID)
+    return b.build(spark)
+
+
+def _no_forbidden():
+    # Prohibited: no vertex may carry the Forbidden property
+    return Prohibited(
+        pq_from_id(Prop("City", "Atlantis").hash).referencing_vertices(),
+        name="no-atlantis",
+    )
+
+
+def _dir_digest(root):
+    """sha256 over every file's path + bytes under root (pointer file and
+    lock excluded — they're protocol, not store content)."""
+    h = hashlib.sha256()
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for fn in sorted(files):
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root)
+            if rel.startswith("CURRENT") or rel == "WRITER_LOCK":
+                continue
+            h.update(rel.encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()
+
+
+class TestTransact:
+    def test_abort_leaves_base_untouched(self, spark):
+        g = _graph(spark)
+        before = sorted(map(tuple, g.vertices.collect()))
+        with pytest.raises(ConstraintViolation):
+            transact(
+                g,
+                lambda gr: gr.create_nodes([(None, Prop("City", "Atlantis"))])[0],
+                [_no_forbidden()],
+            )
+        assert sorted(map(tuple, g.vertices.collect())) == before
+
+    def test_commit_returns_new_snapshot(self, spark):
+        g = _graph(spark)
+        out = transact(
+            g,
+            lambda gr: gr.create_nodes([(None, Prop("City", "Rome"))])[0],
+            [_no_forbidden(), Required(vq_all(), name="nonempty")],
+        )
+        assert out.vertices.count() == 2 and g.vertices.count() == 1
+
+
+class TestTransactionalStore:
+    def test_aborted_commit_is_byte_identical(self, spark, tmp_path):
+        store = TransactionalStore(str(tmp_path / "db"))
+        g = _graph(spark)
+        store.init(g)
+        before_ptr = store.current_path()
+        before_digest = _dir_digest(before_ptr)
+
+        bad = g.create_nodes([(None, Prop("City", "Atlantis"))])[0]
+        with pytest.raises(ConstraintViolation):
+            store.commit(bad, [_no_forbidden()])
+
+        # pointer still names the old snapshot and every byte of the
+        # published snapshot (vertices/edges/properties/prop_refs parquet)
+        # is identical; the failed snap-1 dir exists but is unreferenced
+        # garbage, exactly like the doc's shadow copy
+        assert store.current_path() == before_ptr
+        assert _dir_digest(before_ptr) == before_digest
+        reread = store.load(spark)
+        assert sorted(map(tuple, reread.vertices.collect())) == sorted(
+            map(tuple, g.vertices.collect())
+        )
+
+    def test_commit_swaps_pointer(self, spark, tmp_path):
+        store = TransactionalStore(str(tmp_path / "db"))
+        g = _graph(spark)
+        first = store.init(g)
+        good = g.create_nodes([(None, Prop("City", "Rome"))])[0]
+        second = store.commit(good, [_no_forbidden()])
+        assert first != second
+        assert store._current_name() == second
+        assert store.load(spark).vertices.count() == 2
+        # the previous snapshot's bytes survive for readers mid-scan
+        assert os.path.isdir(os.path.join(store.path, first))
+
+    def test_writer_lock_serializes(self, spark, tmp_path):
+        store = TransactionalStore(str(tmp_path / "db"))
+        g = _graph(spark)
+        store.init(g)
+        lock = os.path.join(store.path, TransactionalStore.LOCK)
+        open(lock, "w").close()  # a concurrent writer
+        with pytest.raises(WriterLockHeld):
+            store.commit(g)
+        os.unlink(lock)
+        # lock is released after a successful commit
+        store.commit(g)
+        assert not os.path.exists(lock)
