@@ -33,6 +33,7 @@ HEADLINE = [
     "g_set_disjunctive_union",
     "g_paths_1hop",
     "g_connected_components",
+    "g_sssp_weighted",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_cluster",
