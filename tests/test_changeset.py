@@ -127,3 +127,54 @@ class TestMerge:
         b = base.update_nodes([(B_ID, Prop("City", "Paris-B"))])
         with pytest.raises(MergeConflictError):
             merge_graphs(base, a, b)
+
+
+class TestMergeRandomized:
+    @pytest.mark.parametrize("seed", [5, 23])
+    def test_disjoint_random_edits_merge_to_sequential_state(self, spark, seed):
+        """Random id-disjoint edit batches on two branches: three-way
+        merge must equal applying both batches sequentially to one
+        lineage, and must be symmetric. Ops cover create/update/delete
+        node and create-edge; batches are REPLAYABLE (op lists drawn
+        once, created ids deterministic) so the sequential golden uses
+        exactly the branches' edits."""
+        import random
+
+        rng = random.Random(seed)
+        ids = [f"00000000-0000-0000-0000-0000000000{i:02x}" for i in range(8)]
+        b = GraphBatchBuilder()
+        for i, vid in enumerate(ids):
+            b.add_node(Prop("City", f"C{i}"), id=vid)
+        for i in range(4):
+            b.add_edge(ids[i], ids[i + 1], Prop("Road", f"R{i}"))
+        base = b.build(spark)
+
+        def apply_ops(g, ops, victim_ids, tag):
+            for k, op in enumerate(ops):
+                if op == "create":
+                    g, _ = g.create_nodes(
+                        [(f"created-{tag}-{k}", Prop("City", f"new-{tag}-{k}"))]
+                    )
+                elif op == "update":
+                    g = g.update_nodes(
+                        [(victim_ids[0], Prop("City", f"upd-{tag}-{k}"))]
+                    )
+                elif op == "delete":
+                    g = g.delete_nodes([victim_ids[1]])
+                else:
+                    g, _ = g.create_edges(
+                        [(victim_ids[0], victim_ids[2], Prop("Road", f"e-{tag}-{k}"))]
+                    )
+            return g
+
+        ops_a = rng.sample(["create", "update", "delete", "edge"], k=2)
+        ops_b = rng.sample(["create", "update", "delete", "edge"], k=2)
+        # branch A touches ids[0:3], branch B touches ids[3:6] — disjoint
+        a = apply_ops(base, ops_a, ids[0:3], "a")
+        b2 = apply_ops(base, ops_b, ids[3:6], "b")
+        merged = merge_graphs(base, a, b2)
+        golden = apply_ops(
+            apply_ops(base, ops_a, ids[0:3], "a"), ops_b, ids[3:6], "b"
+        ).gc()
+        assert _rows(merged) == _rows(golden), (ops_a, ops_b)
+        assert _rows(merge_graphs(base, b2, a)) == _rows(golden), (ops_a, ops_b)

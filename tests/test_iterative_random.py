@@ -192,3 +192,44 @@ def test_hits_scaled_matches_python_model(spark, seed):
 
     got = {r["id"]: (r["auth"], r["hub"]) for r in hits_scaled(g, iters=iters).collect()}
     assert got == {x: (auth[x], hub[x]) for x in ids}
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_sssp_weighted_matches_dijkstra(spark, seed):
+    """Random weighted digraphs (cycles, multi-edges, unreachable nodes):
+    sssp_weighted must equal a Python Dijkstra from the same source set."""
+    import heapq
+
+    from gravitydb_spark.operators.iterative import sssp_weighted
+
+    rng = random.Random(seed)
+    n = rng.randint(10, 30)
+    ids = [f"v{i:03d}" for i in range(n)]
+    m = rng.randint(n, 4 * n)
+    triples = [
+        (ids[rng.randrange(n)], ids[rng.randrange(n)], rng.randint(0, 9))
+        for _ in range(m)
+    ]
+    sources = sorted({ids[rng.randrange(n)] for _ in range(rng.randint(1, 3))})
+
+    # model: Dijkstra over the same multigraph
+    adj = {}
+    for u, v, w in triples:
+        adj.setdefault(u, []).append((v, w))
+    dist = {s: 0 for s in sources}
+    heap = [(0, s) for s in sources]
+    heapq.heapify(heap)
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+
+    edges = spark.createDataFrame(triples, "from_id string, to_id string, w long")
+    src_df = spark.createDataFrame([(s,) for s in sources], "id string")
+    got = {r["id"]: r["dist"] for r in sssp_weighted(edges, src_df).collect()}
+    assert got == dist
