@@ -43,6 +43,7 @@ HEADLINE = [
     "text_repetition",
     "corpus_vocab_topk",
     "sketch_kmv_distinct",
+    "corpus_length_quantiles",
     "text_quality_score",
     "text_lang_id",
     "text_bpe_token_count",

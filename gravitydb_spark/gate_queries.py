@@ -466,10 +466,16 @@ _compound(
         ),
         ("vocab_topk", "corpus_vocab_topk", {"k": "token", "n1": "n", "n2": "rank"}),
         ("bpe_merge", "bpe_pair_merge", {"k": "pair", "n1": "n", "n2": "rank"}),
+        (
+            "length_quantiles",
+            "corpus_length_quantiles",
+            {"k": "stat", "n1": "q_chars", "n2": "q_tokens"},
+        ),
     ],
     "Gate family for corpus statistics: KMV distinct-count sketch vs exact,"
-    " the corpus vocabulary top-k, and BPE merge-candidate pair counting"
-    " (the tokenizer-training inner step).",
+    " the corpus vocabulary top-k, BPE merge-candidate pair counting"
+    " (the tokenizer-training inner step), and integer-rank per-source"
+    " length/token quantiles (quality-threshold tuning).",
 )
 
 _compound(

@@ -319,6 +319,78 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILE_PCTS = (10, 50, 90, 99)
+
+
+@register(
+    "corpus_length_quantiles",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, length(text) AS chars, len({_DUCK_TOKENS}) AS toks
+      FROM documents),
+    rc AS (
+      SELECT source, chars AS v,
+             row_number() OVER (PARTITION BY source ORDER BY chars) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+    rt AS (
+      SELECT source, toks AS v,
+             row_number() OVER (PARTITION BY source ORDER BY toks) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+    p AS (SELECT unnest(ARRAY{list(QUANTILE_PCTS)}) AS pct),
+    qc AS (SELECT source, pct, v FROM rc, p WHERE rk = (n*pct + 99) // 100),
+    qt AS (SELECT source, pct, v FROM rt, p WHERE rk = (n*pct + 99) // 100)
+    SELECT c.source || ':p' || c.pct AS stat,
+           c.v::BIGINT AS q_chars, t.v::BIGINT AS q_tokens
+    FROM qc c JOIN qt t ON c.source = t.source AND c.pct = t.pct
+    """,
+)
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length/token-count quantiles (p10/p50/p90/p99) — the
+    statistic every quality-filter threshold (Gopher-style length rules,
+    truncation budgets) is tuned from.
+
+    Exactness trick: no float interpolation anywhere — the q-quantile is
+    the value at integer rank ceil(n·q) = (n·pct + 99) DIV 100 in a
+    per-source sort (percentile_disc semantics), so both engines agree
+    bit-for-bit (same integer-cross-product discipline as the KMV
+    sketch). One window shuffle per metric, keyed by source — the same
+    key as the groupBy a filter pass would use.
+
+    At 100 TB: the per-source sort is the exact path; swap in
+    ``approx_percentile`` (t-digest partial aggregate, no full sort)
+    when a few-permille error is acceptable — same output shape."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.length("text").alias("chars"),
+        F.size(_TOKENS_FN()).alias("toks"),
+    )
+    pcts = F.array(*[F.lit(p) for p in QUANTILE_PCTS])
+
+    def ranked_quantile(valcol: str) -> DataFrame:
+        w = Window.partitionBy("source").orderBy(valcol)
+        return (
+            docs.select(
+                "source",
+                F.col(valcol).alias("v"),
+                F.row_number().over(w).alias("rk"),
+                F.count("*").over(Window.partitionBy("source")).alias("n"),
+            )
+            .select("source", "v", "rk", "n", F.explode(pcts).alias("pct"))
+            .filter(F.expr("rk = (n*pct + 99) DIV 100"))
+            .select("source", "pct", "v")
+        )
+
+    qc = ranked_quantile("chars").withColumnRenamed("v", "q_chars")
+    qt = ranked_quantile("toks").withColumnRenamed("v", "q_tokens")
+    return qc.join(qt, ["source", "pct"]).select(
+        F.concat_ws("", F.col("source"), F.lit(":p"), F.col("pct")).alias("stat"),
+        F.col("q_chars").cast("long"),
+        F.col("q_tokens").cast("long"),
+    )
+
+
 SAMPLE_RATE_NUM, SAMPLE_RATE_DEN = 1, 4  # keep 25%
 
 
