@@ -33,3 +33,31 @@ def test_every_oracle_plans(con):
         except Exception as e:  # noqa: BLE001 — collecting all failures
             bad[name] = str(e)[:200]
     assert not bad, f"oracles that do not plan: {bad}"
+
+
+def test_registry_imports_without_spark_session():
+    """queries()/oracle_sql() must be buildable in a bare interpreter —
+    no module-level Column/DataFrame objects anywhere in the registry
+    (the driver imports __spark_entry__ before creating its session).
+    Run in a clean subprocess so this session's live SparkContext can't
+    mask a regression."""
+    import subprocess
+    import sys
+
+    code = (
+        "from pyspark import SparkContext\n"
+        "import __spark_entry__ as e\n"
+        "q, o = e.queries(), e.oracle_sql()\n"
+        "assert len(q) >= 117 and len(o) >= 100, (len(q), len(o))\n"
+        "assert SparkContext._active_spark_context is None, 'import started a JVM'\n"
+        "print('OK', len(q), len(o))\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.startswith("OK")
