@@ -360,34 +360,45 @@ def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: the per-source sort is the exact path; swap in
     ``approx_percentile`` (t-digest partial aggregate, no full sort)
-    when a few-permille error is acceptable — same output shape."""
+    when a few-permille error is acceptable — same output shape.
+
+    Plan shape: BOTH metrics rank inside ONE source-partitioned window
+    exchange (two sorts, same partitioning — Spark chains the window
+    execs without re-shuffling), and a conditional aggregation replaces
+    a per-metric self-join: 2 exchanges total (window + final groupBy)
+    instead of the naive 6."""
     docs = load(spark, sf_dir, "documents").select(
         "source",
         F.length("text").alias("chars"),
         F.size(_TOKENS_FN()).alias("toks"),
     )
     pcts = F.array(*[F.lit(p) for p in QUANTILE_PCTS])
-
-    def ranked_quantile(valcol: str) -> DataFrame:
-        w = Window.partitionBy("source").orderBy(valcol)
-        return (
-            docs.select(
-                "source",
-                F.col(valcol).alias("v"),
-                F.row_number().over(w).alias("rk"),
-                F.count("*").over(Window.partitionBy("source")).alias("n"),
-            )
-            .select("source", "v", "rk", "n", F.explode(pcts).alias("pct"))
-            .filter(F.expr("rk = (n*pct + 99) DIV 100"))
-            .select("source", "pct", "v")
+    wc = Window.partitionBy("source").orderBy("chars")
+    wt = Window.partitionBy("source").orderBy("toks")
+    ranked = docs.select(
+        "source",
+        "chars",
+        "toks",
+        F.row_number().over(wc).alias("rk_c"),
+        F.row_number().over(wt).alias("rk_t"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    hit_c = F.col("rk_c") == F.col("target")
+    hit_t = F.col("rk_t") == F.col("target")
+    return (
+        ranked.select("*", F.explode(pcts).alias("pct"))
+        .withColumn("target", F.expr("(n*pct + 99) DIV 100"))
+        .filter(hit_c | hit_t)
+        .groupBy("source", "pct")
+        .agg(
+            F.max(F.when(hit_c, F.col("chars"))).cast("long").alias("q_chars"),
+            F.max(F.when(hit_t, F.col("toks"))).cast("long").alias("q_tokens"),
         )
-
-    qc = ranked_quantile("chars").withColumnRenamed("v", "q_chars")
-    qt = ranked_quantile("toks").withColumnRenamed("v", "q_tokens")
-    return qc.join(qt, ["source", "pct"]).select(
-        F.concat_ws("", F.col("source"), F.lit(":p"), F.col("pct")).alias("stat"),
-        F.col("q_chars").cast("long"),
-        F.col("q_tokens").cast("long"),
+        .select(
+            F.concat_ws("", F.col("source"), F.lit(":p"), F.col("pct")).alias("stat"),
+            "q_chars",
+            "q_tokens",
+        )
     )
 
 
