@@ -627,11 +627,31 @@ _compound(
                 "n2": "n_samples",
             },
         ),
+        (
+            "audio_meta",
+            "multimodal_audio_meta",
+            {
+                "doc_id": "doc_id",
+                "n1": "n_bytes",
+                "sig": "audio_sig",
+                "n2": "sample_sum",
+            },
+        ),
+        (
+            "audio_energy",
+            "multimodal_audio_energy",
+            {
+                "doc_id": "doc_id",
+                "n1": "win_idx",
+                "n2": "energy",
+            },
+        ),
     ],
     "Gate family for multimodal binary columns: real dependency-free"
     " 24-bit BMP decode (header parse, padded bottom-up pixel rows),"
-    " MJPEG-style frame-container demux, and nearest-neighbor resize over"
-    " decoded pixels, all via Arrow-batched mapInPandas"
+    " MJPEG-style frame-container demux, nearest-neighbor resize over"
+    " decoded pixels, RIFF/WAVE chunk-walk PCM decode, and windowed"
+    " audio energy features, all via Arrow-batched mapInPandas"
     " (gravitydb_spark/multimodal.py).",
 )
 

@@ -133,6 +133,94 @@ def decode_bmp_stream(data: bytes) -> list:
     return frames
 
 
+# ---------------------------------------------------------------------------
+# WAV / RIFF PCM audio — same philosophy as the BMP codec above: a real
+# fixed-layout format parsed from documented byte offsets, no codec libs.
+# RIFF container = "RIFF" + u32 size + "WAVE" + a chunk walk; "fmt " holds
+# format/channels/rate/bits, "data" holds interleaved little-endian PCM.
+# ---------------------------------------------------------------------------
+
+WAV_HEADER_SIZE = 44  # RIFF(12) + canonical fmt(8+16) + data chunk header(8)
+
+
+def wav_file_size(n_channels: int, n_frames: int) -> int:
+    """Byte size of a canonical 16-bit PCM WAV with no extra chunks."""
+    return WAV_HEADER_SIZE + n_frames * n_channels * 2
+
+
+def encode_wav(n_channels: int, sample_rate: int, n_frames: int, seed: int) -> bytes:
+    """Synthesize a canonical 16-bit PCM WAV whose flat interleaved sample
+    at index ``i`` (0 .. n_frames*n_channels-1) is
+    ``((seed + 7*i) % 65536) - 32768`` — the closed form the DuckDB
+    oracles recompute."""
+    if n_channels <= 0 or n_frames <= 0 or sample_rate <= 0:
+        raise ValueError("encode_wav needs positive channels/frames/rate")
+    n_flat = n_frames * n_channels
+    data = struct.pack(
+        f"<{n_flat}h", *(((seed + 7 * i) % 65536) - 32768 for i in range(n_flat))
+    )
+    riff = struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ",
+        16,
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * n_channels * 2,  # byte rate
+        n_channels * 2,  # block align
+        16,  # bits per sample
+    )
+    return riff + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(data: bytes) -> dict:
+    """Parse a RIFF/WAVE file containing 16-bit PCM.
+
+    A real chunk walk, not an offset-44 assumption: chunks are visited in
+    order, unknown chunks (LIST, fact, cue …) are skipped via their
+    declared sizes (odd sizes padded to the even boundary per RIFF), and
+    only ``fmt `` and ``data`` are consumed. Returns ``{n_channels,
+    sample_rate, bits, n_frames, data_bytes, sample_sum, peak}`` where
+    ``sample_sum`` sums the decoded int16 samples and ``peak`` is the max
+    absolute sample value."""
+    if len(data) < 12:
+        raise ValueError("truncated WAV: no RIFF header")
+    magic, riff_size, wave = struct.unpack_from("<4sI4s", data, 0)
+    if magic != b"RIFF" or wave != b"WAVE":
+        raise ValueError(f"bad RIFF/WAVE magic {magic!r}/{wave!r}")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, csize = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + csize]
+        if len(body) < csize:
+            raise ValueError(f"truncated chunk {cid!r} at offset {pos}")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError(f"fmt chunk too small ({csize})")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + csize + (csize & 1)  # RIFF pads odd chunks to even
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported, got fmt={audio_format} bits={bits}")
+    n_flat = len(pcm) // 2
+    samples = struct.unpack(f"<{n_flat}h", pcm[: n_flat * 2])
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "n_frames": n_flat // n_channels,
+        "data_bytes": len(pcm),
+        "sample_sum": sum(samples),
+        "peak": max((abs(s) for s in samples), default=0),
+        "samples": samples,
+    }
+
+
 def nearest_resize(rows: list, width: int, height: int, tw: int, th: int) -> bytes:
     """Nearest-neighbor resample of decoded top-down pixel rows to
     ``tw``×``th``; returns the resized pixel bytes in top-down row-major

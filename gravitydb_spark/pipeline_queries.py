@@ -1578,7 +1578,9 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .multimodal import (  # noqa: E402
     decode_bmp,
     decode_bmp_stream,
+    decode_wav,
     encode_bmp,
+    encode_wav,
     nearest_resize,
 )
 
@@ -3090,3 +3092,161 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return _bmp_payloads(spark, sf_dir).mapInPandas(resize_kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio: RIFF/WAVE PCM decode + frame-level feature extraction.
+# Same contract as the BMP operators: payloads are REAL WAV files born on
+# the executors, the kernel runs an actual chunk-walking byte parser
+# (multimodal.decode_wav), and the oracles recompute the generator's
+# closed-form sample arithmetic — a decoder that misreads the chunk walk,
+# sample width, or interleaving hash-mismatches.
+# ---------------------------------------------------------------------------
+
+# deterministic audio geometry per document, mirrored in every oracle:
+#   ch     = 1 + doc_id % 2            (mono / stereo)
+#   rate   = 8000 * (1 + doc_id % 3)   (8k / 16k / 24k Hz)
+#   frames = 50 + doc_id % 150         (50..199 frames per channel)
+#   flat sample i = ((seed + 7*i) % 65536) - 32768,  seed = 17*doc_id + len(text)
+_WAV_DIMS_SQL = (
+    "1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 3) AS rate,"
+    " 50 + doc_id % 150 AS frames, 17*doc_id + length(text) AS seed"
+)
+
+AUDIO_WIN = 32  # flat samples per energy window
+
+
+def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary) with a real canonical 16-bit
+    PCM WAV per row — deterministic generator feeding the audio decode
+    operators. Arrow-batched; bytes never transit the driver."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav(
+                            1 + int(d) % 2,
+                            8000 * (1 + int(d) % 3),
+                            50 + int(d) % 150,
+                            17 * int(d) + len(t),
+                        )
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, schema)
+
+
+@register(
+    "multimodal_audio_meta",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_WAV_DIMS_SQL} FROM documents)
+    SELECT doc_id,
+           (44 + frames * ch * 2)::BIGINT AS n_bytes,
+           printf('%02x%08x%02x', ch, rate, 16) AS audio_sig,
+           SUM(((seed + 7*i) % 65536) - 32768)::BIGINT AS sample_sum
+    FROM (SELECT *, unnest(generate_series(0, frames*ch - 1)) AS i FROM d)
+    GROUP BY doc_id, ch, rate, frames
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary audio decode: WAV payload column → Arrow-batched
+    ``mapInPandas`` kernel running a real RIFF chunk walk
+    (multimodal.decode_wav): fmt/data chunks located by id, unknown
+    chunks skipped by declared size, int16 samples unpacked from the data
+    chunk. ``n_bytes`` is the parsed file size, ``audio_sig`` encodes the
+    parsed channels/rate/bits, ``sample_sum`` sums the decoded samples;
+    the oracle recomputes all three in closed form from the generator
+    arithmetic.
+
+    Scale posture: embarrassingly parallel map over Arrow batches —
+    identical to multimodal_binary_meta; batch size bounds executor
+    memory regardless of payload size."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("audio_sig", T.StringType()),
+            T.StructField("sample_sum", T.LongType()),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "audio_sig": [], "sample_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wav = decode_wav(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(44 + wav["data_bytes"])
+                out["audio_sig"].append(
+                    f"{wav['n_channels']:02x}{wav['sample_rate']:08x}{wav['bits']:02x}"
+                )
+                out["sample_sum"].append(wav["sample_sum"])
+            yield pd.DataFrame(out)
+
+    return _wav_payloads(spark, sf_dir).mapInPandas(decode, schema)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_WAV_DIMS_SQL} FROM documents),
+    s AS (SELECT doc_id, frames*ch AS n_flat, i // {AUDIO_WIN} AS win_idx,
+                 ((seed + 7*i) % 65536) - 32768 AS v
+          FROM (SELECT *, unnest(generate_series(0, frames*ch - 1)) AS i FROM d))
+    SELECT doc_id, win_idx::BIGINT AS win_idx, SUM(v * v)::BIGINT AS energy
+    FROM s WHERE (win_idx + 1) * {AUDIO_WIN} <= n_flat
+    GROUP BY doc_id, win_idx
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: decode the WAV payload, then emit the
+    sum-of-squares energy of each FULL window of {AUDIO_WIN} flat
+    interleaved samples (trailing partial window dropped on both engines)
+    — the frame-level energy/VAD feature a training pipeline computes
+    before filtering silent or clipped audio. Integer arithmetic end to
+    end: energy ≤ {AUDIO_WIN}·32768² ≈ 3.4e10 fits BIGINT exactly, so the
+    oracle comparison is hash-exact with no float rounding.
+
+    Scale posture: per-row windowing inside the same Arrow batch as the
+    decode — no shuffle, no state across rows; output is ~n_flat/{AUDIO_WIN}
+    rows per document."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("win_idx", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def energy_kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "win_idx": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wav = decode_wav(bytes(payload))
+                samples = wav["samples"]
+                for w in range(len(samples) // AUDIO_WIN):
+                    chunk = samples[w * AUDIO_WIN : (w + 1) * AUDIO_WIN]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(w)
+                    out["energy"].append(sum(v * v for v in chunk))
+            yield pd.DataFrame(out)
+
+    return _wav_payloads(spark, sf_dir).mapInPandas(energy_kernel, schema)

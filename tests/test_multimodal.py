@@ -125,3 +125,103 @@ class TestSparkOperators:
         df = multimodal_frame_sample(spark, sf_dir)
         counts = df.groupBy("doc_id").count().select("count").distinct().collect()
         assert [r["count"] for r in counts] == [N_FRAMES]
+
+
+def _hand_wav(samples, *, channels=1, rate=8000, extra_chunk=None, bits=16):
+    """Hand-assemble a RIFF/WAVE from explicit int16 samples, without
+    calling encode_wav; extra_chunk=(id, body) is inserted BEFORE the
+    data chunk so the decoder must actually walk chunks to find it."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    chunks = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, rate,
+        rate * channels * 2, channels * 2, bits,
+    )
+    if extra_chunk is not None:
+        cid, body = extra_chunk
+        chunks += struct.pack("<4sI", cid, len(body)) + body
+        if len(body) % 2:
+            chunks += b"\x00"  # RIFF even-boundary pad
+    chunks += struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+class TestCraftedWav:
+    SAMPLES = [0, 100, -100, 32767, -32768, 7]
+
+    def test_basic_decode(self):
+        from gravitydb_spark.multimodal import decode_wav
+
+        wav = decode_wav(_hand_wav(self.SAMPLES, channels=2, rate=16000))
+        assert (wav["n_channels"], wav["sample_rate"], wav["bits"]) == (2, 16000, 16)
+        assert wav["n_frames"] == 3
+        assert wav["data_bytes"] == 12
+        assert wav["sample_sum"] == sum(self.SAMPLES)
+        assert wav["peak"] == 32768
+        assert list(wav["samples"]) == self.SAMPLES
+
+    def test_chunk_walk_skips_unknown_chunks(self):
+        from gravitydb_spark.multimodal import decode_wav
+
+        # odd-sized LIST chunk before data: decoder must skip by declared
+        # size + the RIFF even-boundary pad byte to land on "data"
+        wav = decode_wav(
+            _hand_wav(self.SAMPLES, extra_chunk=(b"LIST", b"INFOxyz"))
+        )
+        assert wav["sample_sum"] == sum(self.SAMPLES)
+        assert wav["n_frames"] == len(self.SAMPLES)
+
+    def test_rejects_malformed(self):
+        from gravitydb_spark.multimodal import decode_wav
+
+        good = _hand_wav(self.SAMPLES)
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFX" + good[4:])  # bad magic
+        with pytest.raises(ValueError):
+            decode_wav(good[:10])  # truncated
+        bad_bits = bytearray(good)
+        struct.pack_into("<H", bad_bits, 34, 8)  # 8-bit PCM unsupported
+        with pytest.raises(ValueError):
+            decode_wav(bytes(bad_bits))
+        # fmt-only file (no data chunk)
+        with pytest.raises(ValueError):
+            decode_wav(good[: 12 + 8 + 16])
+
+    def test_encoder_contract(self):
+        from gravitydb_spark.multimodal import decode_wav, encode_wav, wav_file_size
+
+        data = encode_wav(2, 24000, 5, seed=65530)
+        assert len(data) == wav_file_size(2, 5)
+        wav = decode_wav(data)
+        assert wav["n_frames"] == 5 and wav["n_channels"] == 2
+        # flat sample i = ((seed + 7i) % 65536) - 32768, crossing the wrap
+        assert list(wav["samples"]) == [
+            ((65530 + 7 * i) % 65536) - 32768 for i in range(10)
+        ]
+
+
+class TestAudioOperators:
+    def test_audio_meta_parses_real_bytes(self, spark, sf_dir):
+        from gravitydb_spark.multimodal import wav_file_size
+        from gravitydb_spark.pipeline_queries import multimodal_audio_meta
+
+        rows = {r["doc_id"]: r for r in multimodal_audio_meta(spark, sf_dir).collect()}
+        assert rows
+        d = min(rows)
+        ch, rate, frames = 1 + d % 2, 8000 * (1 + d % 3), 50 + d % 150
+        assert rows[d]["n_bytes"] == wav_file_size(ch, frames)
+        assert rows[d]["audio_sig"] == f"{ch:02x}{rate:08x}10"
+
+    def test_audio_energy_window_count(self, spark, sf_dir):
+        from gravitydb_spark.pipeline_queries import AUDIO_WIN, multimodal_audio_energy
+
+        counts = {
+            r["doc_id"]: r["count"]
+            for r in multimodal_audio_energy(spark, sf_dir)
+            .groupBy("doc_id")
+            .count()
+            .collect()
+        }
+        assert counts
+        for d, n in list(counts.items())[:20]:
+            ch, frames = 1 + d % 2, 50 + d % 150
+            assert n == (frames * ch) // AUDIO_WIN
