@@ -371,9 +371,20 @@ _compound(
                 "m2": "top_bigram_frac",
             },
         ),
+        (
+            "lm_score",
+            "text_lm_score",
+            {
+                "doc_id": "doc_id",
+                "m1": "n_bigrams",
+                "m2": "lm_score",
+            },
+        ),
     ],
     "Gate family for document quality scoring: stopword/length/uniqueness"
-    " ratios and repetition signals (top token / top bigram fractions).",
+    " ratios, repetition signals (top token / top bigram fractions), and"
+    " the corpus-bigram LM predictability score (CCNet-style quality"
+    " filter, exact fixed-point arithmetic).",
 )
 
 _compound(

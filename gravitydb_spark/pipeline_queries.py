@@ -3250,3 +3250,76 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return _wav_payloads(spark, sf_dir).mapInPandas(energy_kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model quality scoring (CCNet-style corpus-LM filter)
+# ---------------------------------------------------------------------------
+
+LM_SCALE = 1_000_000  # fixed-point scale for conditional probabilities
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, i, t[i] AS w
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+           unnest(generate_series(1, len(t))) AS u(i)),
+    big AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+    c1 AS (SELECT w, count(*) AS n1 FROM tok GROUP BY w),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+    p2 AS (SELECT w1, w2, ({LM_SCALE} * n2) // n1 AS p
+           FROM c2 JOIN c1 ON c1.w = c2.w1)
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           (SUM(p) // count(*))::BIGINT AS lm_score
+    FROM big JOIN p2 USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model predictability score (the CCNet/
+    RefinedWeb-style "train an LM on the corpus, score every document"
+    quality filter, reduced to exact integer arithmetic so the oracle is
+    hash-exact): per document, the mean scaled conditional probability
+    floor(LM_SCALE·c(w1,w2)/c(w1)) over its bigram occurrences, floored
+    again at the mean. High = text made of corpus-typical continuations;
+    low = unusual/garbled token sequences. Documents with <2 tokens have
+    no bigram and drop out on both engines.
+
+    Plan shape (the 100 TB posture): bigrams are built ARRAY-SIDE with
+    slice+arrays_zip+explode — no window, no per-doc shuffle. The two
+    count tables (unigram, bigram vocabulary) each partial-aggregate
+    map-side so their shuffles carry vocabulary cardinality, not token
+    count; the probability table p2 is a vocab-sized join. The only
+    instance-level shuffle is the final bigram→p2 equi-join + doc_id
+    rollup, both AQE-managed (frequent-bigram skew is split at runtime).
+    Everything is codegen'd JVM expressions — no Python in the hot path.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = _TOKENS_FN()
+    # bigram instances, built without a window: zip t[1:] against t[2:]
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    big = (
+        docs.select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    tok = docs.select(F.explode(t).alias("w"))
+    c1 = tok.groupBy("w").agg(F.count("*").alias("n1"))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    p2 = c2.join(c1, c2["w1"] == c1["w"]).select(
+        "w1", "w2", F.expr(f"({LM_SCALE} * n2) div n1").alias("p")
+    )
+    return (
+        big.join(p2, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("sum(p) div count(*)").cast("long").alias("lm_score"),
+        )
+    )

@@ -200,3 +200,13 @@ def test_bpe_pair_merge_is_take_ordered_over_partial_agg(plans):
     assert p.count("+- Window") <= 1
     if "Window" in p:
         assert p.index("Window") < p.index("TakeOrderedAndProject")
+
+
+def test_lm_score_has_no_window_or_cartesian(plans):
+    # bigram instances are built array-side (slice+arrays_zip+explode) —
+    # no per-doc window shuffle; count tables partial-aggregate map-side
+    p = plans("text_lm_score")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final for both vocab tables
