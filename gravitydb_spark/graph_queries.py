@@ -940,3 +940,99 @@ def g_db_info(spark, sf_dir):
         [(info["nodes"], info["edges"], info["properties"], info["prop_refs"])],
         "nodes long, edges long, properties long, prop_refs long",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core / onion decomposition over the customer–supplier trade graph
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 8  # ≥ onion depth (measured ≤3 at every SF; extra rounds
+# are no-ops in both engines — same fixpoint-unroll trick as the SSSP oracle)
+
+_KCORE_EDGES_SQL = """
+    SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
+def _kcore_oracle_sql(rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled k-core peel as a CTE chain: a_r = alive set after round r,
+    e_r = surviving edges, rm_r = vertices removed in round r (degree
+    among alive < k, missing degree = 0). k = floor(avg degree), computed
+    from the data so the threshold tracks the scale factor. Rounds past
+    the fixpoint remove nothing on either engine."""
+    # AS MATERIALIZED everywhere: each round references the previous
+    # round's CTEs multiple times — inlined (the default for single-ref
+    # CTEs) the chain re-evaluates exponentially and exhausts file handles
+    parts = [
+        f"e AS MATERIALIZED ({_KCORE_EDGES_SQL})",
+        "und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)",
+        "kk AS MATERIALIZED (SELECT count(*) // count(DISTINCT a) AS k FROM und)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM und)",
+        "e0 AS MATERIALIZED (SELECT a, b FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""dr{r} AS MATERIALIZED (
+      SELECT id, coalesce(d, 0) AS d
+      FROM a{r - 1} LEFT JOIN
+           (SELECT a, count(*) AS d FROM e{r - 1} GROUP BY a) _d{r}
+        ON _d{r}.a = id),
+    rm{r} AS MATERIALIZED (SELECT id FROM dr{r}, kk WHERE d < k),
+    a{r} AS MATERIALIZED (SELECT id FROM dr{r}, kk WHERE d >= k),
+    e{r} AS MATERIALIZED (SELECT a, b FROM e{r - 1}
+             WHERE a IN (SELECT id FROM a{r}) AND b IN (SELECT id FROM a{r}))"""
+        )
+    removed = "\nUNION ALL ".join(
+        f"SELECT id, {r}::BIGINT AS peel_round FROM rm{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, 0::BIGINT AS peel_round FROM a{rounds}"
+        + "\nUNION ALL "
+        + removed
+    )
+
+
+@register("g_kcore_onion", oracle=_kcore_oracle_sql())
+def g_kcore_onion(spark, sf_dir):
+    """k-core onion decomposition of the customer–supplier trade graph
+    (edge (c, s) iff customer c has an order with a lineitem supplied by
+    s): every vertex labeled with the peel round at which it falls out of
+    the k-core, 0 for the core itself, k = floor(average degree) so the
+    threshold tracks the scale factor. The layer labels are the standard
+    coreness-style centrality a pipeline uses to pick well-connected
+    entities; the reference's analytics surface has no iterative ops at
+    all (SURVEY.md §2.5), so like PageRank/CC/HITS this extends it with
+    the scale-mandatory formulation (operators/iterative.py:kcore_onion).
+
+    Scale posture: the edge build is one orders⋈lineitem equi-join +
+    distinct; each peel round is a degree agg + two semi-joins on vertex
+    id with localCheckpoint lineage cuts. k is two scalar counts (one
+    driver-known int — bounded, single job, same contract as the CC
+    convergence check)."""
+    from .operators.iterative import kcore_onion
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()  # eager: counted twice for k, then peeled
+    n_edges, n_verts = (
+        und.agg(
+            F.count("*").alias("m"),
+            F.countDistinct("a").alias("n"),
+        )
+        .collect()[0]
+    )
+    return kcore_onion(und, k=n_edges // n_verts, max_rounds=_KCORE_ROUNDS)

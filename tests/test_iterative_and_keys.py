@@ -115,3 +115,31 @@ def test_sssp_weighted_negative_cycle_raises(spark):
         raise AssertionError("negative cycle must not converge silently")
     except RuntimeError as e:
         assert "converge" in str(e)
+
+
+def test_kcore_onion_clique_with_pendant_chain(spark):
+    from gravitydb_spark.operators.iterative import kcore_onion
+
+    # 4-clique {a,b,c,d} + pendant chain d–e–f–g. With k=2: round 1
+    # removes g (deg 1); round 2 removes f (its degree fell to 1); round 3
+    # removes e; the clique (and d, whose in-clique degree stays 3) is the
+    # 2-core. Hand-computed onion layers, engine-independent.
+    clique = [(x, y) for x in "abcd" for y in "abcd" if x < y]
+    chain = [("d", "e"), ("e", "f"), ("f", "g")]
+    e = spark.createDataFrame(clique + chain, "a string, b string")
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    got = {r["id"]: r["peel_round"] for r in kcore_onion(und, k=2).collect()}
+    assert got == {"a": 0, "b": 0, "c": 0, "d": 0, "e": 3, "f": 2, "g": 1}
+
+
+def test_kcore_onion_unconverged_raises(spark):
+    import pytest as _pytest
+
+    from gravitydb_spark.operators.iterative import kcore_onion
+
+    # a 6-chain under k=2 needs 3 peel rounds; max_rounds=2 must raise
+    chain = [(c, d) for c, d in zip("abcde", "bcdef")]
+    e = spark.createDataFrame(chain, "a string, b string")
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        kcore_onion(und, k=2, max_rounds=2)
