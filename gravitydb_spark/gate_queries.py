@@ -380,11 +380,21 @@ _compound(
                 "m2": "lm_score",
             },
         ),
+        (
+            "tfidf",
+            "text_tfidf_keywords",
+            {
+                "doc_id": "doc_id",
+                "s": "token",
+                "m1": "score",
+                "m2": "rank",
+            },
+        ),
     ],
     "Gate family for document quality scoring: stopword/length/uniqueness"
-    " ratios, repetition signals (top token / top bigram fractions), and"
-    " the corpus-bigram LM predictability score (CCNet-style quality"
-    " filter, exact fixed-point arithmetic).",
+    " ratios, repetition signals (top token / top bigram fractions), the"
+    " corpus-bigram LM predictability score (CCNet-style quality filter,"
+    " exact fixed-point arithmetic), and top-k tf-idf keywords per doc.",
 )
 
 _compound(
@@ -584,10 +594,22 @@ _compound(
             "embed_outliers",
             {"a": "vec_id", "b": "cluster", "c": "sq_dist", "v": "outlier"},
         ),
+        (
+            "quantize",
+            "embed_quantize_int8",
+            {"a": "vec_id", "b": "code_sum", "v": "recon_err"},
+        ),
+        (
+            "random_projection",
+            "embed_random_projection",
+            {"a": "vec_id", "b": "k", "v": "proj"},
+        ),
     ],
     "Gate family for embedding-space ops: L2 norms, LSH-bucketed"
     " embedding-cosine near-dup pairs, deterministic k-means,"
-    " cluster-scoped semantic dedup, and per-cell distance outliers.",
+    " cluster-scoped semantic dedup, per-cell distance outliers, int8"
+    " scalar quantization with reconstruction error, and the ±1"
+    " Johnson-Lindenstrauss random projection.",
 )
 
 _compound(

@@ -3323,3 +3323,231 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(p) div count(*)").cast("long").alias("lm_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf document keywords
+# ---------------------------------------------------------------------------
+
+TFIDF_SCALE = 1_000
+KEYWORD_TOPK = 3
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t[i] AS w
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+           unnest(generate_series(1, len(t))) AS u(i)),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, w AS token,
+             (tf * (({TFIDF_SCALE} * n) // df))::BIGINT AS score
+      FROM tf JOIN df USING (w), n)
+    SELECT doc_id, token, score, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+      FROM scored) _r
+    WHERE rank <= {KEYWORD_TOPK}
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KEYWORD_TOPK} tf-idf keywords per document, with the idf kept
+    in exact fixed-point integers (scaled inverse document frequency
+    ratio floor(SCALE·N/df) instead of its log — monotone in df, so the
+    ranking is the tf-idf ranking, and every value hash-matches the
+    oracle bit-for-bit). Deterministic tie-break (score desc, token asc).
+
+    Plan shape: tf is one (doc_id, token) aggregation (map-side partial);
+    df derives FROM tf (vocab-sized input, not token instances); the
+    tf⋈df equi-join on token is AQE-managed for stopword skew; the final
+    top-k is one row_number window over the doc_id partition. The corpus
+    size N joins in as a broadcast 1-row aggregate, not a driver collect."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_TOKENS_FN()).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("token"),
+            F.expr(f"tf * (({TFIDF_SCALE} * n) div df)").cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KEYWORD_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: int8 scalar quantization + JL random projection
+# ---------------------------------------------------------------------------
+
+Q_LEVELS = 254  # codes 0..254 fit an unsigned int8 payload
+
+
+def _q_exprs(e, mn, mx):
+    """(code, dequant) expression strings for one dimension — shared
+    VERBATIM between the Spark F.expr and the DuckDB oracle so both
+    engines run the identical IEEE operation sequence."""
+    code = (
+        f"CASE WHEN {mx} = {mn} THEN 0 "
+        f"ELSE CAST(floor((({e} - {mn}) * {Q_LEVELS}.0) / ({mx} - {mn})) AS BIGINT) END"
+    )
+    dq = f"({mn} + (((__c{0} + 0.5) / {Q_LEVELS}.0) * ({mx} - {mn})))"
+    return code, dq
+
+
+def _quantize_oracle_sql() -> str:
+    el = [f"embedding[{j + 1}]::DOUBLE" for j in range(EMB_DIM)]
+    mins = ", ".join(f"min(e{j}) AS mn{j}" for j in range(EMB_DIM))
+    maxs = ", ".join(f"max(e{j}) AS mx{j}" for j in range(EMB_DIM))
+    codes, errs = [], []
+    for j in range(EMB_DIM):
+        code, _ = _q_exprs(f"e{j}", f"mn{j}", f"mx{j}")
+        codes.append(f"{code} AS c{j}")
+        dq = f"(mn{j} + (((c{j} + 0.5) / {Q_LEVELS}.0) * (mx{j} - mn{j})))"
+        errs.append(f"((e{j} - {dq}) * (e{j} - {dq}))")
+    flat_cols = ", ".join(f"{el[j]} AS e{j}" for j in range(EMB_DIM))
+    return f"""
+    WITH flat AS MATERIALIZED (SELECT vec_id, {flat_cols} FROM embeddings),
+    stats AS MATERIALIZED (SELECT {mins}, {maxs} FROM flat),
+    coded AS (SELECT flat.*, stats.*, {', '.join(codes)} FROM flat, stats)
+    SELECT vec_id,
+           ({' + '.join(f'c{j}' for j in range(EMB_DIM))})::BIGINT AS code_sum,
+           round({' + '.join(errs)}, 3) AS recon_err
+    FROM coded
+    """
+
+
+@register("embed_quantize_int8", oracle=_quantize_oracle_sql())
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column (the memory-side
+    half of IVF/PQ serving: 4x smaller vectors for the ANN index): per
+    dimension, min/max over the corpus define the scale; code =
+    floor((v-min)*254/(max-min)); the reported ``recon_err`` is the
+    squared reconstruction error of the mid-bin dequantization. All
+    expressions are the same text on both engines, so floats match
+    bit-for-bit before the final round.
+
+    Plan shape: one 1-row global min/max aggregate (128 partial aggs,
+    map-side combined), broadcast back to the scan via crossJoin; the
+    per-vector code/error arithmetic is a flat codegen projection over
+    real double columns (the measured-faster shape from
+    dedup_embedding_cosine); no Python, one shuffle (the 1-row agg)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    v = F.col("v")
+    # per-dim min/max via posexplode + 64-key groupBy (2 aggregate fns,
+    # cheap codegen) instead of one 128-function aggregate (measured 3s
+    # of janino compile for a 1-row result). The 64-row collect is a
+    # bounded single job (same contract as the CC convergence check);
+    # min/max are exact IEEE so the Python floats round-trip into
+    # expression literals bit-identically, and the oracle recomputes the
+    # same values from the data.
+    st = (
+        emb.select(F.posexplode("v").alias("j", "val"))
+        .groupBy("j")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()
+    )
+    mn = {r["j"]: repr(r["mn"]) for r in st}
+    mx = {r["j"]: repr(r["mx"]) for r in st}
+    flat = emb.select(
+        "vec_id", *[v[j].alias(f"e{j}") for j in range(EMB_DIM)]
+    )
+    j_code, j_err = [], []
+    for j in range(EMB_DIM):
+        code, _ = _q_exprs(f"e{j}", f"({mn[j]})", f"({mx[j]})")
+        j_code.append(code)
+        dq = f"(({mn[j]}) + (((c{j} + 0.5) / {Q_LEVELS}.0) * (({mx[j]}) - ({mn[j]}))))"
+        j_err.append(f"((e{j} - {dq}) * (e{j} - {dq}))")
+    coded = flat.select(
+        "vec_id",
+        *[F.col(f"e{j}") for j in range(EMB_DIM)],
+        *[F.expr(j_code[j]).alias(f"c{j}") for j in range(EMB_DIM)],
+    ).cache()  # barrier: without it CollapseProject inlines each c{j}
+    # CASE three times into the error sums (dq twice + code_sum) and the
+    # giant expression's compile time dominates (same lesson as
+    # dedup_embedding_cosine)
+    code_sum = " + ".join(f"c{j}" for j in range(EMB_DIM))
+    err_sum = " + ".join(j_err)
+    return coded.select(
+        "vec_id",
+        F.expr(code_sum).cast("long").alias("code_sum"),
+        F.round(F.expr(err_sum), 3).alias("recon_err"),
+    )
+
+
+RP_OUT = 8  # Johnson-Lindenstrauss target dimensionality
+
+
+def _rp_signs() -> list:
+    """Deterministic ±1 projection matrix from md5 parity — computed once
+    in Python and baked as LITERALS into both the Spark expressions and
+    the oracle SQL, so the two engines share identical coefficients."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}_{k}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for j in range(EMB_DIM)
+        ]
+        for k in range(RP_OUT)
+    ]
+
+
+def _rp_expr(k: int, el: list) -> str:
+    signs = _rp_signs()[k]
+    return " + ".join(f"({signs[j]}.0 * {el[j]})" for j in range(EMB_DIM))
+
+
+@register(
+    "embed_random_projection",
+    # "+ 0.0" normalizes IEEE negative zero (round can yield -0.0 from a
+    # tiny negative sum, and the two engines disagree on its sign bit)
+    oracle="\nUNION ALL ".join(
+        f"""SELECT vec_id, {k}::BIGINT AS k,
+           (round({{expr}}, 3) + 0.0) AS proj FROM embeddings""".replace(
+            "{expr}",
+            _rp_expr(k, [f"embedding[{j + 1}]::DOUBLE" for j in range(EMB_DIM)]),
+        )
+        for k in range(RP_OUT)
+    ),
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→{RP_OUT} dims with a
+    deterministic ±1 sign matrix (md5-parity seeded, baked as literals
+    into both engines): the dimensionality-reduction step a 100 TB
+    pipeline runs BEFORE clustering/ANN so downstream distances are
+    computed on 8 doubles instead of 64 floats, with JL-bounded
+    distortion. Each output dim is a flat left-associated codegen sum of
+    signed columns — bit-identical on both engines before the final
+    round.
+
+    Plan shape: pure per-row projection — zero shuffles, one scan,
+    whole-stage codegen; the posexplode to (vec_id, k, proj) rows keeps
+    the gate schema narrow without widening the compound."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    v = F.col("v")
+    flat = emb.select(
+        "vec_id", *[v[j].alias(f"e{j}") for j in range(EMB_DIM)]
+    )
+    el = [f"e{j}" for j in range(EMB_DIM)]
+    projs = F.array(
+        *[F.round(F.expr(_rp_expr(k, el)), 3) + F.lit(0.0) for k in range(RP_OUT)]
+    )
+    return flat.select(
+        "vec_id", F.posexplode(projs).alias("k", "proj")
+    ).select("vec_id", F.col("k").cast("long").alias("k"), "proj")

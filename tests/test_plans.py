@@ -210,3 +210,16 @@ def test_lm_score_has_no_window_or_cartesian(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("HashAggregate") >= 4  # partial+final for both vocab tables
+
+
+def test_random_projection_is_shuffle_free_scan(plans):
+    # pure per-row projection: one scan, zero exchanges
+    p = plans("embed_random_projection")
+    assert "Exchange" not in p
+
+
+def test_tfidf_no_cartesian_df_from_tf(plans):
+    # df derives from the tf aggregate (vocab-sized), the corpus size N
+    # joins as a broadcast 1-row aggregate — no nested loop over instances
+    p = plans("text_tfidf_keywords")
+    assert "CartesianProduct" not in p
