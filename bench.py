@@ -63,6 +63,13 @@ HEADLINE = [
     "embed_outliers",
     "dedup_jaccard_verify",
     "bpe_pair_merge",
+    # round 4 additions
+    "multimodal_audio_meta",
+    "text_lm_score",
+    "text_tfidf_keywords",
+    "g_kcore_onion",
+    "embed_quantize_int8",
+    "embed_random_projection",
 ]
 
 
