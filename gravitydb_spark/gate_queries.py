@@ -263,10 +263,30 @@ _compound(
                 "m3": "p99_price",
             },
         ),
+        (
+            "q6",
+            "q6_forecast_revenue",
+            {"m1": "revenue", "n1": "n_lines"},
+        ),
+        (
+            "q12",
+            "q12_priority_lines",
+            {
+                "k1": "l_returnflag",
+                "n1": "high_line_count",
+                "n2": "low_line_count",
+            },
+        ),
+        (
+            "q14",
+            "q14_promo_revenue",
+            {"m1": "promo_revenue_pct", "n1": "n_lines"},
+        ),
     ],
-    "Gate family for aggregation shapes beyond TPC-H: multi-metric group"
-    " agg, ROLLUP hierarchy with grand total, exact quantiles"
-    " (median/p90/p99) (SURVEY.md §2.5).",
+    "Gate family for aggregation shapes beyond the headline TPC-H set:"
+    " multi-metric group agg, ROLLUP hierarchy with grand total, exact"
+    " quantiles (median/p90/p99), Q6 scan-side forecast revenue, Q12"
+    " conditional-count split, Q14 promo revenue share (SURVEY.md §2.5).",
 )
 
 _compound(

@@ -39,6 +39,7 @@ OPS = [
     "g_connected_components",
     "g_pagerank",
     "g_sssp_weighted",
+    "g_kcore_onion",
 ]
 
 
@@ -73,6 +74,35 @@ def build_rep10(spark, base: str, out: str) -> None:
         .coalesce(4)
         .write.parquet(f"{out}/supplier.parquet")
     )
+    # orders/lineitem replicated with strided keys → the customer–supplier
+    # trade graph (g_kcore_onion) becomes 10 disjoint copies: identical
+    # per-copy degree distribution, 10× the peel work
+    o = spark.read.parquet(f"{base}/orders.parquet")
+    (
+        o.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * KEY_STRIDE).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("rep") * KEY_STRIDE).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .coalesce(8)
+        .write.parquet(f"{out}/orders.parquet")
+    )
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    others = [c for c in li.columns if c not in ("l_orderkey", "l_suppkey")]
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * KEY_STRIDE).alias("l_orderkey"),
+            (F.col("l_suppkey") + F.col("rep") * KEY_STRIDE).alias("l_suppkey"),
+            *others,
+        )
+        .coalesce(16)
+        .write.parquet(f"{out}/lineitem.parquet")
+    )
 
 
 def build_skew(spark, base: str, out: str) -> None:
@@ -89,6 +119,15 @@ def build_skew(spark, base: str, out: str) -> None:
         F.lit("CELEBRITY").alias("c_mktsegment"),
     )
     c.unionByName(celebs).coalesce(8).write.parquet(f"{out}/customer.parquet")
+    # orders unchanged; lineitem doubled with every duplicate pointing at
+    # supplier 1 → one celebrity supplier adjacent to ~every customer
+    # (hub-degree stress for the kcore peel's degree agg + semi-joins)
+    spark.read.parquet(f"{base}/orders.parquet").write.parquet(
+        f"{out}/orders.parquet"
+    )
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    hub = li.withColumn("l_suppkey", F.lit(1).cast("long"))
+    li.unionByName(hub).coalesce(16).write.parquet(f"{out}/lineitem.parquet")
 
 
 def run(spark, sf_dir: str, label: str) -> None:
