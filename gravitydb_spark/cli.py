@@ -167,7 +167,13 @@ def cmd_script(args) -> int:
     if getattr(args, "lua", False) or args.script.endswith(".lua"):
         from .lua_shim import run_lua_script
 
-        run_lua_script(db, code_text, args.script, extra_env={"spark": spark})
+        mutated, _ns = run_lua_script(
+            db, code_text, args.script, extra_env={"spark": spark}
+        )
+        if mutated is not db:
+            # the script ran db:create_node/… — persist, like every other
+            # mutating verb (the reference's lua_run mutates the kv store)
+            _save_over(spark, mutated, args.db)
         return 0
     ns = {
         "spark": spark,
@@ -177,6 +183,11 @@ def cmd_script(args) -> int:
         **{n: getattr(ql, n) for n in ql.__all__},
     }
     exec(compile(code_text, args.script, "exec"), ns)  # noqa: S102 — the verb's purpose
+    # a Python script mutates by rebinding ``db`` (snapshots are
+    # immutable); persist the rebound graph like the Lua path
+    out = ns.get("db")
+    if isinstance(out, PropertyGraph) and out is not db:
+        _save_over(spark, out, args.db)
     return 0
 
 

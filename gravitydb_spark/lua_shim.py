@@ -75,18 +75,26 @@ _FORBIDDEN = (
 _WORD_MAP = {"nil": "None", "true": "True", "false": "False"}
 
 
-def _split_strings(code: str):
-    """Yield (is_string, segment) pairs; string segments include quotes.
-    Handles ' and " literals with backslash escapes (long ``[[ ]]``
-    strings are not in the subset)."""
+def _lex(code: str):
+    """Single-pass lexer: yield (kind, segment) with kind in
+    ``code`` / ``string`` / ``comment``. Strings keep their quotes;
+    comments and strings are opaque to every later rewrite (so a quote
+    or keyword INSIDE a comment, or ``--`` inside a string, can't derail
+    the transliteration). Handles ' and " literals with backslash
+    escapes, ``--`` line comments, and ``--[[ ]]`` block comments (long
+    ``[[ ]]`` STRINGS are not in the subset)."""
     out, i, n = [], 0, len(code)
     buf = []
+
+    def flush():
+        if buf:
+            out.append(("code", "".join(buf)))
+            buf.clear()
+
     while i < n:
         ch = code[i]
         if ch in "'\"":
-            if buf:
-                out.append((False, "".join(buf)))
-                buf = []
+            flush()
             q, j = ch, i + 1
             lit = [q]
             while j < n:
@@ -99,27 +107,70 @@ def _split_strings(code: str):
                 elif c == q:
                     break
                 j += 1
-            out.append((True, "".join(lit)))
+            out.append(("string", "".join(lit)))
             i = j + 1
+        elif ch == "-" and code.startswith("--", i):
+            flush()
+            if code.startswith("--[[", i):
+                end = code.find("]]", i + 4)
+                end = n if end < 0 else end + 2
+                out.append(("comment", ""))  # block comment: dropped
+                i = end
+            else:
+                end = code.find("\n", i)
+                end = n if end < 0 else end
+                out.append(("comment", "#" + code[i + 2 : end]))
+                i = end
         else:
             buf.append(ch)
             i += 1
-    if buf:
-        out.append((False, "".join(buf)))
+    flush()
+    return out
+
+
+def _rewrite_braces(segments: list) -> list:
+    """Distinguish Lua call-with-table sugar ``f{...}`` (→ ``f([...])``)
+    from plain table constructors ``{...}`` (→ ``[...]``). Matching runs
+    ACROSS segments (the table contents are usually string literals), so
+    the open-brace kinds live on one stack shared by all code segments;
+    the last significant emitted character decides sugar vs literal."""
+    out = []
+    stack = []  # True = call sugar (emitted "(["), False = plain table
+    last_sig = ""  # last non-space char of code emitted so far
+    for kind, seg in segments:
+        if kind != "code":
+            if kind == "string" and seg:
+                last_sig = seg[-1]  # closing quote: not a call-sugar prefix
+            out.append((kind, seg))
+            continue
+        buf = []
+        for ch in seg:
+            if ch == "{":
+                sugar = bool(re.match(r"[\w)\]]", last_sig or ""))
+                stack.append(sugar)
+                buf.append("([" if sugar else "[")
+                last_sig = "["
+            elif ch == "}":
+                sugar = stack.pop() if stack else False
+                buf.append("])" if sugar else "]")
+                last_sig = ")" if sugar else "]"
+            else:
+                buf.append(ch)
+                if not ch.isspace():
+                    last_sig = ch
+        out.append((kind, "".join(buf)))
     return out
 
 
 def transliterate(code: str) -> str:
     """Mechanically rewrite the lua.rs scripting subset to Python; raise
     LuaShimError on constructs outside it."""
-    # block comments first (may span lines), then per-segment rewrites
-    code = re.sub(r"--\[\[.*?\]\]", "", code, flags=re.S)
-    pieces = []
-    for is_str, seg in _split_strings(code):
-        if is_str:
-            pieces.append(seg)
+    segments = _lex(code)
+    rewritten = []
+    for kind, seg in segments:
+        if kind != "code":
+            rewritten.append((kind, seg))
             continue
-        seg = re.sub(r"--[^\n]*", lambda m: "#" + m.group(0)[2:], seg)
         for kw in _FORBIDDEN:
             if re.search(rf"(?<![\w.]){kw}(?![\w])", seg):
                 raise LuaShimError(
@@ -129,12 +180,11 @@ def transliterate(code: str) -> str:
                 )
         seg = re.sub(r"(?<![\w.])local\s+", "", seg)
         seg = re.sub(r":(\w+)\s*\(", r".\1(", seg)
-        seg = seg.replace("{", "[").replace("}", "]")
         seg = re.sub(r"\.\.", "+", seg)
         for lua_w, py_w in _WORD_MAP.items():
             seg = re.sub(rf"(?<![\w.]){lua_w}(?![\w])", py_w, seg)
-        pieces.append(seg)
-    return "".join(pieces)
+        rewritten.append((kind, seg))
+    return "".join(seg for _, seg in _rewrite_braces(rewritten))
 
 
 class LuaDb:

@@ -516,7 +516,11 @@ def kcore_onion(und: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
     alive = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
     peeled = []
     converged = False
-    for r in range(1, max_rounds + 1):
+    # max_rounds REMOVAL rounds are budgeted (matching the oracle's CTE
+    # unroll depth exactly), plus one confirming round that must remove
+    # nothing — without it a peel of depth == max_rounds would raise here
+    # while the oracle converges (off-by-one between the two engines)
+    for r in range(1, max_rounds + 2):
         deg = edges.groupBy("a").agg(F.count("*").alias("d"))
         ad = alive.join(deg, alive.id == deg.a, "left").select(
             "id", F.coalesce("d", F.lit(0)).alias("d")
@@ -525,6 +529,8 @@ def kcore_onion(und: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
         if removed.isEmpty():
             converged = True
             break
+        if r > max_rounds:
+            break  # removal in the confirm round: depth exceeds the budget
         peeled.append(
             removed.withColumn("peel_round", F.lit(r).cast("long"))
         )

@@ -1605,11 +1605,12 @@ def decode_image(data: bytes) -> dict:
     return decode_bmp(data)
 
 
-def _bmp_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, payload binary) with a real BMP per row —
-    the deterministic test-data generator feeding the decode operators.
-    Arrow-batched; bytes are born on the executors and never transit the
-    driver."""
+def _payloads(spark: SparkSession, sf_dir: str, encode_row) -> DataFrame:
+    """documents → (doc_id, payload binary) via ``encode_row(doc_id,
+    text) -> bytes`` — the shared deterministic test-data generator
+    feeding every multimodal decode operator (BMP, frame container,
+    WAV). Arrow-batched; bytes are born on the executors and never
+    transit the driver."""
     import pandas as pd
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1626,17 +1627,22 @@ def _bmp_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": [
-                        encode_bmp(
-                            4 + int(d) % 13,
-                            3 + int(d) % 7,
-                            31 * int(d) + len(t),
-                        )
+                        encode_row(int(d), t)
                         for d, t in zip(pdf["doc_id"], pdf["text"])
                     ],
                 }
             )
 
     return docs.mapInPandas(gen, schema)
+
+
+def _bmp_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One real BMP per document (geometry per _BMP_DIMS_SQL)."""
+    return _payloads(
+        spark,
+        sf_dir,
+        lambda d, t: encode_bmp(4 + d % 13, 3 + d % 7, 31 * d + len(t)),
+    )
 
 
 @register(
@@ -1697,36 +1703,14 @@ def _frame_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     container: ``N_FRAMES`` BMPs back-to-back, each frame's length given
     only by its own header's file-size field (frame f: w = 4+(doc_id+f)%13,
     h = 3+(doc_id+f)%7, seed = 31*doc_id + length(text) + 97*f)."""
-    import pandas as pd
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
+    return _payloads(
+        spark,
+        sf_dir,
+        lambda d, t: b"".join(
+            encode_bmp(4 + (d + f) % 13, 3 + (d + f) % 7, 31 * d + len(t) + 97 * f)
+            for f in range(N_FRAMES)
+        ),
     )
-
-    def gen(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        b"".join(
-                            encode_bmp(
-                                4 + (int(d) + f) % 13,
-                                3 + (int(d) + f) % 7,
-                                31 * int(d) + len(t) + 97 * f,
-                            )
-                            for f in range(N_FRAMES)
-                        )
-                        for d, t in zip(pdf["doc_id"], pdf["text"])
-                    ],
-                }
-            )
-
-    return docs.mapInPandas(gen, schema)
 
 
 @register(
@@ -3117,37 +3101,15 @@ AUDIO_WIN = 32  # flat samples per energy window
 
 
 def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, payload binary) with a real canonical 16-bit
-    PCM WAV per row — deterministic generator feeding the audio decode
-    operators. Arrow-batched; bytes never transit the driver."""
-    import pandas as pd
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
+    """One real canonical 16-bit PCM WAV per document (geometry per
+    _WAV_DIMS_SQL)."""
+    return _payloads(
+        spark,
+        sf_dir,
+        lambda d, t: encode_wav(
+            1 + d % 2, 8000 * (1 + d % 3), 50 + d % 150, 17 * d + len(t)
+        ),
     )
-
-    def gen(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        encode_wav(
-                            1 + int(d) % 2,
-                            8000 * (1 + int(d) % 3),
-                            50 + int(d) % 150,
-                            17 * int(d) + len(t),
-                        )
-                        for d, t in zip(pdf["doc_id"], pdf["text"])
-                    ],
-                }
-            )
-
-    return docs.mapInPandas(gen, schema)
 
 
 @register(

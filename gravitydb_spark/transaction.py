@@ -113,14 +113,29 @@ class TransactionalStore:
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
 
-            prev = self._current_name()
-            n = int(prev.split("-")[1]) + 1 if prev else 0
-            name = f"snap-{n}"
+            # allocate PAST any existing snap-* dir, not just past CURRENT:
+            # an aborted or crashed commit leaves an orphan snapshot dir,
+            # and reusing its number would make save(mode="error") fail on
+            # every later commit
+            existing = [
+                int(d.split("-")[1])
+                for d in os.listdir(self.path)
+                if d.startswith("snap-") and d.split("-")[1].isdigit()
+            ]
+            name = f"snap-{max(existing) + 1 if existing else 0}"
             target = os.path.join(self.path, name)
-            graph.save(target, mode="error")  # fresh dir — never overwrite
-            # verify the COMMITTED bytes, not the in-memory lineage
-            committed = PropertyGraph.load(graph.spark, target, graph.schema)
-            check_constraints(committed, constraints)
+            try:
+                graph.save(target, mode="error")  # fresh dir — never overwrite
+                # verify the COMMITTED bytes, not the in-memory lineage
+                committed = PropertyGraph.load(graph.spark, target, graph.schema)
+                check_constraints(committed, constraints)
+            except BaseException:
+                # the swap never happened: the written dir is garbage, not
+                # a snapshot — collect it so the abort is fully recoverable
+                import shutil
+
+                shutil.rmtree(target, ignore_errors=True)
+                raise
             tmp = os.path.join(self.path, self.CURRENT + ".tmp")
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(name)

@@ -143,3 +143,17 @@ def test_kcore_onion_unconverged_raises(spark):
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     with _pytest.raises(RuntimeError, match="fixpoint"):
         kcore_onion(und, k=2, max_rounds=2)
+
+
+def test_kcore_onion_depth_equal_to_budget_converges(spark):
+    # 4-chain under k=2 peels in exactly 2 removal rounds (ends {a,d} then
+    # {b,c}); max_rounds=2 must SUCCEED — the budget counts removal rounds
+    # (matching the oracle's CTE unroll), with the confirming empty round
+    # on top. Regression for the engines' off-by-one.
+    from gravitydb_spark.operators.iterative import kcore_onion
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    e = spark.createDataFrame(chain, "a string, b string")
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    got = {r["id"]: r["peel_round"] for r in kcore_onion(und, k=2, max_rounds=2).collect()}
+    assert got == {"a": 1, "d": 1, "b": 2, "c": 2}

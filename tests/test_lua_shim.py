@@ -27,10 +27,21 @@ class TestTransliterate:
         )
 
     def test_tables_become_lists(self):
-        assert transliterate('vq_from_ids{"a", "b"}') == 'vq_from_ids["a", "b"]'
-        # NB: Python call-with-subscript is invalid; array tables as ARGS
-        # use parens in both languages: vq_from_ids({"a"}) works
+        # Lua call-with-table sugar f{...} is f({...}) — the shim emits a
+        # real call, and plain table constructors become list literals
+        assert transliterate('vq_from_ids{"a", "b"}') == 'vq_from_ids(["a", "b"])'
         assert transliterate('vq_from_ids({"a"})') == 'vq_from_ids(["a"])'
+        assert transliterate("t = {1, {2}, 3}") == "t = [1, [2], 3]"
+
+    def test_comment_text_is_inert(self):
+        # keywords and quotes inside comments must not trip the keyword
+        # scan or the string lexer (they are opaque comment text)
+        assert transliterate("-- do the query\nq = vq_all()") == (
+            "# do the query\nq = vq_all()"
+        )
+        got = transliterate("-- don't break\nlocal x = nil\n")
+        assert got == "# don't break\nx = None\n"
+        assert transliterate("--[[ for while end ]]y = true") == "y = True"
 
     def test_strings_are_protected(self):
         # ':' '{' '--' inside string literals must survive untouched
@@ -157,3 +168,34 @@ class TestCliLuaScript:
         ]
         assert out_lists, r.stdout[-2000:]
         assert eval(out_lists[-1]) == _expected_tagged()  # noqa: S307 — list-of-str repr
+
+    def test_script_verb_persists_lua_mutations(self, spark, tmp_path):
+        from gravitydb_spark.graph import PropertyGraph
+
+        db_path = str(tmp_path / "mut_db")
+        PropertyGraph.empty(spark).save(db_path)
+        lua_file = tmp_path / "mutate.lua"
+        lua_file.write_text(
+            "local id = db:create_node(Prop('City', 'Berlin'))\n"
+            "print('CREATED\\t' .. id)\n",
+            encoding="utf-8",
+        )
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "gravitydb_spark.cli",
+                "script",
+                "--db",
+                db_path,
+                str(lua_file),
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        # the mutation must be durable: re-load the store fresh
+        g = PropertyGraph.load(spark, db_path)
+        assert g.vertices.count() == 1

@@ -82,14 +82,32 @@ class TestTransactionalStore:
 
         # pointer still names the old snapshot and every byte of the
         # published snapshot (vertices/edges/properties/prop_refs parquet)
-        # is identical; the failed snap-1 dir exists but is unreferenced
-        # garbage, exactly like the doc's shadow copy
+        # is identical; the failed snapshot dir is collected on abort
         assert store.current_path() == before_ptr
         assert _dir_digest(before_ptr) == before_digest
         reread = store.load(spark)
         assert sorted(map(tuple, reread.vertices.collect())) == sorted(
             map(tuple, g.vertices.collect())
         )
+
+    def test_commit_succeeds_after_abort(self, spark, tmp_path):
+        # an aborted commit must not poison the snapshot namespace: the
+        # next commit allocates past any leftover dir and succeeds
+        store = TransactionalStore(str(tmp_path / "db"))
+        g = _graph(spark)
+        store.init(g)
+        bad = g.create_nodes([(None, Prop("City", "Atlantis"))])[0]
+        with pytest.raises(ConstraintViolation):
+            store.commit(bad, [_no_forbidden()])
+        good = g.create_nodes([(None, Prop("City", "Rome"))])[0]
+        name = store.commit(good, [_no_forbidden()])
+        assert store._current_name() == name
+        assert store.load(spark).vertices.count() == 2
+        # crash-orphan case: an unreferenced dir left behind (simulating a
+        # writer that died before cleanup) must also be skipped over
+        os.makedirs(os.path.join(store.path, "snap-7"))
+        name2 = store.commit(good, [_no_forbidden()])
+        assert name2 == "snap-8"
 
     def test_commit_swaps_pointer(self, spark, tmp_path):
         store = TransactionalStore(str(tmp_path / "db"))
