@@ -70,6 +70,10 @@ HEADLINE = [
     "g_kcore_onion",
     "embed_quantize_int8",
     "embed_random_projection",
+    "g_weighted_pagerank",
+    "q6_forecast_revenue",
+    "q12_priority_lines",
+    "q14_promo_revenue",
 ]
 
 

@@ -639,13 +639,14 @@ _compound(
         ("bfs", "g_bfs_from_regions", {"id": "id", "dist": "dist"}),
         ("sssp", "g_sssp_weighted", {"id": "id", "dist": "dist"}),
         ("kcore", "g_kcore_onion", {"id": "id", "dist": "peel_round"}),
+        ("wpagerank", "g_weighted_pagerank", {"id": "id", "dist": "rank_scaled"}),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
-    " distances and weighted single-source shortest paths (frontier"
-    " Bellman-Ford, integer weights — closes the reference's declared-"
-    "but-unimplemented WeightedGraph trait, lib.rs:62-65) from all Region"
-    " vertices, plus the k-core onion decomposition of the customer–"
-    "supplier trade graph (iterative peel, k = floor(avg degree)).",
+    " distances, weighted single-source shortest paths (frontier"
+    " Bellman-Ford) and weighted PageRank (both consuming the reference's"
+    " declared-but-unimplemented WeightedGraph weights, lib.rs:62-65),"
+    " plus the k-core onion decomposition of the customer–supplier trade"
+    " graph (iterative peel, k = floor(avg degree)).",
 )
 
 _compound(

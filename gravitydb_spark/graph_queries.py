@@ -1036,3 +1036,85 @@ def g_kcore_onion(spark, sf_dir):
         .collect()[0]
     )
     return kcore_onion(und, k=n_edges // n_verts, max_rounds=_KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank over the weighted SSSP edge set
+# ---------------------------------------------------------------------------
+
+_WPR_ITERS = 5
+_WPR_SCALE = 10**12
+
+
+def _wpr_oracle_sql(iters: int = _WPR_ITERS, scale: int = _WPR_SCALE,
+                    dn: int = 85, dd: int = 100) -> str:
+    """Unrolled scaled-BIGINT WEIGHTED power iteration — the exact
+    integer recurrence of ``pagerank_weighted_scaled``: per-edge
+    contribution (rank * w) // out_weight instead of rank // out_degree;
+    dangling mass and damping identical to the unweighted oracle."""
+    n = "(SELECT n FROM nv)"
+    base = f"(({scale} * {dd - dn}) // ({dd} * {n}))"
+    parts = [
+        "WITH verts AS MATERIALIZED (SELECT 'c' || c_custkey AS id FROM customer"
+        " UNION ALL SELECT 's' || s_suppkey FROM supplier"
+        " UNION ALL SELECT 'n' || n_nationkey FROM nation"
+        " UNION ALL SELECT 'r' || r_regionkey FROM region),",
+        f"edges AS MATERIALIZED ({_SSSP_EDGES_SQL}),",
+        "wsum AS MATERIALIZED (SELECT from_id, sum(w)::BIGINT AS wsum"
+        " FROM edges GROUP BY from_id),",
+        "nv AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM verts),",
+        f"pr0 AS MATERIALIZED (SELECT id, ({scale} // {n})::BIGINT AS r FROM verts),",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"dng{k} AS MATERIALIZED (SELECT (COALESCE(sum(p.r), 0)::BIGINT"
+            f" // {n})::BIGINT AS dpn FROM pr{k} p"
+            " LEFT JOIN wsum d ON d.from_id = p.id WHERE d.from_id IS NULL),"
+        )
+        parts.append(
+            f"pr{k + 1} AS MATERIALIZED (SELECT v.id,"
+            f" ({base} + ({dn} * (COALESCE(a.in_rank, 0)"
+            f" + (SELECT dpn FROM dng{k}))) // {dd})::BIGINT AS r"
+            " FROM verts v LEFT JOIN ("
+            "SELECT e.to_id AS id, sum((p.r * e.w) // d.wsum)::BIGINT AS in_rank"
+            f" FROM pr{k} p JOIN wsum d ON d.from_id = p.id"
+            " JOIN edges e ON e.from_id = p.id"
+            " GROUP BY e.to_id) a ON a.id = v.id),"
+        )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return body + f"SELECT id, r AS rank_scaled FROM pr{iters}"
+
+
+@register("g_weighted_pagerank", oracle=_wpr_oracle_sql())
+def g_weighted_pagerank(spark, sf_dir):
+    """Weighted PageRank over the integer-weighted graph of
+    ``g_sssp_weighted`` (reversed tree edges + nation ring): rank flows
+    proportional to edge weight, (rank*w) DIV out_weight per edge —
+    the second consumer of the reference's declared-but-unused
+    ``WeightedGraph`` weights (lib.rs:62-65), in the same scaled-BIGINT
+    arithmetic that makes every iterative op here oracle-exact
+    (operators/iterative.py:pagerank_weighted_scaled).
+
+    Scale posture identical to g_pagerank: per iteration one weighted
+    contribution join + keyed sum, dangling mass as a 1-row broadcast
+    aggregate, localCheckpoint lineage cuts."""
+    from .operators.iterative import pagerank_weighted_scaled
+
+    def vid(prefix, col):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    verts = (
+        load(spark, sf_dir, "customer").select(vid("c", "c_custkey").alias("id"))
+        .unionByName(
+            load(spark, sf_dir, "supplier").select(vid("s", "s_suppkey").alias("id"))
+        )
+        .unionByName(
+            load(spark, sf_dir, "nation").select(vid("n", "n_nationkey").alias("id"))
+        )
+        .unionByName(
+            load(spark, sf_dir, "region").select(vid("r", "r_regionkey").alias("id"))
+        )
+    )
+    return pagerank_weighted_scaled(
+        verts, _sssp_weighted_edges(spark, sf_dir), iters=_WPR_ITERS, scale=_WPR_SCALE
+    )

@@ -28,8 +28,10 @@ __all__ = [
     "cc_labels",
     "connected_components",
     "hits_scaled",
+    "kcore_onion",
     "pagerank",
     "pagerank_scaled",
+    "pagerank_weighted_scaled",
     "sssp_weighted",
     "triangle_counts",
 ]
@@ -548,3 +550,68 @@ def kcore_onion(und: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
     for p in peeled:
         out = out.unionByName(p)
     return out
+
+
+def pagerank_weighted_scaled(
+    verts: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """DF[id, rank_scaled: long] — PageRank over WEIGHTED edges
+    DF[from_id, to_id, w] (positive integer weights): each vertex
+    distributes its rank proportionally to outgoing edge weight,
+    ``contrib = (rank * w) DIV out_weight`` — all scaled-BIGINT integer
+    arithmetic exactly like :func:`pagerank_scaled`, so the result is
+    aggregation-order independent and value-matchable against the
+    unrolled DuckDB recurrence. Completes the ``WeightedGraph`` closure
+    begun by :func:`sssp_weighted` (lib.rs:62-65 declares the weights;
+    nothing in the reference consumes them).
+
+    Dangling vertices (no out-edges) redistribute uniformly via the same
+    1-row broadcast aggregate as the unweighted variant. Products stay
+    within BIGINT: rank ≤ scale and integer weights are small; for huge
+    weights pre-normalize them."""
+    n = verts.count()
+    dn, dd = damping_num, damping_den
+    base = (scale * (dd - dn)) // (dd * n)
+    wsum = edges.groupBy("from_id").agg(F.sum("w").alias("wsum"))
+    ranks = verts.select("id", F.lit(scale // n).cast("long").alias("rank"))
+    e = edges.select("from_id", "to_id", "w").localCheckpoint(eager=False)
+    for _ in range(iters):
+        contribs = (
+            e.join(wsum, "from_id")
+            .join(ranks, e.from_id == ranks.id)
+            .select(
+                F.col("to_id").alias("id"),
+                F.expr("(rank * w) DIV wsum").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        dng = (
+            ranks.join(
+                wsum.select(F.col("from_id").alias("id")), "id", "left_anti"
+            )
+            .agg(
+                F.expr(
+                    f"cast(coalesce(sum(rank), cast(0 as bigint)) DIV {n} as bigint)"
+                ).alias("dpn")
+            )
+        )
+        ranks = (
+            verts.select("id")
+            .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dng))
+            .select(
+                "id",
+                F.expr(
+                    f"cast({base} + ({dn} * (coalesce(in_rank, 0) + dpn)) DIV {dd}"
+                    " as bigint)"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", F.col("rank").alias("rank_scaled"))

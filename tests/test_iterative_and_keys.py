@@ -157,3 +157,20 @@ def test_kcore_onion_depth_equal_to_budget_converges(spark):
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     got = {r["id"]: r["peel_round"] for r in kcore_onion(und, k=2, max_rounds=2).collect()}
     assert got == {"a": 1, "d": 1, "b": 2, "c": 2}
+
+
+def test_weighted_pagerank_follows_weights(spark):
+    # a -> b (w=9), a -> c (w=1): b must outrank c; all mass conserved
+    # within integer-floor loss
+    from gravitydb_spark.operators.iterative import pagerank_weighted_scaled
+
+    verts = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1)], "from_id string, to_id string, w long"
+    )
+    got = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank_weighted_scaled(verts, edges, iters=3).collect()
+    }
+    assert got["b"] > got["c"] > 0
+    assert got["b"] > got["a"]
