@@ -223,3 +223,17 @@ def test_tfidf_no_cartesian_df_from_tf(plans):
     # joins as a broadcast 1-row aggregate — no nested loop over instances
     p = plans("text_tfidf_keywords")
     assert "CartesianProduct" not in p
+
+
+def test_q6_all_predicates_pushed(plans):
+    p = plans("q6_forecast_revenue")
+    pushed = p.split("PushedFilters", 1)[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read = p.split("ReadSchema", 1)[1][:300]
+    assert "l_returnflag" not in read  # column pruning: only the 4 needed cols
+
+
+def test_q14_part_dimension_broadcasts(plans):
+    p = plans("q14_promo_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
