@@ -34,7 +34,7 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
-_FORMATS = ("parquet", "jsonl", "csv")
+_FORMATS = ("parquet", "orc", "jsonl", "csv")
 
 
 def _canonicalize(df: DataFrame) -> DataFrame:
@@ -74,7 +74,7 @@ def read_documents(
 ) -> DataFrame:
     """Read a document corpus into the canonical schema.
 
-    ``fmt``: ``parquet`` | ``jsonl`` | ``csv``. The explicit ``schema``
+    ``fmt``: ``parquet`` | ``orc`` | ``jsonl`` | ``csv``. The explicit ``schema``
     (default: DOCUMENTS_SCHEMA) is passed to the reader so no inference
     pass runs; extra columns in the files are simply not read (column
     pruning), missing optional ones are null-filled/derived."""
@@ -82,6 +82,8 @@ def read_documents(
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
     if fmt == "parquet":
         df = spark.read.options(**options).parquet(path)
+    elif fmt == "orc":
+        df = spark.read.options(**options).orc(path)
     elif fmt == "jsonl":
         df = (
             spark.read.schema(schema or DOCUMENTS_SCHEMA)
@@ -123,6 +125,8 @@ def write_documents(
         )
     elif fmt == "parquet":
         out.write.mode(mode).parquet(path)
+    elif fmt == "orc":
+        out.write.mode(mode).orc(path)
     elif fmt == "jsonl":
         out.write.mode(mode).json(path)
     else:

@@ -170,3 +170,16 @@ def test_clean_corpus_materialization(spark, tmp_path):
     # partitioned layout on disk
     import os
     assert any(d.startswith("source=") for d in os.listdir(out))
+
+
+def test_document_corpus_orc_roundtrip(spark, tmp_path):
+    """ORC round-trip preserves the canonical corpus exactly (second
+    columnar format beside parquet; Spark-native writer/reader)."""
+    from gravitydb_spark.sources import read_documents, write_documents
+
+    src = read_documents(spark, "/root/testdata/sf0.001/documents.parquet")
+    baseline = sorted(tuple(r) for r in src.collect())
+    oc = str(tmp_path / "docs_orc")
+    write_documents(src, oc, fmt="orc")
+    back = read_documents(spark, oc, fmt="orc")
+    assert sorted(tuple(r) for r in back.collect()) == baseline
