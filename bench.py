@@ -74,6 +74,11 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q12_priority_lines",
     "q14_promo_revenue",
+    "q4_priority_exists",
+    "q13_customer_distribution",
+    "q16_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
 ]
 
 

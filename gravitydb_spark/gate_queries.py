@@ -282,11 +282,38 @@ _compound(
             "q14_promo_revenue",
             {"m1": "promo_revenue_pct", "n1": "n_lines"},
         ),
+        (
+            "q4",
+            "q4_priority_exists",
+            {"k1": "o_orderpriority", "n1": "n_orders"},
+        ),
+        (
+            "q13",
+            "q13_customer_distribution",
+            {"n1": "c_count", "n2": "custdist"},
+        ),
+        (
+            "q16",
+            "q16_supplier_cnt",
+            {"k1": "p_brand", "n1": "supplier_cnt"},
+        ),
+        (
+            "q19",
+            "q19_disjunctive_revenue",
+            {"m1": "revenue", "n1": "n_lines"},
+        ),
+        (
+            "q22",
+            "q22_idle_customers",
+            {"n1": "nationkey", "n2": "numcust", "m1": "totacctbal"},
+        ),
     ],
     "Gate family for aggregation shapes beyond the headline TPC-H set:"
-    " multi-metric group agg, ROLLUP hierarchy with grand total, exact"
-    " quantiles (median/p90/p99), Q6 scan-side forecast revenue, Q12"
-    " conditional-count split, Q14 promo revenue share (SURVEY.md §2.5).",
+    " multi-metric group agg, ROLLUP with grand total, exact quantiles,"
+    " Q6 scan-side forecast, Q12 conditional-count split, Q14 promo"
+    " share, Q4 EXISTS semi-join, Q13 two-level histogram, Q16 NOT-IN"
+    " anti + distinct count, Q19 disjunctive pushdown, Q22 scalar-"
+    "subquery threshold + anti-join (SURVEY.md §2.5).",
 )
 
 _compound(

@@ -804,3 +804,163 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_lines"),
         )
     )
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelates to a LEFT-SEMI join — the
+    order counts per priority among orders with at least one returned
+    line (this schema has no commit/receipt dates, so the EXISTS
+    predicate keys on l_returnflag; the plan shape — pushed date range,
+    semi-join on orderkey, single-key agg — is Q4's)."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey) _o
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the two-level aggregation histogram — orders per
+    customer (LEFT join keeps order-less customers at 0), then customer
+    count per order count. The outer agg's input is customer-cardinality,
+    so its shuffle is tiny regardless of the orders fact size."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size >= 20
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per brand with a NOT-IN
+    exclusion list — the exclusion compiles to a broadcast LEFT-ANTI join
+    (the complaint-supplier list is dimension-sized), the brand join
+    broadcasts part, and the distinct count is the only wide shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount))::DOUBLE, 2)
+             AS revenue,
+           count(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a three-branch disjunctive predicate across both
+    join sides. Catalyst extracts the common-side conjuncts so each scan
+    still prunes (the quantity disjunction lands on the lineitem scan,
+    the brand/size disjunction on the part scan) before the join applies
+    the cross-side residual — the classic disjunction-pushdown probe."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c.c_nationkey::BIGINT AS nationkey,
+           count(*)::BIGINT AS numcust,
+           round(sum(c.c_acctbal)::DOUBLE, 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-idle customers — an uncorrelated
+    scalar-subquery threshold (broadcast 1-row aggregate) plus a NOT
+    EXISTS that compiles to a LEFT-ANTI join against the recent-orders
+    side, then a per-nation rollup (no phone column in this schema, so
+    the group key is the nation)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -237,3 +237,22 @@ def test_q14_part_dimension_broadcasts(plans):
     p = plans("q14_promo_revenue")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q4_exists_is_semi_join(plans):
+    p = plans("q4_priority_exists")
+    assert "LeftSemi" in p
+
+
+def test_q22_not_exists_is_anti_join_with_broadcast_threshold(plans):
+    p = plans("q22_idle_customers")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q19_disjunction_prunes_both_scans(plans):
+    # the quantity disjunction must reach the lineitem scan as a data
+    # filter (not evaluated only post-join)
+    p = plans("q19_disjunctive_revenue")
+    li_scan = p.split("lineitem.parquet", 1)[0]
+    assert "l_quantity" in li_scan.rsplit("FileScan", 1)[-1] or "l_quantity" in p.split("DataFilters", 1)[1][:600]
