@@ -233,3 +233,95 @@ def test_sssp_weighted_matches_dijkstra(spark, seed):
     src_df = spark.createDataFrame([(s,) for s in sources], "id string")
     got = {r["id"]: r["dist"] for r in sssp_weighted(edges, src_df).collect()}
     assert got == dist
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_kcore_onion_matches_python_peel(spark, seed):
+    """Random graph vs a pure-Python synchronous peel of the identical
+    rule (remove all vertices with alive-degree < k each round)."""
+    from gravitydb_spark.operators.iterative import kcore_onion
+
+    rng = random.Random(seed)
+    n = rng.randint(12, 30)
+    ids = [f"v{i:02d}" for i in range(n)]
+    m = rng.randint(n, n * 3)
+    pairs = {
+        tuple(sorted((rng.randrange(n), rng.randrange(n))))
+        for _ in range(m)
+    }
+    pairs = [(a, b) for a, b in pairs if a != b]
+    k = rng.randint(2, 4)
+
+    # python model: synchronous peel, round labels
+    adj = {i: set() for i in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    # vertex set = edge endpoints only (matches the operator's contract)
+    alive = {v for v in adj if adj[v]}
+    expected, rnd = {}, 0
+    while True:
+        rnd += 1
+        dead = {v for v in alive if len(adj[v] & alive) < k}
+        if not dead:
+            break
+        for v in dead:
+            expected[ids[v]] = rnd
+        alive -= dead
+    for v in alive:
+        expected[ids[v]] = 0
+
+    e = spark.createDataFrame(
+        [(ids[a], ids[b]) for a, b in pairs], "a string, b string"
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    got = {
+        r["id"]: r["peel_round"]
+        for r in kcore_onion(und, k=k, max_rounds=max(rnd, 1)).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_weighted_pagerank_matches_python_recurrence(spark, seed):
+    """Random weighted digraph vs a pure-Python run of the identical
+    scaled-integer recurrence — bit-exact, any mismatch is an
+    implementation divergence, not float noise."""
+    from gravitydb_spark.operators.iterative import pagerank_weighted_scaled
+
+    rng = random.Random(seed)
+    n = rng.randint(8, 20)
+    ids = [f"v{i:02d}" for i in range(n)]
+    m = rng.randint(n, n * 3)
+    edges = {}
+    for _ in range(m):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges[(a, b)] = rng.randint(1, 9)
+    scale, dn, dd, iters = 10**12, 85, 100, 4
+
+    # python model
+    wsum = {}
+    for (a, _b), w in edges.items():
+        wsum[a] = wsum.get(a, 0) + w
+    base = (scale * (dd - dn)) // (dd * n)
+    rank = {i: scale // n for i in range(n)}
+    for _ in range(iters):
+        inflow = {i: 0 for i in range(n)}
+        for (a, b), w in edges.items():
+            inflow[b] += (rank[a] * w) // wsum[a]
+        dangling = sum(rank[i] for i in range(n) if i not in wsum)
+        dpn = dangling // n
+        rank = {i: base + (dn * (inflow[i] + dpn)) // dd for i in range(n)}
+    expected = {ids[i]: rank[i] for i in range(n)}
+
+    verts = spark.createDataFrame([(x,) for x in ids], "id string")
+    edf = spark.createDataFrame(
+        [(ids[a], ids[b], w) for (a, b), w in edges.items()],
+        "from_id string, to_id string, w long",
+    )
+    got = {
+        r["id"]: r["rank_scaled"]
+        for r in pagerank_weighted_scaled(verts, edf, iters=iters).collect()
+    }
+    assert got == expected
