@@ -79,6 +79,7 @@ HEADLINE = [
     "q16_supplier_cnt",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    "text_chunk_windows",
 ]
 
 

@@ -507,6 +507,17 @@ _compound(
             },
         ),
         (
+            "chunk_windows",
+            "text_chunk_windows",
+            {
+                "doc_id": "doc_id",
+                "n1": "chunk_idx",
+                "n2": "tok_start",
+                "n3": "chunk_len",
+                "sig": "chunk_hash",
+            },
+        ),
+        (
             "substring_spans",
             "dedup_substring_spans",
             {
@@ -518,7 +529,7 @@ _compound(
             },
         ),
     ],
-    "Gate family for corpus cleaning: PII redaction counts/signature,"
+    "Gate family for corpus cleaning and chunking: PII redaction,"
     " benchmark n-gram decontamination overlap, segment-level dedup, and"
     " substring-span (duplicated 8-gram coverage) dedup.",
 )

@@ -3513,3 +3513,61 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.select(
         "vec_id", F.posexplode(projs).alias("k", "proj")
     ).select("vec_id", F.col("k").cast("long").alias("k"), "proj")
+
+
+# ---------------------------------------------------------------------------
+# RAG / training chunking: overlapping token windows
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # stride; CHUNK_W - CHUNK_STRIDE = 16 tokens of overlap
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS t,
+                      len({_DUCK_TOKENS})::BIGINT AS n FROM documents),
+    s AS (SELECT doc_id, t, n,
+                 unnest(generate_series(0, n - 1, {CHUNK_STRIDE})) AS start
+          FROM t)
+    SELECT doc_id,
+           (start // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+           start::BIGINT AS tok_start,
+           least({CHUNK_W}, n - start)::BIGINT AS chunk_len,
+           md5(array_to_string(
+             t[start + 1 : start + least({CHUNK_W}, n - start)], ' '))
+             AS chunk_hash
+    FROM s
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the document→chunk splitter a
+    RAG/embedding pipeline runs before encoding ({CHUNK_W}-token windows
+    at stride {CHUNK_STRIDE} = 16 tokens of overlap so no boundary
+    context is lost). Each chunk carries its token offset, length, and an
+    md5 content hash (chunk-level dedup key); both engines hash the
+    space-rejoined window so the values are hash-exact.
+
+    Plan shape: pure per-row array arithmetic — sequence+explode for the
+    window starts, slice+concat_ws+md5 for the content, all codegen'd
+    JVM collection expressions, ZERO shuffles (plan-guarded). At 100 TB
+    this is the map stage feeding the embedding encoder."""
+    t = _TOKENS_FN()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", t.alias("t"), F.size(t).cast("long").alias("n")
+    )
+    starts = F.expr(f"sequence(bigint(0), n - 1, {CHUNK_STRIDE})")
+    return (
+        docs.select("doc_id", "t", "n", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.expr(f"start div {CHUNK_STRIDE}").cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("tok_start"),
+            F.expr(f"least({CHUNK_W}, n - start)").cast("long").alias("chunk_len"),
+            F.expr(
+                f"md5(concat_ws(' ',"
+                f" slice(t, int(start + 1), int(least({CHUNK_W}, n - start)))))"
+            ).alias("chunk_hash"),
+        )
+    )

@@ -256,3 +256,9 @@ def test_q19_disjunction_prunes_both_scans(plans):
     p = plans("q19_disjunctive_revenue")
     li_scan = p.split("lineitem.parquet", 1)[0]
     assert "l_quantity" in li_scan.rsplit("FileScan", 1)[-1] or "l_quantity" in p.split("DataFilters", 1)[1][:600]
+
+
+def test_chunk_windows_is_shuffle_free_scan(plans):
+    # sequence+explode+slice+md5: pure per-row array codegen, no shuffle
+    p = plans("text_chunk_windows")
+    assert "Exchange" not in p
