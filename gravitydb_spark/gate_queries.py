@@ -785,11 +785,18 @@ _compound(
             "stream_incremental_dedup",
             {"n1": "doc_id"},
         ),
+        (
+            "audio_meta",
+            "stream_audio_meta",
+            {"n1": "doc_id", "n2": "n_bytes", "n3": "sample_sum"},
+        ),
     ],
     "Gate family for Structured Streaming joins/aggs: watermarked hourly"
-    " rollup, the bounded-state view→click attribution join, and online"
+    " rollup, the bounded-state view→click attribution join, online"
     " near-dup dedup of a document stream against a static LSH corpus"
-    " index (stateless stream-static anti-joins).",
+    " index (stateless stream-static anti-joins), and streaming"
+    " multimodal decode (the WAV chunk-walk kernel inside a stateless"
+    " streaming mapInPandas).",
 )
 
 _compound(

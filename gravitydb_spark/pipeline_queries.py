@@ -3571,3 +3571,75 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+@register(
+    "stream_audio_meta",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_WAV_DIMS_SQL} FROM documents
+               WHERE doc_id % 4 = 1)
+    SELECT doc_id,
+           (44 + frames * ch * 2)::BIGINT AS n_bytes,
+           SUM(((seed + 7*i) % 65536) - 32768)::BIGINT AS sample_sum
+    FROM (SELECT *, unnest(generate_series(0, frames*ch - 1)) AS i FROM d)
+    GROUP BY doc_id, ch, frames
+    """,
+)
+def stream_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multimodal decode — binary audio payloads decoded as
+    they arrive: the documents stream (arrival slice doc_id % 4 = 1)
+    flows through the same Arrow ``mapInPandas`` WAV generator + chunk-
+    walking parser as the batch operator, inside a Structured Streaming
+    query (stateless per-row map: no watermark, no state store — the
+    decode kernel is identical batch or stream, which is the point: at
+    100 TB the ingest pipeline decodes/validates media on arrival with
+    the same audited kernel the backfill uses)."""
+    import pandas as pd
+    import uuid as _uuid
+
+    static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id", "text")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("sample_sum", T.LongType()),
+        ]
+    )
+
+    def gen_and_decode(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "sample_sum": []}
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                wav = decode_wav(
+                    encode_wav(
+                        1 + int(d) % 2,
+                        8000 * (1 + int(d) % 3),
+                        50 + int(d) % 150,
+                        17 * int(d) + len(t),
+                    )
+                )
+                out["doc_id"].append(d)
+                out["n_bytes"].append(44 + wav["data_bytes"])
+                out["sample_sum"].append(wav["sample_sum"])
+            yield pd.DataFrame(out)
+
+    decoded = stream.mapInPandas(gen_and_decode, schema)
+    name = f"streamaudio_{_uuid.uuid4().hex[:8]}"
+    q = (
+        decoded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
