@@ -319,6 +319,28 @@ def cmd_repl(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Explain: print a registered query's physical plan (the operator
+    tooling a plan-shape review needs — the same string the plan-guard
+    tests assert on). ``--query list`` prints the registered names."""
+    from .registry import queries
+
+    spark = get_spark("gravitydb_cli")
+    qs = queries()
+    if args.query == "list":
+        for name in qs:
+            print(name)
+        return 0
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; try --query list", file=sys.stderr)
+        return 1
+    df = qs[args.query](spark, args.sf_dir)
+    print(df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(args.mode)
+    ))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gravitydb_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -402,6 +424,13 @@ def main(argv=None) -> int:
     sp = sub.add_parser("db-info")
     sp.add_argument("--db", required=True)
     sp.set_defaults(fn=cmd_db_info)
+
+    sp = sub.add_parser("explain")
+    sp.add_argument("--query", required=True, help="registered query name, or 'list'")
+    sp.add_argument("--sf-dir", dest="sf_dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--mode", default="formatted",
+                    help="simple|extended|codegen|cost|formatted")
+    sp.set_defaults(fn=cmd_explain)
 
     sp = sub.add_parser("repl")
     sp.add_argument("--db", required=True)

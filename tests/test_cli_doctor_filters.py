@@ -414,3 +414,22 @@ class TestReviewFixes:
         err = capsys.readouterr().err
         assert rc == 1
         assert "not both" in err
+
+
+def test_cli_explain_verb(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "-m", "gravitydb_spark.cli", "explain",
+         "--query", "q1_pricing_summary"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Physical Plan" in r.stdout and "PushedFilters" in r.stdout
+    bad = subprocess.run(
+        [_sys.executable, "-m", "gravitydb_spark.cli", "explain",
+         "--query", "no_such_query"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert bad.returncode == 1
