@@ -80,6 +80,7 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "q22_idle_customers",
     "text_chunk_windows",
+    "events_funnel",
 ]
 
 

@@ -688,6 +688,49 @@ _compound(
 )
 
 _compound(
+    "events_suite",
+    [
+        ("k", "string"),
+        ("n1", "long"),
+        ("n2", "long"),
+        ("n3", "long"),
+        ("n4", "long"),
+        ("n5", "long"),
+        ("v", "double"),
+    ],
+    [
+        (
+            "hourly_rollup",
+            "events_hourly_rollup",
+            {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "v": "total_value"},
+        ),
+        (
+            "json_extract",
+            "events_json_extract",
+            {"k": "event_type", "n1": "n", "n2": "max_k", "v": "avg_k"},
+        ),
+        (
+            "sessionize",
+            "events_sessionize",
+            {"n1": "user_id", "n2": "n_sessions", "n3": "n_events"},
+        ),
+        (
+            "asof_join",
+            "events_asof_join",
+            {"n1": "event_id", "n2": "user_id", "v": "last_purchase_value"},
+        ),
+        (
+            "funnel",
+            "events_funnel",
+            {"n1": "user_id", "n2": "t1", "n3": "t2", "n4": "t3", "n5": "funnel_depth"},
+        ),
+    ],
+    "Gate family for event-stream analytics: 1h time-bucket rollup, JSON"
+    " props extraction, gap sessionization, as-of (most-recent-purchase)"
+    " join, and the ordered view→click→purchase conversion funnel.",
+)
+
+_compound(
     "multimodal_family",
     [("doc_id", "long"), ("n1", "long"), ("sig", "string"), ("n2", "long")],
     [
@@ -865,10 +908,11 @@ GATE_ORDER[:] = [
     "agg_summary",
     "topk_range_scan",
     "window_funcs",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_sessionize",
-    "events_asof_join",
+    "events_suite",
+    # promoted round-4 standalones (slots freed by the events consolidation)
+    "text_lm_score",
+    "g_kcore_onion",
+    "embed_quantize_int8",
     # training-data pipeline (16)
     "text_counts",
     "text_quality_signals",

@@ -964,3 +964,70 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+    v AS (SELECT user_id, min(ts) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT u.user_id, v.t1, c.t2, p.t3,
+           (CASE WHEN p.t3 IS NOT NULL THEN 3
+                 WHEN c.t2 IS NOT NULL THEN 2
+                 WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS funnel_depth
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click-after-view →
+    purchase-after-click): per user, the earliest timestamp of each step
+    that STRICTLY follows the previous step's, and the depth reached —
+    the conversion query every event pipeline runs. min() per step makes
+    the result deterministic without per-event ordering state.
+
+    Plan shape: three per-user min-aggregations chained by user_id
+    equi-joins — every shuffle keys on user_id, so at 100 TB the whole
+    funnel is one partitioning reused across stages (AQE coalesces the
+    tiny intermediate steps); no windows, no state store."""
+    e = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    users = e.select("user_id").distinct()
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3", depth.alias("funnel_depth"))
+    )
