@@ -307,13 +307,53 @@ _compound(
             "q22_idle_customers",
             {"n1": "nationkey", "n2": "numcust", "m1": "totacctbal"},
         ),
+        (
+            "q2",
+            "q2_min_cost_supply",
+            {"k1": "p_name", "k2": "s_name", "n1": "p_partkey", "m1": "unit_cost"},
+        ),
+        (
+            "q8",
+            "q8_market_share",
+            {"n1": "o_year", "m1": "mkt_share"},
+        ),
+        (
+            "q9",
+            "q9_product_profit",
+            {"k1": "n_name", "n1": "o_year", "m1": "profit"},
+        ),
+        (
+            "q11",
+            "q11_important_stock",
+            {"n1": "partkey", "m1": "value"},
+        ),
+        (
+            "q15",
+            "q15_top_supplier",
+            {"k1": "s_name", "n1": "s_suppkey", "m1": "total_revenue"},
+        ),
+        (
+            "q20",
+            "q20_promo_suppliers",
+            {"k1": "s_name", "n1": "s_suppkey"},
+        ),
+        (
+            "q21",
+            "q21_waiting_suppliers",
+            {"k1": "s_name", "n1": "numwait"},
+        ),
     ],
-    "Gate family for aggregation shapes beyond the headline TPC-H set:"
-    " multi-metric group agg, ROLLUP with grand total, exact quantiles,"
-    " Q6 scan-side forecast, Q12 conditional-count split, Q14 promo"
-    " share, Q4 EXISTS semi-join, Q13 two-level histogram, Q16 NOT-IN"
-    " anti + distinct count, Q19 disjunctive pushdown, Q22 scalar-"
-    "subquery threshold + anti-join (SURVEY.md §2.5).",
+    "Gate family for aggregation shapes beyond the headline TPC-H set —"
+    " with these members every one of the 22 TPC-H plan shapes is"
+    " gate-visible: multi-metric group agg, ROLLUP with grand total,"
+    " exact quantiles, Q6 scan-side forecast, Q12 conditional-count"
+    " split, Q14 promo share, Q4 EXISTS semi-join, Q13 two-level"
+    " histogram, Q16 NOT-IN anti + distinct count, Q19 disjunctive"
+    " pushdown, Q22 scalar-subquery threshold + anti-join, Q2"
+    " correlated-min decorrelation, Q8 conditional market share, Q9"
+    " cross-side profit expression, Q11 HAVING vs global scalar, Q15"
+    " max-view equality, Q20 nested-IN semi chain, Q21 triple"
+    " self-join semi+anti (SURVEY.md §2.5).",
 )
 
 _compound(
