@@ -718,13 +718,16 @@ _compound(
         ("sssp", "g_sssp_weighted", {"id": "id", "dist": "dist"}),
         ("kcore", "g_kcore_onion", {"id": "id", "dist": "peel_round"}),
         ("wpagerank", "g_weighted_pagerank", {"id": "id", "dist": "rank_scaled"}),
+        ("adamic_adar", "g_adamic_adar", {"id": "pair_id", "dist": "score_scaled"}),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
     " distances, weighted single-source shortest paths (frontier"
     " Bellman-Ford) and weighted PageRank (both consuming the reference's"
     " declared-but-unimplemented WeightedGraph weights, lib.rs:62-65),"
-    " plus the k-core onion decomposition of the customer–supplier trade"
-    " graph (iterative peel, k = floor(avg degree)).",
+    " the k-core onion decomposition of the customer–supplier trade"
+    " graph (iterative peel, k = floor(avg degree)), and Adamic-Adar"
+    " link prediction over the same trade graph (bounded candidates,"
+    " scaled-integer score).",
 )
 
 _compound(
@@ -764,10 +767,28 @@ _compound(
             "events_funnel",
             {"n1": "user_id", "n2": "t1", "n3": "t2", "n4": "t3", "n5": "funnel_depth"},
         ),
+        (
+            "resample_gapfill",
+            "events_resample_gapfill",
+            {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "v": "v_ffill"},
+        ),
+        (
+            "anomaly_zscore",
+            "events_anomaly_zscore",
+            {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "v": "z"},
+        ),
+        (
+            "ewma",
+            "events_ewma_smooth",
+            {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "v": "ewma"},
+        ),
     ],
     "Gate family for event-stream analytics: 1h time-bucket rollup, JSON"
     " props extraction, gap sessionization, as-of (most-recent-purchase)"
-    " join, and the ordered view→click→purchase conversion funnel.",
+    " join, the ordered view→click→purchase conversion funnel, and the"
+    " time-series toolkit — gap-filled resampling with forward fill,"
+    " trailing-window z-score anomaly detection, truncated-EWMA"
+    " smoothing.",
 )
 
 _compound(

@@ -1420,3 +1420,206 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series analytics over events: gap-filled resampling, trailing-window
+# anomaly detection, truncated EWMA smoothing. The reference's docs describe
+# time-bucketed rollups as the hypertable use case; these extend the rollup
+# into the standard continuous-aggregate toolkit. All three share one
+# gap-filled hourly grid: per event_type, the FULL [global min hour, global
+# max hour] bucket range with per-bucket count (0 in gaps) and rounded
+# hourly value sum (NULL in gaps).
+#
+# Scale posture: the grid is built from the ALREADY-AGGREGATED hourly
+# relation (types x hours — years of data are still only ~10^4 rows per
+# type), so the window functions and the sequence-explode run over the
+# rollup output, never the raw fact; the only fact-sized work is the
+# initial hourly aggregation (one shuffle, map-side partial).
+# ---------------------------------------------------------------------------
+
+_DUCK_HOURLY_GRID = f"""
+    hourly AS MATERIALIZED (
+      SELECT event_type, epoch_ns(ts) // {NS_PER_HOUR} AS h,
+             count(*)::BIGINT AS n, round(sum(value)::DOUBLE, 2) AS v
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+    grid AS MATERIALIZED (
+      SELECT t.event_type, g.h, coalesce(hh.n, 0)::BIGINT AS n, hh.v AS v
+      FROM (SELECT DISTINCT event_type FROM hourly) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) g
+      LEFT JOIN hourly hh ON hh.event_type = t.event_type AND hh.h = g.h)
+"""
+
+
+_hourly_cache: dict = {}
+
+
+def _hourly_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, h, n, v) over the dense global hour range; n=0 and
+    v=NULL in gap buckets. The sequence+explode builds each type's grid
+    from one broadcast 1-row bounds aggregate — no driver loop.
+
+    The hourly rollup is CACHED (memoized per session+sf_dir): it feeds
+    the bounds aggregate, the distinct-type list, and the grid join —
+    uncached, Catalyst inlines the subtree into all three consumers and
+    scans the fact 3x (measured); cached, the fact is read and
+    aggregated once and the three consumers read the tiny rollup."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key in _hourly_cache:
+        hourly = _hourly_cache[key]
+    else:
+        hourly = (
+            load_events(spark, sf_dir)
+            .groupBy("event_type", F.expr(f"ts DIV {NS_PER_HOUR}").alias("h"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+            .cache()
+        )
+        _hourly_cache[key] = hourly
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    return grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        "v",
+    )
+
+
+@register(
+    "events_resample_gapfill",
+    oracle=f"""
+    WITH {_DUCK_HOURLY_GRID}
+    SELECT event_type, h * 3600 AS hour_epoch_s, n,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+    FROM grid
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling with forward fill: every hour in the
+    observed range is materialized per event_type (count 0 where nothing
+    happened), and the hourly value sum carries the last observed value
+    through gaps — the time_bucket_gapfill + locf contract of hypertable
+    engines. Forward fill is last-non-null over an UNBOUNDED PRECEDING
+    row window on the rollup-sized relation."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _hourly_grid(spark, sf_dir).select(
+        "event_type",
+        (F.col("h") * 3600).alias("hour_epoch_s"),
+        "n",
+        F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+    )
+
+
+_Z_TRAIL = 24  # trailing window (hours) for the anomaly baseline
+_Z_MIN_OBS = 12  # minimum trailing buckets before scoring
+_Z_CUT = 2.0  # |z| threshold, applied to the ROUNDED score on both engines
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH {_DUCK_HOURLY_GRID},
+    scored AS (
+      SELECT event_type, h, n,
+             count(*) OVER w AS n_obs,
+             round((n - avg(n::DOUBLE) OVER w)
+                   / nullif(stddev_samp(n::DOUBLE) OVER w, 0), 2) AS z
+      FROM grid
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {_Z_TRAIL} PRECEDING AND 1 PRECEDING))
+    SELECT event_type, h * 3600 AS hour_epoch_s, n, z
+    FROM scored
+    WHERE n_obs >= {_Z_MIN_OBS} AND abs(z) >= {_Z_CUT}
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each hourly event count scored
+    against the mean/stddev of the PRECEDING {_Z_TRAIL} buckets (current
+    bucket excluded, so a spike can't inflate its own baseline), flagged
+    when |z| >= {_Z_CUT}. The threshold compares the ROUNDED score on
+    both engines — the dedup-cosine trick — so IEEE noise can't flip a
+    boundary row. Gap buckets count as 0, which is exactly what makes a
+    dead-quiet hour after steady traffic an anomaly."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_Z_TRAIL, -1)
+    )
+    x = F.col("n").cast("double")
+    return (
+        _hourly_grid(spark, sf_dir)
+        .select(
+            "event_type",
+            "h",
+            "n",
+            F.count("*").over(w).alias("n_obs"),
+            F.round(
+                (x - F.avg(x).over(w))
+                / F.nullif(F.stddev_samp(x).over(w), F.lit(0.0)),
+                2,
+            ).alias("z"),
+        )
+        .filter(
+            (F.col("n_obs") >= _Z_MIN_OBS) & (F.abs(F.col("z")) >= _Z_CUT)
+        )
+        .select(
+            "event_type",
+            (F.col("h") * 3600).alias("hour_epoch_s"),
+            "n",
+            "z",
+        )
+    )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_TAPS = 12  # truncated impulse response length (hours)
+# literal weights alpha*(1-alpha)^j — repr() round-trips the exact double,
+# so DuckDB and Spark parse bit-identical coefficients
+_EWMA_W = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(_EWMA_TAPS)]
+
+
+@register(
+    "events_ewma_smooth",
+    oracle=f"""
+    WITH {_DUCK_HOURLY_GRID}
+    SELECT event_type, h * 3600 AS hour_epoch_s, n,
+           round(({' + '.join(f'{w!r}::DOUBLE * coalesce(lag(n, {j}) OVER w, 0)' for j, w in enumerate(_EWMA_W))})::DOUBLE,
+                 3) AS ewma
+    FROM grid
+    WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    """,
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the hourly event rate,
+    TRUNCATED to {_EWMA_TAPS} taps: y_t = sum_j alpha*(1-alpha)^j *
+    x_(t-j). The closed-form FIR truncation replaces the recursive
+    definition (which would need sequential state) with {_EWMA_TAPS}
+    lag() terms — pure window codegen over the rollup-sized grid, and
+    the tail mass below the truncation is < (1-alpha)^{_EWMA_TAPS} ~ 1%.
+    Both engines sum the SAME literal coefficients in the same order."""
+    w = Window.partitionBy("event_type").orderBy("h")
+    terms = [
+        F.lit(wj) * F.coalesce(F.lag("n", j).over(w), F.lit(0))
+        for j, wj in enumerate(_EWMA_W)
+    ]
+    ewma = terms[0]
+    for t in terms[1:]:
+        ewma = ewma + t
+    return _hourly_grid(spark, sf_dir).select(
+        "event_type",
+        (F.col("h") * 3600).alias("hour_epoch_s"),
+        "n",
+        F.round(ewma, 3).alias("ewma"),
+    )

@@ -262,3 +262,71 @@ def test_chunk_windows_is_shuffle_free_scan(plans):
     # sequence+explode+slice+md5: pure per-row array codegen, no shuffle
     p = plans("text_chunk_windows")
     assert "Exchange" not in p
+
+
+def test_q2_decorrelated_min_no_cartesian(plans):
+    # Q2's correlated-min decorrelation: agg ⋈ agg equi-join plus
+    # broadcast dimension joins — never a cartesian/nested-loop pairing
+    p = plans("q2_min_cost_supply")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_q11_threshold_reuses_cached_aggregate(plans):
+    # the scalar threshold derives from the SAME cached per-part
+    # aggregate the HAVING filters (fact read+shuffled once); the 1-row
+    # threshold joins back as a broadcast, not a shuffle
+    p = plans("q11_important_stock")
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q15_max_view_is_cached_and_broadcast(plans):
+    p = plans("q15_top_supplier")
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q20_nested_in_is_semi_chain(plans):
+    p = plans("q20_promo_suppliers")
+    assert p.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q21_self_joins_are_semi_plus_anti(plans):
+    # EXISTS → LeftSemi, NOT EXISTS → LeftAnti, orders gate → LeftSemi;
+    # the supplier-inequality is a join residual, not a cartesian
+    p = plans("q21_waiting_suppliers")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_hourly_grid_rollup_is_cached_not_rescanned(plans):
+    # the gap-fill grid feeds bounds/types/join from ONE cached hourly
+    # rollup — uncached, Catalyst inlines the subtree and scans the fact
+    # three times (measured)
+    p = plans("events_resample_gapfill")
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+
+
+def test_anomaly_and_ewma_are_windows_over_cached_rollup(plans):
+    for name in ("events_anomaly_zscore", "events_ewma_smooth"):
+        p = plans(name)
+        assert "InMemoryTableScan" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "Window" in p, name
+
+
+def test_adamic_adar_is_bounded_candidate_topk(plans):
+    # candidate generation bounded by the cached per-customer top-5
+    # (InMemoryTableScan), degree broadcast, final top-k TakeOrdered —
+    # never an unbounded all-pairs product
+    p = plans("g_adamic_adar")
+    assert "InMemoryTableScan" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
