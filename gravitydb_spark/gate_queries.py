@@ -719,15 +719,17 @@ _compound(
         ("kcore", "g_kcore_onion", {"id": "id", "dist": "peel_round"}),
         ("wpagerank", "g_weighted_pagerank", {"id": "id", "dist": "rank_scaled"}),
         ("adamic_adar", "g_adamic_adar", {"id": "pair_id", "dist": "score_scaled"}),
+        ("ppr", "g_personalized_pagerank", {"id": "id", "dist": "rank_scaled"}),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
     " distances, weighted single-source shortest paths (frontier"
     " Bellman-Ford) and weighted PageRank (both consuming the reference's"
     " declared-but-unimplemented WeightedGraph weights, lib.rs:62-65),"
     " the k-core onion decomposition of the customer–supplier trade"
-    " graph (iterative peel, k = floor(avg degree)), and Adamic-Adar"
+    " graph (iterative peel, k = floor(avg degree)), Adamic-Adar"
     " link prediction over the same trade graph (bounded candidates,"
-    " scaled-integer score).",
+    " scaled-integer score), and personalized PageRank seeded at one"
+    " nation's customers (teleport+dangling mass to the seed set).",
 )
 
 _compound(

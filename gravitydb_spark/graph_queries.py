@@ -1228,3 +1228,123 @@ def g_adamic_adar(spark, sf_dir):
         .limit(_AA_TOPK)
         .select("pair_id", "score", "score_scaled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from a seed set (recommendation primitive)
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 5
+_PPR_SCALE = 10**12
+_PPR_SEED_NATION = 3  # seed set: customers of NATION_3
+
+
+def _ppr_oracle_sql(iters: int = _PPR_ITERS, scale: int = _PPR_SCALE,
+                    dn: int = 85, dd: int = 100) -> str:
+    """Unrolled scaled-BIGINT personalized PageRank CTE chain — the exact
+    integer recurrence of ``ppr_scaled`` (operators/iterative.py), seeded
+    at NATION_{n}'s customers, so the match is bit-for-bit."""
+    ns = "(SELECT ns FROM nsv)"
+    base_s = f"(({scale} * {dd - dn}) // ({dd} * {ns}))"
+    parts = [
+        "WITH verts AS (SELECT 'c' || c_custkey AS id FROM customer"
+        " UNION ALL SELECT 's' || s_suppkey FROM supplier"
+        " UNION ALL SELECT 'n' || n_nationkey FROM nation"
+        " UNION ALL SELECT 'r' || r_regionkey FROM region),",
+        "edges AS (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst"
+        " FROM customer"
+        " UNION ALL SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier"
+        " UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),",
+        "deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),",
+        f"seeds AS (SELECT 'c' || c_custkey AS id FROM customer"
+        f" WHERE c_nationkey = {_PPR_SEED_NATION}),",
+        "nsv AS (SELECT count(*)::BIGINT AS ns FROM seeds),",
+        "fl AS MATERIALIZED (SELECT v.id,"
+        " CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS flag"
+        " FROM verts v LEFT JOIN seeds s ON s.id = v.id),",
+        f"pr0 AS (SELECT id, (flag * ({scale} // {ns}))::BIGINT AS r FROM fl),",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"dng{k} AS (SELECT (COALESCE(sum(p.r), 0)::BIGINT // {ns})::BIGINT"
+            f" AS dpn FROM pr{k} p LEFT JOIN deg d ON d.src = p.id"
+            " WHERE d.src IS NULL),"
+        )
+        parts.append(
+            f"pr{k + 1} AS (SELECT f.id,"
+            f" (f.flag * ({base_s} + ({dn} * (SELECT dpn FROM dng{k})) // {dd})"
+            f" + ({dn} * COALESCE(a.in_rank, 0)) // {dd})::BIGINT AS r"
+            " FROM fl f LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(p.r // d.deg)::BIGINT AS in_rank"
+            f" FROM pr{k} p JOIN deg d ON d.src = p.id JOIN edges e ON e.src = p.id"
+            " GROUP BY e.dst) a ON a.id = f.id),"
+        )
+    body = "\n".join(parts).rstrip(",") + "\n"
+    return (
+        body
+        + f"SELECT id, round(r::DOUBLE / {float(scale)}, 6) AS rank,"
+        f" r AS rank_scaled FROM pr{iters} WHERE r > 0"
+    )
+
+
+@register("g_personalized_pagerank", oracle=_ppr_oracle_sql())
+def g_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank seeded at one nation's customers: teleport
+    and dangling mass return to the seed set, so ranks measure proximity
+    to those customers — the recommendation/expansion primitive
+    (relevant-to-these-users entity ranking). Same scaled-BIGINT
+    bit-exact arithmetic as g_pagerank (ppr_scaled,
+    operators/iterative.py); only vertices with non-zero rank are
+    returned (at 100 TB the touched set is the seed neighborhood, far
+    smaller than the graph).
+
+    Scale posture identical to pagerank_scaled: per-iteration keyed
+    aggregation on dst, dangling mass as a 1-row broadcast,
+    localCheckpoint lineage cuts; the seed flag is a 0/1 column carried
+    on the vertex relation (no per-iteration membership join)."""
+    from .operators.iterative import ppr_scaled
+
+    def vid(prefix, col):
+        return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+    c = load(spark, sf_dir, "customer")
+    verts = (
+        c.select(vid("c", "c_custkey").alias("id"))
+        .unionByName(
+            load(spark, sf_dir, "supplier").select(vid("s", "s_suppkey").alias("id"))
+        )
+        .unionByName(
+            load(spark, sf_dir, "nation").select(vid("n", "n_nationkey").alias("id"))
+        )
+        .unionByName(
+            load(spark, sf_dir, "region").select(vid("r", "r_regionkey").alias("id"))
+        )
+    )
+    edges = (
+        c.select(
+            vid("c", "c_custkey").alias("src"), vid("n", "c_nationkey").alias("dst")
+        )
+        .unionByName(
+            load(spark, sf_dir, "supplier").select(
+                vid("s", "s_suppkey").alias("src"),
+                vid("n", "s_nationkey").alias("dst"),
+            )
+        )
+        .unionByName(
+            load(spark, sf_dir, "nation").select(
+                vid("n", "n_nationkey").alias("src"),
+                vid("r", "n_regionkey").alias("dst"),
+            )
+        )
+    )
+    seeds = c.filter(F.col("c_nationkey") == _PPR_SEED_NATION).select(
+        vid("c", "c_custkey").alias("id")
+    )
+    ranks = ppr_scaled(
+        verts, edges, seeds, iters=_PPR_ITERS, scale=_PPR_SCALE
+    )
+    return ranks.filter(F.col("rank") > 0).select(
+        "id",
+        F.round(F.col("rank").cast("double") / float(_PPR_SCALE), 6).alias("rank"),
+        F.col("rank").alias("rank_scaled"),
+    )

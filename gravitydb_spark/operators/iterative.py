@@ -615,3 +615,70 @@ def pagerank_weighted_scaled(
             .localCheckpoint()
         )
     return ranks.select("id", F.col("rank").alias("rank_scaled"))
+
+
+def ppr_scaled(
+    vertices: DataFrame,
+    edges: DataFrame,
+    sources: DataFrame,
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """DF[id, rank: long] — PERSONALIZED PageRank in the same
+    scaled-integer arithmetic as :func:`pagerank_scaled`: the teleport
+    mass (and the dangling mass) returns to the ``sources`` set instead
+    of spreading uniformly, so ranks measure proximity to the seed set —
+    the standard recommendation / expansion primitive.
+
+    Integer recurrence (flag_v = 1 iff v in sources, |S| = source count):
+        rank0(v)  = flag_v * (scale DIV |S|)
+        contrib   = rank DIV deg                    (per out-edge)
+        dpn       = sum(dangling rank) DIV |S|
+        rank'(v)  = flag_v * (base_s + (dn * dpn) DIV dd)
+                    + (dn * in_rank(v)) DIV dd
+        base_s    = (scale * (dd - dn)) DIV (dd * |S|)
+    All ops integer, all values non-negative, so the result is
+    aggregation-order-independent and bit-matchable against the DuckDB
+    unrolled-CTE oracle running the identical recurrence."""
+    ns = sources.count()
+    dn, dd = damping_num, damping_den
+    base_s = (scale * (dd - dn)) // (dd * ns)
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    flagged = (
+        vertices.select("id")
+        .join(
+            sources.select("id", F.lit(1).alias("flag")), "id", "left"
+        )
+        .select("id", F.coalesce("flag", F.lit(0)).alias("flag"))
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+    ranks = flagged.select(
+        "id", (F.col("flag") * F.lit(scale // ns)).cast("long").alias("rank")
+    )
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    for _ in range(iters):
+        contribs = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges.src == ranks.id)
+            .select(F.col("dst").alias("id"), F.expr("rank DIV deg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        dng = _dangling_df(
+            ranks, out_deg, f"coalesce(sum(rank), cast(0 as bigint)) DIV {ns}"
+        )
+        ranks = (
+            flagged.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dng))
+            .select(
+                "id",
+                F.expr(
+                    f"cast(flag * ({base_s} + ({dn} * dpn) DIV {dd})"
+                    f" + ({dn} * coalesce(in_rank, 0)) DIV {dd} as bigint)"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
