@@ -81,6 +81,21 @@ HEADLINE = [
     "q22_idle_customers",
     "text_chunk_windows",
     "events_funnel",
+    # round 4 additions (second block): TPC-H completion, time-series,
+    # link prediction, personalized PageRank
+    "q2_min_cost_supply",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "events_resample_gapfill",
+    "events_anomaly_zscore",
+    "events_ewma_smooth",
+    "g_adamic_adar",
+    "g_personalized_pagerank",
+    "events_pivot_wide",
 ]
 
 

@@ -341,6 +341,28 @@ def cmd_explain(args) -> int:
     return 0
 
 
+
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL entry point: registers the corpus tables (region nation
+    customer supplier part orders lineitem events documents embeddings)
+    as temp views over --sf-dir and runs one ANSI-SQL statement through
+    Catalyst, printing JSON rows (bounded by --limit). `events` is
+    registered through load_events, so its ts column is the normalized
+    BIGINT epoch-nanos contract regardless of the parquet encoding."""
+    from .registry import load
+    from .relational_queries import load_events
+
+    spark = get_spark("gravitydb_cli")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        load(spark, args.sf_dir, t).createOrReplaceTempView(t)
+    load_events(spark, args.sf_dir).createOrReplaceTempView("events")
+    df = spark.sql(args.statement)
+    for line in df.limit(args.limit).toJSON().collect():
+        print(line)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gravitydb_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -431,6 +453,12 @@ def main(argv=None) -> int:
     sp.add_argument("--mode", default="formatted",
                     help="simple|extended|codegen|cost|formatted")
     sp.set_defaults(fn=cmd_explain)
+
+    sp = sub.add_parser("sql")
+    sp.add_argument("statement", help="ANSI SQL over the corpus tables")
+    sp.add_argument("--sf-dir", dest="sf_dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.set_defaults(fn=cmd_sql)
 
     sp = sub.add_parser("repl")
     sp.add_argument("--db", required=True)

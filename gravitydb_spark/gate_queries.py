@@ -784,13 +784,25 @@ _compound(
             "events_ewma_smooth",
             {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "v": "ewma"},
         ),
+        (
+            "pivot_wide",
+            "events_pivot_wide",
+            {
+                "n1": "user_id",
+                "n2": "n_view",
+                "n3": "n_click",
+                "n4": "n_purchase",
+                "n5": "n_signup",
+                "v": "purchase_value",
+            },
+        ),
     ],
     "Gate family for event-stream analytics: 1h time-bucket rollup, JSON"
     " props extraction, gap sessionization, as-of (most-recent-purchase)"
     " join, the ordered view→click→purchase conversion funnel, and the"
     " time-series toolkit — gap-filled resampling with forward fill,"
     " trailing-window z-score anomaly detection, truncated-EWMA"
-    " smoothing.",
+    " smoothing — plus the long-to-wide per-user pivot feature matrix.",
 )
 
 _compound(

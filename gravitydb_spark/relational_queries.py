@@ -1623,3 +1623,42 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(ewma, 3).alias("ewma"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_wide",
+    oracle=f"""
+    SELECT user_id,
+           {', '.join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}" for t in _EVENT_TYPES)},
+           round(sum(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END)::DOUBLE, 2) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: one row per user with per-event-type counts and
+    total purchase value — the feature-matrix shape every behavioral
+    model ingests. Uses the DataFrame pivot API with an EXPLICIT value
+    list (no hidden distinct-values pass — at 100 TB an implicit pivot
+    first runs a full distinct over the pivot column), compiling to one
+    user_id shuffle of conditional aggregates."""
+    e = load_events(spark, sf_dir)
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("val"),
+        )
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+        F.coalesce(F.col("purchase_val"), F.lit(0.0)).alias("purchase_value"),
+    )

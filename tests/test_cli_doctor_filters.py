@@ -433,3 +433,29 @@ def test_cli_explain_verb(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=300,
     )
     assert bad.returncode == 1
+
+
+def test_cli_sql_verb(tmp_path):
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "-m", "gravitydb_spark.cli", "sql",
+         "SELECT r_name, count(*) AS n FROM region JOIN nation"
+         " ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+         "--limit", "10"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [_json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(rows) == 5 and rows[0]["r_name"] == "AFRICA" and rows[0]["n"] == 5
+    # events goes through load_events: ts must be the BIGINT-nanos contract
+    r2 = subprocess.run(
+        [_sys.executable, "-m", "gravitydb_spark.cli", "sql",
+         "SELECT min(ts) AS t0 FROM events"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    t0 = _json.loads(r2.stdout.strip().splitlines()[-1])["t0"]
+    assert isinstance(t0, int) and t0 > 10**18  # epoch-nanos magnitude
