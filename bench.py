@@ -96,6 +96,8 @@ HEADLINE = [
     "g_adamic_adar",
     "g_personalized_pagerank",
     "events_pivot_wide",
+    "stream_value_outliers",
+    "sketch_histogram_quantiles",
 ]
 
 

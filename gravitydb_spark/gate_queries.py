@@ -590,11 +590,18 @@ _compound(
             "corpus_length_quantiles",
             {"k": "stat", "n1": "q_chars", "n2": "q_tokens"},
         ),
+        (
+            "hist_quantiles",
+            "sketch_histogram_quantiles",
+            {"k": "q", "n1": "bin", "n2": "est_scaled"},
+        ),
     ],
     "Gate family for corpus statistics: KMV distinct-count sketch vs exact,"
     " the corpus vocabulary top-k, BPE merge-candidate pair counting"
-    " (the tokenizer-training inner step), and integer-rank per-source"
-    " length/token quantiles (quality-threshold tuning).",
+    " (the tokenizer-training inner step), integer-rank per-source"
+    " length/token quantiles (quality-threshold tuning), and the"
+    " mergeable equi-width histogram quantile sketch (the no-sort scale"
+    " path next to the exact quantiles).",
 )
 
 _compound(
@@ -897,6 +904,11 @@ _compound(
                 "n3": "click_id",
                 "n4": "gap_s",
             },
+        ),
+        (
+            "value_outliers",
+            "stream_value_outliers",
+            {"k": "event_type", "n1": "event_id", "v": "z"},
         ),
         (
             "incremental_dedup",

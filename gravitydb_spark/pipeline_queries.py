@@ -3643,3 +3643,146 @@ def stream_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "stream_value_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, avg(value) AS m, stddev_samp(value) AS s
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, round(e.value::DOUBLE, 2) AS value,
+           round((e.value - b.m) / b.s, 2) AS z
+    FROM events e JOIN base b ON b.event_type = e.event_type
+    WHERE abs(round((e.value - b.m) / b.s, 2)) >= 3
+    """,
+)
+def stream_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE outlier detection — the fraud/monitoring shape: each
+    arriving event's value is z-scored against a BATCH-computed per-type
+    baseline (mean/stddev) and flagged when |z| >= 3. The baseline join
+    is stream-STATIC and broadcast-sized, the scoring is a stateless
+    per-row projection, so the streaming query needs no watermark, no
+    state store, and no output-mode restriction (append) — state never
+    accumulates, the bounded-memory property that makes per-event
+    scoring viable at arrival rate. Production refreshes the baseline
+    batch-side on a schedule; a trailing self-referential baseline (the
+    batch twin events_anomaly_zscore) is deliberately NOT attempted in
+    the stream — it would need ordered per-key state. The |z| threshold
+    compares the ROUNDED score on both engines (dedup-cosine trick)."""
+    base = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.avg("value").alias("m"),
+            F.stddev_samp("value").alias("s"),
+        )
+    )
+
+    def score(stream):
+        z = F.round((F.col("value") - F.col("m")) / F.col("s"), 2)
+        return (
+            stream.join(F.broadcast(base), "event_type")
+            .withColumn("z", z)
+            .filter(F.abs(F.col("z")) >= 3)
+            .select(
+                "event_id",
+                "event_type",
+                F.round(F.col("value"), 2).alias("value"),
+                "z",
+            )
+        )
+
+    return _run_events_stream(spark, sf_dir, score, "append", "outliers")
+
+
+_HIST_BINS = 64
+_HIST_QS = [0.5, 0.9, 0.99]
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(n_chars) AS mn, max(n_chars) AS mx, count(*) AS n
+      FROM documents),
+    binned AS (
+      SELECT least(floor((n_chars - b.mn) / ((b.mx - b.mn + 1) / {_HIST_BINS}.0)),
+                   {_HIST_BINS - 1})::BIGINT AS bin
+      FROM documents, b),
+    hist AS (SELECT bin, count(*)::BIGINT AS c FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM hist),
+    qs AS (SELECT unnest(ARRAY[{', '.join(f'{q}::DOUBLE' for q in _HIST_QS)}]) AS q),
+    hit AS (
+      SELECT q, min(bin) AS bin
+      FROM qs JOIN cum ON cum.cum >= ceil(q * (SELECT n FROM b))
+      GROUP BY q)
+    SELECT q, bin,
+           round((SELECT mn FROM b)
+                 + (bin + 1) * (((SELECT mx FROM b) - (SELECT mn FROM b) + 1)
+                                / {_HIST_BINS}.0), 2) AS est,
+           CAST(round(100 * ((SELECT mn FROM b)
+                 + (bin + 1) * (((SELECT mx FROM b) - (SELECT mn FROM b) + 1)
+                                / {_HIST_BINS}.0))) AS BIGINT) AS est_scaled
+    FROM hit
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch: a {_HIST_BINS}-bin equi-width histogram
+    of document lengths, with quantile estimates read off the cumulative
+    counts (upper bin edge — a deterministic over-estimate bounded by one
+    bin width). Unlike the exact integer-rank quantiles
+    (corpus_length_quantiles: one full sort-exchange), the histogram is
+    a per-partition aggregate whose states merge by vector addition —
+    THE quantile shape for 100 TB and for streaming: one scan, one tiny
+    {_HIST_BINS}-row combine, no global sort. The bin bounds come from a
+    1-row min/max broadcast (two footer-friendly scalar aggregates);
+    both engines compute identical bin widths in double arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    binned = docs.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("n_chars") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn") + 1) / float(_HIST_BINS))
+            ),
+            F.lit(_HIST_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        "mn",
+        "mx",
+        "n",
+    )
+    hist = binned.groupBy("bin", "mn", "mx", "n").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _HIST_QS])).alias("q")
+    )
+    hit = (
+        qs.join(cum, F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.first("mn").alias("mn"),
+            F.first("mx").alias("mx"),
+        )
+    )
+    est_raw = F.col("mn") + (F.col("bin") + 1) * (
+        (F.col("mx") - F.col("mn") + 1) / float(_HIST_BINS)
+    )
+    return hit.select(
+        "q",
+        "bin",
+        F.round(est_raw, 2).alias("est"),
+        # scaled-integer twin for the (string,long,long) gate family
+        F.round(est_raw * 100, 0).cast("long").alias("est_scaled"),
+    )
