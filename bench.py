@@ -98,6 +98,7 @@ HEADLINE = [
     "events_pivot_wide",
     "stream_value_outliers",
     "sketch_histogram_quantiles",
+    "multimodal_phash_dedup",
 ]
 
 

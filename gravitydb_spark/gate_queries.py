@@ -837,6 +837,11 @@ _compound(
             },
         ),
         (
+            "phash_dedup",
+            "multimodal_phash_dedup",
+            {"doc_id": "doc_a", "n1": "doc_b", "n2": "phash"},
+        ),
+        (
             "resize",
             "multimodal_resize",
             {

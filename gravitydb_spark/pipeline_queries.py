@@ -3786,3 +3786,109 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scaled-integer twin for the (string,long,long) gate family
         F.round(est_raw * 100, 0).cast("long").alias("est_scaled"),
     )
+
+
+_PHASH_GX, _PHASH_GY = 4, 3  # sample grid (fits the 4..16 x 3..9 dims)
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_BMP_DIMS_SQL} FROM documents),
+    tot AS (
+      SELECT doc_id, SUM((seed + i) % 256)::BIGINT AS total3
+      FROM (SELECT *, unnest(generate_series(0, w*h*3 - 1)) AS i FROM d)
+      GROUP BY doc_id),
+    g AS (
+      SELECT d.doc_id, d.w, d.h, gx.x, gy.y,
+             ((d.seed + 3*((gy.y*d.h//{_PHASH_GY})*d.w + (gx.x*d.w//{_PHASH_GX}))) % 256
+            + (d.seed + 3*((gy.y*d.h//{_PHASH_GY})*d.w + (gx.x*d.w//{_PHASH_GX})) + 1) % 256
+            + (d.seed + 3*((gy.y*d.h//{_PHASH_GY})*d.w + (gx.x*d.w//{_PHASH_GX})) + 2) % 256
+             )::BIGINT AS gray3
+      FROM d,
+           (SELECT unnest(generate_series(0, {_PHASH_GX - 1})) AS x) gx,
+           (SELECT unnest(generate_series(0, {_PHASH_GY - 1})) AS y) gy),
+    ph AS (
+      SELECT g.doc_id, g.w, g.h,
+             SUM(CASE WHEN g.gray3 * g.w * g.h > t.total3
+                      THEN (1::BIGINT << (g.y*{_PHASH_GX} + g.x)) ELSE 0 END
+                )::BIGINT AS phash
+      FROM g JOIN tot t ON t.doc_id = g.doc_id
+      GROUP BY g.doc_id, g.w, g.h)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash
+    FROM ph a JOIN ph b
+      ON a.w = b.w AND a.h = b.h AND a.phash = b.phash
+     AND a.doc_id < b.doc_id
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup detection via perceptual hashing — the multimodal
+    twin of the text dedup family: each image is decoded (real BMP byte
+    parse), average-hashed on a {_PHASH_GX}x{_PHASH_GY} grayscale sample
+    grid (bit = sampled gray above the image's mean gray, all-integer),
+    and images sharing (dims, hash) pair up through a bucket equi-join —
+    NEVER an all-pairs image comparison, the same bounded-candidates
+    contract as the MinHash band join.
+
+    Unlike pixel_sum (order-invariant), the hash depends on WHERE each
+    sampled pixel sits, so this query also pins the decoder's row
+    un-flip: a bottom-up/top-down mistake changes sampled grays and
+    hash-mismatches against the closed-form oracle.
+
+    Scale posture: hashing is an embarrassingly-parallel Arrow
+    mapInPandas over opaque payloads (bytes never on the driver); the
+    join keys on (w, h, hash) buckets, output-proportional like every
+    dedup op here."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("w", T.LongType()),
+            T.StructField("h", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def hash_kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "w": [], "h": [], "phash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                w, h = img["width"], img["height"]
+                arr = b"".join(img["rows"])  # top-down row-major BGR
+                total3 = img["pixel_sum"]
+                npix = w * h
+                phash = 0
+                for y in range(_PHASH_GY):
+                    for x in range(_PHASH_GX):
+                        p = (y * h // _PHASH_GY) * w + (x * w // _PHASH_GX)
+                        gray3 = arr[3 * p] + arr[3 * p + 1] + arr[3 * p + 2]
+                        if gray3 * npix > total3:
+                            phash |= 1 << (y * _PHASH_GX + x)
+                out["doc_id"].append(doc_id)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["phash"].append(phash)
+            yield pd.DataFrame(out)
+
+    ph = _bmp_payloads(spark, sf_dir).mapInPandas(hash_kernel, schema).cache()
+    a = ph.select(
+        F.col("doc_id").alias("doc_a"), "w", "h", "phash"
+    )
+    b = ph.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("w").alias("w2"),
+        F.col("h").alias("h2"),
+        F.col("phash").alias("phash2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("w") == F.col("w2"))
+            & (F.col("h") == F.col("h2"))
+            & (F.col("phash") == F.col("phash2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "phash")
+    )

@@ -225,3 +225,34 @@ class TestAudioOperators:
         for d, n in list(counts.items())[:20]:
             ch, frames = 1 + d % 2, 50 + d % 150
             assert n == (frames * ch) // AUDIO_WIN
+
+
+def test_phash_kernel_separates_bright_and_dark_halves():
+    """A crafted image with a dark top half and bright bottom half must
+    hash to exactly the bottom-row bits — pinning both the grid sampling
+    and the decoder's bottom-up un-flip (an un-flip bug inverts the
+    hash)."""
+    from gravitydb_spark.multimodal import decode_bmp, row_size, HEADER_SIZE
+    import struct
+
+    w, h = 8, 6
+    rsize = row_size(w)
+    header = struct.pack("<2sIHHI", b"BM", HEADER_SIZE + rsize * h, 0, 0, HEADER_SIZE)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, rsize * h, 2835, 2835, 0, 0)
+    rows_topdown = [bytes([0] * (3 * w)) if y < h // 2 else bytes([200] * (3 * w))
+                    for y in range(h)]
+    pad = bytes(rsize - 3 * w)
+    payload = header + dib + b"".join(r + pad for r in rows_topdown[::-1])  # bottom-up
+    img = decode_bmp(payload)
+    arr = b"".join(img["rows"])
+    total3, npix = img["pixel_sum"], w * h
+    phash = 0
+    for y in range(3):
+        for x in range(4):
+            p = (y * h // 3) * w + (x * w // 4)
+            g3 = arr[3 * p] + arr[3 * p + 1] + arr[3 * p + 2]
+            if g3 * npix > total3:
+                phash |= 1 << (y * 4 + x)
+    # grid rows y=0 (img row 0) and y=1 (img row 2) sample the dark half;
+    # y=2 (img row 4) samples the bright half -> bits 8..11 only
+    assert phash == 0b111100000000
