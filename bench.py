@@ -99,6 +99,9 @@ HEADLINE = [
     "stream_value_outliers",
     "sketch_histogram_quantiles",
     "multimodal_phash_dedup",
+    "dedup_edit_verify",
+    "agg_cube_flag_status",
+    "events_range_window",
 ]
 
 

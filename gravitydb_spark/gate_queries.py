@@ -342,6 +342,11 @@ _compound(
             "q21_waiting_suppliers",
             {"k1": "s_name", "n1": "numwait"},
         ),
+        (
+            "cube",
+            "agg_cube_flag_status",
+            {"k1": "l_returnflag", "k2": "l_linestatus", "n1": "n", "m1": "sum_qty"},
+        ),
     ],
     "Gate family for aggregation shapes beyond the headline TPC-H set —"
     " with these members every one of the 22 TPC-H plan shapes is"
@@ -643,11 +648,17 @@ _compound(
             "dedup_jaccard_verify",
             {"a": "doc_a", "b": "doc_b", "v": "jaccard"},
         ),
+        (
+            "edit_verify",
+            "dedup_edit_verify",
+            {"a": "doc_a", "b": "doc_b", "v": "rel_dist"},
+        ),
     ],
     "Gate family for MinHash near-dup dedup: banded-LSH candidate pairs"
     " with estimated Jaccard, connected-component clustering with"
     " keep-choice, triangle counts over the pair graph, and exact-Jaccard"
-    " verification of the candidates (the two-stage production shape).",
+    " plus Levenshtein relative-edit-distance verification of the"
+    " candidates (the two-stage production shape, two verifier lenses).",
 )
 
 _compound(
@@ -790,6 +801,11 @@ _compound(
             "ewma",
             "events_ewma_smooth",
             {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "v": "ewma"},
+        ),
+        (
+            "range_window",
+            "events_range_window",
+            {"k": "event_type", "n1": "event_id", "n2": "ts", "n3": "n_win", "v": "sum_win"},
         ),
         (
             "pivot_wide",

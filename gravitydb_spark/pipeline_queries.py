@@ -3892,3 +3892,55 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "phash")
     )
+
+
+@register(
+    "dedup_edit_verify",
+    oracle=f"""
+    WITH {_DUCK_PAIR_CTES},
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             levenshtein(da.text, db.text)::BIGINT AS dist,
+             greatest(length(da.text), length(db.text)) AS mx
+      FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b)
+    SELECT doc_a, doc_b, dist,
+           round(dist / mx::DOUBLE, 4) AS rel_dist
+    FROM scored
+    WHERE round(dist / mx::DOUBLE, 4) <= 0.2
+    """,
+)
+def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE verification of the MinHash-LSH candidate pairs —
+    the third verifier next to exact-Jaccard (dedup_jaccard_verify) and
+    cosine: Levenshtein distance between the candidate texts, kept when
+    the relative distance (dist / longer length) is <= 0.2. Character-
+    level edit distance catches near-dups shingle Jaccard under-scores
+    (small in-word edits shift every covering shingle).
+
+    Scale posture: the O(len_a*len_b) DP cost is paid ONLY on LSH
+    candidates (bounded, pair-proportional), never all-pairs; texts join
+    onto the pair list by doc id (the pair side broadcasts at scale).
+    Threshold compares the ROUNDED ratio on both engines; the distance
+    itself is integer-exact. For adversarially long documents cap the
+    compared prefix or switch to the thresholded JVM variant
+    (levenshtein(l, r, threshold) short-circuits the DP)."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    scored = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+            F.greatest(F.length("ta"), F.length("tb")).alias("mx"),
+        )
+    )
+    rel = F.round(F.col("dist") / F.col("mx"), 4)
+    return scored.filter(rel <= 0.2).select(
+        "doc_a", "doc_b", "dist", rel.alias("rel_dist")
+    )

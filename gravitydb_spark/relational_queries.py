@@ -1662,3 +1662,64 @@ def events_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.coalesce(F.col("purchase_val"), F.lit(0.0)).alias("purchase_value"),
     )
+
+
+@register(
+    "agg_cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*)::BIGINT AS n,
+           round(sum(l_quantity)::DOUBLE, 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all 2^2 grouping sets (flag×status, flag,
+    status, grand total) in one pass, completing the grouping trio next
+    to plain GROUP BY (q1) and ROLLUP (agg_rollup_region_nation). Spark
+    expands the cube map-side into the same shuffle as a plain
+    aggregation (rows replicated per grouping set, partial-agg
+    combined); NULL marks the rolled-up dimensions identically on both
+    engines (the group columns contain no real NULLs here)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_RANGE_WIN_NS = 600 * 1_000_000_000  # 10 minutes
+
+
+@register(
+    "events_range_window",
+    oracle=f"""
+    SELECT event_id, event_type, epoch_ns(ts) AS ts,
+           count(*) OVER w AS n_win,
+           round(sum(value) OVER w, 2) AS sum_win
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts)
+                 RANGE BETWEEN {_RANGE_WIN_NS} PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, the count and value sum of all
+    same-type events in the PRECEDING 10 minutes — a frame defined by
+    the ORDER-BY VALUE (epoch nanos), not row offsets, so ties at the
+    same timestamp all join the frame on both engines (the semantics a
+    ROWS frame cannot express). The trailing-rate-per-entity shape of
+    rate limiting and burst detection; one event_type shuffle, frame
+    evaluation streams within each sorted partition."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts")
+        .rangeBetween(-_RANGE_WIN_NS, 0)
+    )
+    return load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.count("*").over(w).alias("n_win"),
+        F.round(F.sum("value").over(w), 2).alias("sum_win"),
+    )

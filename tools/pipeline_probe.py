@@ -6,7 +6,9 @@ fresh doc_ids; embeddings with one sign-flipped component per replica)
 and measures the new operators on base vs 10×:
 
   text_lm_score, text_tfidf_keywords, multimodal_audio_meta,
-  multimodal_audio_energy, embed_quantize_int8, embed_random_projection
+  multimodal_audio_energy, multimodal_phash_dedup,
+  sketch_histogram_quantiles, embed_quantize_int8,
+  embed_random_projection
 
 Usage: PYTHONPATH=/root/repo python tools/pipeline_probe.py [base_sf_dir]
 
@@ -32,6 +34,10 @@ TEXT_OPS = [
     "text_tfidf_keywords",
     "multimodal_audio_meta",
     "multimodal_audio_energy",
+    # round-4 second block: decode+hash+bucket-join and the mergeable
+    # histogram sketch, both documents-driven
+    "multimodal_phash_dedup",
+    "sketch_histogram_quantiles",
 ]
 EMB_OPS = ["embed_quantize_int8", "embed_random_projection"]
 
