@@ -325,3 +325,110 @@ def test_weighted_pagerank_matches_python_recurrence(spark, seed):
         for r in pagerank_weighted_scaled(verts, edf, iters=iters).collect()
     }
     assert got == expected
+
+
+def _python_ppr_scaled(ids, pairs, seeds, iters, scale=10**12, dn=85, dd=100):
+    """Pure-Python execution of ppr_scaled's integer recurrence."""
+    ns = len(seeds)
+    base_s = (scale * (dd - dn)) // (dd * ns)
+    out_deg = {}
+    for a, _ in pairs:
+        out_deg[ids[a]] = out_deg.get(ids[a], 0) + 1
+    flag = {x: (1 if x in seeds else 0) for x in ids}
+    rank = {x: flag[x] * (scale // ns) for x in ids}
+    for _ in range(iters):
+        in_rank = {x: 0 for x in ids}
+        for a, b in pairs:
+            in_rank[ids[b]] += rank[ids[a]] // out_deg[ids[a]]
+        dpn = sum(rank[x] for x in ids if x not in out_deg) // ns
+        rank = {
+            x: flag[x] * (base_s + (dn * dpn) // dd) + (dn * in_rank[x]) // dd
+            for x in ids
+        }
+    return rank
+
+
+@pytest.mark.parametrize("seed", [5, 23, 77])
+def test_ppr_scaled_matches_python_recurrence(spark, seed):
+    from gravitydb_spark.operators.iterative import ppr_scaled
+
+    rng = random.Random(seed)
+    n = rng.randint(10, 40)
+    m = rng.randint(n, n * 3)
+    pairs = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+    ids, g = _raw_graph(spark, n, pairs)
+    seeds = sorted(rng.sample(ids, rng.randint(1, max(1, n // 4))))
+
+    expected = _python_ppr_scaled(ids, pairs, set(seeds), iters=4)
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "id string")
+    got = {
+        r["id"]: r["rank"]
+        for r in ppr_scaled(
+            g.vertices.select("id"), g.edges.select("src", "dst"),
+            seeds_df, iters=4
+        ).collect()
+    }
+    assert got == expected
+    # seedless vertices with no in-edges hold zero rank
+    dst_ids = {ids[b] for _, b in pairs}
+    for x in ids:
+        if x not in set(seeds) and x not in dst_ids:
+            assert got[x] == 0
+
+
+@pytest.mark.parametrize("seed", [2, 13])
+def test_adamic_adar_matches_brute_force(spark, seed, sf_dir):
+    """g_adamic_adar vs a pure-Python recomputation from the same
+    parquet inputs: top-5-by-spend candidate edges, 1/ln(deg) scores,
+    top-100 rounded ordering."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from gravitydb_spark.registry import queries
+
+    got = [
+        (r["pair_id"], r["score"], r["score_scaled"])
+        for r in queries()["g_adamic_adar"](spark, sf_dir).collect()
+    ]
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        SELECT o_custkey, l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount))::DOUBLE, 2)
+        FROM '{sf_dir}/orders.parquet' o
+        JOIN '{sf_dir}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_cust = defaultdict(list)
+    for c, s, spend in rows:
+        by_cust[c].append((-spend, s))
+    edges = defaultdict(set)  # supplier -> customers
+    for c, lst in by_cust.items():
+        for _, s in sorted(lst)[:5]:
+            edges[s].add(c)
+    scores = defaultdict(float)
+    for s, custs in edges.items():
+        d = len(custs)
+        if d < 2:
+            continue
+        w = 1.0 / math.log(d)
+        cl = sorted(custs)
+        for i in range(len(cl)):
+            for j in range(i + 1, len(cl)):
+                scores[(cl[i], cl[j])] += w
+    ranked = sorted(
+        ((round(v, 4), c1, c2) for (c1, c2), v in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:100]
+    expected = [
+        (f"c{c1}~c{c2}", v, round(sum(
+            1.0 / math.log(len(edges[s]))
+            for s in edges if c1 in edges[s] and c2 in edges[s] and len(edges[s]) >= 2
+        ) * 10000))
+        for v, c1, c2 in ranked
+    ]
+    assert got == expected

@@ -109,3 +109,26 @@ def test_update_missing_node_errors(spark):
     g, ids = _chain(spark)
     with pytest.raises(KeyError):
         g.update_nodes([("ffffffff-0000-0000-0000-000000000000", Prop("T", "x"))])
+
+
+def test_histogram_quantile_within_one_bin_of_exact(spark, sf_dir):
+    """The sketch's quantile estimate (upper bin edge) must bracket the
+    exact quantile: exact <= est <= exact + bin width."""
+    import duckdb
+
+    from gravitydb_spark.registry import queries
+
+    got = {
+        r["q"]: r["est"]
+        for r in queries()["sketch_histogram_quantiles"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    mn, mx = con.sql(
+        f"SELECT min(n_chars), max(n_chars) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    width = (mx - mn + 1) / 64.0
+    for q, est in got.items():
+        exact = con.sql(
+            f"SELECT quantile_disc(n_chars, {q}) FROM '{sf_dir}/documents.parquet'"
+        ).fetchone()[0]
+        assert exact <= est <= exact + width + 0.01, (q, exact, est, width)
