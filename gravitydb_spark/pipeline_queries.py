@@ -3872,7 +3872,14 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["phash"].append(phash)
             yield pd.DataFrame(out)
 
-    ph = _bmp_payloads(spark, sf_dir).mapInPandas(hash_kernel, schema).cache()
+    from .relational_queries import _memo_cache
+
+    ph = _memo_cache(
+        spark,
+        sf_dir,
+        "phash",
+        lambda: _bmp_payloads(spark, sf_dir).mapInPandas(hash_kernel, schema),
+    )
     a = ph.select(
         F.col("doc_id").alias("doc_a"), "w", "h", "phash"
     )
