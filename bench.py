@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_edit_verify",
     "agg_cube_flag_status",
     "events_range_window",
+    "sketch_countmin_heavyhitters",
 ]
 
 

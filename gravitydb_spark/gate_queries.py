@@ -600,13 +600,20 @@ _compound(
             "sketch_histogram_quantiles",
             {"k": "q", "n1": "bin", "n2": "est_scaled"},
         ),
+        (
+            "countmin",
+            "sketch_countmin_heavyhitters",
+            {"k": "token", "n1": "n_exact", "n2": "cm_estimate"},
+        ),
     ],
     "Gate family for corpus statistics: KMV distinct-count sketch vs exact,"
     " the corpus vocabulary top-k, BPE merge-candidate pair counting"
     " (the tokenizer-training inner step), integer-rank per-source"
     " length/token quantiles (quality-threshold tuning), and the"
     " mergeable equi-width histogram quantile sketch (the no-sort scale"
-    " path next to the exact quantiles).",
+    " path next to the exact quantiles) and the count-min frequency"
+    " sketch (min-over-rows estimates for the exact top-30, the"
+    " overestimate law visible per row).",
 )
 
 _compound(

@@ -3951,3 +3951,88 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(rel <= 0.2).select(
         "doc_a", "doc_b", "dist", rel.alias("rel_dist")
     )
+
+
+_CM_ROWS, _CM_W = 4, 256
+_CM_TOP = 30
+
+
+@register(
+    "sketch_countmin_heavyhitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t[i] AS token
+      FROM (SELECT {_DUCK_TOKENS} AS t FROM documents),
+           unnest(generate_series(1, len(t))) AS u(i)),
+    cnt AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token),
+    bk AS (
+      SELECT token, n, r,
+             ('0x' || substr(md5(r || ':' || token), 1, 8))::BIGINT % {_CM_W} AS b
+      FROM cnt, (SELECT unnest(generate_series(0, {_CM_ROWS - 1})) AS r)),
+    counters AS (SELECT r, b, sum(n)::BIGINT AS c FROM bk GROUP BY r, b),
+    top AS (
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM cnt ORDER BY n DESC, token LIMIT {_CM_TOP})
+    SELECT t.token, t.n AS n_exact, min(c.c)::BIGINT AS cm_estimate, t.rank
+    FROM top t
+      JOIN bk ON bk.token = t.token
+      JOIN counters c ON c.r = bk.r AND c.b = bk.b
+    GROUP BY t.token, t.n, t.rank
+    """,
+)
+def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch — the frequency member of the mergeable-sketch
+    trio (KMV = distinct count, equi-width histogram = quantiles, CM =
+    per-item frequency): {_CM_ROWS} hash rows x {_CM_W} counters, item
+    estimate = min over rows of its counter (a deterministic
+    OVER-estimate: est >= exact always, asserted per row here by
+    reporting both). Hashes are the engine-portable md5-hex-prefix
+    integers (bit-identical both engines).
+
+    Plan shape: counters are built from the ALREADY-AGGREGATED wordcount
+    (vocab-sized — the shuffle never carries raw occurrences), the
+    {_CM_ROWS}x{_CM_W} counter table is broadcast back onto the exact
+    top-{_CM_TOP}, and per-partition sketch states merge by vector
+    addition — the structure that lets 1000 executors each keep a local
+    sketch and combine in one reduce at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    from .relational_queries import _memo_cache
+
+    # one wordcount pass feeds buckets AND the exact top-k (memoized
+    # like every shared cache barrier here)
+    cnt = _memo_cache(
+        spark,
+        sf_dir,
+        "cm_wordcount",
+        lambda: docs.select(F.explode(_TOKENS_FN()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n")),
+    )
+    rows = spark.range(_CM_ROWS).select(F.col("id").alias("r"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_W
+    )
+    bk = cnt.crossJoin(F.broadcast(rows)).select("token", "n", "r", bucket.alias("b"))
+    counters = bk.groupBy("r", "b").agg(F.sum("n").cast("long").alias("c"))
+    wtop = Window.orderBy(F.desc("n"), F.asc("token"))
+    top = (
+        cnt.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= _CM_TOP)
+        .select("token", F.col("n").alias("n_exact"), "rank")
+    )
+    return (
+        top.join(bk, "token")
+        .join(F.broadcast(counters), ["r", "b"])
+        .groupBy("token", "n_exact", "rank")
+        .agg(F.min("c").cast("long").alias("cm_estimate"))
+        .select("token", "n_exact", "cm_estimate", "rank")
+    )

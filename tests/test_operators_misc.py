@@ -132,3 +132,12 @@ def test_histogram_quantile_within_one_bin_of_exact(spark, sf_dir):
             f"SELECT quantile_disc(n_chars, {q}) FROM '{sf_dir}/documents.parquet'"
         ).fetchone()[0]
         assert exact <= est <= exact + width + 0.01, (q, exact, est, width)
+
+
+def test_countmin_estimate_never_undercounts(spark, sf_dir):
+    from gravitydb_spark.registry import queries
+
+    rows = queries()["sketch_countmin_heavyhitters"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["cm_estimate"] >= r["n_exact"], r
