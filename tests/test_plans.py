@@ -330,3 +330,36 @@ def test_adamic_adar_is_bounded_candidate_topk(plans):
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cube_expands_into_single_aggregation(plans):
+    # CUBE = Expand (4 grouping sets map-side) into ONE shuffle, not a
+    # union of four scans
+    p = plans("agg_cube_flag_status")
+    assert "Expand" in p
+    assert p.count("FileScan") == 1
+
+
+def test_range_window_no_cartesian(plans):
+    p = plans("events_range_window")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_edit_verify_joins_candidates_not_all_pairs(plans):
+    p = plans("dedup_edit_verify")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_phash_pairs_by_bucket_equi_join(plans):
+    p = plans("multimodal_phash_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p  # memoized hash table
+
+
+def test_countmin_reuses_cached_wordcount(plans):
+    p = plans("sketch_countmin_heavyhitters")
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
