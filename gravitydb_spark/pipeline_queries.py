@@ -3670,8 +3670,12 @@ def stream_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin events_anomaly_zscore) is deliberately NOT attempted in
     the stream — it would need ordered per-key state. The |z| threshold
     compares the ROUNDED score on both engines (dedup-cosine trick)."""
+    from .relational_queries import load_events
+
+    # load_events, never a raw read: the ts encoding changes between
+    # rounds and the normalized loader is the only sanctioned reader
     base = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load_events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.avg("value").alias("m"),
@@ -4023,10 +4027,15 @@ def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bk = cnt.crossJoin(F.broadcast(rows)).select("token", "n", "r", bucket.alias("b"))
     counters = bk.groupBy("r", "b").agg(F.sum("n").cast("long").alias("c"))
+    # TakeOrderedAndProject first (partial top-K per partition), THEN the
+    # rank window over only the K retained rows — the corpus_vocab_topk
+    # shape; a partitionless window over the full vocab would single-
+    # partition the sort
     wtop = Window.orderBy(F.desc("n"), F.asc("token"))
     top = (
-        cnt.withColumn("rank", F.row_number().over(wtop))
-        .filter(F.col("rank") <= _CM_TOP)
+        cnt.orderBy(F.desc("n"), F.asc("token"))
+        .limit(_CM_TOP)
+        .withColumn("rank", F.row_number().over(wtop))
         .select("token", F.col("n").alias("n_exact"), "rank")
     )
     return (

@@ -1471,30 +1471,25 @@ def _memo_cache(spark: SparkSession, sf_dir: str, tag: str, build):
     return _plan_cache[key]
 
 
-_hourly_cache: dict = {}
-
-
 def _hourly_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, h, n, v) over the dense global hour range; n=0 and
     v=NULL in gap buckets. The sequence+explode builds each type's grid
     from one broadcast 1-row bounds aggregate — no driver loop.
 
-    The hourly rollup is CACHED (memoized per session+sf_dir): it feeds
-    the bounds aggregate, the distinct-type list, and the grid join —
-    uncached, Catalyst inlines the subtree into all three consumers and
-    scans the fact 3x (measured); cached, the fact is read and
-    aggregated once and the three consumers read the tiny rollup."""
-    key = (id(spark._jsparkSession), sf_dir)
-    if key in _hourly_cache:
-        hourly = _hourly_cache[key]
-    else:
-        hourly = (
-            load_events(spark, sf_dir)
-            .groupBy("event_type", F.expr(f"ts DIV {NS_PER_HOUR}").alias("h"))
-            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
-            .cache()
-        )
-        _hourly_cache[key] = hourly
+    The hourly rollup is CACHED (memoized per session+sf_dir via
+    _memo_cache): it feeds the bounds aggregate, the distinct-type list,
+    and the grid join — uncached, Catalyst inlines the subtree into all
+    three consumers and scans the fact 3x (measured); cached, the fact
+    is read and aggregated once and the three consumers read the tiny
+    rollup."""
+    hourly = _memo_cache(
+        spark,
+        sf_dir,
+        "hourly_rollup",
+        lambda: load_events(spark, sf_dir)
+        .groupBy("event_type", F.expr(f"ts DIV {NS_PER_HOUR}").alias("h"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")),
+    )
     bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = (
         hourly.select("event_type")

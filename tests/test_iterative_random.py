@@ -376,8 +376,7 @@ def test_ppr_scaled_matches_python_recurrence(spark, seed):
             assert got[x] == 0
 
 
-@pytest.mark.parametrize("seed", [2, 13])
-def test_adamic_adar_matches_brute_force(spark, seed, sf_dir):
+def test_adamic_adar_matches_brute_force(spark, sf_dir):
     """g_adamic_adar vs a pure-Python recomputation from the same
     parquet inputs: top-5-by-spend candidate edges, 1/ln(deg) scores,
     top-100 rounded ordering."""
