@@ -103,6 +103,7 @@ HEADLINE = [
     "agg_cube_flag_status",
     "events_range_window",
     "sketch_countmin_heavyhitters",
+    "data_quality_audit",
 ]
 
 

@@ -347,6 +347,11 @@ _compound(
             "agg_cube_flag_status",
             {"k1": "l_returnflag", "k2": "l_linestatus", "n1": "n", "m1": "sum_qty"},
         ),
+        (
+            "dq_audit",
+            "data_quality_audit",
+            {"k1": "chk", "n1": "n_bad", "n2": "n_checked"},
+        ),
     ],
     "Gate family for aggregation shapes beyond the headline TPC-H set —"
     " with these members every one of the 22 TPC-H plan shapes is"

@@ -1737,3 +1737,106 @@ def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_win"),
         F.round(F.sum("value").over(w), 2).alias("sum_win"),
     )
+
+
+@register(
+    "data_quality_audit",
+    oracle="""
+    WITH col_checks AS (
+      SELECT * FROM (
+        SELECT 'li_qty_range' AS chk,
+               sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)::BIGINT AS n_bad,
+               count(*)::BIGINT AS n_checked
+        FROM lineitem
+        UNION ALL
+        SELECT 'li_price_positive',
+               sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)::BIGINT,
+               count(*)::BIGINT
+        FROM lineitem
+        UNION ALL
+        SELECT 'li_discount_range',
+               sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)::BIGINT,
+               count(*)::BIGINT
+        FROM lineitem)),
+    fk_li_orders AS (
+      SELECT 'li_orderkey_fk' AS chk,
+             count(*) FILTER (WHERE o.o_orderkey IS NULL)::BIGINT AS n_bad,
+             count(*)::BIGINT AS n_checked
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    fk_orders_cust AS (
+      SELECT 'orders_custkey_fk' AS chk,
+             count(*) FILTER (WHERE c.c_custkey IS NULL)::BIGINT AS n_bad,
+             count(*)::BIGINT AS n_checked
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+    pk AS (
+      SELECT 'orders_pk_unique' AS chk,
+             (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_bad,
+             count(*)::BIGINT AS n_checked
+      FROM orders)
+    SELECT chk, n_bad, n_checked FROM col_checks
+    UNION ALL SELECT * FROM fk_li_orders
+    UNION ALL SELECT * FROM fk_orders_cust
+    UNION ALL SELECT * FROM pk
+    """,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit — the constraint-validation suite
+    (Deequ-style) every ingest pipeline gates on: per-check violation
+    counts for column-range rules, referential integrity, and key
+    uniqueness, in one result relation.
+
+    Plan shape: the three lineitem column rules share ONE scan (a single
+    aggregation of conditional sums — adding rules is free); each FK
+    rule is one broadcast-able left join counted without materializing
+    violations; PK uniqueness is count vs distinct-count in one agg. At
+    100 TB the audit is two fact scans + two dimension joins total —
+    never per-rule passes. Violating ROWS (not just counts) come free by
+    swapping the aggregate for the filter; the graph-side twin is
+    doctor() (dangling edges / refcount checks) on the property store."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def chk(name, bad, total):
+        return F.struct(
+            F.lit(name).alias("chk"),
+            bad.cast("long").alias("n_bad"),
+            total.cast("long").alias("n_checked"),
+        )
+
+    bad = lambda cond: F.sum(F.when(cond, 0).otherwise(1))  # noqa: E731
+    col_checks = li.agg(
+        F.explode(
+            F.array(
+                chk("li_qty_range", bad(F.col("l_quantity").between(1, 50)), F.count("*")),
+                chk("li_price_positive", bad(F.col("l_extendedprice") > 0), F.count("*")),
+                chk("li_discount_range", bad(F.col("l_discount").between(0, 1)), F.count("*")),
+            )
+        ).alias("s")
+    ).select("s.*")
+    fk1 = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left")
+        .agg(
+            F.lit("li_orderkey_fk").alias("chk"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad"),
+            F.count("*").cast("long").alias("n_checked"),
+        )
+    )
+    fk2 = (
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left")
+        .agg(
+            F.lit("orders_custkey_fk").alias("chk"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad"),
+            F.count("*").cast("long").alias("n_checked"),
+        )
+    )
+    pk = o.agg(
+        F.lit("orders_pk_unique").alias("chk"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("n_bad"),
+        F.count("*").cast("long").alias("n_checked"),
+    )
+    return col_checks.unionByName(fk1).unionByName(fk2).unionByName(pk)
