@@ -21,7 +21,12 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-__all__ = ["DOCUMENTS_SCHEMA", "read_documents", "write_documents"]
+__all__ = [
+    "DOCUMENTS_SCHEMA",
+    "read_documents",
+    "write_documents",
+    "export_jsonl_shards",
+]
 
 # canonical corpus schema (matches /root/testdata/sf*/documents.parquet)
 DOCUMENTS_SCHEMA = T.StructType(
@@ -131,3 +136,60 @@ def write_documents(
         out.write.mode(mode).json(path)
     else:
         out.write.mode(mode).option("header", True).csv(path)
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    spark: SparkSession,
+    path: str,
+    max_records_per_file: int = 100_000,
+) -> list:
+    """Export a corpus as size-capped JSONL shards plus a content
+    MANIFEST — the handoff format a training run consumes: every shard
+    small enough to stream, and a manifest the consumer can verify
+    before trusting the data.
+
+    The manifest (written to ``<path>/_MANIFEST.json``) lists each shard
+    with its row count and an ORDER-INVARIANT content checksum (sum of
+    per-line 32-bit sha256-prefix integers, mod 2^61): recomputable by any
+    reader in any framework, unaffected by line order within a shard, and
+    any dropped/duplicated/altered line changes it. Both passes are
+    distributed — rows never transit the driver; the driver only collects
+    the shard-level manifest rows (bounded by shard count).
+
+    Returns the manifest as a list of dicts.
+    """
+    import json as _json
+    import os as _os
+
+    out = _canonicalize(df)
+    (
+        out.write.mode("error")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .json(path)
+    )
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("shard"),
+        (
+            F.conv(F.substring(F.sha2(F.col("value"), 256), 1, 15), 16, 10)
+            .cast("long")
+            % F.lit(2**32)  # 32-bit per line: sums stay in int64 up to 2^31 rows/shard
+        ).alias("h"),
+    )
+    manifest = [
+        {
+            "shard": _os.path.basename(r["shard"]),
+            "rows": r["rows"],
+            "checksum": r["checksum"],
+        }
+        for r in lines.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("rows"),
+            (F.sum("h") % F.lit(2**61)).cast("long").alias("checksum"),
+        )
+        .collect()
+    ]
+    manifest.sort(key=lambda m: m["shard"])
+    with open(_os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest

@@ -183,3 +183,41 @@ def test_document_corpus_orc_roundtrip(spark, tmp_path):
     write_documents(src, oc, fmt="orc")
     back = read_documents(spark, oc, fmt="orc")
     assert sorted(tuple(r) for r in back.collect()) == baseline
+
+
+def test_export_jsonl_shards_manifest_round_trip(spark, sf_dir, tmp_path):
+    """Shards respect the record cap, the manifest's counts/checksums are
+    recomputable from the shard bytes, and a read-back equals the input."""
+    import hashlib
+    import json
+    import os
+
+    from gravitydb_spark.sources.documents import (
+        export_jsonl_shards,
+        read_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "export")
+    manifest = export_jsonl_shards(docs, spark, out, max_records_per_file=100)
+
+    n_docs = docs.count()
+    assert sum(m["rows"] for m in manifest) == n_docs
+    assert len(manifest) >= 2  # the cap actually split the corpus
+    on_disk = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert on_disk == manifest
+
+    for m in manifest:
+        shard_path = os.path.join(out, m["shard"])
+        rows = 0
+        csum = 0
+        with open(shard_path, "rb") as fh:
+            for line in fh:
+                line = line.rstrip(b"\n")
+                rows += 1
+                csum += int(hashlib.sha256(line).hexdigest()[:15], 16) % 2**32
+        assert rows == m["rows"] <= 100
+        assert csum % 2**61 == m["checksum"], m["shard"]
+
+    back = read_documents(spark, out, fmt="jsonl")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
