@@ -40,6 +40,13 @@ TEXT_OPS = [
     "sketch_histogram_quantiles",
 ]
 EMB_OPS = ["embed_quantize_int8", "embed_random_projection"]
+TS_OPS = [
+    "events_resample_gapfill",
+    "events_anomaly_zscore",
+    "events_ewma_smooth",
+    "events_range_window",
+    "events_pivot_wide",
+]
 
 
 def build_rep10_docs(spark, base: str, out: str) -> None:
@@ -84,6 +91,29 @@ def build_rep10_emb(spark, base: str, out: str) -> None:
     )
 
 
+def build_rep10_events(spark, base: str, out: str) -> None:
+    """10x the event fact: same 30-day window, 10x users — the growth
+    axis a real event stream has (more entities, same time span). The
+    hourly grid stays constant-size, so the time-series ops should be
+    scan-bound."""
+    os.makedirs(out, exist_ok=True)
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    e = spark.read.parquet(f"{base}/events.parquet")
+    (
+        e.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * DOC_STRIDE).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * 1000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .coalesce(16)
+        .write.parquet(f"{out}/events.parquet")
+    )
+
+
 def run(spark, sf_dir: str, label: str, ops) -> None:
     from gravitydb_spark.registry import REGISTRY, queries
 
@@ -106,8 +136,9 @@ def main() -> None:
     rep10 = "/tmp/pprobe_rep10"
     build_rep10_docs(spark, base, rep10)
     build_rep10_emb(spark, base, rep10)
-    run(spark, base, "1x", TEXT_OPS + EMB_OPS)
-    run(spark, rep10, f"{REPLICAS}x", TEXT_OPS + EMB_OPS)
+    build_rep10_events(spark, base, rep10)
+    run(spark, base, "1x", TEXT_OPS + EMB_OPS + TS_OPS)
+    run(spark, rep10, f"{REPLICAS}x", TEXT_OPS + EMB_OPS + TS_OPS)
 
 
 if __name__ == "__main__":
