@@ -461,6 +461,26 @@ def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_TOPK = 50
 
 
+def _wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized corpus wordcount (token, n) — the shared base of
+    corpus_vocab_topk and sketch_countmin_heavyhitters. One cached
+    aggregation; consumers read the vocab-sized rollup. (Also why the
+    vocab plan guard asserts an InMemoryTableScan: Spark's CacheManager
+    matches the identical logical plan either way, so sharing explicitly
+    keeps the plan deterministic regardless of query order.)"""
+    from .relational_queries import _memo_cache
+
+    return _memo_cache(
+        spark,
+        sf_dir,
+        "wordcount",
+        lambda: load(spark, sf_dir, "documents")
+        .select(F.explode(_TOKENS_FN()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n")),
+    )
+
+
 @register(
     "corpus_vocab_topk",
     oracle=f"""
@@ -473,17 +493,15 @@ VOCAB_TOPK = 50
     FROM cnt ORDER BY n DESC, token LIMIT {VOCAB_TOPK}
     """,
 )
+
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global vocabulary top-K — corpus-wide wordcount with deterministic
     tie-breaks. The groupBy partial-aggregates map-side (each task emits
     one row per distinct token it saw), so the shuffle carries vocabulary
     cardinality, not token count; the final top-K compiles to
     TakeOrderedAndProject, never a full sort of the vocab."""
-    docs = load(spark, sf_dir, "documents")
     cnt = (
-        docs.select(F.explode(_TOKENS_FN()).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").cast("long").alias("n"))
+        _wordcount(spark, sf_dir)
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(VOCAB_TOPK)
     )
@@ -3999,19 +4017,9 @@ def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{_CM_TOP}, and per-partition sketch states merge by vector
     addition — the structure that lets 1000 executors each keep a local
     sketch and combine in one reduce at 100 TB."""
-    docs = load(spark, sf_dir, "documents")
-    from .relational_queries import _memo_cache
-
-    # one wordcount pass feeds buckets AND the exact top-k (memoized
-    # like every shared cache barrier here)
-    cnt = _memo_cache(
-        spark,
-        sf_dir,
-        "cm_wordcount",
-        lambda: docs.select(F.explode(_TOKENS_FN()).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").cast("long").alias("n")),
-    )
+    # one memoized wordcount pass (shared with corpus_vocab_topk) feeds
+    # buckets AND the exact top-k
+    cnt = _wordcount(spark, sf_dir)
     rows = spark.range(_CM_ROWS).select(F.col("id").alias("r"))
     bucket = (
         F.conv(
