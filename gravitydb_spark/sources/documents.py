@@ -140,7 +140,6 @@ def write_documents(
 
 def export_jsonl_shards(
     df: DataFrame,
-    spark: SparkSession,
     path: str,
     max_records_per_file: int = 100_000,
 ) -> list:
@@ -168,7 +167,7 @@ def export_jsonl_shards(
         .option("maxRecordsPerFile", max_records_per_file)
         .json(path)
     )
-    lines = spark.read.text(path).select(
+    lines = df.sparkSession.read.text(path).select(
         F.input_file_name().alias("shard"),
         (
             F.conv(F.substring(F.sha2(F.col("value"), 256), 1, 15), 16, 10)

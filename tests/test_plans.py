@@ -101,8 +101,10 @@ def test_vocab_topk_is_take_ordered_over_partial_agg(plans):
     assert "TakeOrderedAndProject" in p
     # the wordcount base is the shared memoized cache (one aggregation,
     # vocab-sized, reused by the count-min sketch); top-K never sorts
-    # the full vocab
+    # the full vocab, and the cached subtree still partial-aggregates
+    # map-side (the shuffle carries vocabulary, not occurrences)
     assert "InMemoryTableScan" in p
+    assert "partial_count" in p
 
 
 def test_triangle_wedges_close_by_equi_join(plans):

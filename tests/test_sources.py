@@ -199,7 +199,7 @@ def test_export_jsonl_shards_manifest_round_trip(spark, sf_dir, tmp_path):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = str(tmp_path / "export")
-    manifest = export_jsonl_shards(docs, spark, out, max_records_per_file=100)
+    manifest = export_jsonl_shards(docs, out, max_records_per_file=100)
 
     n_docs = docs.count()
     assert sum(m["rows"] for m in manifest) == n_docs

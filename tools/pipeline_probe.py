@@ -95,16 +95,23 @@ def build_rep10_events(spark, base: str, out: str) -> None:
     """10x the event fact: same 30-day window, 10x users — the growth
     axis a real event stream has (more entities, same time span). The
     hourly grid stays constant-size, so the time-series ops should be
-    scan-bound."""
+    scan-bound. Reads via load_events (never raw — the ts encoding
+    changes between rounds) and writes the normalized BIGINT-nanos ts,
+    which normalize_events_ts passes through unchanged on re-read.
+    user_id stride = DOC_STRIDE >> max(user_id), so replica ID ranges
+    can never collide (a 1000 stride overlapped the 0..1499 range and
+    silently produced 7x users, not 10x)."""
+    from gravitydb_spark.relational_queries import load_events
+
     os.makedirs(out, exist_ok=True)
     reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
-    e = spark.read.parquet(f"{base}/events.parquet")
+    e = load_events(spark, base)
     (
         e.crossJoin(reps)
         .select(
             (F.col("event_id") + F.col("rep") * DOC_STRIDE).alias("event_id"),
             "ts",
-            (F.col("user_id") + F.col("rep") * 1000).alias("user_id"),
+            (F.col("user_id") + F.col("rep") * DOC_STRIDE).alias("user_id"),
             "event_type",
             "value",
             "props",
