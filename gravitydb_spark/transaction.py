@@ -89,6 +89,45 @@ class TransactionalStore:
             raise FileNotFoundError(f"{self.path}: no CURRENT snapshot (init first)")
         return PropertyGraph.load(spark, cur, schema)
 
+    # -- time travel ---------------------------------------------------
+    def snapshots(self) -> list:
+        """All published snapshot names, oldest first — the time-travel
+        axis. Shadow paging retains every committed version until GC, so
+        any past state is readable at parquet cost (snapshot dirs share
+        nothing mutable; on an object store they share unchanged
+        immutable objects)."""
+        names = [
+            d
+            for d in os.listdir(self.path)
+            if d.startswith("snap-") and d.split("-")[1].isdigit()
+        ]
+        return sorted(names, key=lambda d: int(d.split("-")[1]))
+
+    def load_at(self, spark, snapshot, schema=None) -> PropertyGraph:
+        """Read a PAST version: ``snapshot`` is a name ('snap-2') or an
+        index into :meth:`snapshots` (negative ok, -1 = newest
+        published). Time-travel reads never touch CURRENT — an old
+        reader and the newest writer share zero mutable state."""
+        names = self.snapshots()
+        if isinstance(snapshot, int):
+            name = names[snapshot]
+        else:
+            name = snapshot
+            if name not in names:
+                raise FileNotFoundError(f"{self.path}: no snapshot {name!r}")
+        return PropertyGraph.load(spark, os.path.join(self.path, name), schema)
+
+    def diff(self, spark, base_snapshot, new_snapshot, schema=None) -> dict:
+        """ChangeSet between two published versions (changeset.graph_diff
+        over time-travel reads): what happened between snapshot a and b —
+        the audit-log query shadow paging gives for free."""
+        from .changeset import graph_diff
+
+        return graph_diff(
+            self.load_at(spark, base_snapshot, schema),
+            self.load_at(spark, new_snapshot, schema),
+        )
+
     # -- commit protocol ----------------------------------------------
     def init(self, graph: PropertyGraph) -> str:
         """Publish the first snapshot."""

@@ -133,3 +133,46 @@ class TestTransactionalStore:
         # lock is released after a successful commit
         store.commit(g)
         assert not os.path.exists(lock)
+
+
+class TestTimeTravel:
+    def test_load_at_reads_past_versions_and_diff_explains_them(
+        self, spark, tmp_path
+    ):
+        """Three commits → every historical version stays readable by
+        name or index, CURRENT is unaffected by time-travel reads, and
+        the snapshot diff names exactly the vertex added in between."""
+        store = TransactionalStore(str(tmp_path / "db"))
+        g1 = _graph(spark)
+        s1 = store.init(g1)
+        g2 = g1.create_nodes(
+            [("00000000-0000-0000-0000-00000000000b", Prop("City", "Paris"))]
+        )[0]
+        s2 = store.commit(g2)
+        g3 = g2.delete_nodes([A_ID])
+        s3 = store.commit(g3)
+
+        assert store.snapshots() == [s1, s2, s3]
+        # by name and by (negative) index
+        v1 = store.load_at(spark, s1)
+        assert [r["id"] for r in v1.vertices.collect()] == [A_ID]
+        v2 = store.load_at(spark, -2)
+        assert sorted(r["id"] for r in v2.vertices.collect()) == [
+            A_ID,
+            "00000000-0000-0000-0000-00000000000b",
+        ]
+        # CURRENT still points at the newest commit
+        assert store.current_path().endswith(s3)
+        cur_ids = [r["id"] for r in store.load(spark).vertices.collect()]
+        assert cur_ids == ["00000000-0000-0000-0000-00000000000b"]
+
+        d12 = store.diff(spark, s1, s2)
+        assert [r["id"] for r in d12["created_nodes"].collect()] == [
+            "00000000-0000-0000-0000-00000000000b"
+        ]
+        assert d12["deleted_nodes"].count() == 0
+        d23 = store.diff(spark, s2, s3)
+        assert [r["id"] for r in d23["deleted_nodes"].collect()] == [A_ID]
+
+        with pytest.raises(FileNotFoundError):
+            store.load_at(spark, "snap-99")
