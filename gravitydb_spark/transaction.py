@@ -117,6 +117,35 @@ class TransactionalStore:
                 raise FileNotFoundError(f"{self.path}: no snapshot {name!r}")
         return PropertyGraph.load(spark, os.path.join(self.path, name), schema)
 
+    def gc_snapshots(self, keep: int = 5) -> list:
+        """Drop the oldest published snapshots beyond the newest ``keep``
+        — bounded time-travel history. The CURRENT snapshot is always
+        retained regardless of age (a pointer older than the retention
+        window must never dangle). Returns the removed names. Takes the
+        writer lock: GC races with commit's snapshot-number allocation
+        otherwise."""
+        import shutil
+
+        if keep < 1:
+            raise ValueError("keep must be >= 1")
+        lock = os.path.join(self.path, self.LOCK)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise WriterLockHeld(f"another writer holds {lock}")
+        try:
+            os.close(fd)
+            names = self.snapshots()
+            current = self._current_name()
+            doomed = [
+                n for n in names[:-keep] if n != current
+            ] if len(names) > keep else []
+            for n in doomed:
+                shutil.rmtree(os.path.join(self.path, n))
+            return doomed
+        finally:
+            os.unlink(lock)
+
     def diff(self, spark, base_snapshot, new_snapshot, schema=None) -> dict:
         """ChangeSet between two published versions (changeset.graph_diff
         over time-travel reads): what happened between snapshot a and b —

@@ -176,3 +176,22 @@ class TestTimeTravel:
 
         with pytest.raises(FileNotFoundError):
             store.load_at(spark, "snap-99")
+
+    def test_gc_snapshots_keeps_current_and_newest(self, spark, tmp_path):
+        store = TransactionalStore(str(tmp_path / "db"))
+        g = _graph(spark)
+        names = [store.init(g)]
+        for i in range(3):
+            g = g.create_nodes(
+                [(f"00000000-0000-0000-0000-00000000010{i}", Prop("City", f"C{i}"))]
+            )[0]
+            names.append(store.commit(g))
+
+        removed = store.gc_snapshots(keep=2)
+        assert removed == names[:2]
+        assert store.snapshots() == names[2:]
+        # current still loads, history bounded
+        assert store.current_path().endswith(names[-1])
+        assert store.load(spark).vertices.count() == 4
+        # idempotent
+        assert store.gc_snapshots(keep=2) == []
