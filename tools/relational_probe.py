@@ -1,0 +1,100 @@
+"""Relational-side scale probe (SCALE.md §4e): replicate the TPC-H facts
+10× (orders + lineitem, fresh orderkeys; dimensions unchanged — facts grow,
+dimensions don't) and measure the headline relational plans on base vs 10×.
+Dimension tables are symlinked from the base sf dir, so the probe corpus is
+a real sf_dir any registered query can run against.
+
+Usage: PYTHONPATH=/root/repo python tools/relational_probe.py [base_sf_dir]
+
+Prints one PROBE line per (dataset, query); paste into SCALE.md §4e.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+REPLICAS = 10
+KEY_STRIDE = 1_000_000_000
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supply",
+    "data_quality_audit",
+    "topk_parts_by_quantity",
+]
+
+DIMS = ["region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings", "events"]
+
+
+def build_rep10_facts(spark, base: str, out: str) -> None:
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    o = spark.read.parquet(f"{base}/orders.parquet")
+    (
+        o.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * KEY_STRIDE).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .coalesce(16)
+        .write.parquet(f"{out}/orders.parquet")
+    )
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * KEY_STRIDE).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .coalesce(32)
+        .write.parquet(f"{out}/lineitem.parquet")
+    )
+    for t in DIMS:
+        os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+
+
+def run(spark, sf_dir: str, label: str) -> None:
+    from gravitydb_spark.registry import REGISTRY, queries
+
+    queries()
+    for name in QUERIES:
+        t0 = time.monotonic()
+        n = REGISTRY[name].fn(spark, sf_dir).count()
+        print(
+            f"PROBE {label} {name}: {time.monotonic() - t0:.1f}s {n} rows",
+            flush=True,
+        )
+
+
+def main() -> None:
+    from gravitydb_spark.session import get_spark
+
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="relational_probe")
+    rep10 = "/tmp/rprobe_rep10"
+    build_rep10_facts(spark, base, rep10)
+    run(spark, base, "1x")
+    run(spark, rep10, f"{REPLICAS}x")
+
+
+if __name__ == "__main__":
+    main()
