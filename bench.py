@@ -104,6 +104,8 @@ HEADLINE = [
     "events_range_window",
     "sketch_countmin_heavyhitters",
     "data_quality_audit",
+    "events_cohort_retention",
+    "events_rfm_scores",
 ]
 
 

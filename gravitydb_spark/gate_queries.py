@@ -820,6 +820,23 @@ _compound(
             {"k": "event_type", "n1": "event_id", "n2": "ts", "n3": "n_win", "v": "sum_win"},
         ),
         (
+            "cohort_retention",
+            "events_cohort_retention",
+            {"n1": "cohort_day", "n2": "day_offset", "n3": "active_users"},
+        ),
+        (
+            "rfm",
+            "events_rfm_scores",
+            {
+                "n1": "user_id",
+                "n2": "recency_days",
+                "n3": "frequency",
+                "n4": "r_quartile",
+                "n5": "f_quartile",
+                "v": "monetary",
+            },
+        ),
+        (
             "pivot_wide",
             "events_pivot_wide",
             {
@@ -837,7 +854,8 @@ _compound(
     " join, the ordered view→click→purchase conversion funnel, and the"
     " time-series toolkit — gap-filled resampling with forward fill,"
     " trailing-window z-score anomaly detection, truncated-EWMA"
-    " smoothing — plus the long-to-wide per-user pivot feature matrix.",
+    " smoothing — plus the long-to-wide per-user pivot feature matrix,"
+    " cohort retention, and RFM quartile segmentation.",
 )
 
 _compound(

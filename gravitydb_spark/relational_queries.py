@@ -1840,3 +1840,104 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_checked"),
     )
     return col_checks.unionByName(fk1).unionByName(fk2).unionByName(pk)
+
+
+_NS_PER_DAY = 86_400 * 1_000_000_000
+
+
+@register(
+    "events_cohort_retention",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_ns(ts) // {_NS_PER_DAY} AS day
+               FROM events),
+    cohort AS (SELECT user_id, min(day) AS c_day FROM e GROUP BY user_id)
+    SELECT c.c_day AS cohort_day,
+           (e.day - c.c_day) AS day_offset,
+           count(DISTINCT e.user_id)::BIGINT AS active_users
+    FROM e JOIN cohort c ON c.user_id = e.user_id
+    GROUP BY c.c_day, (e.day - c.c_day)
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — THE product-analytics matrix: users grouped by
+    first-seen day (the cohort), counted as active at each day offset
+    from that first day. Reads as 'of the users who arrived on day X,
+    how many came back on day X+k'.
+
+    Plan shape: one per-user min aggregation (cohort assignment), joined
+    back onto the day-bucketed events by user_id — the join and both
+    aggregations all shuffle on user_id, so one partitioning serves the
+    whole query; the output is cohort×offset-sized (days², tiny at any
+    fact scale)."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts DIV {_NS_PER_DAY}").alias("day")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("c_day"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy(
+            F.col("c_day").alias("cohort_day"),
+            (F.col("day") - F.col("c_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+@register(
+    "events_rfm_scores",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             max(epoch_ns(ts)) AS last_ts,
+             count(*)::BIGINT AS frequency,
+             round(sum(value)::DOUBLE, 2) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT user_id,
+           ((SELECT max(last_ts) FROM p) - last_ts) // {_NS_PER_DAY}
+             AS recency_days,
+           frequency, monetary,
+           ntile(4) OVER (ORDER BY last_ts DESC, user_id)   AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id)  AS m_quartile
+    FROM p
+    """,
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM scoring — recency / frequency / monetary quartiles per
+    purchasing user, the segmentation every CRM pipeline computes. One
+    per-user aggregation of the purchase stream; the three ntile windows
+    run over the USER-sized aggregate (not the fact), with deterministic
+    user_id tie-breaks so quartile boundaries are engine-exact. Recency
+    is measured against the corpus max timestamp (1-row broadcast), so
+    the query is reproducible rather than wall-clock-dependent."""
+    p = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("long").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    mx = p.agg(F.max("last_ts").alias("corpus_max"))
+    return (
+        p.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.expr(f"(corpus_max - last_ts) DIV {_NS_PER_DAY}").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
+            .alias("r_quartile"),
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+            .alias("f_quartile"),
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+            .alias("m_quartile"),
+        )
+    )
