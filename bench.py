@@ -106,6 +106,8 @@ HEADLINE = [
     "data_quality_audit",
     "events_cohort_retention",
     "events_rfm_scores",
+    "basket_part_lift",
+    "events_transition_matrix",
 ]
 
 

@@ -352,6 +352,11 @@ _compound(
             "data_quality_audit",
             {"k1": "chk", "n1": "n_bad", "n2": "n_checked"},
         ),
+        (
+            "basket_lift",
+            "basket_part_lift",
+            {"n1": "part_a", "n2": "part_b", "m1": "lift"},
+        ),
     ],
     "Gate family for aggregation shapes beyond the headline TPC-H set —"
     " with these members every one of the 22 TPC-H plan shapes is"
@@ -818,6 +823,11 @@ _compound(
             "range_window",
             "events_range_window",
             {"k": "event_type", "n1": "event_id", "n2": "ts", "n3": "n_win", "v": "sum_win"},
+        ),
+        (
+            "transition_matrix",
+            "events_transition_matrix",
+            {"k": "from_type", "n1": "n", "v": "p"},
         ),
         (
             "cohort_retention",

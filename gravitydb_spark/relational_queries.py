@@ -1941,3 +1941,124 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m_quartile"),
         )
     )
+
+
+_BASKET_MIN_CO = 3
+
+
+@register(
+    "basket_part_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT okey) AS n FROM items),
+    supp AS (SELECT part, count(*)::BIGINT AS n_part FROM items GROUP BY part),
+    co AS (
+      SELECT a.part AS part_a, b.part AS part_b, count(*)::BIGINT AS n_co
+      FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+      GROUP BY a.part, b.part
+      HAVING count(*) >= {_BASKET_MIN_CO})
+    SELECT co.part_a, co.part_b, co.n_co,
+           round((co.n_co * (SELECT n FROM n_orders))::DOUBLE
+                 / (sa.n_part * sb.n_part), 3) AS lift
+    FROM co
+      JOIN supp sa ON sa.part = co.part_a
+      JOIN supp sb ON sb.part = co.part_b
+    """,
+)
+def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: part pairs co-ordered more often than
+    chance — co-occurrence count and LIFT (= P(a,b) / P(a)P(b), >1 means
+    genuinely associated). The association-rule primitive behind
+    bought-together recommendations.
+
+    Scale posture: the pair self-join is keyed on the order and bounded
+    BY THE BASKET SIZE (pairs per order = k², k = lines per order ≈
+    constant), so candidate volume is linear in orders — the same
+    bounded-candidates contract as every dedup join here. Support counts
+    are part-cardinality aggregates (broadcast back); the min-support
+    HAVING prunes the long tail before the lift projection."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    n_orders = items.agg(F.countDistinct("okey").alias("n"))
+    supp = items.groupBy("part").agg(F.count("*").cast("long").alias("n_part"))
+    a = items.select("okey", F.col("part").alias("part_a"))
+    b = items.select(F.col("okey").alias("okey_b"), F.col("part").alias("part_b"))
+    co = (
+        a.join(
+            b,
+            (F.col("okey") == F.col("okey_b"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= _BASKET_MIN_CO)
+    )
+    sa = supp.select(F.col("part").alias("part_a"), F.col("n_part").alias("na"))
+    sb = supp.select(F.col("part").alias("part_b"), F.col("n_part").alias("nb"))
+    return (
+        co.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            F.round(
+                (F.col("n_co") * F.col("n")) / (F.col("na") * F.col("nb")), 3
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ns(ts), event_id)
+               AS next_type
+      FROM events),
+    cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*)::BIGINT AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type)
+    SELECT from_type, to_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM cnt
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered (current → next) event-type pair, the transition count and
+    conditional probability P(next | current) — the sequence model
+    behind funnel diagnostics and next-action prediction.
+
+    Plan shape: one lead() window per user (shuffle on user_id, ordered
+    by time with event_id tie-break so simultaneous events are
+    deterministic on both engines), then a types²-sized aggregation and
+    a row-normalizing window over that tiny matrix."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_events(spark, sf_dir).select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    cnt = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    norm = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 4).alias("p"),
+    )
