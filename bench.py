@@ -108,6 +108,7 @@ HEADLINE = [
     "events_rfm_scores",
     "basket_part_lift",
     "events_transition_matrix",
+    "text_bm25_search",
 ]
 
 

@@ -492,6 +492,11 @@ _compound(
                 "m2": "rank",
             },
         ),
+        (
+            "bm25",
+            "text_bm25_search",
+            {"doc_id": "doc_id", "m1": "score"},
+        ),
     ],
     "Gate family for document quality scoring: stopword/length/uniqueness"
     " ratios, repetition signals (top token / top bigram fractions), the"

@@ -4053,3 +4053,94 @@ def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("long").alias("cm_estimate"))
         .select("token", "n_exact", "cm_estimate", "rank")
     )
+
+
+_BM25_TERMS = ["spark", "data", "value"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t[i] AS token, len(t) AS dl
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+           unnest(generate_series(1, len(t))) AS u(i)),
+    stats AS (SELECT count(DISTINCT doc_id) AS n,
+                     avg(DISTINCT_dl.dl) AS avgdl
+              FROM (SELECT DISTINCT doc_id, dl FROM toks) DISTINCT_dl),
+    tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+           FROM toks
+           WHERE token IN ({', '.join(f"'{t}'" for t in _BM25_TERMS)})
+           GROUP BY doc_id, token),
+    df AS (SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / stats.avgdl)))
+               AS s
+      FROM tf JOIN df ON df.token = tf.token, stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(s, 4) AS score
+    FROM scored
+    ORDER BY round(s, 4) DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text ranking for a fixed term set — the search primitive
+    next to tf-idf keywords: per-document term frequencies against
+    corpus document frequencies with the standard k1/b length
+    normalization, top-{_BM25_TOPK} by ROUNDED score (doc_id
+    tie-broken, so the cut is engine-exact).
+
+    Plan shape: the token explode is filtered to the QUERY TERMS before
+    any aggregation (the scan keeps |terms| tokens per doc, everything
+    downstream is query-sized); corpus stats (N, avg doclen) are a 1-row
+    broadcast; df is a |terms|-row broadcast — at 100 TB this is one
+    fact scan + query-sized joins, the inverted-index access path
+    expressed relationally. The reference's property index makes the
+    same claim for graph lookups (docs/key_value_store.adoc:367-369);
+    this is its corpus twin."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(_TOKENS_FN()).alias("token"),
+        F.size(_TOKENS_FN()).alias("dl"),
+    )
+    stats = docs.select(
+        F.count("*").alias("n"),
+        F.avg(F.size(_TOKENS_FN())).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count("*").cast("double").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    term = (
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
