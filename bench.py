@@ -109,6 +109,7 @@ HEADLINE = [
     "basket_part_lift",
     "events_transition_matrix",
     "text_bm25_search",
+    "profile_orders",
 ]
 
 

@@ -357,6 +357,11 @@ _compound(
             "basket_part_lift",
             {"n1": "part_a", "n2": "part_b", "m1": "lift"},
         ),
+        (
+            "profile",
+            "profile_orders",
+            {"k1": "column", "k2": "max_str", "n1": "n_distinct", "n2": "n_rows"},
+        ),
     ],
     "Gate family for aggregation shapes beyond the headline TPC-H set —"
     " with these members every one of the 22 TPC-H plan shapes is"

@@ -2062,3 +2062,78 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(norm), 4).alias("p"),
     )
+
+
+def profile_table(df: DataFrame, columns=None) -> DataFrame:
+    """Generic one-pass column profiler: per column — row count, nulls,
+    approximate-free EXACT distinct count, and min/max rendered as
+    strings (so one relation covers every type). The auto-profiling
+    primitive behind catalog UIs and drift alerts.
+
+    ALL columns profile in ONE aggregation pass (a single scan +
+    map-side partial aggs); count_distinct per column adds expand-style
+    work but no extra scan. Output is columns-count-sized."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("long").alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).cast("long").alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    row = df.agg(F.count("*").cast("long").alias("__n"), *aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                (F.col("__n") - F.col(f"{c}__nn")).alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_str"),
+                F.col(f"{c}__mx").alias("max_str"),
+                F.col("__n").alias("n_rows"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(structs).alias("s")).select("s.*")
+
+
+@register(
+    "profile_orders",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM orders)
+    SELECT 'o_orderkey' AS column,
+           (SELECT n FROM n) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+           min(o_orderkey)::VARCHAR AS min_str,
+           max(o_orderkey)::VARCHAR AS max_str,
+           (SELECT n FROM n)::BIGINT AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', (SELECT n FROM n) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus)::BIGINT,
+           min(o_orderstatus), max(o_orderstatus), (SELECT n FROM n)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', (SELECT n FROM n) - count(o_totalprice),
+           count(DISTINCT o_totalprice)::BIGINT,
+           min(o_totalprice)::VARCHAR, max(o_totalprice)::VARCHAR,
+           (SELECT n FROM n)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', (SELECT n FROM n) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority)::BIGINT,
+           min(o_orderpriority), max(o_orderpriority), (SELECT n FROM n)::BIGINT
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table (gate instance of
+    :func:`profile_table` over the string/int/double columns — the
+    timestamp column is excluded because raw timestamps never cross the
+    oracle boundary; profile it via epoch ints in practice)."""
+    return profile_table(
+        load(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
