@@ -360,7 +360,7 @@ _compound(
         (
             "profile",
             "profile_orders",
-            {"k1": "column", "k2": "max_str", "n1": "n_distinct", "n2": "n_rows"},
+            {"k1": "col_name", "k2": "max_str", "n1": "n_distinct", "n2": "n_rows"},
         ),
     ],
     "Gate family for aggregation shapes beyond the headline TPC-H set —"

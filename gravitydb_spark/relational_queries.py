@@ -2086,7 +2086,7 @@ def profile_table(df: DataFrame, columns=None) -> DataFrame:
     structs = F.array(
         *[
             F.struct(
-                F.lit(c).alias("column"),
+                F.lit(c).alias("col_name"),
                 (F.col("__n") - F.col(f"{c}__nn")).alias("n_null"),
                 F.col(f"{c}__nd").alias("n_distinct"),
                 F.col(f"{c}__mn").alias("min_str"),
@@ -2103,7 +2103,7 @@ def profile_table(df: DataFrame, columns=None) -> DataFrame:
     "profile_orders",
     oracle="""
     WITH n AS (SELECT count(*) AS n FROM orders)
-    SELECT 'o_orderkey' AS column,
+    SELECT 'o_orderkey' AS col_name,
            (SELECT n FROM n) - count(o_orderkey) AS n_null,
            count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
            min(o_orderkey)::VARCHAR AS min_str,
