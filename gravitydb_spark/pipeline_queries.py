@@ -4111,9 +4111,13 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_TOKENS_FN()).alias("token"),
         F.size(_TOKENS_FN()).alias("dl"),
     )
-    stats = docs.select(
+    # stats over the SAME universe as the oracle's toks CTE (documents
+    # that produce at least one token): a NULL-text doc would otherwise
+    # count in N on the Spark side only, and F.size(NULL) = -1 would
+    # poison avgdl
+    stats = toks.select("doc_id", "dl").distinct().agg(
         F.count("*").alias("n"),
-        F.avg(F.size(_TOKENS_FN())).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     tf = (
         toks.filter(F.col("token").isin(_BM25_TERMS))

@@ -1907,7 +1907,12 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchasing user, the segmentation every CRM pipeline computes. One
     per-user aggregation of the purchase stream; the three ntile windows
     run over the USER-sized aggregate (not the fact), with deterministic
-    user_id tie-breaks so quartile boundaries are engine-exact. Recency
+    user_id tie-breaks so quartile boundaries are engine-exact. NOTE:
+    unpartitioned ntile single-partitions each sort — fine for an
+    aggregate this small, but when the purchasing-user relation is
+    itself huge, switch to broadcast quantile CUTOFFS (approx_percentile
+    on the aggregate, then a scan-side bucket expression) and accept the
+    tie-handling difference. Recency
     is measured against the corpus max timestamp (1-row broadcast), so
     the query is reproducible rather than wall-clock-dependent."""
     p = (
@@ -2073,14 +2078,28 @@ def profile_table(df: DataFrame, columns=None) -> DataFrame:
     ALL columns profile in ONE aggregation pass (a single scan +
     map-side partial aggs); count_distinct per column adds expand-style
     work but no extra scan. Output is columns-count-sized."""
+    from pyspark.sql import types as T
+
     cols = columns or df.columns
+    types = dict(df.dtypes)
+
+    def render(expr, col):
+        # applied to the AGGREGATED value (min/max compare in the native
+        # type — rendering first would make them lexicographic).
+        # float/double -> string diverges between engines once Spark
+        # switches to E-notation (|x| >= 1e7); round to a fixed-scale
+        # DECIMAL first so the text form is engine-stable
+        if types[col] in ("double", "float"):
+            return F.round(expr, 2).cast(T.DecimalType(38, 2)).cast("string")
+        return expr.cast("string")
+
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.col(c)).cast("long").alias(f"{c}__nn"),
             F.countDistinct(F.col(c)).cast("long").alias(f"{c}__nd"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+            render(F.min(F.col(c)), c).alias(f"{c}__mn"),
+            render(F.max(F.col(c)), c).alias(f"{c}__mx"),
         ]
     row = df.agg(F.count("*").cast("long").alias("__n"), *aggs)
     structs = F.array(
@@ -2118,7 +2137,8 @@ def profile_table(df: DataFrame, columns=None) -> DataFrame:
     UNION ALL
     SELECT 'o_totalprice', (SELECT n FROM n) - count(o_totalprice),
            count(DISTINCT o_totalprice)::BIGINT,
-           min(o_totalprice)::VARCHAR, max(o_totalprice)::VARCHAR,
+           round(min(o_totalprice), 2)::DECIMAL(38,2)::VARCHAR,
+           round(max(o_totalprice), 2)::DECIMAL(38,2)::VARCHAR,
            (SELECT n FROM n)::BIGINT
     FROM orders
     UNION ALL

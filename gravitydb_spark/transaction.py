@@ -72,12 +72,30 @@ class TransactionalStore:
         os.makedirs(path, exist_ok=True)
 
     # -- pointer file --------------------------------------------------
-    def _current_name(self) -> Optional[str]:
+    # CURRENT is the PUBLICATION LOG: one snapshot name per line, oldest
+    # first, last line = the current version. One file, still replaced
+    # atomically — so the published-history listing and the current
+    # pointer can never disagree, and a crashed commit's orphan snap dir
+    # (written but never swapped in) is invisible to time travel by
+    # construction: it was never appended to the log.
+    def _published(self) -> list:
         try:
             with open(os.path.join(self.path, self.CURRENT), encoding="utf-8") as f:
-                return f.read().strip()
+                return [ln.strip() for ln in f if ln.strip()]
         except FileNotFoundError:
-            return None
+            return []
+
+    def _current_name(self) -> Optional[str]:
+        names = self._published()
+        return names[-1] if names else None
+
+    def _write_log(self, names: list) -> None:
+        tmp = os.path.join(self.path, self.CURRENT + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(names) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, self.CURRENT))
 
     def current_path(self) -> Optional[str]:
         name = self._current_name()
@@ -91,17 +109,15 @@ class TransactionalStore:
 
     # -- time travel ---------------------------------------------------
     def snapshots(self) -> list:
-        """All published snapshot names, oldest first — the time-travel
-        axis. Shadow paging retains every committed version until GC, so
-        any past state is readable at parquet cost (snapshot dirs share
-        nothing mutable; on an object store they share unchanged
-        immutable objects)."""
-        names = [
-            d
-            for d in os.listdir(self.path)
-            if d.startswith("snap-") and d.split("-")[1].isdigit()
-        ]
-        return sorted(names, key=lambda d: int(d.split("-")[1]))
+        """All PUBLISHED snapshot names, oldest first — the time-travel
+        axis, read from the publication log (never from directory
+        listings: a crashed commit leaves an orphan snap dir that was
+        never published and must not be readable as a version). Shadow
+        paging retains every committed version until GC, so any past
+        state is readable at parquet cost (snapshot dirs share nothing
+        mutable; on an object store they share unchanged immutable
+        objects)."""
+        return self._published()
 
     def load_at(self, spark, snapshot, schema=None) -> PropertyGraph:
         """Read a PAST version: ``snapshot`` is a name ('snap-2') or an
@@ -110,7 +126,13 @@ class TransactionalStore:
         reader and the newest writer share zero mutable state."""
         names = self.snapshots()
         if isinstance(snapshot, int):
-            name = names[snapshot]
+            try:
+                name = names[snapshot]
+            except IndexError:
+                raise FileNotFoundError(
+                    f"{self.path}: snapshot index {snapshot} out of range"
+                    f" ({len(names)} published)"
+                )
         else:
             name = snapshot
             if name not in names:
@@ -140,8 +162,13 @@ class TransactionalStore:
             doomed = [
                 n for n in names[:-keep] if n != current
             ] if len(names) > keep else []
-            for n in doomed:
-                shutil.rmtree(os.path.join(self.path, n))
+            if doomed:
+                # shrink the log FIRST (atomic), then drop the bytes: a
+                # crash in between leaves unreferenced dirs (harmless
+                # orphans), never a log entry pointing at deleted bytes
+                self._write_log([n for n in names if n not in doomed])
+                for n in doomed:
+                    shutil.rmtree(os.path.join(self.path, n))
             return doomed
         finally:
             os.unlink(lock)
@@ -181,9 +208,10 @@ class TransactionalStore:
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
 
-            # allocate PAST any existing snap-* dir, not just past CURRENT:
-            # an aborted or crashed commit leaves an orphan snapshot dir,
-            # and reusing its number would make save(mode="error") fail on
+            # number allocation scans DIRECTORIES (not the publication
+            # log) on purpose: an aborted or crashed commit leaves an
+            # orphan snapshot dir that is invisible to snapshots(), and
+            # reusing its number would make save(mode="error") fail on
             # every later commit
             existing = [
                 int(d.split("-")[1])
@@ -204,12 +232,8 @@ class TransactionalStore:
 
                 shutil.rmtree(target, ignore_errors=True)
                 raise
-            tmp = os.path.join(self.path, self.CURRENT + ".tmp")
-            with open(tmp, "w", encoding="utf-8") as f:
-                f.write(name)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, os.path.join(self.path, self.CURRENT))  # the atomic swap
+            # the atomic swap: append to the publication log and replace
+            self._write_log(self._published() + [name])
             return name
         finally:
             os.unlink(lock)

@@ -195,3 +195,26 @@ class TestTimeTravel:
         assert store.load(spark).vertices.count() == 4
         # idempotent
         assert store.gc_snapshots(keep=2) == []
+
+    def test_orphan_snapshot_dirs_are_not_published(self, spark, tmp_path):
+        """A crashed commit's leftover snap dir (written, never swapped
+        in) must be invisible to snapshots()/load_at(-1), and its number
+        must not be reused by the next commit."""
+        store = TransactionalStore(str(tmp_path / "db"))
+        g = _graph(spark)
+        s0 = store.init(g)
+        # simulate the crash: a snap dir exists but was never published
+        orphan = os.path.join(store.path, "snap-57")
+        os.makedirs(orphan)
+        assert store.snapshots() == [s0]
+        assert store.load_at(spark, -1).vertices.count() == 1
+        with pytest.raises(FileNotFoundError):
+            store.load_at(spark, 3)
+        # allocation still skips past the orphan's number
+        s1 = store.commit(
+            g.create_nodes(
+                [("00000000-0000-0000-0000-000000000200", Prop("City", "Rome"))]
+            )[0]
+        )
+        assert s1 == "snap-58"
+        assert store.snapshots() == [s0, s1]

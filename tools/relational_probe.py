@@ -88,7 +88,8 @@ def run(spark, sf_dir: str, label: str) -> None:
 def main() -> None:
     from gravitydb_spark.session import get_spark
 
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # abspath: the dimension symlinks resolve relative to the probe dir
+    base = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
     spark = get_spark(app_name="relational_probe")
     rep10 = "/tmp/rprobe_rep10"
     build_rep10_facts(spark, base, rep10)
