@@ -1983,10 +1983,16 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-candidates contract as every dedup join here. Support counts
     are part-cardinality aggregates (broadcast back); the min-support
     HAVING prunes the long tail before the lift projection."""
-    items = (
-        load(spark, sf_dir, "lineitem")
+    # memoized cache barrier: items feeds FOUR consumers (order count,
+    # support, both pair-join sides) — uncached, Catalyst inlines the
+    # distinct into each and the fact is scanned+shuffled four times
+    items = _memo_cache(
+        spark,
+        sf_dir,
+        "basket_items",
+        lambda: load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
-        .distinct()
+        .distinct(),
     )
     n_orders = items.agg(F.countDistinct("okey").alias("n"))
     supp = items.groupBy("part").agg(F.count("*").cast("long").alias("n_part"))
