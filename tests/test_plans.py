@@ -366,3 +366,31 @@ def test_countmin_reuses_cached_wordcount(plans):
     p = plans("sketch_countmin_heavyhitters")
     assert "InMemoryTableScan" in p
     assert "CartesianProduct" not in p
+
+
+def test_basket_items_cached_and_pair_join_keyed(plans):
+    # the distinct (order, part) relation feeds four consumers through
+    # ONE memoized cache; pairs join on the order key, never cross
+    p = plans("basket_part_lift")
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bm25_filters_terms_before_aggregation(plans):
+    # the query-term IN-filter must reach below the aggregation so the
+    # shuffle carries query-sized rows
+    p = plans("text_bm25_search")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_profiler_is_single_aggregation_pass(plans):
+    p = plans("profile_orders")
+    assert p.count("FileScan") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_cohort_and_transition_share_user_partitioning(plans):
+    for name in ("events_cohort_retention", "events_transition_matrix"):
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
