@@ -110,6 +110,7 @@ HEADLINE = [
     "events_transition_matrix",
     "text_bm25_search",
     "profile_orders",
+    "events_seasonality_profile",
 ]
 
 

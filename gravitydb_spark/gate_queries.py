@@ -840,6 +840,11 @@ _compound(
             {"k": "from_type", "n1": "n", "v": "p"},
         ),
         (
+            "seasonality",
+            "events_seasonality_profile",
+            {"k": "event_type", "n1": "hour_of_day", "n2": "max_events", "v": "avg_events"},
+        ),
+        (
             "cohort_retention",
             "events_cohort_retention",
             {"n1": "cohort_day", "n2": "day_offset", "n3": "active_users"},

@@ -2163,3 +2163,44 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders"),
         ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
     )
+
+
+@register(
+    "events_seasonality_profile",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_ns(ts) // {NS_PER_HOUR} AS h,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, (h % 24)::BIGINT AS hour_of_day,
+           round(avg(n), 3) AS avg_events,
+           max(n) AS max_events,
+           count(*)::BIGINT AS n_buckets
+    FROM hourly
+    GROUP BY event_type, h % 24
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal seasonality profile — average and peak events per
+    hour-of-day per type, the seasonal baseline that completes the
+    time-series quartet (gap-fill, anomaly z-score, EWMA, seasonality):
+    an anomaly detector at scale compares against THIS profile, not a
+    flat mean. Two tiny aggregations: the hourly rollup (the same
+    fact-sized shuffle every time-series op here starts from) re-grouped
+    into a 24×types-sized profile. Hour buckets are epoch-hour mod 24
+    (UTC), deterministic on both engines."""
+    hourly = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type", F.expr(f"ts DIV {NS_PER_HOUR}").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        hourly.groupBy(
+            "event_type", (F.col("h") % 24).cast("long").alias("hour_of_day")
+        )
+        .agg(
+            F.round(F.avg("n"), 3).alias("avg_events"),
+            F.max("n").alias("max_events"),
+            F.count("*").cast("long").alias("n_buckets"),
+        )
+    )
