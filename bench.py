@@ -1,7 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+COMPACT JSON line on stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {10 slowest}, "sf": ..., "n_queries": N,
+"full_queries_file": "BENCH_DETAIL.json"}.
+
+The driver captures only the last ~2,000 chars of stdout (r4's 3.3 KB
+full-dict line was front-truncated to `parsed: null`), so the stdout line
+is kept under 1,500 bytes by construction (tests/test_bench_line.py
+asserts this at the current query count). The FULL per-query timing dict
+goes to BENCH_DETAIL.json next to this script and, per-query, to stderr.
 
 Each query is fully materialized (count + a cheap checksum collect) so
 the timing covers the whole plan, not just planning.
@@ -114,6 +121,42 @@ HEADLINE = [
 ]
 
 
+STDOUT_LINE_BUDGET = 1500  # driver tail-captures ~2000 chars; stay well under
+
+
+def compact_line(timings: dict[str, float], sf: float) -> str:
+    """One stdout JSON line guaranteed short enough for the driver's
+    2,000-char tail capture: headline total + the 10 slowest queries only.
+    The full dict lives in BENCH_DETAIL.json (see main)."""
+    total = round(sum(timings.values()), 3)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "queries_truncated": True,
+            "n_queries": len(timings),
+            "full_queries_file": "BENCH_DETAIL.json",
+            "sf": sf,
+        }
+    )
+    if len(line) > STDOUT_LINE_BUDGET:  # pragma: no cover - guarded by test
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
+            }
+        )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -143,17 +186,21 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    # the ONE stdout line, compact by construction (driver tail capture)
+    print(compact_line(timings, float(sf)))
 
 
 if __name__ == "__main__":
