@@ -50,6 +50,9 @@ def _compound(name: str, cols: list[tuple[str, str]], parts, doc: str) -> None:
     cols:  [(out_col, spark_type)] superset schema (plus a leading ``op`` tag)
     parts: [(tag, member_query_name, {out_col: member_col})] — out_cols
            missing from the mapping become typed NULLs on both engines.
+           A mapping value may be any expression valid in BOTH Spark SQL
+           and DuckDB (e.g. ``a || '>' || b`` to pack a composite identity
+           into one slot); it is inlined verbatim on both engines.
     """
     for _, sub, mapping in parts:
         if sub not in REGISTRY:
@@ -79,7 +82,7 @@ def _compound(name: str, cols: list[tuple[str, str]], parts, doc: str) -> None:
             sel = [F.lit(tag).alias("op")]
             for out, typ in cols:
                 src = mapping.get(out)
-                col = F.lit(None) if src is None else F.col(src)
+                col = F.lit(None) if src is None else F.expr(src)
                 sel.append(col.cast(typ).alias(out))
             dfs.append(df.select(sel))
         return reduce(DataFrame.union, dfs)
@@ -837,7 +840,10 @@ _compound(
         (
             "transition_matrix",
             "events_transition_matrix",
-            {"k": "from_type", "n1": "n", "v": "p"},
+            # full transition identity in k: a regression permuting
+            # destination types among equal-(n,p) rows within one
+            # from_type must flip the gate hash (r4 ADVICE)
+            {"k": "from_type || '>' || to_type", "n1": "n", "v": "p"},
         ),
         (
             "seasonality",

@@ -643,6 +643,11 @@ def ppr_scaled(
     aggregation-order-independent and bit-matchable against the DuckDB
     unrolled-CTE oracle running the identical recurrence."""
     ns = sources.count()
+    if ns == 0:
+        raise ValueError(
+            "personalized pagerank: sources must be non-empty (the seed "
+            "set receives all teleport mass; |S|=0 has no defined ranks)"
+        )
     dn, dd = damping_num, damping_den
     base_s = (scale * (dd - dn)) // (dd * ns)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))

@@ -66,6 +66,7 @@ class TransactionalStore:
 
     CURRENT = "CURRENT"
     LOCK = "WRITER_LOCK"
+    GC_PENDING = "GC_PENDING"  # de-logged names whose bytes await pass 2
 
     def __init__(self, path: str):
         self.path = path
@@ -139,13 +140,27 @@ class TransactionalStore:
                 raise FileNotFoundError(f"{self.path}: no snapshot {name!r}")
         return PropertyGraph.load(spark, os.path.join(self.path, name), schema)
 
-    def gc_snapshots(self, keep: int = 5) -> list:
+    def gc_snapshots(self, keep: int = 5, grace: bool = True) -> list:
         """Drop the oldest published snapshots beyond the newest ``keep``
         — bounded time-travel history. The CURRENT snapshot is always
         retained regardless of age (a pointer older than the retention
-        window must never dangle). Returns the removed names. Takes the
-        writer lock: GC races with commit's snapshot-number allocation
-        otherwise."""
+        window must never dangle). Returns the names de-published this
+        pass. Takes the writer lock: GC races with commit's
+        snapshot-number allocation otherwise.
+
+        Reader/GC contract (r4 ADVICE): a time-travel reader resolves a
+        snapshot name via :meth:`snapshots` and then reads its parquet
+        over many Spark tasks — deleting the directory mid-read fails
+        those tasks. With ``grace=True`` (default) GC is TWO-PHASE:
+        this pass only shrinks the publication log (new readers can no
+        longer resolve the name) and parks the names in ``GC_PENDING``;
+        the BYTES are deleted at the start of the NEXT gc pass, so any
+        reader that resolved a name before the shrink has a full GC
+        interval to finish. Only readers older than one whole retention
+        window ago can still race — that residual is the documented
+        limit (no reader registry exists; pick your GC cadence longer
+        than your longest time-travel read). ``grace=False`` restores
+        immediate deletion for callers that know there are no readers."""
         import shutil
 
         if keep < 1:
@@ -157,6 +172,15 @@ class TransactionalStore:
             raise WriterLockHeld(f"another writer holds {lock}")
         try:
             os.close(fd)
+            pending_path = os.path.join(self.path, self.GC_PENDING)
+            # phase 2 of the PREVIOUS pass: names de-logged back then
+            # have aged a full GC interval — drop their bytes now
+            if os.path.exists(pending_path):
+                with open(pending_path) as f:
+                    aged = [ln.strip() for ln in f if ln.strip()]
+                for n in aged:
+                    shutil.rmtree(os.path.join(self.path, n), ignore_errors=True)
+                os.unlink(pending_path)
             names = self.snapshots()
             current = self._current_name()
             doomed = [
@@ -167,8 +191,14 @@ class TransactionalStore:
                 # crash in between leaves unreferenced dirs (harmless
                 # orphans), never a log entry pointing at deleted bytes
                 self._write_log([n for n in names if n not in doomed])
-                for n in doomed:
-                    shutil.rmtree(os.path.join(self.path, n))
+                if grace:
+                    tmp = pending_path + ".tmp"
+                    with open(tmp, "w") as f:
+                        f.write("\n".join(doomed) + "\n")
+                    os.replace(tmp, pending_path)
+                else:
+                    for n in doomed:
+                        shutil.rmtree(os.path.join(self.path, n))
             return doomed
         finally:
             os.unlink(lock)

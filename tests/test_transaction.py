@@ -9,6 +9,7 @@ import os
 import pytest
 
 from gravitydb_spark import GraphBatchBuilder, Prop
+from gravitydb_spark.graph import PropertyGraph
 from gravitydb_spark.constraints import ConstraintViolation, Prohibited, Required
 from gravitydb_spark.ql import pq_from_id, vq_all
 from gravitydb_spark.transaction import TransactionalStore, WriterLockHeld, transact
@@ -195,6 +196,43 @@ class TestTimeTravel:
         assert store.load(spark).vertices.count() == 4
         # idempotent
         assert store.gc_snapshots(keep=2) == []
+
+    def test_gc_grace_defers_byte_deletion_one_pass(self, spark, tmp_path):
+        """Two-phase GC (reader/GC grace, r4 ADVICE): pass 1 only
+        de-publishes (log shrink + GC_PENDING park) so an in-flight
+        time-travel reader keeps its bytes; pass 2 deletes them."""
+        store = TransactionalStore(str(tmp_path / "db"))
+        g = _graph(spark)
+        names = [store.init(g)]
+        for i in range(3):
+            g = g.create_nodes(
+                [(f"00000000-0000-0000-0000-00000000011{i}", Prop("City", f"G{i}"))]
+            )[0]
+            names.append(store.commit(g))
+
+        doomed = store.gc_snapshots(keep=2)
+        assert doomed == names[:2]
+        # de-published: new readers can't resolve the names...
+        assert store.snapshots() == names[2:]
+        with pytest.raises(FileNotFoundError):
+            store.load_at(spark, names[0])
+        # ...but the BYTES survive the pass — a reader holding the
+        # resolved path can still finish its scan
+        stale = os.path.join(store.path, names[0])
+        assert os.path.isdir(stale)
+        assert PropertyGraph.load(spark, stale).vertices.count() == 1
+        # pass 2 (the next gc) drops the aged bytes
+        assert store.gc_snapshots(keep=2) == []
+        assert not os.path.isdir(stale)
+        assert not os.path.exists(os.path.join(store.path, store.GC_PENDING))
+        # grace=False restores immediate deletion
+        g = g.create_nodes(
+            [("00000000-0000-0000-0000-000000000120", Prop("City", "Gx"))]
+        )[0]
+        names.append(store.commit(g))
+        doomed2 = store.gc_snapshots(keep=2, grace=False)
+        assert doomed2 == [names[2]]
+        assert not os.path.isdir(os.path.join(store.path, names[2]))
 
     def test_orphan_snapshot_dirs_are_not_published(self, spark, tmp_path):
         """A crashed commit's leftover snap dir (written, never swapped
