@@ -296,7 +296,10 @@ def cmd_db_info(args) -> int:
 def cmd_repl(args) -> int:
     """EP3 analog: the reference embeds a Lua REPL (lua.rs:368-449); here
     Python *is* the scripting surface — drop into an interactive session
-    with the db and the query builders pre-bound."""
+    with the db and the query builders pre-bound. ``--lua`` instead runs
+    the reference's ACTUAL repl loop: Lua lines, transliterated one input
+    unit at a time through the migration shim, expression results echoed,
+    mutations persisted on exit like every other mutating verb."""
     import code
 
     from . import ql
@@ -304,6 +307,40 @@ def cmd_repl(args) -> int:
 
     spark = get_spark("gravitydb_cli")
     db = _load(spark, args.db)
+    if getattr(args, "lua", False):
+        from .lua_shim import LuaRepl, LuaShimError
+
+        repl = LuaRepl(db, extra_env={"spark": spark})
+        print(
+            "gravitydb lua repl — db:query(q), vq_all(), pq_from_id(), ... "
+            "(lua.rs builder surface; ^D to exit)"
+        )
+        # prompts only on a tty: piped sessions keep stdout clean for
+        # the echoed results (input() writes its prompt to stdout)
+        tty = sys.stdin.isatty()
+        prompt, cont = "lua> ", "  .. "
+        needs_more = False
+        while True:
+            try:
+                line = input((cont if needs_more else prompt) if tty else "")
+            except EOFError:
+                print()
+                break
+            try:
+                needs_more, val = repl.push(line)
+            except LuaShimError as e:
+                print(f"error: {e}", file=sys.stderr)
+                needs_more = False
+            except Exception as e:  # echo, keep the session alive (lua.rs repl does)
+                print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+                needs_more = False
+            else:
+                if not needs_more and val is not None:
+                    print(json.dumps(val, indent=2, default=str))
+        if repl.graph is not db:
+            _save_over(spark, repl.graph, args.db)
+            print(f"persisted mutations to {args.db}", file=sys.stderr)
+        return 0
     ns = {
         "spark": spark,
         "db": db,
@@ -462,6 +499,11 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("repl")
     sp.add_argument("--db", required=True)
+    sp.add_argument(
+        "--lua",
+        action="store_true",
+        help="interactive Lua loop (lua.rs:368-449) via the migration shim",
+    )
     sp.set_defaults(fn=cmd_repl)
 
     args = p.parse_args(argv)

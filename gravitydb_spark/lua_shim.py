@@ -58,7 +58,13 @@ import uuid as _uuid
 from .plans.compiler import execute
 from .schema import Prop
 
-__all__ = ["LuaDb", "LuaShimError", "run_lua_script", "transliterate"]
+__all__ = [
+    "LuaDb",
+    "LuaRepl",
+    "LuaShimError",
+    "run_lua_script",
+    "transliterate",
+]
 
 
 class LuaShimError(ValueError):
@@ -236,6 +242,73 @@ class LuaDb:
         """Per-path tagged payload chains of the last query, sorted."""
         rows = self._last.extract_path_properties().collect()
         return sorted([s for s in r["props"]] for r in rows)
+
+
+class LuaRepl:
+    """``lua_repl`` analog (lua.rs:368-449): a line-at-a-time interactive
+    Lua loop over the same builder surface as :func:`run_lua_script`.
+    The reference's REPL reads a line, evaluates it in a persistent Lua
+    state with ``db`` bound, and prints expression results; this shim
+    transliterates each (possibly multi-line) input unit and evaluates it
+    in a persistent Python namespace with identical bindings.
+
+    Engine-style API so the CLI loop and tests share one code path:
+    :meth:`push` feeds one line and returns ``(needs_more, value)`` —
+    ``needs_more`` means the statement is incomplete (unclosed paren /
+    table) and the next line continues it; ``value`` is the expression
+    result to echo (None for statements), matching the Lua 5.x REPL's
+    print-expression-results behavior."""
+
+    def __init__(self, graph, extra_env: dict | None = None):
+        from . import ql
+
+        self.db = LuaDb(graph)
+        self.ns = {
+            "db": self.db,
+            "Prop": Prop,
+            "print": print,
+            **{n: getattr(ql, n) for n in ql.__all__},
+            **(extra_env or {}),
+        }
+        self._buf: list[str] = []
+
+    @property
+    def graph(self):
+        """The current (possibly mutated) graph — the CLI persists this
+        on exit, like the ``script`` verb."""
+        return self.db.graph
+
+    def push(self, line: str):
+        import codeop
+
+        self._buf.append(line)
+        src = "\n".join(self._buf)
+        try:
+            py = transliterate(src)
+            code_obj = codeop.compile_command(py, "<lua-repl>", "single")
+        except (LuaShimError, SyntaxError, ValueError, OverflowError):
+            self._buf.clear()  # a bad unit must not poison the next line
+            raise
+        if code_obj is None:  # incomplete — wait for the next line
+            return True, None
+        self._buf.clear()
+        # eval expressions (to echo their value), exec statements
+        try:
+            expr = compile(py, "<lua-repl>", "eval")
+        except SyntaxError:
+            exec(compile(py, "<lua-repl>", "exec"), self.ns)  # noqa: S102
+            return False, None
+        return False, eval(expr, self.ns)  # noqa: S307 — the verb's purpose
+
+    def run_session(self, lines) -> list:
+        """Feed a scripted sequence of input lines (tests / piped stdin);
+        returns the echoed expression values, skipping None."""
+        out = []
+        for ln in lines:
+            needs_more, val = self.push(ln)
+            if not needs_more and val is not None:
+                out.append(val)
+        return out
 
 
 def run_lua_script(graph, code: str, name: str = "<lua>", extra_env: dict | None = None):

@@ -199,3 +199,111 @@ class TestCliLuaScript:
         # the mutation must be durable: re-load the store fresh
         g = PropertyGraph.load(spark, db_path)
         assert g.vertices.count() == 1
+
+
+class TestLuaRepl:
+    """Interactive Lua REPL (lua.rs:368-449 analog): line-at-a-time loop
+    with continuation, expression echo, error recovery, and mutation
+    persistence through the CLI verb."""
+
+    def _gin_lines(self):
+        gin = Prop("Ingredient", "gin").hash
+        includes = Prop("Includes").hash
+        cocktail = Prop("SchemaType", "Cocktail").hash
+        return [
+            f"local gin = pq_from_id('{gin}')",
+            f"local includes = pq_from_id('{includes}')",
+            f"local cocktail = pq_from_id('{cocktail}')",
+            # deliberately split across lines: the repl must detect the
+            # open parens and keep reading (Lua repl continuation)
+            "local q = gin:referencing_vertices():ingoing():intersect(",
+            "  includes:referencing_edges()):ingoing():intersect(",
+            "  cocktail:referencing_properties():referencing_vertices())",
+            "db:query(q)",
+            "db:extract_properties()",
+        ]
+
+    def test_scripted_session_reproduces_gin_golden_list(self, cocktail_graph):
+        from gravitydb_spark.lua_shim import LuaRepl
+
+        repl = LuaRepl(cocktail_graph)
+        vals = repl.run_session(self._gin_lines())
+        # two expression echoes: the QueryResult dict, then the tagged list
+        assert len(vals) == 2
+        assert set(vals[0]) == {"vertices", "edges", "variables"}
+        assert len(vals[0]["vertices"]) == len(GIN_COCKTAILS)
+        assert vals[1] == _expected_tagged()
+
+    def test_continuation_state(self, cocktail_graph):
+        from gravitydb_spark.lua_shim import LuaRepl
+
+        repl = LuaRepl(cocktail_graph)
+        needs_more, val = repl.push("x = vq_from_ids({")
+        assert needs_more and val is None
+        needs_more, val = repl.push("})")
+        assert not needs_more
+        needs_more, val = repl.push("1 + 2")
+        assert (needs_more, val) == (False, 3)
+
+    def test_error_recovers_and_session_continues(self, cocktail_graph):
+        from gravitydb_spark.lua_shim import LuaRepl, LuaShimError
+
+        repl = LuaRepl(cocktail_graph)
+        with pytest.raises(LuaShimError, match="outside the shim subset"):
+            repl.push("for i=1,10 do print(i) end")
+        # the buffer must be reset — the next line starts fresh
+        assert repl.push("y = true")[0] is False
+        assert repl.ns["y"] is True
+
+    def test_mutation_rebinds_graph(self, spark):
+        from gravitydb_spark import GraphBatchBuilder
+        from gravitydb_spark.lua_shim import LuaRepl
+
+        g = GraphBatchBuilder().build(spark)
+        repl = LuaRepl(g)
+        _, vid = repl.push("db:create_node(Prop('City', 'Rome'))")
+        assert isinstance(vid, str) and len(vid) == 36
+        assert repl.graph is not g
+        assert repl.graph.vertices.count() == 1
+
+    def test_cli_repl_lua_end_to_end(self, spark, cocktail_graph, tmp_path):
+        """One piped CLI session: the 21-cocktail golden query, a rejected
+        control-flow line (error echoed, loop survives), and a mutation
+        that must persist to the on-disk store after exit."""
+        from gravitydb_spark.graph import PropertyGraph
+
+        db_path = str(tmp_path / "repl_db")
+        cocktail_graph.save(db_path)
+        lines = self._gin_lines()[:-2] + [
+            "print(db:query(q)['vertices'])",
+            "print(db:extract_properties())",
+            "for i=1,10 do end",
+            "local id = db:create_node(Prop('City', 'Berlin'))",
+        ]
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "gravitydb_spark.cli",
+                "repl",
+                "--db",
+                db_path,
+                "--lua",
+            ],
+            input="\n".join(lines) + "\n",
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        out_lists = [ln for ln in r.stdout.splitlines() if ln.startswith("[")]
+        assert out_lists, r.stdout[-2000:]
+        assert eval(out_lists[-1]) == _expected_tagged()  # noqa: S307 — list-of-str repr
+        assert "outside the shim subset" in r.stderr
+        assert "persisted mutations" in r.stderr
+        g = PropertyGraph.load(spark, db_path)
+        n_before = cocktail_graph.vertices.count()
+        assert g.vertices.count() == n_before + 1
+        berlin = Prop("City", "Berlin").hash
+        assert g.properties.filter(f"prop_hash = '{berlin}'").count() == 1
