@@ -998,6 +998,11 @@ _compound(
             {"n1": "doc_id"},
         ),
         (
+            "dedup_index_upkeep",
+            "stream_dedup_index_upkeep",
+            {"n1": "doc_id", "n2": "batch"},
+        ),
+        (
             "audio_meta",
             "stream_audio_meta",
             {"n1": "doc_id", "n2": "n_bytes", "n3": "sample_sum"},

@@ -33,7 +33,7 @@ _graph_cache: dict = {}
 
 
 def tpch_graph(spark: SparkSession, sf_dir: str):
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _graph_cache:
         return _graph_cache[key]
     c = load(spark, sf_dir, "customer")

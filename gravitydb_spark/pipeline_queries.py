@@ -15,6 +15,8 @@ bit-identical; minhash takes lexicographic min over hex strings.
 
 from __future__ import annotations
 
+import os
+
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
@@ -569,7 +571,7 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~7s of minhash's 9.3s at sf0.1, measured); both consumers exploded
     the array immediately anyway, so the exploded relation is also the
     more useful shape."""
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _shingle_cache:
         tok = load(spark, sf_dir, "documents").select(
             "doc_id", F.posexplode(_TOKENS_FN()).alias("pos", "w")
@@ -773,7 +775,7 @@ def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DF[doc_id, sig] — minhash signatures, cached per (session, sf_dir):
     shared by the pair join, the signature-collapse clustering, and the
     incremental-dedup static index."""
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _sigs_cache:
         _sigs_cache[key] = _minhash_sigs(_shingled_docs(spark, sf_dir)).cache()
     return _sigs_cache[key]
@@ -783,7 +785,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DF[doc_a, doc_b, est] — LSH near-dup candidate pairs with estimated
     Jaccard ≥ 0.5 (doc_a < doc_b). Cached per (session, sf_dir): the pair
     graph feeds three gate queries (pairs, clusters, triangles)."""
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _pair_cache:
         return _pair_cache[key]
     out = _pairs_from_sigs(_doc_sigs(spark, sf_dir)).cache()
@@ -910,7 +912,7 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.iterative import cc_labels
 
     sigs = _doc_sigs(spark, sf_dir)
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _rep_pair_cache:
         grp = sigs.groupBy("sig").agg(
             F.min("doc_id").alias("rep"), F.count("*").alias("gsize")
@@ -2878,7 +2880,7 @@ def _stream_band_index(spark: SparkSession, sf_dir: str) -> list:
     re-caching a fresh DataFrame per invocation (cache entries otherwise
     accumulate — the 'Asked to cache already cached data' warnings in the
     r3 bench tail)."""
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _stream_index_cache:
         sigs = _doc_sigs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
         index = (
@@ -2975,6 +2977,177 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+_UPKEEP_BATCHES = 3
+
+
+def _upkeep_oracle() -> str:
+    """Unrolled greedy-admission chain: idx_{b+1} = idx_b ∪ keys(adm_b).
+    The batch count is a compile-time constant, so the sequential
+    admission loop is exactly expressible as chained CTEs."""
+    chain = []
+    for b in range(_UPKEEP_BATCHES):
+        chain.append(
+            f"""k{b} AS (
+      SELECT * FROM keyed WHERE doc_id % 2 = 1 AND (doc_id % 6) // 2 = {b}),
+    adm{b} AS (
+      SELECT DISTINCT doc_id FROM k{b} WHERE doc_id NOT IN (
+        SELECT k.doc_id FROM k{b} k
+        JOIN idx{b} i ON k.band = i.band AND k.band_key = i.band_key)),
+    idx{b + 1} AS (
+      SELECT band, band_key FROM idx{b}
+      UNION
+      SELECT k.band, k.band_key FROM keyed k JOIN adm{b} a USING (doc_id))"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b}::BIGINT AS batch FROM adm{b}"
+        for b in range(_UPKEEP_BATCHES)
+    )
+    chain_sql = ",\n    ".join(chain)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, shingle FROM (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t)-2, 0))) AS u(i))),
+    sigs AS (SELECT doc_id, {_DUCK_SIG} AS sig FROM sh GROUP BY doc_id),
+    keyed AS MATERIALIZED (
+      SELECT doc_id, band,
+             md5(array_to_string(
+               sig[band*{LSH_ROWS}+1 : band*{LSH_ROWS}+{LSH_ROWS}], ','))
+               AS band_key
+      FROM sigs, unnest(generate_series(0, {LSH_BANDS - 1})) AS u(band)),
+    idx0 AS (SELECT DISTINCT band, band_key FROM keyed WHERE doc_id % 2 = 0),
+    {chain_sql}
+    {union}
+    """
+
+
+@register("stream_dedup_index_upkeep", oracle=_upkeep_oracle())
+def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with a SELF-MAINTAINED index — the production
+    corpus-ingest loop (r4 VERDICT directive #5): the static corpus half
+    seeds an LSH band-key index; odd-doc_id documents arrive in
+    {_UPKEEP_BATCHES} micro-batches, each batch is admitted iff none of
+    its band keys hits the index, and the ADMITTED docs' keys are
+    APPENDED to the index before the next batch — so a doc admitted in
+    batch N rejects its near-dups in batch N+1 (the property the static-
+    index variant, stream_incremental_dedup, cannot provide).
+
+    The index is a :class:`~gravitydb_spark.transaction.DatasetStore` —
+    parquet delta snapshots under the SAME atomically-replaced
+    publication log as the TransactionalStore (crashed appends stay
+    invisible), with periodic in-loop COMPACTION folding the deltas so
+    the read cost stays one compact snapshot + recent deltas.
+
+    Scale posture: each foreachBatch step is batch-sized work against a
+    compact (band, key) set — a left-semi hit probe + a left-anti
+    admission, both equi-joins; index reads are parquet scans of the
+    published names only. State lives on storage, not in executors, so
+    stream memory is O(batch), and the index survives restarts (it IS a
+    store, not stream state). Returns (doc_id, batch) of admitted docs.
+
+    Batch assignment is content-deterministic ((doc_id %% 6) DIV 2) and
+    arrival order is pinned by staged file mtimes, so the DuckDB oracle
+    can replay the exact greedy admission sequence as an unrolled CTE
+    chain (idx_{{b+1}} = idx_b ∪ keys(admitted_b))."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .transaction import DatasetStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="gravityspark_upkeep_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        # stage the arriving half as one file per micro-batch; mtime +
+        # name order pin the pickup sequence (FileStreamSource sorts by
+        # timestamp, then path)
+        base = 1_700_000_000
+        for b in range(_UPKEEP_BATCHES):
+            tmp = os.path.join(work, f"tmp{b}")
+            (
+                docs.filter(F.expr(f"doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = {b}"))
+                .coalesce(1)
+                .write.parquet(tmp)
+            )
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+
+        unpivot = F.expr(
+            f"stack({LSH_BANDS}, "
+            + ", ".join(f"{b}, bk{b}" for b in range(LSH_BANDS))
+            + ") AS (band, bk)"
+        )
+        store = DatasetStore(os.path.join(work, "index"))
+        store.append(
+            _row_band_keys(docs.filter("doc_id % 2 = 0"))
+            .select(unpivot)
+            .distinct()
+        )
+        out_dir = os.path.join(work, "admitted")
+
+        def handle(batch_df, _batch_id) -> None:
+            keyed = _row_band_keys(batch_df).select("doc_id", unpivot)
+            idx = store.load(spark)
+            hits = (
+                keyed.join(idx, ["band", "bk"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            admitted = (
+                keyed.select(
+                    "doc_id", F.expr("(doc_id % 6) DIV 2").alias("batch")
+                )
+                .distinct()
+                .join(hits, "doc_id", "left_anti")
+                .localCheckpoint()  # the index append below must not re-race the probe
+            )
+            store.append(
+                keyed.join(admitted, "doc_id", "left_semi")
+                .select("band", "bk")
+                .distinct()
+            )
+            admitted.write.mode("append").parquet(out_dir)
+            # periodic compaction: fold deltas once the log grows
+            store.compact(spark, min_deltas=3)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation", os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the admitted parquet IS the result — return it lazily (no
+        # driver collect: at scale this is the admitted corpus). The
+        # scaffolding (staged batches, checkpoint, index deltas) is
+        # per-invocation /tmp and dropped here; out_dir lives until the
+        # OS reaps /tmp, like any ephemeral query spill.
+        for sub in ("stage", "index"):
+            shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
+        return spark.read.parquet(out_dir).select("doc_id", "batch")
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,7 @@ from typing import Callable, Iterable, Optional
 from .constraints import check_constraints
 from .graph import PropertyGraph
 
-__all__ = ["TransactionalStore", "WriterLockHeld", "transact"]
+__all__ = ["DatasetStore", "TransactionalStore", "WriterLockHeld", "transact"]
 
 
 class WriterLockHeld(RuntimeError):
@@ -60,9 +60,13 @@ def transact(
     return out
 
 
-class TransactionalStore:
-    """Durable shadow-paged store: ``<path>/snap-<n>/`` snapshot dirs +
-    an atomically-replaced ``CURRENT`` pointer file."""
+class _SnapshotLog:
+    """Shared publication-log mechanics: ``<path>/snap-<n>/`` snapshot
+    dirs + the atomically-replaced ``CURRENT`` log file. Base for both
+    the graph :class:`TransactionalStore` and the generic
+    :class:`DatasetStore` so there is exactly ONE implementation of the
+    publication-log invariant (snapshots() reads the log, never
+    directory listings; orphan dirs stay invisible)."""
 
     CURRENT = "CURRENT"
     LOCK = "WRITER_LOCK"
@@ -71,6 +75,28 @@ class TransactionalStore:
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)
+
+    def _acquire_lock(self) -> str:
+        lock = os.path.join(self.path, self.LOCK)
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise WriterLockHeld(f"another writer holds {lock}")
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return lock
+
+    def _alloc_name(self) -> str:
+        # number allocation scans DIRECTORIES (not the publication log)
+        # on purpose: an aborted or crashed commit leaves an orphan
+        # snapshot dir that is invisible to snapshots(), and reusing its
+        # number would make mode="error" writes fail on later commits
+        existing = [
+            int(d.split("-")[1])
+            for d in os.listdir(self.path)
+            if d.startswith("snap-") and d.split("-")[1].isdigit()
+        ]
+        return f"snap-{max(existing) + 1 if existing else 0}"
 
     # -- pointer file --------------------------------------------------
     # CURRENT is the PUBLICATION LOG: one snapshot name per line, oldest
@@ -102,6 +128,18 @@ class TransactionalStore:
         name = self._current_name()
         return os.path.join(self.path, name) if name else None
 
+    def snapshots(self) -> list:
+        """All PUBLISHED snapshot names, oldest first — read from the
+        publication log (never from directory listings: a crashed commit
+        leaves an orphan snap dir that was never published and must not
+        be readable as a version)."""
+        return self._published()
+
+
+class TransactionalStore(_SnapshotLog):
+    """Durable shadow-paged store: ``<path>/snap-<n>/`` snapshot dirs +
+    an atomically-replaced ``CURRENT`` pointer file."""
+
     def load(self, spark, schema=None) -> PropertyGraph:
         cur = self.current_path()
         if cur is None:
@@ -109,17 +147,9 @@ class TransactionalStore:
         return PropertyGraph.load(spark, cur, schema)
 
     # -- time travel ---------------------------------------------------
-    def snapshots(self) -> list:
-        """All PUBLISHED snapshot names, oldest first — the time-travel
-        axis, read from the publication log (never from directory
-        listings: a crashed commit leaves an orphan snap dir that was
-        never published and must not be readable as a version). Shadow
-        paging retains every committed version until GC, so any past
-        state is readable at parquet cost (snapshot dirs share nothing
-        mutable; on an object store they share unchanged immutable
-        objects)."""
-        return self._published()
-
+    # (snapshots() inherited: shadow paging retains every committed
+    # version until GC, so any past state is readable at parquet cost;
+    # snapshot dirs share nothing mutable)
     def load_at(self, spark, snapshot, schema=None) -> PropertyGraph:
         """Read a PAST version: ``snapshot`` is a name ('snap-2') or an
         index into :meth:`snapshots` (negative ok, -1 = newest
@@ -165,13 +195,8 @@ class TransactionalStore:
 
         if keep < 1:
             raise ValueError("keep must be >= 1")
-        lock = os.path.join(self.path, self.LOCK)
+        lock = self._acquire_lock()
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise WriterLockHeld(f"another writer holds {lock}")
-        try:
-            os.close(fd)
             pending_path = os.path.join(self.path, self.GC_PENDING)
             # phase 2 of the PREVIOUS pass: names de-logged back then
             # have aged a full GC interval — drop their bytes now
@@ -229,26 +254,9 @@ class TransactionalStore:
         exactly what readers will see), then atomically swap ``CURRENT``.
         Any failure before the swap leaves the published snapshot's bytes
         untouched. Returns the new snapshot's directory name."""
-        lock = os.path.join(self.path, self.LOCK)
+        lock = self._acquire_lock()
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise WriterLockHeld(f"another writer holds {lock}")
-        try:
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-
-            # number allocation scans DIRECTORIES (not the publication
-            # log) on purpose: an aborted or crashed commit leaves an
-            # orphan snapshot dir that is invisible to snapshots(), and
-            # reusing its number would make save(mode="error") fail on
-            # every later commit
-            existing = [
-                int(d.split("-")[1])
-                for d in os.listdir(self.path)
-                if d.startswith("snap-") and d.split("-")[1].isdigit()
-            ]
-            name = f"snap-{max(existing) + 1 if existing else 0}"
+            name = self._alloc_name()
             target = os.path.join(self.path, name)
             try:
                 graph.save(target, mode="error")  # fresh dir — never overwrite
@@ -265,5 +273,88 @@ class TransactionalStore:
             # the atomic swap: append to the publication log and replace
             self._write_log(self._published() + [name])
             return name
+        finally:
+            os.unlink(lock)
+
+
+class DatasetStore(_SnapshotLog):
+    """Generic DataFrame delta-log store on the SAME publication-log
+    protocol as :class:`TransactionalStore` (one shared implementation —
+    crashed appends leave invisible orphan dirs, readers see only
+    published names).
+
+    Model: each published snapshot is a DELTA parquet directory; the
+    dataset is the UNION of all published deltas (log order carries no
+    row semantics — callers store set-like data, e.g. an LSH band-key
+    index). ``compact`` folds the deltas into one snapshot and
+    atomically republishes the log as just that name, so a continuously
+    appending writer (a Structured Streaming foreachBatch loop) keeps
+    the log short and reads cheap. De-published delta dirs are parked
+    in GC_PENDING and deleted on the NEXT compact — same reader grace
+    contract as TransactionalStore.gc_snapshots."""
+
+    def append(self, df) -> str:
+        """Publish one delta. Returns its snapshot name."""
+        lock = self._acquire_lock()
+        try:
+            name = self._alloc_name()
+            target = os.path.join(self.path, name)
+            try:
+                df.write.mode("error").parquet(target)
+            except BaseException:
+                import shutil
+
+                shutil.rmtree(target, ignore_errors=True)
+                raise
+            self._write_log(self._published() + [name])
+            return name
+        finally:
+            os.unlink(lock)
+
+    def load(self, spark):
+        """The dataset: union of all published deltas (None if empty —
+        the caller owns the empty-schema decision)."""
+        names = self._published()
+        if not names:
+            return None
+        return spark.read.parquet(*[os.path.join(self.path, n) for n in names])
+
+    def compact(self, spark, min_deltas: int = 2) -> bool:
+        """Fold the published deltas into one snapshot when the log has
+        at least ``min_deltas`` entries; no-op (False) otherwise. Also
+        drops bytes parked by the PREVIOUS compact (two-phase, reader
+        grace)."""
+        import shutil
+
+        lock = self._acquire_lock()
+        try:
+            pending_path = os.path.join(self.path, self.GC_PENDING)
+            if os.path.exists(pending_path):
+                with open(pending_path) as f:
+                    for n in (ln.strip() for ln in f):
+                        if n:
+                            shutil.rmtree(
+                                os.path.join(self.path, n), ignore_errors=True
+                            )
+                os.unlink(pending_path)
+            names = self._published()
+            if len(names) < min_deltas:
+                return False
+            merged = spark.read.parquet(
+                *[os.path.join(self.path, n) for n in names]
+            )
+            name = self._alloc_name()
+            target = os.path.join(self.path, name)
+            try:
+                merged.write.mode("error").parquet(target)
+            except BaseException:
+                shutil.rmtree(target, ignore_errors=True)
+                raise
+            self._write_log([name])  # atomic republish
+            tmp = pending_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(names) + "\n")
+            os.replace(tmp, pending_path)
+            return True
         finally:
             os.unlink(lock)

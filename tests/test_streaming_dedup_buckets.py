@@ -46,3 +46,61 @@ def test_bucketed_save_no_exchange_on_bucketed_side(spark, cocktail_graph, tmp_p
         .toString()
     )
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_dataset_store_delta_log_and_compaction(spark, tmp_path):
+    """DatasetStore: append publishes deltas on the publication log,
+    load unions them, compact folds the log to one snapshot with
+    two-phase byte deletion (reader grace), orphan dirs stay invisible."""
+    import os
+
+    from gravitydb_spark.transaction import DatasetStore
+
+    store = DatasetStore(str(tmp_path / "idx"))
+    assert store.load(spark) is None
+    store.append(spark.createDataFrame([(0, "a")], "band int, bk string"))
+    store.append(spark.createDataFrame([(1, "b")], "band int, bk string"))
+    # an orphan dir (crashed append: written, never logged) is invisible
+    os.makedirs(os.path.join(store.path, "snap-77"))
+    assert len(store.snapshots()) == 2
+    assert sorted(r["bk"] for r in store.load(spark).collect()) == ["a", "b"]
+
+    assert store.compact(spark, min_deltas=3) is False  # below threshold
+    store.append(spark.createDataFrame([(2, "c")], "band int, bk string"))
+    assert store.compact(spark, min_deltas=3) is True
+    assert len(store.snapshots()) == 1
+    assert sorted(r["bk"] for r in store.load(spark).collect()) == ["a", "b", "c"]
+    # two-phase: old delta bytes parked, dropped on the NEXT compact
+    assert os.path.exists(os.path.join(store.path, store.GC_PENDING))
+    old_delta = os.path.join(store.path, "snap-0")
+    assert os.path.isdir(old_delta)
+    store.compact(spark, min_deltas=99)  # no fold, but pass-2 GC runs
+    assert not os.path.isdir(old_delta)
+
+
+def test_upkeep_rejects_near_dup_admitted_in_earlier_batch(spark, tmp_path):
+    """The index-upkeep property itself: doc 3 (batch 1) duplicates doc 1
+    (admitted in batch 0, absent from the seed corpus) and MUST be
+    rejected — the static-index variant (stream_incremental_dedup) would
+    admit it. Batch mapping: batch = (doc_id % 6) DIV 2."""
+    from gravitydb_spark.pipeline_queries import stream_dedup_index_upkeep
+
+    text_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    text_b = "completely different words about spark shuffles and parquet files here"
+    seed = "unrelated seed corpus document talking about cocktails gin and vermouth"
+    rows = [
+        (2, seed, "en", "seed", len(seed)),
+        (1, text_a, "en", "web", len(text_a)),   # batch 0 — novel, admitted
+        (3, text_a, "en", "web", len(text_a)),   # batch 1 — dup of doc 1: REJECTED
+        (5, text_b, "en", "web", len(text_b)),   # batch 2 — novel, admitted
+    ]
+    sf = str(tmp_path / "sf_upkeep")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r["doc_id"], r["batch"])
+        for r in stream_dedup_index_upkeep(spark, sf).collect()
+    }
+    assert got == {(1, 0), (5, 2)}
