@@ -118,6 +118,9 @@ HEADLINE = [
     "text_bm25_search",
     "profile_orders",
     "events_seasonality_profile",
+    # round 5 additions
+    "stream_dedup_index_upkeep",
+    "pipeline_build_corpus",
 ]
 
 

@@ -957,6 +957,41 @@ _compound(
 )
 
 _compound(
+    "pipeline_corpus",
+    [
+        ("doc_id", "long"),
+        ("source", "string"),
+        ("n_tokens", "long"),
+        ("n1", "long"),
+        ("n2", "long"),
+        ("n3", "long"),
+    ],
+    [
+        (
+            "clean",
+            "pipeline_clean_corpus",
+            {"doc_id": "doc_id", "source": "source", "n_tokens": "n_tokens"},
+        ),
+        (
+            "build_packed",
+            "pipeline_build_corpus",
+            {
+                "doc_id": "doc_id",
+                "source": "source",
+                "n_tokens": "n_tokens",
+                "n1": "seq_id",
+                "n2": "seq_offset",
+                "n3": "seq_id_end",
+            },
+        ),
+    ],
+    "Gate family for the corpus materialization pipeline: clean_corpus"
+    " (quality ∧ exact-dedup ∧ LSH-cluster keeper) and build_corpus (the"
+    " full clean → dedup → decontaminate → mix → pack composition whose"
+    " packed output ships as manifested JSONL shards).",
+)
+
+_compound(
     "stream_rollup_join",
     [
         ("k", "string"),
@@ -1098,7 +1133,7 @@ GATE_ORDER[:] = [
     "dedup_ngram_jaccard",
     "dedup_minhash_family",
     "dedup_simhash",
-    "pipeline_clean_corpus",
+    "pipeline_corpus",
     "ann_topk_methods",
     "embed_similarity_family",
     "multimodal_family",

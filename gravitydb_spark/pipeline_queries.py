@@ -1101,6 +1101,242 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(spark, sf_dir)
 
 
+class CorpusAuditError(RuntimeError):
+    """The export audit gate failed — the corpus must not ship."""
+
+
+def build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build a pretraining pipeline ships (r4
+    VERDICT directive #6): clean ∧ exact-dedup ∧ near-dup-cluster keeper
+    (:func:`clean_corpus`) → benchmark decontamination (eval docs and
+    ≥10%-shingle-overlap docs dropped) → domain-mixture sampling (the
+    mix_domains hash threshold) → sequence packing (per-source
+    concat-and-chunk). Returns the PACKED corpus:
+    DF[doc_id, source, n_tokens, seq_id, seq_offset, seq_id_end].
+
+    Composition is deterministic: every predicate is integer/hash exact,
+    so the DuckDB oracle replays the full chain (pipeline_build_corpus).
+    Scale posture: each stage keeps its own audited plan — the
+    composition adds only semi/anti joins against small dropper sets and
+    the per-source packing window; nothing quadratic, nothing collected."""
+    kept = clean_corpus(spark, sf_dir)
+    # decontamination: the eval set itself plus heavily-overlapping docs
+    contaminated = (
+        text_decontaminate(spark, sf_dir)
+        .filter(F.col("n_overlap") * 10 >= F.col("n_sh"))
+        .select("doc_id")
+    )
+    surv = kept.filter(F.col("doc_id") % _DECON_MOD != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    # domain mixture: same per-row hash threshold as mix_domains
+    thresh = F.expr(f"({_H32_SPACE} * ({_MIX_BP})) DIV 10000")
+    surv = surv.filter(
+        _h32(F.concat(F.col("doc_id").cast("string"), F.col("source"))) < thresh
+    )
+    # sequence packing: per-source running token sum (pack_sequences)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = surv.withColumn(
+        "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(f"tok_start DIV {SEQ_BUDGET}").cast("long").alias("seq_id"),
+        (F.col("tok_start") % SEQ_BUDGET).cast("long").alias("seq_offset"),
+        # n_tokens >= CLEAN_MIN_TOKENS > 0, so no zero-length case
+        F.expr(f"(tok_start + n_tokens - 1) DIV {SEQ_BUDGET}")
+        .cast("long")
+        .alias("seq_id_end"),
+    )
+
+
+def export_corpus_jsonl(
+    spark: SparkSession, sf_dir: str, out_path: str, n_shards: int = 4
+) -> dict:
+    """Materialize :func:`build_corpus` as sharded JSONL plus a manifest —
+    the handoff format tokenizer/training jobs consume. Layout:
+
+    - ``<out_path>/shards/shard=<k>/part-*.txt`` — one JSON object per
+      line: doc_id, source, n_tokens, seq_id, seq_offset, text. Shard =
+      doc_id % n_shards (deterministic, rebuildable).
+    - ``<out_path>/manifest.json`` — per-shard doc/token counts and a
+      doc_id checksum, plus corpus totals; the round-trip contract is
+      that re-reading the shards reproduces the manifest exactly
+      (tests/test_corpus_build.py).
+
+    An AUDIT GATE runs before any byte is written (CorpusAuditError):
+    non-empty corpus, unique doc_ids, no null/empty text, token floor
+    respected — a failed gate ships nothing rather than a bad corpus.
+
+    Scale posture: the audit is one aggregation pass; the export is one
+    hash-partitioned write (repartition on the shard key so each shard
+    is one task's sequential write); the manifest aggregate is
+    n_shards rows."""
+    import json as _json
+
+    packed = build_corpus(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = packed.join(docs, "doc_id").withColumn(
+        "shard", (F.col("doc_id") % n_shards).cast("long")
+    )
+    rows = rows.cache()  # audit + export + manifest share one pass
+    try:
+        audit = rows.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.sum(
+                (F.col("text").isNull() | (F.length("text") == 0)).cast("long")
+            ).alias("n_bad_text"),
+        ).first()
+        problems = []
+        if audit["n"] == 0:
+            problems.append("empty corpus")
+        if audit["n"] != audit["n_distinct"]:
+            problems.append(
+                f"duplicate doc_ids ({audit['n']} rows, "
+                f"{audit['n_distinct']} distinct)"
+            )
+        if audit["n_bad_text"]:
+            problems.append(f"{audit['n_bad_text']} null/empty texts")
+        if audit["n"] and audit["min_tokens"] < CLEAN_MIN_TOKENS:
+            problems.append(
+                f"token floor violated (min {audit['min_tokens']} "
+                f"< {CLEAN_MIN_TOKENS})"
+            )
+        if problems:
+            raise CorpusAuditError("; ".join(problems))
+
+        line = F.to_json(
+            F.struct("doc_id", "source", "n_tokens", "seq_id", "seq_offset", "text")
+        )
+        (
+            rows.repartition("shard")
+            .select("shard", line.alias("value"))
+            .write.partitionBy("shard")
+            .mode("error")
+            .text(os.path.join(out_path, "shards"))
+        )
+        per_shard = (
+            rows.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum(_h32(F.col("doc_id").cast("string"))).alias("doc_checksum"),
+            )
+            .orderBy("shard")
+            .collect()  # bounded: n_shards rows
+        )
+        manifest = {
+            "sf_dir": sf_dir,
+            "n_shards": n_shards,
+            "seq_budget": SEQ_BUDGET,
+            "total_docs": int(audit["n"]),
+            "total_tokens": int(sum(r["n_tokens"] for r in per_shard)),
+            "shards": [
+                {
+                    "shard": int(r["shard"]),
+                    "n_docs": int(r["n_docs"]),
+                    "n_tokens": int(r["n_tokens"]),
+                    "doc_checksum": int(r["doc_checksum"]),
+                }
+                for r in per_shard
+            ],
+        }
+        with open(os.path.join(out_path, "manifest.json"), "w") as f:
+            _json.dump(manifest, f, indent=1)
+        return manifest
+    finally:
+        rows.unpersist()
+
+
+# Deterministic eval-set membership for the decontamination check: every
+# 97th doc plays the "benchmark" role. Real pipelines would read the
+# benchmark shingle set from a side input; the shape (tiny broadcast set,
+# semi-join against the corpus) is identical.
+_DECON_MOD = 97
+
+# Domain mixture: target weight per source shard in basis points, derived
+# arithmetically from the shard suffix so the spec needs no side table and
+# is identical at every scale factor: srcN -> 2000 + 1500*(N % 4) bp.
+_MIX_BP = "2000 + 1500 * (CAST(substr(source, 4) AS BIGINT) % 4)"
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+_MIX_HASH = _duck_h32("doc_id::VARCHAR || source")
+
+
+@register(
+    "pipeline_build_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIR_CTES},
+    dedges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT u AS src, u AS node FROM (SELECT DISTINCT u FROM dedges)
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN dedges e ON r.node = e.u),
+    nonkeep AS (
+      SELECT src AS doc_id FROM reach GROUP BY src HAVING src != min(node)),
+    fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '{_WS}+', ' ', 'g'))) AS f
+      FROM documents),
+    fkeep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    tokx AS (
+      SELECT doc_id, len(t) AS n, t[i] AS w
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+    tcnt2 AS (SELECT doc_id, n, w, count(*) AS c FROM tokx GROUP BY ALL),
+    rep AS (
+      SELECT doc_id, n, max(c / n::DOUBLE) AS ttf
+      FROM tcnt2 GROUP BY doc_id, n),
+    kept AS (
+      SELECT d.doc_id, d.source, r.n::BIGINT AS n_tokens
+      FROM documents d
+      JOIN rep r ON d.doc_id = r.doc_id
+      JOIN fkeep ON d.doc_id = fkeep.doc_id
+      WHERE r.n >= {CLEAN_MIN_TOKENS} AND r.ttf <= {CLEAN_MAX_TOP_TOKEN_FRAC}
+        AND d.doc_id NOT IN (SELECT doc_id FROM nonkeep)),
+    ev AS MATERIALIZED (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+    contaminated AS (
+      SELECT s.doc_id FROM sh s JOIN ev USING (shingle)
+      WHERE s.doc_id % {_DECON_MOD} <> 0
+      GROUP BY s.doc_id HAVING count(*) * 10 >= any_value(s.n_sh)),
+    surv AS (
+      SELECT doc_id, source, n_tokens FROM kept
+      WHERE doc_id % {_DECON_MOD} <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND {_MIX_HASH} < ({_H32_SPACE} * ({_MIX_BP})) // 10000),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_start
+      FROM surv)
+    SELECT doc_id, source, n_tokens,
+           (tok_start // {SEQ_BUDGET})::BIGINT AS seq_id,
+           (tok_start % {SEQ_BUDGET})::BIGINT AS seq_offset,
+           ((tok_start + n_tokens - 1) // {SEQ_BUDGET})::BIGINT AS seq_id_end
+    FROM packed
+    """,
+)
+def pipeline_build_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for :func:`build_corpus` (no write): the full clean →
+    dedup(exact+LSH cluster) → decontaminate → mix → pack composition,
+    value-hash-checked end to end against the single-SQL replay — this
+    proves the operators COMPOSE, not just run solo."""
+    return build_corpus(spark, sf_dir)
+
+
 SIMHASH_BITS = 32
 
 
@@ -2072,11 +2308,6 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic eval-set membership for the decontamination check: every
-# 97th doc plays the "benchmark" role. Real pipelines would read the
-# benchmark shingle set from a side input; the shape (tiny broadcast set,
-# semi-join against the corpus) is identical.
-_DECON_MOD = 97
 
 
 @register(
@@ -2419,7 +2650,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-batch construction: sequence packing / domain mixture / CC filters
 # ---------------------------------------------------------------------------
 
-SEQ_BUDGET = 512  # tokens per packed training sequence
 
 
 @register(
@@ -2480,10 +2710,6 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Domain mixture: target weight per source shard in basis points, derived
-# arithmetically from the shard suffix so the spec needs no side table and
-# is identical at every scale factor: srcN -> 2000 + 1500*(N % 4) bp.
-_MIX_BP = "2000 + 1500 * (CAST(substr(source, 4) AS BIGINT) % 4)"
 
 
 @register(
