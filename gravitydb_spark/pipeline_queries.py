@@ -260,6 +260,8 @@ def _duck_h32(expr: str) -> str:
 
 KMV_K = 64
 _H32_SPACE = 1 << 32
+_HLL_RSD = 0.02  # HyperLogLog++ relative standard deviation (exact=False)
+_APPROX_PCT_ACC = 10_000  # approx_percentile accuracy (exact=False)
 
 
 @register(
@@ -285,13 +287,22 @@ _H32_SPACE = 1 << 32
     FROM exact e JOIN kmv USING (event_type)
     """,
 )
-def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_kmv_distinct(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """K-minimum-values distinct-count sketch — the mergeable cardinality
     sketch for 100 TB group-bys, kept DETERMINISTIC (md5 hash family +
     integer estimator arithmetic) so, unlike HLL implementations, two
     engines agree bit-for-bit. Estimate = (k-1)·2³²/kth-min when the group
     has ≥ k distinct hashes, else the exact count. The exact distinct is
     returned alongside to expose the sketch error.
+
+    ``exact=False`` is the 100 TB swap-in (r4 VERDICT #7): HyperLogLog++
+    (``approx_count_distinct``, rsd {_HLL_RSD}) — one partial-aggregable
+    pass, no per-group window, no exact count-distinct shuffle; returns
+    (event_type, estimate). tests/test_approx_swapins.py bounds its
+    error at 3·rsd against the exact path. The gate/oracle default stays
+    the deterministic exact+KMV pair.
 
     At scale the k smallest hashes per group are a partial aggregate
     (each partition keeps its k smallest, merge keeps the k smallest of
@@ -300,6 +311,12 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational_queries import load_events
 
     ev = load_events(spark, sf_dir)
+    if not exact:
+        return ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", rsd=_HLL_RSD)
+            .cast("long")
+            .alias("estimate")
+        )
     h = ev.select(
         "event_type", _h32(F.col("user_id").cast("string")).alias("hv")
     ).distinct()
@@ -348,7 +365,9 @@ QUANTILE_PCTS = (10, 50, 90, 99)
     FROM qc c JOIN qt t ON c.source = t.source AND c.pct = t.pct
     """,
 )
-def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_length_quantiles(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Per-source length/token-count quantiles (p10/p50/p90/p99) — the
     statistic every quality-filter threshold (Gopher-style length rules,
     truncation budgets) is tuned from.
@@ -360,20 +379,41 @@ def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch). One window shuffle per metric, keyed by source — the same
     key as the groupBy a filter pass would use.
 
-    At 100 TB: the per-source sort is the exact path; swap in
-    ``approx_percentile`` (t-digest partial aggregate, no full sort)
-    when a few-permille error is acceptable — same output shape.
+    ``exact=False`` is the 100 TB swap-in (r4 VERDICT #7):
+    ``approx_percentile`` (KLL-style partial aggregate, accuracy
+    {_APPROX_PCT_ACC}) — no per-source sort at all, one mergeable
+    aggregation; same output shape. tests/test_approx_swapins.py bounds
+    its error against the exact path. Gate/oracle default stays exact.
 
-    Plan shape: BOTH metrics rank inside ONE source-partitioned window
-    exchange (two sorts, same partitioning — Spark chains the window
-    execs without re-shuffling), and a conditional aggregation replaces
-    a per-metric self-join: 2 exchanges total (window + final groupBy)
-    instead of the naive 6."""
+    Plan shape (exact): BOTH metrics rank inside ONE source-partitioned
+    window exchange (two sorts, same partitioning — Spark chains the
+    window execs without re-shuffling), and a conditional aggregation
+    replaces a per-metric self-join: 2 exchanges total (window + final
+    groupBy) instead of the naive 6."""
     docs = load(spark, sf_dir, "documents").select(
         "source",
         F.length("text").alias("chars"),
         F.size(_TOKENS_FN()).alias("toks"),
     )
+    if not exact:
+        fr = [p / 100 for p in QUANTILE_PCTS]
+        agg = docs.groupBy("source").agg(
+            F.percentile_approx("chars", fr, _APPROX_PCT_ACC).alias("qc"),
+            F.percentile_approx("toks", fr, _APPROX_PCT_ACC).alias("qt"),
+        )
+        pct_arr = F.array(*[F.lit(p) for p in QUANTILE_PCTS])
+        return agg.select(
+            "source", F.posexplode(F.arrays_zip("qc", "qt"))
+        ).select(
+            F.concat_ws(
+                "",
+                F.col("source"),
+                F.lit(":p"),
+                F.element_at(pct_arr, F.col("pos") + 1),
+            ).alias("stat"),
+            F.col("col.qc").cast("long").alias("q_chars"),
+            F.col("col.qt").cast("long").alias("q_tokens"),
+        )
     pcts = F.array(*[F.lit(p) for p in QUANTILE_PCTS])
     wc = Window.partitionBy("source").orderBy("chars")
     wt = Window.partitionBy("source").orderBy("toks")
@@ -496,17 +536,45 @@ def _wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 
-def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_vocab_topk(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Global vocabulary top-K — corpus-wide wordcount with deterministic
     tie-breaks. The groupBy partial-aggregates map-side (each task emits
     one row per distinct token it saw), so the shuffle carries vocabulary
     cardinality, not token count; the final top-K compiles to
-    TakeOrderedAndProject, never a full sort of the vocab."""
-    cnt = (
-        _wordcount(spark, sf_dir)
-        .orderBy(F.col("n").desc(), F.col("token"))
-        .limit(VOCAB_TOPK)
-    )
+    TakeOrderedAndProject, never a full sort of the vocab.
+
+    ``exact=False`` is the 100 TB swap-in (r4 VERDICT #7): top-K by
+    COUNT-MIN ESTIMATED counts (the sketch_countmin_heavyhitters
+    counters) — ``n`` becomes the CM estimate (a guaranteed
+    over-estimate, est ≥ exact) and rank follows the estimate. At scale
+    the d×w counter table is the only reduced state; here the counters
+    are built over the memoized wordcount so both paths share one pass.
+    tests/test_approx_swapins.py bounds the over-estimate and the
+    top-K overlap. Gate/oracle default stays exact."""
+    cnt = _wordcount(spark, sf_dir)
+    if not exact:
+        rows = spark.range(_CM_ROWS).select(F.col("id").alias("r"))
+        bucket = _h32(
+            F.concat(F.col("r").cast("string"), F.lit(":"), F.col("token"))
+        ) % _CM_W
+        bk = cnt.crossJoin(F.broadcast(rows)).select(
+            "token", "n", "r", bucket.alias("b")
+        )
+        counters = bk.groupBy("r", "b").agg(F.sum("n").cast("long").alias("c"))
+        est = (
+            bk.join(F.broadcast(counters), ["r", "b"])
+            .groupBy("token")
+            .agg(F.min("c").cast("long").alias("n"))
+        )
+        w = Window.orderBy(F.col("n").desc(), F.col("token"))
+        return (
+            est.orderBy(F.col("n").desc(), F.col("token"))
+            .limit(VOCAB_TOPK)
+            .withColumn("rank", F.row_number().over(w))
+        )
+    cnt = cnt.orderBy(F.col("n").desc(), F.col("token")).limit(VOCAB_TOPK)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     return cnt.withColumn("rank", F.row_number().over(w))
 
