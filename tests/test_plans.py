@@ -400,3 +400,27 @@ def test_cohort_and_transition_share_user_partitioning(plans):
     for name in ("events_cohort_retention", "events_transition_matrix"):
         p = plans(name)
         assert "CartesianProduct" not in p, name
+
+
+def test_build_corpus_composition_shape(plans):
+    # the composed pipeline must keep each stage's audited shape: no
+    # cartesian anywhere, the decontamination/mix drops are semi/anti
+    # joins, and the shared shingle/signature relations come from the
+    # memoized caches (InMemoryTableScan), not re-derivation
+    p = plans("pipeline_build_corpus")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p
+    assert "InMemoryTableScan" in p
+
+
+def test_vocab_approx_path_stays_bounded(spark, sf_dir):
+    # the exact=False count-min path must keep the broadcast-counter
+    # shape: no cartesian, counters broadcast, TakeOrdered for the cut
+    from gravitydb_spark.pipeline_queries import corpus_vocab_topk
+
+    df = corpus_vocab_topk(spark, sf_dir, exact=False)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p

@@ -85,12 +85,101 @@ def run(spark, sf_dir: str, label: str) -> None:
         )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 extension (r4 VERDICT #4): 100× probe for the round-4 analytics
+# family. These queries read dims (customer/supplier) and the events/
+# documents tables too, so the corpus replicates ALL growing axes with
+# per-replica key strides (graph edges, event streams and the doc corpus
+# grow N×; nation/region/part stay fixed — catalogs don't grow with sales).
+# ---------------------------------------------------------------------------
+
+ANALYTICS_QUERIES = [
+    "g_adamic_adar",
+    "g_weighted_pagerank",
+    "g_personalized_pagerank",
+    "text_bm25_search",
+    "basket_part_lift",
+    "events_cohort_retention",
+    "events_transition_matrix",
+]
+
+_CUST_STRIDE = 1_000_000
+_SUPP_STRIDE = 1_000_000
+_DOC_STRIDE = 100_000_000
+_USER_STRIDE = 10_000_000
+_EVENT_STRIDE = 1_000_000_000
+
+
+def build_analytics_corpus(spark, base: str, out: str, replicas: int) -> None:
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    reps = spark.range(replicas).withColumnRenamed("id", "rep")
+
+    def rep_table(name, strides, coalesce_n):
+        t = spark.read.parquet(f"{base}/{name}.parquet")
+        cols = [
+            (F.col(c) + F.col("rep") * strides[c]).alias(c)
+            if c in strides
+            else F.col(c)
+            for c in t.columns
+        ]
+        (
+            t.crossJoin(reps)
+            .select(*cols)
+            .coalesce(coalesce_n)
+            .write.parquet(f"{out}/{name}.parquet")
+        )
+
+    rep_table("customer", {"c_custkey": _CUST_STRIDE}, 8)
+    rep_table("supplier", {"s_suppkey": _SUPP_STRIDE}, 4)
+    rep_table(
+        "orders",
+        {"o_orderkey": KEY_STRIDE, "o_custkey": _CUST_STRIDE},
+        16,
+    )
+    rep_table(
+        "lineitem",
+        {"l_orderkey": KEY_STRIDE, "l_suppkey": _SUPP_STRIDE},
+        32,
+    )
+    rep_table("documents", {"doc_id": _DOC_STRIDE}, 8)
+    rep_table(
+        "events",
+        {"event_id": _EVENT_STRIDE, "user_id": _USER_STRIDE},
+        16,
+    )
+    for t in ("region", "nation", "part", "embeddings"):
+        os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+
+
+def run_analytics(spark, sf_dir: str, label: str) -> None:
+    from gravitydb_spark.registry import REGISTRY, queries
+
+    queries()
+    for name in ANALYTICS_QUERIES:
+        t0 = time.monotonic()
+        n = REGISTRY[name].fn(spark, sf_dir).count()
+        print(
+            f"PROBE {label} {name}: {time.monotonic() - t0:.1f}s {n} rows",
+            flush=True,
+        )
+
+
 def main() -> None:
     from gravitydb_spark.session import get_spark
 
     # abspath: the dimension symlinks resolve relative to the probe dir
     base = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+    mode = sys.argv[2] if len(sys.argv) > 2 else "facts"
     spark = get_spark(app_name="relational_probe")
+    if mode == "analytics":
+        # r5: the analytics family at 1x / 10x / 100x full-corpus growth
+        run_analytics(spark, base, "1x")
+        for n in (10, 100):
+            corpus = f"/tmp/aprobe_rep{n}"
+            build_analytics_corpus(spark, base, corpus, n)
+            run_analytics(spark, corpus, f"{n}x")
+        return
     rep10 = "/tmp/rprobe_rep10"
     build_rep10_facts(spark, base, rep10)
     run(spark, base, "1x")
