@@ -37,11 +37,16 @@ with the same bindings as the ``repl``/``script`` CLI verbs:
 - ``nil/true/false``   →  ``None/True/False``
 - ``..`` concat        →  ``+``
 
-Lua control flow (``if/then``, ``for``, ``while``, ``function``…) is
-OUTSIDE the supported subset — those scripts are real programs and
-should be ported to Python (the engine-native scripting surface) — the
-shim raises ``LuaShimError`` naming the construct instead of
-mis-running it.
+Script-mode control flow (``transliterate_program``, used by
+``run_lua_script`` / the ``script`` CLI verb) additionally supports the
+block constructs a full Lua host runs: numeric ``for`` (inclusive
+bounds, ±step), ``for i,x in ipairs(t)``, ``while``, ``if/elseif/
+else``, ``function``/``return``/``break``, bare ``do`` blocks, the
+one-line ``… do BODY end`` / ``… then BODY end`` sugar, ``~=`` and the
+``#x`` length operator. ``repeat/until`` and ``goto`` are rejected with
+a porting pointer, as is any block statement outside those forms. The
+line-at-a-time REPL keeps the expression subset only (blocks belong in
+scripts).
 
 ``db`` is a :class:`LuaDb`: the six lua.rs methods operating on a
 (rebinding) PropertyGraph, plus ``extract_properties`` /
@@ -64,6 +69,7 @@ __all__ = [
     "LuaShimError",
     "run_lua_script",
     "transliterate",
+    "transliterate_program",
 ]
 
 
@@ -193,6 +199,195 @@ def transliterate(code: str) -> str:
     return "".join(seg for _, seg in _rewrite_braces(rewritten))
 
 
+# block-structured Lua constructs transliterate_program CAN handle;
+# repeat/until and goto stay rejected (no direct Python analog line-wise)
+_PROGRAM_FORBIDDEN = ("repeat", "until", "goto")
+
+_FOR_NUM = re.compile(r"^for\s+(\w+)\s*=\s*(.+?)\s+do$")
+_FOR_IPAIRS = re.compile(
+    r"^for\s+(\w+)\s*,\s*(\w+)\s+in\s+ipairs\s*\((.+)\)\s*do$"
+)
+_WHILE = re.compile(r"^while\s+(.+?)\s+do$")
+_IF = re.compile(r"^if\s+(.+?)\s+then$")
+_ELSEIF = re.compile(r"^elseif\s+(.+?)\s+then$")
+_FUNC = re.compile(r"^(?:local\s+)?function\s+([\w.]+)\s*\((.*?)\)$")
+# one-line sugar: `<header do|then> [body] end` — expanded to virtual
+# lines before block matching; a top-level `else` in the body splits it
+_INLINE = re.compile(
+    r"^((?:for|while)\b.+?\bdo|if\b.+?\bthen)(?:\s+(.*?))?\s+end$"
+)
+
+
+def _expand_inline(line: str) -> list:
+    m = _INLINE.match(line)
+    if not m:
+        return [line]
+    header, body = m.group(1), m.group(2) or ""
+    lines = [header]
+    if body.strip():
+        parts = re.split(r"\s+(?<![\w.])else(?![\w])\s+", body)
+        lines.append(parts[0].strip())
+        for p in parts[1:]:
+            lines.extend(["else", p.strip()])
+    lines.append("end")
+    return lines
+
+
+def _split_top_commas(s: str) -> list:
+    """Split on commas not nested in (), [] — the numeric-for arg list."""
+    out, buf, depth = [], [], 0
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf).strip())
+    return out
+
+
+def _numeric_range(args: str) -> str:
+    parts = _split_top_commas(args)
+    if len(parts) == 2:
+        a, b = parts
+        return f"range({a}, ({b}) + 1)"
+    if len(parts) == 3:
+        a, b, c = parts
+        # Lua's numeric for is INCLUSIVE of the limit in the step
+        # direction; Python's range is exclusive — nudge the limit
+        return f"range({a}, ({b}) + (1 if ({c}) > 0 else -1), {c})"
+    raise LuaShimError(f"numeric for needs 2 or 3 bounds, got {args!r}")
+
+
+def transliterate_program(code: str) -> str:
+    """Block-structured transliteration — the full ``lua_run`` script
+    surface (lua.rs hosts a complete Lua interpreter; r4 VERDICT missing
+    item #2): numeric ``for``/``ipairs`` loops, ``while``, ``if/elseif/
+    else``, ``function``/``return``/``break``, ``do`` blocks and the
+    one-line ``... do BODY end`` / ``... then BODY end`` sugar, plus all
+    of :func:`transliterate`'s expression rules (``:`` methods, tables,
+    ``..``, ``nil/true/false``, ``~=``, ``#x`` length). ``repeat/until``
+    and ``goto`` stay rejected. Statements must be line-structured
+    (continuations only inside parens/brackets, where Python also allows
+    them) — the shape every reference-style script has."""
+    # 1. lex: protect string literals behind placeholders, drop comments
+    strings: list = []
+    parts: list = []
+    for kind, seg in _lex(code):
+        if kind == "string":
+            parts.append(f"\x00{len(strings)}\x00")
+            strings.append(seg)
+        elif kind == "code":
+            parts.append(seg)
+    protected = "".join(parts)
+
+    for kw in _PROGRAM_FORBIDDEN:
+        if re.search(rf"(?<![\w.]){kw}(?![\w])", protected):
+            raise LuaShimError(
+                f"Lua construct {kw!r} is outside the shim subset; port "
+                "this script to Python — see the table in lua_shim.py"
+            )
+
+    # 2. expression-level rewrites (identical semantics to transliterate)
+    protected = re.sub(r"(?<![\w.])local\s+(?!function)", "", protected)
+    protected = re.sub(r":(\w+)\s*\(", r".\1(", protected)
+    protected = protected.replace("..", "+").replace("~=", "!=")
+    protected = re.sub(r"#\s*([A-Za-z_][\w.]*)", r"len(\1)", protected)
+    for lua_w, py_w in _WORD_MAP.items():
+        protected = re.sub(rf"(?<![\w.]){lua_w}(?![\w])", py_w, protected)
+    protected = "".join(
+        seg for _, seg in _rewrite_braces([("code", protected)])
+    )
+
+    # 3. block structuring, line by line
+    out: list = []
+    depth = 0
+
+    def emit(text: str, d: int) -> None:
+        out.append("    " * d + text)
+
+    def open_block(header: str, d: int) -> int:
+        emit(header, d)
+        return d + 1
+
+    lines: list = []
+    for raw in protected.split("\n"):
+        stripped = raw.strip()
+        if stripped:
+            lines.extend(_expand_inline(stripped))
+
+    for line in lines:
+        if line in ("end", "end)"):
+            if depth == 0:
+                raise LuaShimError("unbalanced 'end' in Lua script")
+            if out and out[-1].endswith(":"):
+                emit("pass", depth)  # empty Lua block
+            depth -= 1
+            if line == "end)":
+                emit(")", depth)
+            continue
+        if line == "else":
+            if depth == 0:
+                raise LuaShimError("'else' outside a block")
+            if out and out[-1].endswith(":"):
+                emit("pass", depth)
+            emit("else:", depth - 1)
+            continue
+        m = _ELSEIF.match(line)
+        if m:
+            if depth == 0:
+                raise LuaShimError("'elseif' outside a block")
+            if out and out[-1].endswith(":"):
+                emit("pass", depth)
+            emit(f"elif {m.group(1)}:", depth - 1)
+            continue
+        m = _FOR_NUM.match(line)
+        if m:
+            var, args = m.groups()
+            depth = open_block(f"for {var} in {_numeric_range(args)}:", depth)
+            continue
+        m = _FOR_IPAIRS.match(line)
+        if m:
+            i, x, t = m.groups()
+            depth = open_block(f"for {i}, {x} in enumerate({t}, 1):", depth)
+            continue
+        m = _WHILE.match(line)
+        if m:
+            depth = open_block(f"while {m.group(1)}:", depth)
+            continue
+        m = _IF.match(line)
+        if m:
+            depth = open_block(f"if {m.group(1)}:", depth)
+            continue
+        m = _FUNC.match(line)
+        if m:
+            depth = open_block(f"def {m.group(1)}({m.group(2)}):", depth)
+            continue
+        if line == "do":  # bare scoping block
+            depth = open_block("if True:", depth)
+            continue
+        if re.search(r"(?<![\w.])(then|elseif|function)(?![\w])", line) or re.search(
+            r"(?<![\w.])do$", line
+        ):
+            raise LuaShimError(
+                f"could not parse Lua block statement {line!r}; supported "
+                "forms: for v=a,b[,c] do / for i,x in ipairs(t) do / "
+                "while c do / if c then / elseif / else / function f(...) "
+                "/ end (see lua_shim.py)"
+            )
+        emit(line, depth)
+    if depth != 0:
+        raise LuaShimError(f"{depth} unclosed Lua block(s) ('end' missing)")
+
+    py = "\n".join(out)
+    # 4. restore string literals
+    return re.sub(r"\x00(\d+)\x00", lambda m: strings[int(m.group(1))], py)
+
+
 class LuaDb:
     """The ``db`` global a gravitydb Lua script sees (lua.rs:27-77),
     backed by a rebinding PropertyGraph (the engine's store is immutable
@@ -267,6 +462,8 @@ class LuaRepl:
             "db": self.db,
             "Prop": Prop,
             "print": print,
+            "tostring": str,
+            "tonumber": float,
             **{n: getattr(ql, n) for n in ql.__all__},
             **(extra_env or {}),
         }
@@ -322,9 +519,14 @@ def run_lua_script(graph, code: str, name: str = "<lua>", extra_env: dict | None
         "db": db,
         "Prop": Prop,
         "print": print,
+        # Lua stdlib shims: `..` maps to `+`, which does not coerce
+        # numbers the way Lua's concat does — scripts use the Lua-native
+        # tostring()/tonumber() idiom (documented divergence)
+        "tostring": str,
+        "tonumber": float,
         **{n: getattr(ql, n) for n in ql.__all__},
         **(extra_env or {}),
     }
-    py_code = transliterate(code)
+    py_code = transliterate_program(code)
     exec(compile(py_code, name, "exec"), ns)  # noqa: S102 — the verb's purpose
     return db.graph, ns
