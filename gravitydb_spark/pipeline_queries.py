@@ -4579,10 +4579,15 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_TOKENS_FN()).alias("dl"),
     )
     # stats over the SAME universe as the oracle's toks CTE (documents
-    # that produce at least one token): a NULL-text doc would otherwise
-    # count in N on the Spark side only, and F.size(NULL) = -1 would
-    # poison avgdl
-    stats = toks.select("doc_id", "dl").distinct().agg(
+    # that produce at least one token — a NULL-text doc must not count in
+    # N, and F.size(NULL) = -1 would poison avgdl), computed from a
+    # doc-level projection: doc length needs NO token explode, and the
+    # unfiltered explode was the probe-measured superlinear term
+    # (tools/relational_probe.py analytics: 7x wall at 10x corpus before,
+    # explode is now query-term-filtered ONLY)
+    stats = docs.select(F.size(_TOKENS_FN()).alias("dl")).filter(
+        F.col("dl") > 0
+    ).agg(
         F.count("*").alias("n"),
         F.avg("dl").alias("avgdl"),
     )

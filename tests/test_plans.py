@@ -388,6 +388,14 @@ def test_bm25_filters_terms_before_aggregation(plans):
     p = plans("text_bm25_search")
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
+    # EVERY token explode must sit under a query-term filter — the corpus
+    # stats (N, avgdl) come from a doc-level size() projection, never an
+    # unfiltered explode (probe-measured 7x-at-10x superlinear term, r5)
+    import re
+
+    for m in re.finditer(r"Generate explode", p):
+        window = p[max(0, m.start() - 300) : m.start()]
+        assert "IN (spark,data,value)" in window, "unfiltered token explode"
 
 
 def test_profiler_is_single_aggregation_pass(plans):
