@@ -121,6 +121,8 @@ HEADLINE = [
     # round 5 additions
     "stream_dedup_index_upkeep",
     "pipeline_build_corpus",
+    "text_quality_lr",
+    "events_changepoint_cusum",
 ]
 
 

@@ -491,6 +491,15 @@ _compound(
             },
         ),
         (
+            "quality_lr",
+            "text_quality_lr",
+            {
+                "doc_id": "doc_id",
+                "m1": "lr_score",
+                "m2": "keep",
+            },
+        ),
+        (
             "tfidf",
             "text_tfidf_keywords",
             {
@@ -844,6 +853,11 @@ _compound(
             # destination types among equal-(n,p) rows within one
             # from_type must flip the gate hash (r4 ADVICE)
             {"k": "from_type || '>' || to_type", "n1": "n", "v": "p"},
+        ),
+        (
+            "changepoint_cusum",
+            "events_changepoint_cusum",
+            {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "v": "cusum"},
         ),
         (
             "seasonality",

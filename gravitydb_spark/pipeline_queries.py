@@ -100,6 +100,75 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed logistic-regression weights for the model-based quality filter —
+# the shape of a fasttext/classifier quality scorer with the coefficients
+# baked in (a real pipeline loads them from a side artifact; the Spark
+# plumbing — feature projection, linear term, sigmoid, threshold — is
+# identical). Features: stopword ratio, unique ratio, avg token length,
+# ln(token count).
+_LR_W = {"bias": -2.0, "sr": 6.0, "ur": 0.8, "atl": -0.15, "lnn": 0.3}
+
+
+@register(
+    "text_quality_lr",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(list_filter({_DUCK_TOKENS}, t -> t IN ({_DUCK_STOPWORDS})))
+               / len({_DUCK_TOKENS})::DOUBLE AS sr,
+             len(list_distinct({_DUCK_TOKENS}))
+               / len({_DUCK_TOKENS})::DOUBLE AS ur,
+             length(replace(text, ' ', ''))
+               / len({_DUCK_TOKENS})::DOUBLE AS atl,
+             ln(len({_DUCK_TOKENS})::DOUBLE) AS lnn
+      FROM documents WHERE len({_DUCK_TOKENS}) > 0),
+    z AS (
+      SELECT doc_id,
+             {_LR_W["bias"]} + {_LR_W["sr"]} * sr + {_LR_W["ur"]} * ur
+               + {_LR_W["atl"]} * atl + {_LR_W["lnn"]} * lnn AS zv
+      FROM f)
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-zv)), 4) AS lr_score,
+           (CASE WHEN 1.0 / (1.0 + exp(-zv)) >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM z
+    """,
+)
+def text_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality scoring: a logistic regression over the
+    heuristic features (stopword ratio, lexical diversity, mean token
+    length, log length) — the shape of the classifier quality filters
+    (fasttext-style) real pretraining pipelines run after the rule-based
+    pass. Weights are baked constants (training is offline); inference
+    is a pure codegen projection: z = w·x, score = σ(z), keep at 0.5.
+
+    Scale posture: zero shuffles — a scan-projection like
+    text_cc_filters, fused into whatever runs next at 100 TB. Both
+    engines compute the identical double expression; the score is
+    rounded to 4dp for the hash (ln/exp are IEEE-identical here)."""
+    toks = _TOKENS_FN()
+    n = F.size(toks).cast("double")
+    sr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    ur = F.size(F.array_distinct(toks)) / n
+    atl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n
+    z = (
+        F.lit(_LR_W["bias"])
+        + _LR_W["sr"] * sr
+        + _LR_W["ur"] * ur
+        + _LR_W["atl"] * atl
+        + _LR_W["lnn"] * F.log(n)
+    )
+    score = 1.0 / (1.0 + F.exp(-z))
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.round(score, 4).alias("lr_score"),
+            (score >= 0.5).cast("long").alias("keep"),
+        )
+    )
+
+
 # marker-token profiles for the n-gram language-ID heuristic
 _LANG_PROFILES = {
     "en": ("the", "a", "small", "big"),

@@ -1562,6 +1562,86 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUSUM_SLACK = 0.5  # slack in σ units subtracted from each deviation
+_CUSUM_H = 3.0  # decision threshold in σ units (on the ROUNDED stat)
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle=f"""
+    WITH {_DUCK_HOURLY_GRID},
+    base AS (
+      SELECT event_type, h, n,
+             avg(n::DOUBLE) OVER t AS mu,
+             coalesce(stddev_pop(n::DOUBLE) OVER t, 0) AS sd
+      FROM grid
+      WINDOW t AS (PARTITION BY event_type)),
+    rs_t AS (
+      SELECT event_type, h, n, sd,
+             sum(n - mu - {_CUSUM_SLACK} * sd) OVER w AS rs
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    cum AS (
+      SELECT event_type, h, n, sd, rs,
+             min(rs) OVER w AS lo
+      FROM rs_t
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, h * 3600 AS hour_epoch_s, n,
+           round(rs - lo, 2) AS cusum
+    FROM cum
+    WHERE sd > 0 AND round(rs - lo, 2) > round({_CUSUM_H} * sd, 2)
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the hourly event-volume series:
+    per type, cumulative sum of slack-adjusted deviations from the
+    type's mean, reset-free via the running-minimum identity
+    S⁺_t = RS_t − min_{i≤t}(RS_i) (exactly the max(0, S+x) recursion,
+    but expressible as two windows instead of an un-SQL-able recurrence).
+    Hours where S⁺ exceeds {_CUSUM_H}σ are flagged — the level-shift
+    detector that catches 'traffic permanently moved', which the
+    pointwise z-score (events_anomaly_zscore) misses by design.
+
+    Plan shape: everything runs on the memoized types×hours grid — one
+    per-type stats window, one ordered cumulative window pair; the fact
+    is scanned once (cached rollup). Threshold compares ROUNDED doubles
+    on both engines so IEEE noise can't flip a boundary hour."""
+    grid = _hourly_grid(spark, sf_dir)
+    t = Window.partitionBy("event_type")
+    base = grid.select(
+        "event_type",
+        "h",
+        "n",
+        F.avg(F.col("n").cast("double")).over(t).alias("mu"),
+        F.coalesce(
+            F.stddev_pop(F.col("n").cast("double")).over(t), F.lit(0.0)
+        ).alias("sd"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = F.col("n") - F.col("mu") - _CUSUM_SLACK * F.col("sd")
+    rs_t = base.select(
+        "event_type", "h", "n", "sd", F.sum(dev).over(w).alias("rs")
+    )
+    cum = rs_t.select(
+        "event_type", "h", "n", "sd", "rs", F.min("rs").over(w).alias("lo")
+    )
+    s = F.round(F.col("rs") - F.col("lo"), 2)
+    return cum.filter(
+        (F.col("sd") > 0) & (s > F.round(_CUSUM_H * F.col("sd"), 2))
+    ).select(
+        "event_type",
+        (F.col("h") * 3600).cast("long").alias("hour_epoch_s"),
+        "n",
+        s.alias("cusum"),
+    )
+
+
 _Z_TRAIL = 24  # trailing window (hours) for the anomaly baseline
 _Z_MIN_OBS = 12  # minimum trailing buckets before scoring
 _Z_CUT = 2.0  # |z| threshold, applied to the ROUNDED score on both engines
