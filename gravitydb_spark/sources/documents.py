@@ -26,6 +26,7 @@ __all__ = [
     "read_documents",
     "write_documents",
     "export_jsonl_shards",
+    "verify_jsonl_shards",
 ]
 
 # canonical corpus schema (matches /root/testdata/sf*/documents.parquet)
@@ -192,3 +193,57 @@ def export_jsonl_shards(
     with open(_os.path.join(path, "_MANIFEST.json"), "w") as fh:
         _json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
+
+
+class ManifestMismatch(RuntimeError):
+    """A JSONL shard's recomputed row count / checksum disagrees with
+    ``_MANIFEST.json`` — the corpus was altered after export."""
+
+
+def verify_jsonl_shards(spark: SparkSession, path: str) -> list:
+    """Consumer-side verification of an :func:`export_jsonl_shards`
+    corpus: recompute each shard's row count and order-invariant content
+    checksum and compare with ``_MANIFEST.json``. Raises
+    :class:`ManifestMismatch` naming every disagreeing shard (missing,
+    extra, shorter, or byte-altered); returns the verified manifest.
+
+    The recompute is one distributed pass (the same aggregation the
+    exporter ran); the comparison is shard-count-sized on the driver."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_MANIFEST.json")) as fh:
+        expected = {m["shard"]: m for m in _json.load(fh)}
+    got = {
+        _os.path.basename(r["shard"]): r
+        for r in spark.read.text(path)
+        .select(
+            F.input_file_name().alias("shard"),
+            (
+                F.conv(F.substring(F.sha2(F.col("value"), 256), 1, 15), 16, 10)
+                .cast("long")
+                % F.lit(2**32)
+            ).alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("rows"),
+            (F.sum("h") % F.lit(2**61)).cast("long").alias("checksum"),
+        )
+        .collect()
+    }
+    problems = []
+    for name, exp in expected.items():
+        act = got.get(name)
+        if act is None:
+            problems.append(f"{name}: missing")
+        elif act["rows"] != exp["rows"]:
+            problems.append(f"{name}: rows {act['rows']} != {exp['rows']}")
+        elif act["checksum"] != exp["checksum"]:
+            problems.append(f"{name}: checksum mismatch")
+    for name in got:
+        if name not in expected:
+            problems.append(f"{name}: not in manifest")
+    if problems:
+        raise ManifestMismatch("; ".join(sorted(problems)))
+    return sorted(expected.values(), key=lambda m: m["shard"])

@@ -221,3 +221,59 @@ def test_export_jsonl_shards_manifest_round_trip(spark, sf_dir, tmp_path):
 
     back = read_documents(spark, out, fmt="jsonl")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_verify_jsonl_shards_detects_tampering(spark, sf_dir, tmp_path):
+    """Consumer-side manifest verification: clean corpus verifies; a
+    byte-altered line, a truncated shard, and an extra shard each raise
+    ManifestMismatch naming the shard."""
+    import os
+
+    import pytest as _pytest
+
+    from gravitydb_spark.sources.documents import (
+        ManifestMismatch,
+        export_jsonl_shards,
+        verify_jsonl_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "vexport")
+    manifest = export_jsonl_shards(docs, out, max_records_per_file=100)
+    # drop Hadoop local-FS .crc sidecars: they'd catch the tamper before
+    # the manifest does, and object stores (the 100 TB home) have none —
+    # the manifest is exactly the portable replacement for them
+    for f in os.listdir(out):
+        if f.endswith(".crc"):
+            os.unlink(os.path.join(out, f))
+    assert verify_jsonl_shards(spark, out) == sorted(
+        manifest, key=lambda m: m["shard"]
+    )
+
+    # tamper: flip one byte in the first shard's first line
+    shard = os.path.join(out, manifest[0]["shard"])
+    with open(shard, "rb") as fh:
+        data = fh.read()
+    with open(shard, "wb") as fh:
+        fh.write(b"X" + data[1:])
+    with _pytest.raises(ManifestMismatch, match="checksum mismatch"):
+        verify_jsonl_shards(spark, out)
+    with open(shard, "wb") as fh:
+        fh.write(data)  # restore
+
+    # truncate: drop the last line of the second shard
+    shard2 = os.path.join(out, manifest[1]["shard"])
+    with open(shard2, "rb") as fh:
+        lines = fh.read().splitlines(keepends=True)
+    with open(shard2, "wb") as fh:
+        fh.writelines(lines[:-1])
+    with _pytest.raises(ManifestMismatch, match="rows"):
+        verify_jsonl_shards(spark, out)
+    with open(shard2, "wb") as fh:
+        fh.writelines(lines)
+
+    # extra shard not in the manifest
+    with open(os.path.join(out, "part-extra.json"), "w") as fh:
+        fh.write('{"doc_id": 1}\n')
+    with _pytest.raises(ManifestMismatch, match="not in manifest"):
+        verify_jsonl_shards(spark, out)
