@@ -1481,20 +1481,41 @@ def _memo_cache(spark: SparkSession, sf_dir: str, tag: str, build):
 
 
 def clear_memo_cache(spark: SparkSession | None = None) -> int:
-    """Unpersist and drop memoized cache entries. With a session, only
-    that session's entries; without, all (best-effort unpersist — dead
-    sessions just drop the dict entry). Returns the number removed."""
-    keys = list(_plan_cache)
-    if spark is not None:
-        sk = _session_key(spark)
-        keys = [k for k in keys if k[0] == sk]
-    for k in keys:
-        try:
-            _plan_cache[k].unpersist()
-        except Exception:
-            pass  # session already stopped; executor memory is gone anyway
-        del _plan_cache[k]
-    return len(keys)
+    """Unpersist and drop ALL per-session memoized cache entries across
+    the query modules (relational memo, shingle/signature/pair caches,
+    stream band index, TPC-H graph). With a session, only that session's
+    entries; without, all (best-effort unpersist — dead sessions just
+    drop the dict entry). Returns the number removed. The hook long-lived
+    sessions spanning many sf_dirs call between corpora (r4 ADVICE:
+    entries were never unpersisted)."""
+    from . import graph_queries, pipeline_queries
+
+    caches = [
+        _plan_cache,
+        pipeline_queries._shingle_cache,
+        pipeline_queries._sigs_cache,
+        pipeline_queries._pair_cache,
+        pipeline_queries._rep_pair_cache,
+        pipeline_queries._stream_index_cache,
+        graph_queries._graph_cache,
+    ]
+    sk = _session_key(spark) if spark is not None else None
+    removed = 0
+    for cache in caches:
+        for k in [k for k in cache if sk is None or k[0] == sk]:
+            val = cache.pop(k)
+            vals = (
+                val
+                if isinstance(val, (list, tuple))
+                else [val]
+            )
+            for v in vals:
+                try:
+                    v.unpersist()
+                except Exception:
+                    pass  # not a DataFrame / session already stopped
+            removed += 1
+    return removed
 
 
 def _hourly_grid(spark: SparkSession, sf_dir: str) -> DataFrame:

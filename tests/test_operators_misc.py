@@ -141,3 +141,26 @@ def test_countmin_estimate_never_undercounts(spark, sf_dir):
     assert len(rows) == 30
     for r in rows:
         assert r["cm_estimate"] >= r["n_exact"], r
+
+
+def test_clear_memo_cache_unpersists_and_rebuilds(spark, sf_dir):
+    """clear_memo_cache drops every module's per-session cache entries
+    (r4 ADVICE: unbounded growth across sf_dirs) and queries rebuild
+    transparently afterwards."""
+    import gravitydb_spark.pipeline_queries as pq
+    from gravitydb_spark.registry import queries
+    from gravitydb_spark.relational_queries import (
+        _plan_cache,
+        clear_memo_cache,
+    )
+
+    qs = queries()
+    n1 = qs["corpus_vocab_topk"](spark, sf_dir).count()
+    qs["dedup_minhash_lsh"](spark, sf_dir).count()
+    assert _plan_cache or pq._sigs_cache  # something got memoized
+    removed = clear_memo_cache(spark)
+    assert removed >= 1
+    sk = spark.sparkContext.applicationId
+    for cache in (_plan_cache, pq._sigs_cache, pq._pair_cache, pq._shingle_cache):
+        assert not [k for k in cache if k[0] == sk]
+    assert qs["corpus_vocab_topk"](spark, sf_dir).count() == n1
