@@ -3459,7 +3459,16 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out_dir = os.path.join(work, "admitted")
 
-        def handle(batch_df, _batch_id) -> None:
+        def handle(batch_df, batch_id) -> None:
+            # IDEMPOTENT sink (foreachBatch is at-least-once): output goes
+            # to a per-batch partition dir, overwritten on replay, with
+            # the _SUCCESS marker as the completed-batch check. A replay
+            # after a partial failure may re-append index keys — harmless,
+            # admission tests key MEMBERSHIP, so duplicate keys cannot
+            # change any decision.
+            bdir = os.path.join(out_dir, f"b={int(batch_id)}")
+            if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+                return  # replayed, already fully processed
             keyed = _row_band_keys(batch_df).select("doc_id", unpivot)
             idx = store.load(spark)
             hits = (
@@ -3480,7 +3489,7 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("band", "bk")
                 .distinct()
             )
-            admitted.write.mode("append").parquet(out_dir)
+            admitted.write.mode("overwrite").parquet(bdir)
             # periodic compaction: fold deltas once the log grows
             store.compact(spark, min_deltas=3)
 

@@ -104,3 +104,49 @@ def test_upkeep_rejects_near_dup_admitted_in_earlier_batch(spark, tmp_path):
         for r in stream_dedup_index_upkeep(spark, sf).collect()
     }
     assert got == {(1, 0), (5, 2)}
+
+
+def test_upkeep_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a completed batch must
+    not duplicate admitted rows (per-batch overwrite partition +
+    _SUCCESS check), and duplicate index keys from a partial replay
+    cannot change admission (membership semantics)."""
+    import os
+
+    from gravitydb_spark.transaction import DatasetStore
+
+    out_dir = str(tmp_path / "admitted")
+    store = DatasetStore(str(tmp_path / "idx"))
+    store.append(spark.createDataFrame([(0, "seed")], "band int, bk string"))
+
+    def handle_like(batch_df, batch_id):
+        # the same shape as stream_dedup_index_upkeep.handle, minus the
+        # minhash plumbing (seeded keys come in as columns)
+        bdir = os.path.join(out_dir, f"b={int(batch_id)}")
+        if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            return
+        keyed = batch_df
+        idx = store.load(spark)
+        hits = keyed.join(idx, ["band", "bk"], "left_semi").select("doc_id").distinct()
+        admitted = keyed.select("doc_id").distinct().join(hits, "doc_id", "left_anti")
+        store.append(keyed.join(admitted, "doc_id", "left_semi").select("band", "bk").distinct())
+        admitted.write.mode("overwrite").parquet(bdir)
+
+    b0 = spark.createDataFrame(
+        [(1, 0, "k1"), (3, 0, "seed")], "doc_id long, band int, bk string"
+    )
+    handle_like(b0, 0)
+    handle_like(b0, 0)  # replay of a COMPLETED batch: no-op
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1]  # doc 3 hit the seed; doc 1 admitted exactly once
+    # the replay appended no extra index delta either
+    assert len(store.snapshots()) == 2
+
+    # partial replay: simulate crash AFTER index append, BEFORE output —
+    # rerunning the batch re-appends keys (dup rows in the index) but
+    # admission for later batches is unchanged
+    store.append(spark.createDataFrame([(0, "k1")], "band int, bk string"))
+    b1 = spark.createDataFrame([(5, 0, "k1")], "doc_id long, band int, bk string")
+    handle_like(b1, 1)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1]  # doc 5 rejected by k1 despite the duplicate key rows
