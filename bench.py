@@ -123,6 +123,7 @@ HEADLINE = [
     "pipeline_build_corpus",
     "text_quality_lr",
     "events_changepoint_cusum",
+    "sample_quality_pareto",
 ]
 
 

@@ -650,7 +650,7 @@ _compound(
 
 _compound(
     "corpus_sampling",
-    [("doc_id", "long"), ("source", "string"), ("r", "long")],
+    [("doc_id", "long"), ("source", "string"), ("r", "long"), ("r2", "long")],
     [
         (
             "hash_sample",
@@ -662,9 +662,15 @@ _compound(
             "sample_stratified_by_source",
             {"doc_id": "doc_id", "source": "source", "r": "pick_rank"},
         ),
+        (
+            "quality_pareto",
+            "sample_quality_pareto",
+            {"doc_id": "doc_id", "source": "source", "r": "bucket", "r2": "kept"},
+        ),
     ],
-    "Gate family for deterministic sampling: hash-based Bernoulli sample"
-    " and per-source stratified top-k sampling.",
+    "Gate family for deterministic sampling: hash-based Bernoulli sample,"
+    " per-source stratified top-k sampling, and quality-Pareto sampling"
+    " (LM-score quartiles x decreasing per-bucket hash keep rates).",
 )
 
 _compound(

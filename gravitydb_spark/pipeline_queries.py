@@ -21,7 +21,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
-from .registry import load, register
+from .registry import REGISTRY, load, register
 
 # Explicit whitespace class shared by every tokenizer/normalizer regex on
 # BOTH engines: Java's \s includes \x0B (vertical tab) while RE2's does
@@ -4598,6 +4598,74 @@ def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("long").alias("cm_estimate"))
         .select("token", "n_exact", "cm_estimate", "rank")
     )
+
+
+# Per-quality-bucket keep rates (basis points): best quartile kept whole,
+# long tail thinned — the Pareto-style "sample by model quality" pass
+# (RefinedWeb/FineWeb shape) run after scoring, before packing.
+_PARETO_BP = {1: 10_000, 2: 5_000, 3: 2_500, 4: 1_000}
+_PARETO_BP_SQL = (
+    "CASE bucket "
+    + " ".join(f"WHEN {b} THEN {bp}" for b, bp in _PARETO_BP.items())
+    + " END"
+)
+
+
+def _register_sample_quality_pareto() -> None:
+    lm_oracle = REGISTRY["text_lm_score"].oracle
+
+    @register(
+        "sample_quality_pareto",
+        oracle=f"""
+        WITH lm AS ({lm_oracle}),
+        j AS (
+          SELECT d.doc_id, d.source, l.lm_score
+          FROM documents d JOIN lm l ON d.doc_id = l.doc_id),
+        b AS (
+          SELECT doc_id, source,
+                 ntile(4) OVER (PARTITION BY source
+                                ORDER BY lm_score DESC, doc_id) AS bucket
+          FROM j)
+        SELECT doc_id, source, bucket::BIGINT AS bucket,
+               (CASE WHEN {_duck_h32("doc_id::VARCHAR || ':q'")}
+                     < ({_H32_SPACE} * ({_PARETO_BP_SQL})) // 10000
+                     THEN 1 ELSE 0 END)::BIGINT AS kept
+        FROM b
+        """,
+    )
+    def sample_quality_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Quality-Pareto sampling: per source, documents rank into LM-score
+        quartiles (NTILE over the corpus-bigram predictability score,
+        doc_id tie-broken so the cut is engine-exact), then each quartile
+        keeps a decreasing deterministic hash fraction — best kept whole
+        ({_PARETO_BP[1]} bp), tail thinned to {_PARETO_BP[4]} bp. The
+        sample-by-model-quality pass real pipelines run between scoring
+        and packing; composable with mix_domains (independent hash salts).
+
+        Plan shape: the LM score reuses its audited plan; one source-
+        partitioned NTILE window; the keep decision is a per-row hash
+        predicate. Nothing quadratic, no collect."""
+        lm = text_lm_score(spark, sf_dir).select("doc_id", "lm_score")
+        docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+        w = Window.partitionBy("source").orderBy(
+            F.col("lm_score").desc(), F.col("doc_id")
+        )
+        b = docs.join(lm, "doc_id").select(
+            "doc_id", "source", F.ntile(4).over(w).alias("bucket")
+        )
+        kept = (
+            _h32(F.concat(F.col("doc_id").cast("string"), F.lit(":q")))
+            < F.expr(f"({_H32_SPACE} * ({_PARETO_BP_SQL})) DIV 10000")
+        ).cast("long")
+        return b.select(
+            "doc_id",
+            "source",
+            F.col("bucket").cast("long").alias("bucket"),
+            kept.alias("kept"),
+        )
+
+
+_register_sample_quality_pareto()
 
 
 _BM25_TERMS = ["spark", "data", "value"]
