@@ -165,6 +165,68 @@ def run_analytics(spark, sf_dir: str, label: str) -> None:
         )
 
 
+EVENTS_SKEW_QUERIES = [
+    "events_transition_matrix",
+    "events_cohort_retention",
+    "events_sessionize",
+    "events_rfm_scores",
+]
+
+
+def build_events_10x(spark, base: str, out: str, celebrity: bool) -> None:
+    """Two equal-volume 10× event corpora isolating DISTRIBUTION, not
+    size: ``bal`` strides user_ids on every replica (~15k users, balanced
+    per-user history); ``skew`` maps HALF the replicas to ONE celebrity
+    user — a ~1M-row sort-window partition, the worst case for user-keyed
+    ordered windows, which AQE cannot split (ordered state)."""
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    reps = spark.range(10).withColumnRenamed("id", "rep")
+    ev = spark.read.parquet(f"{base}/events.parquet").crossJoin(reps)
+    user = (
+        F.when(F.col("rep") < 5, F.lit(0).cast("long")).otherwise(
+            F.col("user_id") + F.col("rep") * _USER_STRIDE
+        )
+        if celebrity
+        else F.col("user_id") + F.col("rep") * _USER_STRIDE
+    )
+    (
+        ev.select(
+            (F.col("event_id") + F.col("rep") * _EVENT_STRIDE).alias("event_id"),
+            "ts",
+            user.alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .coalesce(16)
+        .write.parquet(f"{out}/events.parquet")
+    )
+    for t in DIMS + ["orders", "lineitem"]:
+        if t != "events":
+            os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+
+
+def run_events_skew(spark, base: str) -> None:
+    from gravitydb_spark.registry import REGISTRY, queries
+
+    queries()
+    bal, skew = "/tmp/eprobe_bal10", "/tmp/eprobe_skew10"
+    build_events_10x(spark, base, bal, celebrity=False)
+    build_events_10x(spark, base, skew, celebrity=True)
+    # warm plans/caches on the base so neither labeled run pays init
+    for name in EVENTS_SKEW_QUERIES:
+        REGISTRY[name].fn(spark, base).count()
+    for label, d in (("bal10", bal), ("skew10", skew)):
+        for name in EVENTS_SKEW_QUERIES:
+            t0 = time.monotonic()
+            n = REGISTRY[name].fn(spark, d).count()
+            print(
+                f"PROBE {label} {name}: {time.monotonic() - t0:.1f}s {n} rows",
+                flush=True,
+            )
+
+
 def main() -> None:
     from gravitydb_spark.session import get_spark
 
@@ -179,6 +241,9 @@ def main() -> None:
             corpus = f"/tmp/aprobe_rep{n}"
             build_analytics_corpus(spark, base, corpus, n)
             run_analytics(spark, corpus, f"{n}x")
+        return
+    if mode == "events-skew":
+        run_events_skew(spark, base)
         return
     rep10 = "/tmp/rprobe_rep10"
     build_rep10_facts(spark, base, rep10)
