@@ -124,6 +124,7 @@ HEADLINE = [
     "text_quality_lr",
     "events_changepoint_cusum",
     "sample_quality_pareto",
+    "stream_rollup_maintained",
 ]
 
 

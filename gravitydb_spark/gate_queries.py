@@ -1058,6 +1058,11 @@ _compound(
             {"n1": "doc_id", "n2": "batch"},
         ),
         (
+            "rollup_maintained",
+            "stream_rollup_maintained",
+            {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "n3": "v_cents"},
+        ),
+        (
             "audio_meta",
             "stream_audio_meta",
             {"n1": "doc_id", "n2": "n_bytes", "n3": "sample_sum"},

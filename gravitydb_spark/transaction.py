@@ -319,11 +319,20 @@ class DatasetStore(_SnapshotLog):
             return None
         return spark.read.parquet(*[os.path.join(self.path, n) for n in names])
 
-    def compact(self, spark, min_deltas: int = 2) -> bool:
+    def compact(self, spark, min_deltas: int = 2, transform=None) -> bool:
         """Fold the published deltas into one snapshot when the log has
         at least ``min_deltas`` entries; no-op (False) otherwise. Also
         drops bytes parked by the PREVIOUS compact (two-phase, reader
-        grace)."""
+        grace).
+
+        ``transform`` (DataFrame → DataFrame) folds the union before it
+        is written — e.g. a groupBy-sum merging partial-aggregate deltas
+        by key, which makes the store an incrementally-maintained VIEW:
+        readers always see union-of-deltas semantics, and compaction
+        keeps the stored bytes proportional to the view, not the
+        history. The transform must be union-idempotent (applying it to
+        already-transformed rows is a no-op shape), which every
+        mergeable aggregate (sum/count/min/max) satisfies."""
         import shutil
 
         lock = self._acquire_lock()
@@ -343,6 +352,8 @@ class DatasetStore(_SnapshotLog):
             merged = spark.read.parquet(
                 *[os.path.join(self.path, n) for n in names]
             )
+            if transform is not None:
+                merged = transform(merged)
             name = self._alloc_name()
             target = os.path.join(self.path, name)
             try:

@@ -150,3 +150,28 @@ def test_upkeep_batch_replay_is_idempotent(spark, tmp_path):
     handle_like(b1, 1)
     got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     assert got == [1]  # doc 5 rejected by k1 despite the duplicate key rows
+
+
+def test_dataset_store_compact_transform_folds_by_key(spark, tmp_path):
+    """compact(transform=) turns the store into an incrementally
+    maintained view: partial-aggregate deltas fold by key, stored rows
+    shrink to view size, and read-time union semantics are unchanged."""
+    from pyspark.sql import functions as F
+
+    from gravitydb_spark.transaction import DatasetStore
+
+    store = DatasetStore(str(tmp_path / "view"))
+    store.append(spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long"))
+    store.append(spark.createDataFrame([("a", 10), ("c", 5)], "k string, n long"))
+
+    def merge(df):
+        return df.groupBy("k").agg(F.sum("n").cast("long").alias("n"))
+
+    assert store.compact(spark, min_deltas=2, transform=merge) is True
+    assert len(store.snapshots()) == 1
+    rows = {r["k"]: r["n"] for r in store.load(spark).collect()}
+    assert rows == {"a": 11, "b": 2, "c": 5}
+    # further deltas + read-time merge still correct
+    store.append(spark.createDataFrame([("a", 100)], "k string, n long"))
+    rows = {r["k"]: r["n"] for r in merge(store.load(spark)).collect()}
+    assert rows == {"a": 111, "b": 2, "c": 5}
