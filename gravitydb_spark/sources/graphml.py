@@ -22,7 +22,7 @@ from pyspark.sql import SparkSession
 from ..graph import GraphBatchBuilder, PropertyGraph
 from ..schema import Prop, Schema
 
-__all__ = ["import_graphml", "default_prop_mapper", "uuid_mapper"]
+__all__ = ["export_graphml", "import_graphml", "default_prop_mapper", "uuid_mapper"]
 
 
 def uuid_mapper(raw_id: str, mappings: dict[str, str]) -> str:
@@ -80,3 +80,60 @@ def import_graphml(
         else:
             raise ValueError(f"unexpected element <{tag}>")
     return b.build(spark), mappings
+
+
+def export_graphml(graph: PropertyGraph) -> str:
+    """GraphML EXPORT — the missing inverse of :func:`import_graphml`
+    (the reference only imports; an engine a user migrates ONTO also has
+    to let them leave). Each vertex/edge element carries its tagged
+    property as the same ``<Tag>text</Tag>`` inner-element convention the
+    importer parses, so export∘import round-trips: identical property
+    hashes, identical topology (vertex ids map through the importer's
+    key mapper like any GraphML input).
+
+    Rendering is driver-side like the importer (GraphML is a
+    metadata-sized interchange format, not a bulk path — bulk egress is
+    parquet via ``PropertyGraph.save``); the collects are the graph's
+    vertex/edge lists, which any XML export must enumerate anyway."""
+    import json as _json
+    from xml.sax.saxutils import escape
+
+    def tagged_inner(tagged: str) -> str:
+        obj = _json.loads(tagged)
+        if isinstance(obj, str):  # payload-less Prop("Type"): bare tag
+            return f"<{obj}></{obj}>"
+        if isinstance(obj, dict) and len(obj) == 1:
+            ((tag, val),) = obj.items()
+            if val is None:
+                return f"<{tag}></{tag}>"
+            return f"<{tag}>{escape(str(val))}</{tag}>"
+        raise ValueError(f"cannot render property payload {tagged!r}")
+
+    props = {
+        r["prop_hash"]: r["tagged"]
+        for r in graph.properties.select("prop_hash", "tagged").collect()
+    }
+    lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+        '  <graph edgedefault="directed">',
+    ]
+    for r in sorted(
+        graph.vertices.select("id", "prop_hash").collect(),
+        key=lambda r: r["id"],
+    ):
+        lines.append(
+            f'    <node id="{escape(r["id"])}">'
+            f"{tagged_inner(props[r['prop_hash']])}</node>"
+        )
+    for r in sorted(
+        graph.edges.select("edge_id", "src", "dst", "prop_hash").collect(),
+        key=lambda r: r["edge_id"],
+    ):
+        lines.append(
+            f'    <edge id="{escape(r["edge_id"])}" source="{escape(r["src"])}"'
+            f' target="{escape(r["dst"])}">'
+            f"{tagged_inner(props[r['prop_hash']])}</edge>"
+        )
+    lines += ["  </graph>", "</graphml>"]
+    return "\n".join(lines)

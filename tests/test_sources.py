@@ -277,3 +277,29 @@ def test_verify_jsonl_shards_detects_tampering(spark, sf_dir, tmp_path):
         fh.write('{"doc_id": 1}\n')
     with _pytest.raises(ManifestMismatch, match="not in manifest"):
         verify_jsonl_shards(spark, out)
+
+
+def test_graphml_export_import_round_trip(spark, cocktail_graph):
+    """export_graphml ∘ import_graphml preserves the whole graph:
+    identical property hash set (content addressing survives the XML
+    trip) and identical topology up to the importer's id re-mapping."""
+    from gravitydb_spark.sources.graphml import export_graphml, import_graphml
+
+    xml = export_graphml(cocktail_graph)
+    g2, mapping = import_graphml(spark, xml)
+
+    def phashes(g):
+        return sorted(r["prop_hash"] for r in g.properties.select("prop_hash").collect())
+
+    assert phashes(g2) == phashes(cocktail_graph)
+    assert g2.vertices.count() == cocktail_graph.vertices.count()
+    assert g2.edges.count() == cocktail_graph.edges.count()
+    # topology preserved through the id re-mapping: compare edges as
+    # (src prop, dst prop, edge prop) triples, which are id-free
+    def triples(g):
+        v = {r["id"]: r["prop_hash"] for r in g.vertices.collect()}
+        return sorted(
+            (v[r["src"]], v[r["dst"]], r["prop_hash"]) for r in g.edges.collect()
+        )
+
+    assert triples(g2) == triples(cocktail_graph)
