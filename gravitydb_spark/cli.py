@@ -379,6 +379,26 @@ def cmd_explain(args) -> int:
 
 
 
+def cmd_corpus_build(args) -> int:
+    """Corpus build verb: run the full clean → dedup → decontaminate →
+    mix → pack pipeline over --sf-dir and export manifested JSONL shards
+    to --out (pipeline_queries.export_corpus_jsonl, audit-gated — a bad
+    corpus ships nothing and exits 1). Prints the manifest JSON."""
+    from .pipeline_queries import CorpusAuditError, export_corpus_jsonl
+
+    spark = get_spark("gravitydb_cli")
+    try:
+        manifest = export_corpus_jsonl(
+            spark, args.sf_dir, args.out, n_shards=args.shards
+        )
+    except CorpusAuditError as e:
+        print(f"audit gate failed: {e}", file=sys.stderr)
+        return 1
+    json.dump(manifest, sys.stdout, indent=2)
+    print()
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Ad-hoc SQL entry point: registers the corpus tables (region nation
     customer supplier part orders lineitem events documents embeddings)
@@ -490,6 +510,12 @@ def main(argv=None) -> int:
     sp.add_argument("--mode", default="formatted",
                     help="simple|extended|codegen|cost|formatted")
     sp.set_defaults(fn=cmd_explain)
+
+    sp = sub.add_parser("corpus-build")
+    sp.add_argument("--sf-dir", dest="sf_dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--shards", type=int, default=4)
+    sp.set_defaults(fn=cmd_corpus_build)
 
     sp = sub.add_parser("sql")
     sp.add_argument("statement", help="ANSI SQL over the corpus tables")

@@ -100,3 +100,36 @@ def test_audit_gate_blocks_bad_corpus(spark, tmp_path, monkeypatch):
         export_corpus_jsonl(spark, sf_fake, out, n_shards=2)
     assert not os.path.exists(os.path.join(out, "shards"))
     assert not os.path.exists(os.path.join(out, "manifest.json"))
+
+
+def test_cli_corpus_build_verb(tmp_path):
+    """The corpus-build CLI verb exports manifested shards and prints
+    the manifest JSON."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "cli_corpus")
+    r = subprocess.run(
+        [
+            _sys.executable,
+            "-m",
+            "gravitydb_spark.cli",
+            "corpus-build",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out,
+            "--shards",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    manifest = json.loads(r.stdout)
+    assert manifest["n_shards"] == 2 and manifest["total_docs"] > 0
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f) == manifest
