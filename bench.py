@@ -125,6 +125,7 @@ HEADLINE = [
     "events_changepoint_cusum",
     "sample_quality_pareto",
     "stream_rollup_maintained",
+    "events_feature_snapshot",
 ]
 
 

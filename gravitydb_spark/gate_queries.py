@@ -828,6 +828,20 @@ _compound(
             {"n1": "event_id", "n2": "user_id", "v": "last_purchase_value"},
         ),
         (
+            "feature_snapshot",
+            "events_feature_snapshot",
+            # four per-stream features packed as exact cents into the
+            # long slots (double-slot v carries user_id); NULL-safe
+            {
+                "n1": "event_id",
+                "n2": "CAST(round(f_view * 100) AS BIGINT)",
+                "n3": "CAST(round(f_click * 100) AS BIGINT)",
+                "n4": "CAST(round(f_signup * 100) AS BIGINT)",
+                "n5": "CAST(round(f_error * 100) AS BIGINT)",
+                "v": "user_id",
+            },
+        ),
+        (
             "funnel",
             "events_funnel",
             {"n1": "user_id", "n2": "t1", "n3": "t2", "n4": "t3", "n5": "funnel_depth"},
