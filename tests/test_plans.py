@@ -432,3 +432,13 @@ def test_vocab_approx_path_stays_bounded(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_feature_snapshot_single_user_shuffle(plans):
+    # all four per-stream features must resolve in ONE user-partitioned
+    # window pass — exactly one hash exchange on user_id, never four
+    # as-of self-joins
+    p = plans("events_feature_snapshot")
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
