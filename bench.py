@@ -126,6 +126,7 @@ HEADLINE = [
     "sample_quality_pareto",
     "stream_rollup_maintained",
     "events_feature_snapshot",
+    "ann_pq_topk",
 ]
 
 

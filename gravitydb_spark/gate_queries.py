@@ -725,6 +725,13 @@ _compound(
             "ann_ivf_topk",
             {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
         ),
+        (
+            "pq",
+            "ann_pq_topk",
+            # scaled-BIGINT ADC score carried in the double slot exactly
+            # (micro-units are well inside double's integer range)
+            {"q_id": "q_id", "vec_id": "vec_id", "cosine": "score_scaled", "rnk": "rnk"},
+        ),
     ],
     "Gate family for similarity search: brute-force cosine top-k baseline,"
     " LSH-bucketed and IVF (inverted-file) approximate variants.",

@@ -1623,6 +1623,146 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DIM = 64
 N_PLANES = 8
 
+# Product quantization: M subspaces of SUB dims, K codebook entries per
+# subspace. The codebook is deterministic WITHOUT training: the first
+# PQ_CODES corpus vectors' subvectors are the anchors (a real pipeline
+# k-means-trains them; assignment/ADC — the distributed 99% — is
+# identical either way and what this operator exercises).
+PQ_M, PQ_SUB, PQ_CODES = 8, 8, 16
+_PQ_SCALE = 1_000_000  # micro-units: scaled-BIGINT dists/dots, order-free
+
+
+def _pq_dist_sql(e: str, a: str, m: str) -> str:
+    """Σ_d (e[m·SUB+d] − a[m·SUB+d])² as SUB explicit ascending terms —
+    identical evaluation order on both engines (no pow(), no list HOF)."""
+    return " + ".join(
+        f"(({e}[{m} * {PQ_SUB} + {d}] - {a}[{m} * {PQ_SUB} + {d}])"
+        f" * ({e}[{m} * {PQ_SUB} + {d}] - {a}[{m} * {PQ_SUB} + {d}]))"
+        for d in range(1, PQ_SUB + 1)
+    )
+
+
+def _pq_dot_sql(q: str, a: str, m: str) -> str:
+    return " + ".join(
+        f"({q}[{m} * {PQ_SUB} + {d}] * {a}[{m} * {PQ_SUB} + {d}])"
+        for d in range(1, PQ_SUB + 1)
+    )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    anchors AS (SELECT vec_id AS c, embedding AS av FROM e WHERE vec_id < {PQ_CODES}),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    dists AS (
+      SELECT e.vec_id, ms.m, a.c,
+             CAST(round(({_pq_dist_sql("e.embedding", "a.av", "ms.m")})
+                        * {_PQ_SCALE}) AS BIGINT) AS dist_s
+      FROM e CROSS JOIN ms CROSS JOIN anchors a),
+    codes AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist_s, c) AS rn
+        FROM dists) WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM e
+          WHERE vec_id < {ANN_N_QUERIES}),
+    lut AS (
+      SELECT q.q_id, ms.m, a.c,
+             CAST(round(({_pq_dot_sql("q.qv", "a.av", "ms.m")})
+                        * {_PQ_SCALE}) AS BIGINT) AS dot_s
+      FROM q CROSS JOIN ms CROSS JOIN anchors a),
+    scored AS (
+      SELECT l.q_id, cd.vec_id, sum(l.dot_s)::BIGINT AS score_scaled
+      FROM codes cd JOIN lut l ON l.m = cd.m AND l.c = cd.c
+      WHERE cd.vec_id != l.q_id
+      GROUP BY l.q_id, cd.vec_id),
+    ranked AS (
+      SELECT q_id, vec_id, score_scaled,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score_scaled DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT q_id, vec_id, score_scaled, rnk FROM ranked WHERE rnk <= {ANN_K}
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the memory-bound scale route beside LSH/IVF: corpus vectors compress
+    to {PQ_M} one-byte codes (argmin anchor per subspace, rounded
+    scaled-BIGINT distances with code tie-break, so assignment is
+    engine-exact); a query builds its {PQ_M}×{PQ_CODES} dot-product
+    lookup table once and every corpus score is {PQ_M} table lookups
+    summed — the inner loop that makes billion-vector search RAM-feasible
+    (n·M bytes instead of n·dim floats).
+
+    Relational formulation: codes = one (corpus × M × K) distance
+    aggregation (linear in corpus, constant M·K factor); the LUT is a
+    (queries × M × K)-row broadcast; ADC = codes ⋈ LUT on (m, code) then
+    a keyed sum — no pairwise vector math at query time at all. Scores
+    are exact BIGINT micro-unit sums (order-free), top-k deterministic.
+    Cites the same ADC decomposition as embed_quantize_int8's scalar
+    variant; see also ann_ivf_topk for the coarse-partition route."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    anchors = (
+        e.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("vec_id").alias("c"), F.col("v").alias("av"))
+    )
+
+    def dist_expr():
+        terms = " + ".join(
+            f"((element_at(v, m * {PQ_SUB} + {d}) - element_at(av, m * {PQ_SUB} + {d}))"
+            f" * (element_at(v, m * {PQ_SUB} + {d}) - element_at(av, m * {PQ_SUB} + {d})))"
+            for d in range(1, PQ_SUB + 1)
+        )
+        return F.expr(f"CAST(round(({terms}) * {_PQ_SCALE}) AS BIGINT)")
+
+    dists = (
+        e.select("vec_id", "v")
+        .crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(anchors))
+        .select("vec_id", "m", "c", dist_expr().alias("dist_s"))
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("dist_s", "c")
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "c")
+    )
+    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+    def dot_expr():
+        terms = " + ".join(
+            f"(element_at(qv, m * {PQ_SUB} + {d}) * element_at(av, m * {PQ_SUB} + {d}))"
+            for d in range(1, PQ_SUB + 1)
+        )
+        return F.expr(f"CAST(round(({terms}) * {_PQ_SCALE}) AS BIGINT)")
+
+    lut = (
+        q.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(anchors))
+        .select("q_id", "m", "c", dot_expr().alias("dot_s"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "c"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dot_s").cast("long").alias("score_scaled"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_scaled"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "vec_id", "score_scaled", "rnk")
+    )
+
 
 def _hyperplane_signs() -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: sign[p][d] = ±1 from the

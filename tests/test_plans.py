@@ -442,3 +442,13 @@ def test_feature_snapshot_single_user_shuffle(plans):
     assert p.count("Exchange hashpartitioning(user_id") == 1
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_pq_adc_joins_codes_to_broadcast_lut(plans):
+    # ADC must be a hash join of linear-sized codes against the tiny
+    # broadcast LUT; the only nested-loop joins allowed are the
+    # intentional M x K broadcast cross-products (8- and 16-row sides)
+    p = plans("ann_pq_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
