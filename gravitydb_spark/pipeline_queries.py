@@ -1634,18 +1634,25 @@ _PQ_SCALE = 1_000_000  # micro-units: scaled-BIGINT dists/dots, order-free
 
 def _pq_dist_sql(e: str, a: str, m: str) -> str:
     """Σ_d (e[m·SUB+d] − a[m·SUB+d])² as SUB explicit ascending terms —
-    identical evaluation order on both engines (no pow(), no list HOF)."""
+    identical evaluation order on both engines (no pow(), no list HOF).
+    Every element is cast ::DOUBLE: DuckDB would otherwise do the
+    arithmetic in FLOAT (the list's storage type) and diverge from
+    Spark's double math by a ULP at rounding boundaries (hit at sf0.01)."""
+    def el(x, d):
+        return f"{x}[{m} * {PQ_SUB} + {d}]::DOUBLE"
+
     return " + ".join(
-        f"(({e}[{m} * {PQ_SUB} + {d}] - {a}[{m} * {PQ_SUB} + {d}])"
-        f" * ({e}[{m} * {PQ_SUB} + {d}] - {a}[{m} * {PQ_SUB} + {d}]))"
+        f"(({el(e, d)} - {el(a, d)}) * ({el(e, d)} - {el(a, d)}))"
         for d in range(1, PQ_SUB + 1)
     )
 
 
 def _pq_dot_sql(q: str, a: str, m: str) -> str:
+    def el(x, d):
+        return f"{x}[{m} * {PQ_SUB} + {d}]::DOUBLE"
+
     return " + ".join(
-        f"({q}[{m} * {PQ_SUB} + {d}] * {a}[{m} * {PQ_SUB} + {d}])"
-        for d in range(1, PQ_SUB + 1)
+        f"({el(q, d)} * {el(a, d)})" for d in range(1, PQ_SUB + 1)
     )
 
 
