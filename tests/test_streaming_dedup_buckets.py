@@ -109,15 +109,22 @@ def test_upkeep_rejects_near_dup_admitted_in_earlier_batch(spark, tmp_path):
 def test_upkeep_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: replaying a completed batch must
     not duplicate admitted rows (per-batch overwrite partition +
-    _SUCCESS check), and duplicate index keys from a partial replay
-    cannot change admission (membership semantics)."""
+    _SUCCESS check), and a PARTIAL replay (crash after the index append,
+    before the output write) must reproduce the original admission
+    decisions — the bid-tagged probe exclusion (r5 ADVICE): without it
+    the batch self-hits its own appended keys and the replayed admitted
+    set collapses to empty."""
     import os
+
+    from pyspark.sql import functions as F
 
     from gravitydb_spark.transaction import DatasetStore
 
     out_dir = str(tmp_path / "admitted")
     store = DatasetStore(str(tmp_path / "idx"))
-    store.append(spark.createDataFrame([(0, "seed")], "band int, bk string"))
+    store.append(
+        spark.createDataFrame([(0, "seed", -1)], "band int, bk string, bid long")
+    )
 
     def handle_like(batch_df, batch_id):
         # the same shape as stream_dedup_index_upkeep.handle, minus the
@@ -126,10 +133,15 @@ def test_upkeep_batch_replay_is_idempotent(spark, tmp_path):
         if os.path.exists(os.path.join(bdir, "_SUCCESS")):
             return
         keyed = batch_df
-        idx = store.load(spark)
+        idx = store.load(spark).filter(F.col("bid") != int(batch_id))
         hits = keyed.join(idx, ["band", "bk"], "left_semi").select("doc_id").distinct()
         admitted = keyed.select("doc_id").distinct().join(hits, "doc_id", "left_anti")
-        store.append(keyed.join(admitted, "doc_id", "left_semi").select("band", "bk").distinct())
+        store.append(
+            keyed.join(admitted, "doc_id", "left_semi")
+            .select("band", "bk")
+            .distinct()
+            .withColumn("bid", F.lit(int(batch_id)).cast("long"))
+        )
         admitted.write.mode("overwrite").parquet(bdir)
 
     b0 = spark.createDataFrame(
@@ -142,14 +154,67 @@ def test_upkeep_batch_replay_is_idempotent(spark, tmp_path):
     # the replay appended no extra index delta either
     assert len(store.snapshots()) == 2
 
-    # partial replay: simulate crash AFTER index append, BEFORE output —
-    # rerunning the batch re-appends keys (dup rows in the index) but
-    # admission for later batches is unchanged
-    store.append(spark.createDataFrame([(0, "k1")], "band int, bk string"))
-    b1 = spark.createDataFrame([(5, 0, "k1")], "doc_id long, band int, bk string")
-    handle_like(b1, 1)
+    # partial replay: batch 1 admits the novel doc 5, its keys reach the
+    # index (bid=1), then the output write "crashes" (we skip it) — the
+    # replay must still ADMIT doc 5, because the probe excludes bid=1
+    b1 = spark.createDataFrame([(5, 0, "k9")], "doc_id long, band int, bk string")
+    store.append(  # the crashed run's index append, tagged with its bid
+        b1.select("band", "bk").withColumn("bid", F.lit(1).cast("long"))
+    )
+    handle_like(b1, 1)  # the replay
     got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
-    assert got == [1]  # doc 5 rejected by k1 despite the duplicate key rows
+    assert got == [1, 5]  # original decision reproduced, not self-hit
+    # and batch 1's keys DO reject a later near-dup (bid filter only
+    # excludes the probing batch's own deltas)
+    b2 = spark.createDataFrame([(7, 0, "k9")], "doc_id long, band int, bk string")
+    handle_like(b2, 2)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 5]  # doc 7 rejected by batch 1's k9
+
+
+def test_upkeep_index_probe_is_partition_pruned(spark, tmp_path):
+    """The 100 TB posture of stream_dedup_index_upkeep (r5 VERDICT
+    directive #1): the index store partitions by the bucket column, and
+    a probe that loads with a bucket predicate carries it as a
+    PartitionFilter on EVERY delta scan (compacted or not) — the
+    micro-batch never reads the full index."""
+    from pyspark.sql import functions as F
+
+    from gravitydb_spark.transaction import DatasetStore
+
+    store = DatasetStore(str(tmp_path / "idx"), partition_cols=("bkb",))
+    rows = [(0, f"k{i}", -1, i % 8) for i in range(64)]
+    store.append(
+        spark.createDataFrame(rows, "band int, bk string, bid long, bkb int")
+    )
+    store.append(  # second delta: the uncompacted-log case
+        spark.createDataFrame(
+            [(0, "x1", 0, 1), (0, "x5", 0, 5)],
+            "band int, bk string, bid long, bkb int",
+        )
+    )
+    probe = store.load(spark, where=F.col("bkb").isin([1, 5]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scans = [seg for seg in plan.split("FileScan parquet")[1:]]
+    assert len(scans) == 2, plan[:3000]  # one scan per delta
+    for seg in scans:
+        pf = seg.split("PartitionFilters: [", 1)
+        assert len(pf) == 2, seg[:1000]
+        assert "bkb" in pf[1].split("]", 1)[0], seg[:1000]
+    # the predicate actually prunes: only the two matching buckets survive
+    got = {r["bk"] for r in probe.collect()}
+    expect = {f"k{i}" for i in range(64) if i % 8 in (1, 5)} | {"x1", "x5"}
+    assert got == expect
+    # compaction preserves the partitioned layout — re-probe still pruned
+    assert store.compact(spark, min_deltas=2) is True
+    probe2 = store.load(spark, where=F.col("bkb").isin([5]))
+    plan2 = probe2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan2 and "bkb" in plan2.split(
+        "PartitionFilters: [", 1
+    )[1].split("]", 1)[0], plan2[:3000]
+    assert {r["bk"] for r in probe2.collect()} == {
+        f"k{i}" for i in range(64) if i % 8 == 5
+    } | {"x5"}
 
 
 def test_dataset_store_compact_transform_folds_by_key(spark, tmp_path):
