@@ -1624,67 +1624,129 @@ EMB_DIM = 64
 N_PLANES = 8
 
 # Product quantization: M subspaces of SUB dims, K codebook entries per
-# subspace. The codebook is deterministic WITHOUT training: the first
-# PQ_CODES corpus vectors' subvectors are the anchors (a real pipeline
-# k-means-trains them; assignment/ADC — the distributed 99% — is
-# identical either way and what this operator exercises).
-PQ_M, PQ_SUB, PQ_CODES = 8, 8, 16
-_PQ_SCALE = 1_000_000  # micro-units: scaled-BIGINT dists/dots, order-free
+# subspace, codebook TRAINED per subspace with the same scaled-BIGINT
+# Lloyd iteration embed_kmeans uses (r5 VERDICT directive #3) -- init =
+# first-K corpus subvectors, argmin tie-break on code id, centroid
+# update floor(sum/count): every step engine-exact, so the DuckDB
+# oracle replays training as an unrolled CTE chain.
+PQ_M, PQ_SUB, PQ_CODES, PQ_ITERS = 8, 8, 16, 2
+PQ_SCALE_INT = 100_000  # float -> scaled BIGINT (same trick as KMEANS_SCALE)
 
 
-def _pq_dist_sql(e: str, a: str, m: str) -> str:
-    """Σ_d (e[m·SUB+d] − a[m·SUB+d])² as SUB explicit ascending terms —
-    identical evaluation order on both engines (no pow(), no list HOF).
-    Every element is cast ::DOUBLE: DuckDB would otherwise do the
-    arithmetic in FLOAT (the list's storage type) and diverge from
-    Spark's double math by a ULP at rounding boundaries (hit at sf0.01)."""
-    def el(x, d):
-        return f"{x}[{m} * {PQ_SUB} + {d}]::DOUBLE"
+def _duck_pq_ctes() -> str:
+    """Unrolled per-subspace Lloyd chain ending in ``pqcb(m, cl, i, cx)``
+    -- the trained codebook -- mirroring _pq_codebook's Spark loop
+    iteration for iteration. The subspace id ``m`` is a GROUPING column
+    (not unrolled): one chain trains all PQ_M codebooks at once."""
+    parts = [
+        f"""pex AS MATERIALIZED (
+      SELECT vec_id, (u.i - 1) // {PQ_SUB} AS m, ((u.i - 1) % {PQ_SUB}) + 1 AS i,
+             CAST(round(embedding[u.i]::DOUBLE * {PQ_SCALE_INT}) AS BIGINT) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    pc0 AS (SELECT m, vec_id AS cl, i, x AS cx FROM pex WHERE vec_id < {PQ_CODES})"""
+    ]
+    prev = "pc0"
+    for it in range(PQ_ITERS):
+        parts.append(
+            f"""pa{it} AS (
+      SELECT vec_id, m, cl, sum((x - cx) * (x - cx)) AS d
+      FROM pex JOIN {prev} USING (m, i) GROUP BY 1, 2, 3),
+    pb{it} AS (
+      SELECT vec_id, m, cl FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, cl ASC) AS rn
+        FROM pa{it}) WHERE rn = 1),
+    pc{it + 1} AS (
+      SELECT m, cl, i, CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS cx
+      FROM pex JOIN pb{it} USING (vec_id, m) GROUP BY 1, 2, 3)"""
+        )
+        prev = f"pc{it + 1}"
+    parts.append(f"pqcb AS (SELECT * FROM {prev})")
+    return ",\n    ".join(parts)
 
-    return " + ".join(
-        f"(({el(e, d)} - {el(a, d)}) * ({el(e, d)} - {el(a, d)}))"
-        for d in range(1, PQ_SUB + 1)
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict:
+    """Train the per-subspace codebook and return it as plain Python
+    ints: ``{m: [(cl, {i: cx}), ...sorted by cl]}`` -- M*K*SUB <= 1024
+    scaled BIGINTs, the same bounded-collect pattern as
+    embed_quantize_int8's min/max. This is the OFFLINE step of PQ (at
+    100 TB it runs on a corpus sample and its output is a broadcast-
+    sized artifact); the per-row assignment and scoring it feeds stay
+    pure map-side."""
+    ex = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode(F.col("embedding")).alias("p", "xf"))
+        .select(
+            "vec_id",
+            (F.col("p") / PQ_SUB).cast("int").alias("m"),
+            (F.col("p") % PQ_SUB + 1).cast("int").alias("i"),
+            F.round(F.col("xf").cast("double") * PQ_SCALE_INT, 0)
+            .cast("long")
+            .alias("x"),
+        )
+        .cache()
     )
-
-
-def _pq_dot_sql(q: str, a: str, m: str) -> str:
-    def el(x, d):
-        return f"{x}[{m} * {PQ_SUB} + {d}]::DOUBLE"
-
-    return " + ".join(
-        f"({el(q, d)} * {el(a, d)})" for d in range(1, PQ_SUB + 1)
+    cent = ex.filter(F.col("vec_id") < PQ_CODES).select(
+        "m", F.col("vec_id").alias("cl"), "i", F.col("x").alias("cx")
     )
+    for _ in range(PQ_ITERS):
+        d = (
+            ex.join(F.broadcast(cent), ["m", "i"])
+            .groupBy("vec_id", "m", "cl")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                ).alias("d")
+            )
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cl"))
+        members = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cl")
+        )
+        cent = (
+            ex.join(members, ["vec_id", "m"])
+            .groupBy("m", "cl", "i")
+            .agg(
+                F.floor(F.sum("x").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("cx")
+            )
+        ).cache()  # tiny (M*K*SUB rows); cuts the per-iteration lineage
+    rows = cent.collect()  # bounded: <= M*K*SUB = 1024 ints
+    ex.unpersist()
+    book: dict = {}
+    for r in rows:
+        book.setdefault(r["m"], {}).setdefault(r["cl"], {})[r["i"]] = r["cx"]
+    return {
+        m: sorted((cl, vec) for cl, vec in cls.items())
+        for m, cls in book.items()
+    }
 
 
 @register(
     "ann_pq_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    anchors AS (SELECT vec_id AS c, embedding AS av FROM e WHERE vec_id < {PQ_CODES}),
-    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
-    dists AS (
-      SELECT e.vec_id, ms.m, a.c,
-             CAST(round(({_pq_dist_sql("e.embedding", "a.av", "ms.m")})
-                        * {_PQ_SCALE}) AS BIGINT) AS dist_s
-      FROM e CROSS JOIN ms CROSS JOIN anchors a),
+    WITH {_duck_pq_ctes()},
+    pdists AS (
+      SELECT vec_id, m, cl, sum((x - cx) * (x - cx)) AS d
+      FROM pex JOIN pqcb USING (m, i) GROUP BY 1, 2, 3),
     codes AS (
-      SELECT vec_id, m, c FROM (
-        SELECT vec_id, m, c,
-               row_number() OVER (PARTITION BY vec_id, m
-                                  ORDER BY dist_s, c) AS rn
-        FROM dists) WHERE rn = 1),
-    q AS (SELECT vec_id AS q_id, embedding AS qv FROM e
-          WHERE vec_id < {ANN_N_QUERIES}),
+      SELECT vec_id, m, cl FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, cl ASC) AS rn
+        FROM pdists) WHERE rn = 1),
     lut AS (
-      SELECT q.q_id, ms.m, a.c,
-             CAST(round(({_pq_dot_sql("q.qv", "a.av", "ms.m")})
-                        * {_PQ_SCALE}) AS BIGINT) AS dot_s
-      FROM q CROSS JOIN ms CROSS JOIN anchors a),
+      SELECT qx.vec_id AS q_id, m, cl, sum(qx.x * c.cx)::BIGINT AS dot_s
+      FROM pex qx JOIN pqcb c USING (m, i)
+      WHERE qx.vec_id < {ANN_N_QUERIES}
+      GROUP BY 1, 2, 3),
     scored AS (
       SELECT l.q_id, cd.vec_id, sum(l.dot_s)::BIGINT AS score_scaled
-      FROM codes cd JOIN lut l ON l.m = cd.m AND l.c = cd.c
+      FROM codes cd JOIN lut l ON l.m = cd.m AND l.cl = cd.cl
       WHERE cd.vec_id != l.q_id
-      GROUP BY l.q_id, cd.vec_id),
+      GROUP BY 1, 2),
     ranked AS (
       SELECT q_id, vec_id, score_scaled,
              row_number() OVER (PARTITION BY q_id
@@ -1694,73 +1756,89 @@ def _pq_dot_sql(q: str, a: str, m: str) -> str:
     """,
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance computation —
+    """Product-quantization ANN with asymmetric distance computation --
     the memory-bound scale route beside LSH/IVF: corpus vectors compress
-    to {PQ_M} one-byte codes (argmin anchor per subspace, rounded
-    scaled-BIGINT distances with code tie-break, so assignment is
-    engine-exact); a query builds its {PQ_M}×{PQ_CODES} dot-product
-    lookup table once and every corpus score is {PQ_M} table lookups
-    summed — the inner loop that makes billion-vector search RAM-feasible
-    (n·M bytes instead of n·dim floats).
+    to PQ_M codes (argmin trained anchor per subspace), a query builds
+    its PQ_M x PQ_CODES dot-product lookup table, and every corpus score
+    is PQ_M table lookups summed -- the inner loop that makes billion-
+    vector search RAM-feasible (n*M bytes instead of n*dim floats).
 
-    Relational formulation: codes = one (corpus × M × K) distance
-    aggregation (linear in corpus, constant M·K factor); the LUT is a
-    (queries × M × K)-row broadcast; ADC = codes ⋈ LUT on (m, code) then
-    a keyed sum — no pairwise vector math at query time at all. Scores
-    are exact BIGINT micro-unit sums (order-free), top-k deterministic.
-    Cites the same ADC decomposition as embed_quantize_int8's scalar
-    variant; see also ann_ivf_topk for the coarse-partition route."""
+    Plan shape (r5 VERDICT directive #2 -- map-side, not shuffled): the
+    codebook is TRAINED offline (per-subspace scaled-BIGINT Lloyd, see
+    :func:`_pq_codebook`) and collected as <=1024 ints, then inlined as
+    LITERALS; code assignment is array_position(argmin) over PQ_CODES
+    literal distance expressions -- one projection over the corpus scan,
+    ZERO shuffle (the old formulation exploded corpus x M x K rows
+    through a row_number window Exchange). The per-query LUT rows are a
+    broadcast; ADC is M element_at lookups summed in one projection over
+    the broadcast nested-loop pairing -- the ONLY Exchange in the
+    scoring plan is the final per-query top-k window (plan-guarded in
+    test_plans).
+
+    All arithmetic is scaled-BIGINT (round(v*1e5) units): training,
+    assignment distances, and dot scores are order-free integer sums, so
+    the DuckDB oracle replays training + assignment + ADC bit-exactly.
+    Tie-breaks: argmin prefers the lowest code id (array_position finds
+    the first minimum of the cl-ordered list == the oracle's ORDER BY d,
+    cl); top-k prefers the lowest vec_id. Scores stay far below 2^53, so
+    the compound gate's double slot carries them exactly."""
+    book = _pq_codebook(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
-    anchors = (
-        e.filter(F.col("vec_id") < PQ_CODES)
-        .select(F.col("vec_id").alias("c"), F.col("v").alias("av"))
+    # one flat projection of the 64 scaled-int elements; every distance /
+    # dot term below references these plain columns (codegen-friendly,
+    # no repeated element_at+round trees)
+    xs = e.select(
+        "vec_id",
+        *[
+            F.expr(
+                f"CAST(round(element_at(v, {p}) * {PQ_SCALE_INT}) AS BIGINT)"
+            ).alias(f"x{p}")
+            for p in range(1, PQ_M * PQ_SUB + 1)
+        ],
     )
 
-    def dist_expr():
-        terms = " + ".join(
-            f"((element_at(v, m * {PQ_SUB} + {d}) - element_at(av, m * {PQ_SUB} + {d}))"
-            f" * (element_at(v, m * {PQ_SUB} + {d}) - element_at(av, m * {PQ_SUB} + {d})))"
-            for d in range(1, PQ_SUB + 1)
+    def dist_sql(m: int, cvec: dict) -> str:
+        return " + ".join(
+            f"((x{m * PQ_SUB + i} - ({cvec[i]}L)) * (x{m * PQ_SUB + i} - ({cvec[i]}L)))"
+            for i in range(1, PQ_SUB + 1)
         )
-        return F.expr(f"CAST(round(({terms}) * {_PQ_SCALE}) AS BIGINT)")
 
-    dists = (
-        e.select("vec_id", "v")
-        .crossJoin(F.broadcast(ms))
-        .crossJoin(F.broadcast(anchors))
-        .select("vec_id", "m", "c", dist_expr().alias("dist_s"))
-    )
-    w_code = Window.partitionBy("vec_id", "m").orderBy("dist_s", "c")
-    codes = (
-        dists.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "c")
-    )
-    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-
-    def dot_expr():
-        terms = " + ".join(
-            f"(element_at(qv, m * {PQ_SUB} + {d}) * element_at(av, m * {PQ_SUB} + {d}))"
-            for d in range(1, PQ_SUB + 1)
+    def dot_sql(m: int, cvec: dict) -> str:
+        return " + ".join(
+            f"(x{m * PQ_SUB + i} * ({cvec[i]}L))" for i in range(1, PQ_SUB + 1)
         )
-        return F.expr(f"CAST(round(({terms}) * {_PQ_SCALE}) AS BIGINT)")
 
-    lut = (
-        q.crossJoin(F.broadcast(ms))
-        .crossJoin(F.broadcast(anchors))
-        .select("q_id", "m", "c", dot_expr().alias("dot_s"))
+    # map-side assignment: pos{m} = 1-based argmin position into the
+    # cl-ordered anchor list (first minimum == lowest cl on ties)
+    code_cols = []
+    for m in range(PQ_M):
+        ds = "array(" + ", ".join(dist_sql(m, vec) for _, vec in book[m]) + ")"
+        code_cols.append(
+            F.expr(f"array_position({ds}, array_min({ds}))").alias(f"pos{m}")
+        )
+    codes = xs.select("vec_id", *code_cols)
+
+    # per-query LUT: lut{m}[pos] = scaled dot of query subvector m with
+    # the pos-th anchor (same cl order as the assignment arrays)
+    qlut = xs.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        *[
+            F.expr(
+                "array(" + ", ".join(dot_sql(m, vec) for _, vec in book[m]) + ")"
+            ).alias(f"lut{m}")
+            for m in range(PQ_M)
+        ],
     )
-    scored = (
-        codes.join(F.broadcast(lut), ["m", "c"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("dot_s").cast("long").alias("score_scaled"))
+    score = F.expr(
+        " + ".join(
+            f"element_at(lut{m}, CAST(pos{m} AS INT))" for m in range(PQ_M)
+        )
     )
+    scored = codes.join(
+        F.broadcast(qlut), F.col("vec_id") != F.col("q_id")
+    ).select("q_id", "vec_id", score.cast("long").alias("score_scaled"))
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score_scaled"), F.asc("vec_id")
     )
@@ -1769,6 +1847,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= ANN_K)
         .select("q_id", "vec_id", "score_scaled", "rnk")
     )
+
 
 
 def _hyperplane_signs() -> list[list[float]]:

@@ -444,11 +444,18 @@ def test_feature_snapshot_single_user_shuffle(plans):
     assert "CartesianProduct" not in p
 
 
-def test_pq_adc_joins_codes_to_broadcast_lut(plans):
-    # ADC must be a hash join of linear-sized codes against the tiny
-    # broadcast LUT; the only nested-loop joins allowed are the
-    # intentional M x K broadcast cross-products (8- and 16-row sides)
+def test_pq_assignment_and_adc_are_map_side(plans):
+    # r5 VERDICT directive #2: code assignment is a literal-anchor argmin
+    # projection over the corpus scan (no corpus x M x K explosion, no
+    # row_number Exchange) and ADC is element_at lookups over the
+    # broadcast per-query LUT — the ONLY shuffle in the whole scoring
+    # plan is the final per-query top-k window
     p = plans("ann_pq_topk")
+    assert p.count("Exchange hashpartitioning") == 1, p[:3000]
+    assert "Exchange hashpartitioning(q_id" in p
     assert "CartesianProduct" not in p
-    assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+    # the corpus-to-queries pairing is the intentional broadcast of the
+    # bounded query set; array_position(argmin) appears in the projection
+    assert "BroadcastNestedLoopJoin" in p
+    assert "array_position" in p and "array_min" in p
