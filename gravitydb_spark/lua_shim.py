@@ -200,8 +200,8 @@ def transliterate(code: str) -> str:
 
 
 # block-structured Lua constructs transliterate_program CAN handle;
-# repeat/until and goto stay rejected (no direct Python analog line-wise)
-_PROGRAM_FORBIDDEN = ("repeat", "until", "goto")
+# goto stays rejected (no structured Python analog — port by hand)
+_PROGRAM_FORBIDDEN = ("goto",)
 
 _FOR_NUM = re.compile(r"^for\s+(\w+)\s*=\s*(.+?)\s+do$")
 _FOR_IPAIRS = re.compile(
@@ -211,14 +211,19 @@ _WHILE = re.compile(r"^while\s+(.+?)\s+do$")
 _IF = re.compile(r"^if\s+(.+?)\s+then$")
 _ELSEIF = re.compile(r"^elseif\s+(.+?)\s+then$")
 _FUNC = re.compile(r"^(?:local\s+)?function\s+([\w.]+)\s*\((.*?)\)$")
+_UNTIL = re.compile(r"^until\s+(.+)$")
 # one-line sugar: `<header do|then> [body] end` — expanded to virtual
 # lines before block matching; a top-level `else` in the body splits it
 _INLINE = re.compile(
     r"^((?:for|while)\b.+?\bdo|if\b.+?\bthen)(?:\s+(.*?))?\s+end$"
 )
+_INLINE_REPEAT = re.compile(r"^repeat\s+(.+?)\s+until\s+(.+)$")
 
 
 def _expand_inline(line: str) -> list:
+    m = _INLINE_REPEAT.match(line)
+    if m:
+        return ["repeat", m.group(1).strip(), f"until {m.group(2).strip()}"]
     m = _INLINE.match(line)
     if not m:
         return [line]
@@ -270,8 +275,10 @@ def transliterate_program(code: str) -> str:
     else``, ``function``/``return``/``break``, ``do`` blocks and the
     one-line ``... do BODY end`` / ``... then BODY end`` sugar, plus all
     of :func:`transliterate`'s expression rules (``:`` methods, tables,
-    ``..``, ``nil/true/false``, ``~=``, ``#x`` length). ``repeat/until``
-    and ``goto`` stay rejected. Statements must be line-structured
+    ``..``, ``nil/true/false``, ``~=``, ``#x`` length). ``repeat BODY
+    until C`` transliterates to ``while True: BODY; if C: break`` (the
+    do-while shape, exit test after the body — r5 VERDICT directive #6);
+    only ``goto`` stays rejected. Statements must be line-structured
     (continuations only inside parens/brackets, where Python also allows
     them) — the shape every reference-style script has."""
     # 1. lex: protect string literals behind placeholders, drop comments
@@ -296,7 +303,22 @@ def transliterate_program(code: str) -> str:
     protected = re.sub(r"(?<![\w.])local\s+(?!function)", "", protected)
     protected = re.sub(r":(\w+)\s*\(", r".\1(", protected)
     protected = protected.replace("..", "+").replace("~=", "!=")
-    protected = re.sub(r"#\s*([A-Za-z_][\w.]*)", r"len(\1)", protected)
+    # '#' length operator: swallow trailing index suffixes so `#t[1]`
+    # becomes len(t[1]), not len(t)[1] (r5 ADVICE). A call operand
+    # (`#f()` / parenthesized `#(expr)`) has no line-level rewrite —
+    # reject it rather than silently mis-transliterating.
+    _IDX = r"\[(?:[^\[\]]|\[[^\]]*\])*\]"  # one nesting level inside [ ]
+    if re.search(
+        rf"#\s*(?:\(|[A-Za-z_][\w.]*(?:{_IDX})*\s*\()", protected
+    ):
+        raise LuaShimError(
+            "the '#' length operator on a call or parenthesized expression"
+            " is outside the shim subset; bind the value to a variable"
+            " first (e.g. local t = f(); #t)"
+        )
+    protected = re.sub(
+        rf"#\s*([A-Za-z_][\w.]*(?:{_IDX})*)", r"len(\1)", protected
+    )
     for lua_w, py_w in _WORD_MAP.items():
         protected = re.sub(rf"(?<![\w.]){lua_w}(?![\w])", py_w, protected)
     protected = "".join(
@@ -306,12 +328,14 @@ def transliterate_program(code: str) -> str:
     # 3. block structuring, line by line
     out: list = []
     depth = 0
+    kinds: list = []  # one entry per open block; 'repeat' closes via until
 
     def emit(text: str, d: int) -> None:
         out.append("    " * d + text)
 
-    def open_block(header: str, d: int) -> int:
+    def open_block(header: str, d: int, kind: str = "block") -> int:
         emit(header, d)
+        kinds.append(kind)
         return d + 1
 
     lines: list = []
@@ -324,11 +348,30 @@ def transliterate_program(code: str) -> str:
         if line in ("end", "end)"):
             if depth == 0:
                 raise LuaShimError("unbalanced 'end' in Lua script")
+            if kinds.pop() == "repeat":
+                raise LuaShimError(
+                    "'end' closing a repeat block — Lua closes repeat with"
+                    " 'until <cond>'"
+                )
             if out and out[-1].endswith(":"):
                 emit("pass", depth)  # empty Lua block
             depth -= 1
             if line == "end)":
                 emit(")", depth)
+            continue
+        if line == "repeat":
+            # Lua repeat/until = do-while: body runs, THEN the exit test
+            depth = open_block("while True:", depth, kind="repeat")
+            continue
+        m = _UNTIL.match(line)
+        if m:
+            if depth == 0 or kinds.pop() != "repeat":
+                raise LuaShimError("'until' without a matching 'repeat'")
+            if out and out[-1].endswith(":"):
+                emit("pass", depth)  # empty repeat body
+            emit(f"if {m.group(1)}:", depth)
+            emit("break", depth + 1)
+            depth -= 1
             continue
         if line == "else":
             if depth == 0:

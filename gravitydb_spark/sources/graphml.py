@@ -96,14 +96,32 @@ def export_graphml(graph: PropertyGraph) -> str:
     parquet via ``PropertyGraph.save``); the collects are the graph's
     vertex/edge lists, which any XML export must enumerate anyway."""
     import json as _json
-    from xml.sax.saxutils import escape
+    import re as _re
+    from xml.sax.saxutils import escape, quoteattr
+
+    # property tags are interpolated into element position: only XML
+    # Names are representable — anything else would silently produce a
+    # malformed document (r5 ADVICE), so reject it loudly
+    _xml_name = _re.compile(r"^[A-Za-z_][\w.\-]*$")
+
+    def tag_of(obj) -> str:
+        tag = obj if isinstance(obj, str) else next(iter(obj))
+        if not _xml_name.match(tag):
+            raise ValueError(
+                f"property tag {tag!r} is not an XML Name; it cannot be"
+                " rendered as a GraphML element — export this graph via"
+                " parquet (PropertyGraph.save) instead"
+            )
+        return tag
 
     def tagged_inner(tagged: str) -> str:
         obj = _json.loads(tagged)
         if isinstance(obj, str):  # payload-less Prop("Type"): bare tag
-            return f"<{obj}></{obj}>"
+            tag = tag_of(obj)
+            return f"<{tag}></{tag}>"
         if isinstance(obj, dict) and len(obj) == 1:
-            ((tag, val),) = obj.items()
+            tag = tag_of(obj)
+            val = obj[tag]
             if val is None:
                 return f"<{tag}></{tag}>"
             return f"<{tag}>{escape(str(val))}</{tag}>"
@@ -122,8 +140,10 @@ def export_graphml(graph: PropertyGraph) -> str:
         graph.vertices.select("id", "prop_hash").collect(),
         key=lambda r: r["id"],
     ):
+        # quoteattr, not escape: escape() leaves '"' intact, so an id
+        # containing a double quote would break out of the attribute
         lines.append(
-            f'    <node id="{escape(r["id"])}">'
+            f"    <node id={quoteattr(r['id'])}>"
             f"{tagged_inner(props[r['prop_hash']])}</node>"
         )
     for r in sorted(
@@ -131,8 +151,9 @@ def export_graphml(graph: PropertyGraph) -> str:
         key=lambda r: r["edge_id"],
     ):
         lines.append(
-            f'    <edge id="{escape(r["edge_id"])}" source="{escape(r["src"])}"'
-            f' target="{escape(r["dst"])}">'
+            f"    <edge id={quoteattr(r['edge_id'])}"
+            f" source={quoteattr(r['src'])}"
+            f" target={quoteattr(r['dst'])}>"
             f"{tagged_inner(props[r['prop_hash']])}</edge>"
         )
     lines += ["  </graph>", "</graphml>"]

@@ -18,7 +18,7 @@ _ints = st.integers(min_value=0, max_value=9)
 def _stmt(draw, depth=0):
     kind = draw(
         st.sampled_from(
-            ["assign", "aug", "if", "for", "while_false", "oneline"]
+            ["assign", "aug", "if", "for", "while_false", "oneline", "repeat"]
             if depth < 2
             else ["assign", "aug"]
         )
@@ -31,6 +31,18 @@ def _stmt(draw, depth=0):
         return [f"{v} = {v} + {n}"]
     if kind == "oneline":
         return [f"if {v} > {n} then {v} = {v} - 1 end"]
+    if kind == "repeat":
+        # do-while: body always runs at least once. The exit counter is
+        # a DEDICATED depth-scoped name the drawn body can never touch
+        # (grammar vars can be decremented by 'oneline', which would
+        # let a shared counter oscillate forever)
+        body = draw(_stmt(depth=depth + 1))
+        r = f"r{depth}"
+        return (
+            [f"local {r} = 0", "repeat"]
+            + ["  " + s for s in body]
+            + [f"  {r} = {r} + 1", f"until {r} > {n}"]
+        )
     if kind == "while_false":
         body = draw(_stmt(depth=depth + 1))
         return [f"while {v} < 0 do"] + ["  " + s for s in body] + ["end"]

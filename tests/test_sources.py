@@ -303,3 +303,32 @@ def test_graphml_export_import_round_trip(spark, cocktail_graph):
         )
 
     assert triples(g2) == triples(cocktail_graph)
+
+
+def test_graphml_export_quotes_attrs_and_rejects_bad_tags(spark):
+    """r5 ADVICE: ids containing '"' must round-trip (quoteattr), and a
+    property tag that is not an XML Name must be rejected loudly instead
+    of silently emitting a malformed document."""
+    import pytest
+
+    from gravitydb_spark import GraphBatchBuilder, Prop
+    from gravitydb_spark.sources.graphml import export_graphml, import_graphml
+
+    b = GraphBatchBuilder()
+    evil = 'a"b<&>\'c'
+    b.add_node(Prop("City", 'Ber"lin'), id=evil)
+    b.add_node(Prop("City", "Rome"), id="plain")
+    b.add_edge(evil, "plain", Prop("Road", "E55"))
+    g = b.build(spark)
+
+    xml = export_graphml(g)
+    g2, mapping = import_graphml(spark, xml)
+    assert set(mapping) == {evil, "plain"}  # raw ids survive the trip
+    assert g2.edges.count() == 1
+    ph = lambda gg: sorted(r["prop_hash"] for r in gg.properties.collect())
+    assert ph(g2) == ph(g)
+
+    b2 = GraphBatchBuilder()
+    b2.add_node(Prop("not an<xml>name", "x"), id="n1")
+    with pytest.raises(ValueError, match="not an XML Name"):
+        export_graphml(b2.build(spark))
