@@ -830,6 +830,13 @@ _compound(
             {"n1": "user_id", "n2": "n_sessions", "n3": "n_events"},
         ),
         (
+            "sessionize_bounded",
+            "events_sessionize_bounded",
+            # same oracle as 'sessionize': hash-matching it proves the
+            # (user, day)-bounded plan equals the unbounded window
+            {"n1": "user_id", "n2": "n_sessions", "n3": "n_events"},
+        ),
+        (
             "asof_join",
             "events_asof_join",
             {"n1": "event_id", "n2": "user_id", "v": "last_purchase_value"},
@@ -879,6 +886,11 @@ _compound(
             # full transition identity in k: a regression permuting
             # destination types among equal-(n,p) rows within one
             # from_type must flip the gate hash (r4 ADVICE)
+            {"k": "from_type || '>' || to_type", "n1": "n", "v": "p"},
+        ),
+        (
+            "transition_bounded",
+            "events_transition_bounded",
             {"k": "from_type || '>' || to_type", "n1": "n", "v": "p"},
         ),
         (

@@ -209,14 +209,30 @@ def build_events_10x(spark, base: str, out: str, celebrity: bool) -> None:
 
 def run_events_skew(spark, base: str) -> None:
     from gravitydb_spark.registry import REGISTRY, queries
+    from gravitydb_spark.relational_queries import (
+        events_sessionize,
+        events_transition_matrix,
+    )
 
     queries()
+    # the bounded= variants (r5 directive #4): (user, day) sub-windows +
+    # cross-bucket merge — the celebrity partition splits into ~#days
+    # tasks; probed alongside their unbounded twins, plus a row proving
+    # result equality on the skew corpus
+    bounded = [
+        ("events_sessionize[bounded]",
+         lambda s, d: events_sessionize(s, d, bounded=True)),
+        ("events_transition_matrix[bounded]",
+         lambda s, d: events_transition_matrix(s, d, bounded=True)),
+    ]
     bal, skew = "/tmp/eprobe_bal10", "/tmp/eprobe_skew10"
     build_events_10x(spark, base, bal, celebrity=False)
     build_events_10x(spark, base, skew, celebrity=True)
     # warm plans/caches on the base so neither labeled run pays init
     for name in EVENTS_SKEW_QUERIES:
         REGISTRY[name].fn(spark, base).count()
+    for _, fn in bounded:
+        fn(spark, base).count()
     for label, d in (("bal10", bal), ("skew10", skew)):
         for name in EVENTS_SKEW_QUERIES:
             t0 = time.monotonic()
@@ -225,6 +241,21 @@ def run_events_skew(spark, base: str) -> None:
                 f"PROBE {label} {name}: {time.monotonic() - t0:.1f}s {n} rows",
                 flush=True,
             )
+        for name, fn in bounded:
+            t0 = time.monotonic()
+            n = fn(spark, d).count()
+            print(
+                f"PROBE {label} {name}: {time.monotonic() - t0:.1f}s {n} rows",
+                flush=True,
+            )
+    # equality on the skew corpus: bounded must be row-identical
+    for uname, name, fn in (
+        ("events_sessionize", "sessionize", bounded[0][1]),
+        ("events_transition_matrix", "transition", bounded[1][1]),
+    ):
+        a = sorted(map(tuple, REGISTRY[uname].fn(spark, skew).collect()))
+        b = sorted(map(tuple, fn(spark, skew).collect()))
+        print(f"PROBE skew10 {name}-bounded-equal: {a == b}", flush=True)
 
 
 def main() -> None:
