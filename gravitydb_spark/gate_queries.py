@@ -1096,6 +1096,11 @@ _compound(
             {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "n3": "v_cents"},
         ),
         (
+            "degrees_maintained",
+            "g_degrees_maintained",
+            {"k": "id", "n1": "out_degree", "n2": "in_degree"},
+        ),
+        (
             "audio_meta",
             "stream_audio_meta",
             {"n1": "doc_id", "n2": "n_bytes", "n3": "sample_sum"},

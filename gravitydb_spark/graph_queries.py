@@ -15,6 +15,8 @@ Property payloads: the entity names (c_name / s_name / n_name / r_name).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .hashing import prop_hash
@@ -533,6 +535,162 @@ def g_degrees(spark, sf_dir):
     from .operators.analytics import degrees
 
     return degrees(tpch_graph(spark, sf_dir))
+
+
+@register(
+    "g_degrees_maintained",
+    oracle="""
+    WITH nation_in AS (
+      SELECT n_nationkey,
+             (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+             + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
+             AS in_deg
+      FROM nation)
+    SELECT 'c' || c_custkey AS id, 1::BIGINT AS out_degree, 0::BIGINT AS in_degree
+    FROM customer
+    UNION ALL SELECT 's' || s_suppkey, 1::BIGINT, 0::BIGINT FROM supplier
+    UNION ALL SELECT 'n' || n_nationkey, 1::BIGINT, in_deg::BIGINT FROM nation_in
+    UNION ALL SELECT 'r' || r_regionkey, 0::BIGINT,
+      (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)::BIGINT
+    FROM region
+    UNION ALL SELECT 'type:Customer', (SELECT count(*) FROM customer)::BIGINT, 0::BIGINT
+    UNION ALL SELECT 'type:Supplier', (SELECT count(*) FROM supplier)::BIGINT, 0::BIGINT
+    UNION ALL SELECT 'type:Nation', (SELECT count(*) FROM nation)::BIGINT, 0::BIGINT
+    UNION ALL SELECT 'type:Region', (SELECT count(*) FROM region)::BIGINT, 0::BIGINT
+    """,
+)
+def g_degrees_maintained(spark, sf_dir):
+    """INCREMENTALLY MAINTAINED graph analytics (r5 VERDICT directive
+    #5): the changefeed (streaming/changefeed.py — readStream over the
+    graph's append-structured storage dirs, the reference's planned VCS
+    sync surface) composed with :class:`DatasetStore` exactly the way
+    stream_rollup_maintained maintains its relational rollup. The graph
+    lands in three mutation batches; each foreachBatch appends its
+    PARTIAL aggregate as a delta — per-vertex (out, in) degree deltas
+    from the edge feed, per-type vertex counts from the vertex feed
+    joined to the broadcast property dimension — and in-loop compaction
+    folds deltas BY KEY so stored bytes track view size, not mutation
+    history. The final views are one key-sum over each store.
+
+    Degree/count deltas are additive integers, so batch boundaries,
+    delta order, and compaction timing are all invisible in the result —
+    which is exactly what the oracle checks: a BATCH recompute of
+    degrees (the g_degrees oracle) and type counts on the final graph.
+    Output packs both views: per-vertex rows plus 'type:<T>' rows with
+    the count in the out_degree slot.
+
+    Scale posture: per batch, work is batch-sized (map-side partial
+    aggs) + a key-proportional fold at compaction; state lives on
+    storage, not executors — the same IVM shape as the 100 TB rollup."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .streaming.changefeed import stream_edges, stream_vertices
+    from .transaction import DatasetStore
+
+    g = tpch_graph(spark, sf_dir)
+    props = g.properties.select("prop_hash", "schema_type")
+    work = tempfile.mkdtemp(prefix="gravityspark_gdm_")
+    try:
+        gp = os.path.join(work, "graph")
+        base = 1_700_000_000
+        # the mutation stream: vertex/edge batches appended under the
+        # graph's storage dirs (what the changefeed tails), file mtimes
+        # pinning the arrival order
+        for sub, df, keycol in (
+            ("vertices", g.vertices, "id"),
+            ("edges", g.edges, "edge_id"),
+        ):
+            ddir = os.path.join(gp, sub)
+            os.makedirs(ddir)
+            for b in range(3):
+                tmp = os.path.join(work, f"tmp_{sub}{b}")
+                df.filter(
+                    F.pmod(F.xxhash64(F.col(keycol)), F.lit(3)) == b
+                ).coalesce(1).write.parquet(tmp)
+                part = next(
+                    f for f in os.listdir(tmp) if f.endswith(".parquet")
+                )
+                dst = os.path.join(ddir, f"batch-{b}.parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                os.utime(dst, (base + 60 * b, base + 60 * b))
+                shutil.rmtree(tmp)
+
+        deg_store = DatasetStore(os.path.join(work, "deg"))
+        type_store = DatasetStore(os.path.join(work, "types"))
+
+        def fold_deg(df):
+            return df.groupBy("id").agg(
+                F.sum("dout").cast("long").alias("dout"),
+                F.sum("din").cast("long").alias("din"),
+            )
+
+        def fold_types(df):
+            return df.groupBy("schema_type").agg(
+                F.sum("n").cast("long").alias("n")
+            )
+
+        def on_edges(batch_df, _bid) -> None:
+            ends = batch_df.select(
+                F.col("src").alias("id"),
+                F.lit(1).cast("long").alias("dout"),
+                F.lit(0).cast("long").alias("din"),
+            ).unionByName(
+                batch_df.select(
+                    F.col("dst").alias("id"),
+                    F.lit(0).cast("long").alias("dout"),
+                    F.lit(1).cast("long").alias("din"),
+                )
+            )
+            deg_store.append(fold_deg(ends))
+            deg_store.compact(spark, min_deltas=2, transform=fold_deg)
+
+        def on_vertices(batch_df, _bid) -> None:
+            part = (
+                batch_df.join(F.broadcast(props), "prop_hash")
+                .groupBy("schema_type")
+                .agg(F.count("*").cast("long").alias("n"))
+            )
+            type_store.append(part)
+            type_store.compact(spark, min_deltas=2, transform=fold_types)
+
+        for feed, handler, tag in (
+            (stream_edges(spark, gp, max_files_per_trigger=1), on_edges, "e"),
+            (
+                stream_vertices(spark, gp, max_files_per_trigger=1),
+                on_vertices,
+                "v",
+            ),
+        ):
+            q = (
+                feed.writeStream.foreachBatch(handler)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(work, f"ckpt_{tag}_{_uuid.uuid4().hex[:8]}"),
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        degrees = fold_deg(deg_store.load(spark)).select(
+            "id",
+            F.col("dout").alias("out_degree"),
+            F.col("din").alias("in_degree"),
+        )
+        types = fold_types(type_store.load(spark)).select(
+            F.concat(F.lit("type:"), F.col("schema_type")).alias("id"),
+            F.col("n").alias("out_degree"),
+            F.lit(0).cast("long").alias("in_degree"),
+        )
+        # materialized-view READ: key-proportional rows; localize before
+        # the temp stores vanish
+        return degrees.unionByName(types).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(
