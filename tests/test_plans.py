@@ -445,17 +445,19 @@ def test_feature_snapshot_single_user_shuffle(plans):
 
 
 def test_pq_assignment_and_adc_are_map_side(plans):
-    # r5 VERDICT directive #2: code assignment is a literal-anchor argmin
-    # projection over the corpus scan (no corpus x M x K explosion, no
-    # row_number Exchange) and ADC is element_at lookups over the
-    # broadcast per-query LUT — the ONLY shuffle in the whole scoring
-    # plan is the final per-query top-k window
+    # r5 VERDICT directive #2: code assignment is one Arrow-vectorized
+    # mapInPandas over the corpus scan closed over the broadcast-sized
+    # trained codebook (no corpus x M x K explosion, no row_number
+    # Exchange) and ADC is element_at lookups over the broadcast
+    # per-query LUT — the ONLY shuffle in the whole scoring plan is the
+    # final per-query top-k window
     p = plans("ann_pq_topk")
     assert p.count("Exchange hashpartitioning") == 1, p[:3000]
     assert "Exchange hashpartitioning(q_id" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     # the corpus-to-queries pairing is the intentional broadcast of the
-    # bounded query set; array_position(argmin) appears in the projection
+    # bounded query set; encoding/LUT are the two MapInPandas kernels
     assert "BroadcastNestedLoopJoin" in p
-    assert "array_position" in p and "array_min" in p
+    assert p.count("MapInPandas") == 2, p[:3000]
+    assert "element_at" in p
