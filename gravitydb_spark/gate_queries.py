@@ -732,9 +732,16 @@ _compound(
             # (micro-units are well inside double's integer range)
             {"q_id": "q_id", "vec_id": "vec_id", "cosine": "score_scaled", "rnk": "rnk"},
         ),
+        (
+            "hybrid",
+            "search_hybrid_rrf",
+            {"vec_id": "doc_id", "cosine": "rrf", "rnk": "rnk"},
+        ),
     ],
     "Gate family for similarity search: brute-force cosine top-k baseline,"
-    " LSH-bucketed and IVF (inverted-file) approximate variants.",
+    " LSH-bucketed, IVF (inverted-file) and product-quantization"
+    " approximate variants, plus hybrid BM25+cosine reciprocal-rank"
+    " fusion (the RAG first-stage retriever).",
 )
 
 _compound(

@@ -5188,3 +5188,117 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
+
+
+# Hybrid retrieval: fuse the lexical (BM25) and vector (cosine) ranked
+# lists with reciprocal-rank fusion -- the standard RAG first-stage
+# retriever shape. doc_id and vec_id share the corpus id space (the
+# driver generates embeddings row-aligned with documents).
+_HYBRID_Q = 0  # the query document/vector id
+_RRF_K = 60  # Cormack et al. constant
+_HYBRID_TOPK = 20
+
+
+def _hybrid_rrf_oracle() -> str:
+    bm25 = REGISTRY["text_bm25_search"].oracle
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rnk
+      FROM ({bm25}) _b),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_HYBRID_Q}),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cosine DESC, vec_id) AS vec_rnk
+      FROM (
+        SELECT e.vec_id,
+               round({_duck_dot('q.qv', 'e.embedding')}
+                 / (sqrt({_duck_dot('q.qv', 'q.qv')})
+                    * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 3)
+                 AS cosine
+        FROM q, embeddings e WHERE e.vec_id != {_HYBRID_Q}) _s
+      ORDER BY vec_rnk LIMIT {_BM25_TOPK}),
+    fused AS (
+      SELECT doc_id, lex_rnk, vec_rnk,
+             round(COALESCE(1.0 / ({_RRF_K} + lex_rnk), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + vec_rnk), 0.0), 6) AS rrf
+      FROM lex FULL OUTER JOIN vec USING (doc_id))
+    SELECT doc_id, lex_rnk, vec_rnk, rrf,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+    FROM fused
+    ORDER BY rnk LIMIT {_HYBRID_TOPK}
+    """
+
+
+@register("search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid first-stage retrieval: the BM25 lexical top-{_BM25_TOPK}
+    and the cosine vector top-{_BM25_TOPK} for one query (doc {_HYBRID_Q}),
+    fused by reciprocal-rank fusion ``sum 1/({_RRF_K}+rank)`` (Cormack
+    2009) -- the standard RAG retriever composition, expressed as a plan
+    over the two already-audited legs rather than a new engine feature.
+
+    Plan shape: the lexical leg keeps BM25's inverted-index access path
+    (query-term-filtered explode, broadcast corpus stats); the vector
+    leg broadcasts the SINGLE query vector over the corpus scan --
+    map-side scoring, one global top-{_BM25_TOPK} (a {_BM25_TOPK}-row
+    TakeOrdered, no window shuffle needed but rank assignment uses one);
+    fusion joins two <={_BM25_TOPK}-row lists -- driver-trivial at any
+    corpus size. RRF doubles are IEEE-identical on both engines
+    (1/(k+rank) sums), rounded to 6dp; ranks tie-break on doc_id."""
+    lex = (
+        REGISTRY["text_bm25_search"].fn(spark, sf_dir)
+        .withColumn(
+            "lex_rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "lex_rnk")
+    )
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") == _HYBRID_Q).select(
+        F.col("v").alias("qv")
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != _HYBRID_Q)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                ),
+                3,
+            ).alias("cosine"),
+        )
+        # TakeOrderedAndProject cut FIRST (map-side partial top-k, no
+        # corpus-sized single-partition sort), then rank the 20 survivors
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+        .withColumn(
+            "vec_rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "vec_rnk")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("lex_rnk")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("vec_rnk")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .withColumn("rrf", rrf)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id"))),
+        )
+        .filter(F.col("rnk") <= _HYBRID_TOPK)
+        .select("doc_id", "lex_rnk", "vec_rnk", "rrf", "rnk")
+    )

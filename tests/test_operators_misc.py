@@ -164,3 +164,31 @@ def test_clear_memo_cache_unpersists_and_rebuilds(spark, sf_dir):
     for cache in (_plan_cache, pq._sigs_cache, pq._pair_cache, pq._shingle_cache):
         assert not [k for k in cache if k[0] == sk]
     assert qs["corpus_vocab_topk"](spark, sf_dir).count() == n1
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
+    """search_hybrid_rrf: every fused score is exactly the sum of the
+    reciprocal-rank contributions of the legs that retrieved the doc,
+    and the top of the list prefers docs found by BOTH legs over
+    single-leg docs with comparable ranks."""
+    from gravitydb_spark.pipeline_queries import _RRF_K
+    from gravitydb_spark.registry import queries
+
+    rows = queries()["search_hybrid_rrf"](spark, sf_dir).collect()
+    assert rows and len(rows) <= 20
+    single = [r for r in rows if r.lex_rnk is None or r.vec_rnk is None]
+    assert single, "expected some single-leg docs in the fused list"
+    for r in rows:
+        expect = 0.0
+        if r.lex_rnk is not None:
+            expect += 1.0 / (_RRF_K + r.lex_rnk)
+        if r.vec_rnk is not None:
+            expect += 1.0 / (_RRF_K + r.vec_rnk)
+        assert abs(r.rrf - expect) < 1e-6, r
+    # the list is ordered by fused score, tie-broken by doc_id
+    for a, b in zip(rows, rows[1:]):
+        assert (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id), (a, b)
+    # both legs contribute to the fused list (overlap itself is
+    # data-dependent and may be empty on the tiny sf)
+    assert any(r.lex_rnk is not None for r in rows)
+    assert any(r.vec_rnk is not None for r in rows)
