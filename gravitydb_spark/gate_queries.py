@@ -365,6 +365,18 @@ _compound(
             "profile_orders",
             {"k1": "col_name", "k2": "max_str", "n1": "n_distinct", "n2": "n_rows"},
         ),
+        (
+            "zonemap",
+            "layout_zorder_zonemap",
+            # carry both dims' zonemap spans plus the bucket anchor
+            {
+                "n1": "bucket",
+                "n2": "n_rows",
+                "m1": "pk_max - pk_min",
+                "m2": "sk_max - sk_min",
+                "m3": "pk_min",
+            },
+        ),
     ],
     "Gate family for aggregation shapes beyond the headline TPC-H set —"
     " with these members every one of the 22 TPC-H plan shapes is"

@@ -2519,3 +2519,81 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_buckets"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data layout: z-order zonemap (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_BUCKETS_SHIFT = 2 * _Z_BITS - 5  # top 5 bits -> 32 z-range buckets
+
+
+def _zorder_zonemap_oracle() -> str:
+    from .operators.layout import duck_zvalue
+
+    top = (1 << _Z_BITS) - 1
+    nx = f"((l_partkey - b.xmn) * {top}) // GREATEST(b.xmx - b.xmn, 1)"
+    ny = f"((l_suppkey - b.ymn) * {top}) // GREATEST(b.ymx - b.ymn, 1)"
+    return f"""
+    WITH b AS (SELECT min(l_partkey) AS xmn, max(l_partkey) AS xmx,
+                      min(l_suppkey) AS ymn, max(l_suppkey) AS ymx
+               FROM lineitem),
+    zed AS (
+      SELECT l_partkey, l_suppkey,
+             {duck_zvalue(f'({nx})', f'({ny})', _Z_BITS)} >> {_Z_BUCKETS_SHIFT}
+               AS bucket
+      FROM lineitem, b)
+    SELECT bucket, count(*)::BIGINT AS n_rows,
+           min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+           min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+    FROM zed GROUP BY bucket ORDER BY bucket
+    """
+
+
+@register("layout_zorder_zonemap", oracle=_zorder_zonemap_oracle())
+def layout_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zonemap a z-ordered layout of lineitem over (l_partkey,
+    l_suppkey) would produce: Morton-interleave the min/max-normalized
+    keys (operators/layout.py — the same expression write_zordered lays
+    files out by), split the z range into 32 fixed-width buckets (top 5
+    bits — NO global sort or ntile window; the bucket id is a per-row
+    projection), and report each bucket's row count and min/max of BOTH
+    keys. The per-bucket spans are what parquet footers would carry
+    per file — tight in both dimensions simultaneously, which is the
+    data-skipping property a single-column sort cannot give (measured in
+    tests/test_layout.py: real footer stats, z-ordered vs unsorted).
+
+    Plan shape: one bounded 1-row bounds collect (inlined as literals →
+    the z expression is pure codegen bit arithmetic over the scan), one
+    partial-agg groupBy on the 32 bucket ids. Scale-invariant: no
+    window, no sort, shuffle carries 32 groups.
+    """
+    from .operators.layout import norm_sql, zvalue_sql
+
+    li = load(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_partkey").alias("xmn"),
+        F.max("l_partkey").alias("xmx"),
+        F.min("l_suppkey").alias("ymn"),
+        F.max("l_suppkey").alias("ymx"),
+    ).collect()[0]
+    z = zvalue_sql(
+        f"({norm_sql('l_partkey', b.xmn, b.xmx, _Z_BITS)})",
+        f"({norm_sql('l_suppkey', b.ymn, b.ymx, _Z_BITS)})",
+        _Z_BITS,
+    )
+    return (
+        li.withColumn(
+            "bucket", F.expr(f"{z} >> {_Z_BUCKETS_SHIFT}")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+        )
+        .orderBy("bucket")
+    )
