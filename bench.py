@@ -130,6 +130,10 @@ HEADLINE = [
     "g_degrees_maintained",
     "events_feature_snapshot",
     "ann_pq_topk",
+    # round 6 additions
+    "search_hybrid_rrf",
+    "layout_zorder_zonemap",
+    "g_cc_maintained",
 ]
 
 

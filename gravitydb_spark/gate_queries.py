@@ -1120,6 +1120,12 @@ _compound(
             {"k": "id", "n1": "out_degree", "n2": "in_degree"},
         ),
         (
+            "cc_maintained",
+            "g_cc_maintained",
+            # composite identity packed into the one string slot
+            {"k": "id || '>' || component"},
+        ),
+        (
             "audio_meta",
             "stream_audio_meta",
             {"n1": "doc_id", "n2": "n_bytes", "n3": "sample_sum"},

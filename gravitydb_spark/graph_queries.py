@@ -537,6 +537,47 @@ def g_degrees(spark, sf_dir):
     return degrees(tpch_graph(spark, sf_dir))
 
 
+_CC_ORACLE = """
+    WITH comp AS (
+      SELECT n_regionkey AS rk, min('c' || c_custkey) AS component
+      FROM customer JOIN nation ON n_nationkey = c_nationkey GROUP BY 1)
+    SELECT 'c' || c_custkey AS id, component FROM customer
+      JOIN nation ON n_nationkey = c_nationkey JOIN comp ON comp.rk = n_regionkey
+    UNION ALL SELECT 's' || s_suppkey, component FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey JOIN comp ON comp.rk = n_regionkey
+    UNION ALL SELECT 'n' || n_nationkey, component FROM nation
+      JOIN comp ON comp.rk = n_regionkey
+    UNION ALL SELECT 'r' || r_regionkey, component FROM region
+      JOIN comp ON comp.rk = r_regionkey
+    """
+
+
+def _land_graph_batches(work: str, gp: str, g, n: int = 3) -> None:
+    """Land the graph as ``n`` vertex + edge mutation batches under the
+    graph's append-structured storage dirs (what the changefeed tails),
+    file mtimes pinning the arrival order — the shared fixture for the
+    incrementally-maintained analytics queries."""
+    import shutil
+
+    base = 1_700_000_000
+    for sub, df, keycol in (
+        ("vertices", g.vertices, "id"),
+        ("edges", g.edges, "edge_id"),
+    ):
+        ddir = os.path.join(gp, sub)
+        os.makedirs(ddir)
+        for b in range(n):
+            tmp = os.path.join(work, f"tmp_{sub}{b}")
+            df.filter(
+                F.pmod(F.xxhash64(F.col(keycol)), F.lit(n)) == b
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(ddir, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+
+
 @register(
     "g_degrees_maintained",
     oracle="""
@@ -594,28 +635,7 @@ def g_degrees_maintained(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="gravityspark_gdm_")
     try:
         gp = os.path.join(work, "graph")
-        base = 1_700_000_000
-        # the mutation stream: vertex/edge batches appended under the
-        # graph's storage dirs (what the changefeed tails), file mtimes
-        # pinning the arrival order
-        for sub, df, keycol in (
-            ("vertices", g.vertices, "id"),
-            ("edges", g.edges, "edge_id"),
-        ):
-            ddir = os.path.join(gp, sub)
-            os.makedirs(ddir)
-            for b in range(3):
-                tmp = os.path.join(work, f"tmp_{sub}{b}")
-                df.filter(
-                    F.pmod(F.xxhash64(F.col(keycol)), F.lit(3)) == b
-                ).coalesce(1).write.parquet(tmp)
-                part = next(
-                    f for f in os.listdir(tmp) if f.endswith(".parquet")
-                )
-                dst = os.path.join(ddir, f"batch-{b}.parquet")
-                shutil.move(os.path.join(tmp, part), dst)
-                os.utime(dst, (base + 60 * b, base + 60 * b))
-                shutil.rmtree(tmp)
+        _land_graph_batches(work, gp, g)
 
         deg_store = DatasetStore(os.path.join(work, "deg"))
         type_store = DatasetStore(os.path.join(work, "types"))
@@ -693,6 +713,179 @@ def g_degrees_maintained(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+_CC_MERGE_BUCKETS = 8
+
+
+@register("g_cc_maintained", oracle=_CC_ORACLE)
+def g_cc_maintained(spark, sf_dir):
+    """INCREMENTALLY MAINTAINED connected components — the distributed
+    union-find: the same changefeed + :class:`DatasetStore` composition
+    as g_degrees_maintained, extended from additive aggregates to an
+    iterative view. State is two storage-backed tables:
+
+    - ``memb``: the vertex ids seen so far (vertex feed, fold=distinct);
+    - ``merges``: the union-find relabel table (node -> root). Each edge
+      batch maps its endpoints through the CURRENT roots (a left join
+      whose scan is PARTITION-PRUNED to the endpoints' hash buckets —
+      the store is partitioned by ``pb = hash(node) % 8``), runs
+      min-label CC over the batch-contracted root graph (cc_labels —
+      the contracted graph is merge-sized, not corpus-sized), and
+      appends the resulting (old_root -> new_root) relabels. Compaction
+      after every batch folds the table FLAT (pointer-doubling to full
+      path compression), so the next probe is a depth-1 lookup.
+
+    Insert-only maintenance: with min-id roots, labels only ever
+    decrease, and a batch's relabels reference current roots — the
+    final view (memb left-join merges, label = root else own id) equals
+    the BATCH min-label CC of the final graph, which is exactly what
+    the oracle computes (same SQL as g_connected_components). Deletions
+    are out of IVM scope by design (a delete can split a component;
+    policy = batch recompute, documented in COVERAGE.md).
+
+    Scale posture: per batch, probe work is batch-sized against pruned
+    buckets; cc_labels runs on the contracted graph (roots, not
+    vertices); compaction rewrites the relabel table (view-sized, the
+    same contract as the maintained rollup). At 100 TB the relabel
+    table is vertices-minus-components rows — the same order as the CC
+    OUTPUT itself."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .operators.iterative import cc_labels
+    from .streaming.changefeed import stream_edges, stream_vertices
+    from .transaction import DatasetStore
+
+    nb = _CC_MERGE_BUCKETS
+    g = tpch_graph(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="gravityspark_gcm_")
+    try:
+        gp = os.path.join(work, "graph")
+        _land_graph_batches(work, gp, g)
+
+        memb = DatasetStore(os.path.join(work, "memb"))
+        merges = DatasetStore(os.path.join(work, "merges"), partition_cols=("pb",))
+
+        def bucket(col):
+            return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
+
+        def compress(df):
+            """Pointer-double (node -> root) chains to a flat forest.
+            Chain depth is bounded by the uncompacted-delta count (the
+            loop compacts every batch, so <= 2); fixed rounds cover
+            depth 2^4 with a fixpoint assert."""
+            cur = df.groupBy("node").agg(F.min("root").alias("root"))
+            for _ in range(4):
+                r2 = cur.select(
+                    F.col("node").alias("r_node"), F.col("root").alias("r_root")
+                )
+                cur = (
+                    cur.join(r2, cur["root"] == r2["r_node"], "left")
+                    .select(
+                        "node",
+                        F.coalesce("r_root", "root").alias("root"),
+                    )
+                )
+            cur = cur.withColumn("pb", bucket(F.col("node")))
+            # flatness assert: no root is itself a relabeled node
+            dangling = (
+                cur.alias("a")
+                .join(
+                    cur.select(F.col("node").alias("r_node"),
+                               F.col("root").alias("r_root")),
+                    F.col("a.root") == F.col("r_node"),
+                )
+                .filter(F.col("r_root") != F.col("a.root"))
+                .count()
+            )
+            assert dangling == 0, "relabel table not path-compressed"
+            return cur
+
+        def on_vertices(batch_df, _bid) -> None:
+            memb.append(batch_df.select("id").distinct())
+            memb.compact(spark, min_deltas=3, transform=lambda d: d.distinct())
+
+        def on_edges(batch_df, _bid) -> None:
+            ends = batch_df.select("src", "dst").localCheckpoint(eager=True)
+            probe_pb = [
+                r.pb
+                for r in ends.select(bucket(F.col("src")).alias("pb"))
+                .unionByName(ends.select(bucket(F.col("dst")).alias("pb")))
+                .distinct()
+                .collect()
+            ]
+            cur = merges.load(spark, where=F.col("pb").isin(probe_pb))
+            if cur is None:
+                rooted = ends.select(
+                    F.col("src").alias("ru"), F.col("dst").alias("rv")
+                )
+            else:
+                ru = cur.select(
+                    F.col("node").alias("src"), F.col("root").alias("ru")
+                )
+                rv = cur.select(
+                    F.col("node").alias("dst"), F.col("root").alias("rv")
+                )
+                rooted = (
+                    ends.join(ru, "src", "left")
+                    .join(rv, "dst", "left")
+                    .select(
+                        F.coalesce("ru", F.col("src")).alias("ru"),
+                        F.coalesce("rv", F.col("dst")).alias("rv"),
+                    )
+                )
+            pairs = rooted.filter(F.col("ru") != F.col("rv")).select(
+                F.col("ru").alias("src"), F.col("rv").alias("dst")
+            )
+            relabels = (
+                cc_labels(pairs)
+                .filter(F.col("id") != F.col("component"))
+                .select(
+                    F.col("id").alias("node"),
+                    F.col("component").alias("root"),
+                    bucket(F.col("id")).alias("pb"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if relabels.count():
+                merges.append(relabels)
+                # flatten EVERY batch so the next probe is a depth-1
+                # pruned lookup (min_deltas=1: always fold)
+                merges.compact(spark, min_deltas=1, transform=compress)
+
+        for feed, handler, tag in (
+            (stream_vertices(spark, gp, max_files_per_trigger=1), on_vertices, "v"),
+            (stream_edges(spark, gp, max_files_per_trigger=1), on_edges, "e"),
+        ):
+            q = (
+                feed.writeStream.foreachBatch(handler)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(work, f"ckpt_{tag}_{_uuid.uuid4().hex[:8]}"),
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        ids = memb.load(spark).select("id").distinct()
+        r = merges.load(spark)
+        if r is None:
+            out = ids.select("id", F.col("id").alias("component"))
+        else:
+            roots = compress(r).select(
+                F.col("node").alias("id"), F.col("root").alias("component")
+            )
+            out = ids.join(roots, "id", "left").select(
+                "id", F.coalesce("component", "id").alias("component")
+            )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "g_inner_hull",
     oracle="""
@@ -722,22 +915,7 @@ def g_inner_hull(spark, sf_dir):
     return inner_hull(g, eres.edges, vres.vertices).select("src", "dst")
 
 
-@register(
-    "g_connected_components",
-    oracle="""
-    WITH comp AS (
-      SELECT n_regionkey AS rk, min('c' || c_custkey) AS component
-      FROM customer JOIN nation ON n_nationkey = c_nationkey GROUP BY 1)
-    SELECT 'c' || c_custkey AS id, component FROM customer
-      JOIN nation ON n_nationkey = c_nationkey JOIN comp ON comp.rk = n_regionkey
-    UNION ALL SELECT 's' || s_suppkey, component FROM supplier
-      JOIN nation ON n_nationkey = s_nationkey JOIN comp ON comp.rk = n_regionkey
-    UNION ALL SELECT 'n' || n_nationkey, component FROM nation
-      JOIN comp ON comp.rk = n_regionkey
-    UNION ALL SELECT 'r' || r_regionkey, component FROM region
-      JOIN comp ON comp.rk = r_regionkey
-    """,
-)
+@register("g_connected_components", oracle=_CC_ORACLE)
 def g_connected_components(spark, sf_dir):
     """Weakly-connected components by min-label propagation (iterative
     DataFrame fixpoint, operators/iterative.py). On this graph the five
