@@ -134,6 +134,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "layout_zorder_zonemap",
     "g_cc_maintained",
+    "stream_ann_index_upkeep",
 ]
 
 

@@ -1126,6 +1126,11 @@ _compound(
             {"k": "id || '>' || component"},
         ),
         (
+            "ann_index_maintained",
+            "stream_ann_index_upkeep",
+            {"n1": "q_id", "n2": "vec_id", "n3": "rnk", "v": "cosine"},
+        ),
+        (
             "audio_meta",
             "stream_audio_meta",
             {"n1": "doc_id", "n2": "n_bytes", "n3": "sample_sum"},

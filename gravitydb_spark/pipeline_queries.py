@@ -2134,6 +2134,165 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_UPKEEP_BATCHES = 3
+
+
+@register(
+    "stream_ann_index_upkeep",
+    # the maintained index answers bit-identically to the batch IVF, so
+    # it carries the SAME full oracle (shared string, single source)
+    oracle=REGISTRY["ann_ivf_topk"].oracle,
+)
+def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED IVF index — streaming ANN ingest: the
+    embedding corpus arrives in 3 micro-batches (file stream, mtimes
+    pinning order); each foreachBatch assigns its vectors to their
+    nearest coarse cell (broadcast 16-centroid quantizer, batch-
+    local argmax window) and appends (cell, vec_id, v) to a
+    :class:`DatasetStore` PARTITIONED BY CELL — the inverted lists as a
+    delta-logged, compacting, crash-visible store. The query path loads
+    ONLY the nprobe probed cells (a PartitionFilter on every delta
+    scan, the same pruning contract as the streaming dedup index;
+    plan-guarded in test_streaming_dedup_buckets).
+
+    Replay safety: assignment is content-deterministic (same vector →
+    same cell), so at-least-once redelivery only creates duplicate
+    (cell, vec_id) rows; compaction and the query path fold them with
+    dropDuplicates(vec_id) — duplicates are inert, decisions never
+    change.
+
+    The coarse quantizer is FIXED OFFLINE (first-16 vectors, the
+    ann_ivf_topk quantizer) — standard IVF practice: codebooks/
+    quantizers train on a sample before ingest; the index only ever
+    appends under them.
+
+    The final answer is bit-identical to the BATCH ann_ivf_topk, so it
+    registers with that query's oracle verbatim (shared string) and is
+    value-hash-checked end to end — the strongest possible IVM check:
+    maintained index ≡ batch index.
+
+    Scale posture: per batch, work is batch-sized (assignment is a
+    batch × 16 broadcast window); the query path touches
+    nprobe/16 of the index via partition pruning; compaction folds
+    per cell. State lives on storage, not executors."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .transaction import DatasetStore
+
+    emb = load(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="gravityspark_annidx_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        for b in range(_ANN_UPKEEP_BATCHES):
+            tmp = os.path.join(work, f"tmp{b}")
+            emb.filter(
+                F.col("vec_id") % _ANN_UPKEEP_BATCHES == b
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+
+        cent = (
+            emb.filter(F.col("vec_id") < IVF_CELLS)
+            .select(
+                F.col("vec_id").alias("cell"),
+                F.col("embedding").cast("array<double>").alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        store = DatasetStore(os.path.join(work, "index"), partition_cols=("cell",))
+
+        def handle(batch_df, _bid) -> None:
+            v = batch_df.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+            w = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cell"))
+            assigned = (
+                v.join(F.broadcast(cent))
+                .select("vec_id", "v", "cell", _dot(F.col("v"), F.col("cv")).alias("d"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("cell", "vec_id", "v")
+            )
+            store.append(assigned)
+            store.compact(
+                spark,
+                min_deltas=3,
+                transform=lambda d: d.dropDuplicates(["vec_id"]),
+            )
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # ---- query path against the maintained index ----
+        qv = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        probes = (
+            qv.join(F.broadcast(cent))
+            .select("q_id", "cell", _dot(F.col("qv"), F.col("cv")).alias("d"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("q_id").orderBy(F.desc("d"), F.asc("cell"))
+                ),
+            )
+            .filter(F.col("rn") <= IVF_NPROBE)
+            .select("q_id", "cell")
+        )
+        probe_cells = [r.cell for r in probes.select("cell").distinct().collect()]
+        lists = store.load(spark, where=F.col("cell").isin(probe_cells))
+        lists = lists.dropDuplicates(["vec_id"])
+        scored = (
+            qv.join(F.broadcast(probes), "q_id")
+            .join(lists, "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(
+                    _dot(F.col("qv"), F.col("v"))
+                    / (
+                        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                        * F.sqrt(_dot(F.col("v"), F.col("v")))
+                    ),
+                    3,
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= ANN_K)
+            .select("q_id", "vec_id", "cosine", "rnk")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
