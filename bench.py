@@ -135,6 +135,7 @@ HEADLINE = [
     "layout_zorder_zonemap",
     "g_cc_maintained",
     "stream_ann_index_upkeep",
+    "mix_token_budget",
 ]
 
 

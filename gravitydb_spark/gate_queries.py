@@ -675,6 +675,13 @@ _compound(
             {"doc_id": "doc_id", "source": "source", "r": "pick_rank"},
         ),
         (
+            "token_budget",
+            "mix_token_budget",
+            # per-source rollup in the generic slots: kept docs + rate
+            {"source": "source", "doc_id": "tokens_kept", "r": "rate_bp",
+             "r2": "n_kept"},
+        ),
+        (
             "quality_pareto",
             "sample_quality_pareto",
             {"doc_id": "doc_id", "source": "source", "r": "bucket", "r2": "kept"},

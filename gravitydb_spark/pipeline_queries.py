@@ -3324,6 +3324,101 @@ def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGET_DIV = 4  # token budget = corpus_tokens / 4
+
+
+@register(
+    "mix_token_budget",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, source,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len({_DUCK_TOKENS}) END::BIGINT AS n_tok
+      FROM documents),
+    tot AS (SELECT sum(n_tok)::BIGINT AS t FROM dt),
+    rate AS (
+      SELECT source, {_MIX_BP} AS weight_bp,
+             sum(n_tok)::BIGINT AS tokens_total,
+             LEAST(10000,
+                   (((SELECT t FROM tot) // {_MIX_BUDGET_DIV})
+                    * ({_MIX_BP}) // 10000) * 10000
+                   // GREATEST(sum(n_tok)::BIGINT, 1)) AS rate_bp
+      FROM dt GROUP BY 1, 2),
+    kept AS (
+      SELECT dt.source, rate.weight_bp, rate.tokens_total, rate.rate_bp,
+             dt.n_tok,
+             CASE WHEN {_duck_h32("dt.doc_id::VARCHAR || dt.source")}
+                  < ({_H32_SPACE} * rate.rate_bp) // 10000
+                  THEN 1 ELSE 0 END AS k
+      FROM dt JOIN rate USING (source))
+    SELECT source, weight_bp::BIGINT AS weight_bp, tokens_total,
+           rate_bp::BIGINT AS rate_bp,
+           sum(k)::BIGINT AS n_kept,
+           sum(n_tok * k)::BIGINT AS tokens_kept
+    FROM kept GROUP BY 1, 2, 3, 4
+    """,
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing against a TOKEN budget — the form a training-data
+    pipeline actually runs: given a total token budget (corpus tokens /
+    4 here) and per-source mixture weights, derive each source's
+    keep RATE as min(1, budget_share / source_tokens) and apply it with
+    the same deterministic per-document hash threshold mix_domains uses.
+    Reports per source: target weight, token total, derived rate (bp),
+    kept docs and kept tokens. All arithmetic is integer (floor
+    divisions, basis points), so the DuckDB oracle matches bit-exactly.
+
+    Scale posture: doc token counts are a size() projection (NO token
+    explode); per-source totals are one partial-agg groupBy on the
+    shard key joined back as a BROADCAST (sources are a small dim);
+    the keep decision stays a pure per-row predicate. Two passes over
+    the doc-level projection, zero corpus-sized shuffles."""
+    n_tok = (
+        F.when(
+            F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+        )
+        .otherwise(F.size(_TOKENS_FN()))
+        .cast("long")
+    )
+    dt = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", n_tok.alias("n_tok")
+    )
+    total = dt.agg(F.sum("n_tok").cast("long").alias("t"))
+    rate = (
+        dt.groupBy("source", F.expr(_MIX_BP).cast("long").alias("weight_bp"))
+        .agg(F.sum("n_tok").cast("long").alias("tokens_total"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "weight_bp",
+            "tokens_total",
+            F.least(
+                F.lit(10000),
+                F.expr(
+                    f"((t DIV {_MIX_BUDGET_DIV}) * weight_bp DIV 10000) * 10000"
+                    " DIV GREATEST(tokens_total, 1)"
+                ),
+            ).cast("long").alias("rate_bp"),
+        )
+    )
+    kept = (
+        _h32(F.concat(F.col("doc_id").cast("string"), F.col("source")))
+        < F.expr(f"({_H32_SPACE} * rate_bp) DIV 10000")
+    ).cast("long")
+    return (
+        dt.join(F.broadcast(rate), "source")
+        .select(
+            "source", "weight_bp", "tokens_total", "rate_bp", "n_tok",
+            kept.alias("k"),
+        )
+        .groupBy("source", "weight_bp", "tokens_total", "rate_bp")
+        .agg(
+            F.sum("k").cast("long").alias("n_kept"),
+            F.sum(F.col("n_tok") * F.col("k")).cast("long").alias("tokens_kept"),
+        )
+    )
+
+
 # Gopher/C4-style heuristic filter thresholds (integer/exact arithmetic so
 # the rule bitmask is oracle-matched; the RE subset is Java+RE2 safe).
 _CCF_MIN_TOKENS = 5
