@@ -461,3 +461,36 @@ def test_pq_assignment_and_adc_are_map_side(plans):
     assert "BroadcastNestedLoopJoin" in p
     assert p.count("MapInPandas") == 2, p[:3000]
     assert "element_at" in p
+
+
+def test_hybrid_rrf_legs_stay_bounded(plans):
+    # the vector leg cuts to top-20 with TakeOrderedAndProject BEFORE
+    # any rank window (no corpus-sized single-partition sort); fusion
+    # joins two bounded lists — no SortMergeJoin anywhere
+    p = plans("search_hybrid_rrf")
+    # both legs cut with TakeOrderedAndProject before their rank windows
+    assert p.count("TakeOrderedAndProject") >= 2
+    # the only SortMergeJoin is the full-outer fusion of the two 20-row
+    # lists (full outer cannot broadcast) — bounded by construction
+    assert p.count("SortMergeJoin") <= 1
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+
+
+def test_mix_token_budget_no_explode_broadcast_dim(plans):
+    # token counts are size() projections (the BM25 lesson: an unfiltered
+    # token explode was the probe-measured superlinear term) and the
+    # per-source rate dim joins back as a broadcast
+    p = plans("mix_token_budget")
+    assert "Generate explode" not in p and "Generate posexplode" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_zonemap_is_projection_plus_single_agg(plans):
+    # the z bucket id is a pure projection (no window, no global sort);
+    # the only exchange is the 32-group aggregate + the output order
+    p = plans("layout_zorder_zonemap")
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
