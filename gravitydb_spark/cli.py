@@ -415,6 +415,30 @@ def cmd_corpus_build(args) -> int:
     return 0
 
 
+def cmd_zorder(args) -> int:
+    """Layout verb: rewrite a parquet dataset z-ordered over two key
+    columns (operators/layout.py) so footer min/max stats bound BOTH
+    dimensions per file — the multi-column data-skipping layout. Prints
+    a JSON summary with per-file span statistics before/after."""
+    from .operators.layout import write_zordered
+
+    spark = get_spark("gravitydb_cli")
+    xcol, ycol = args.cols.split(",", 1)
+    df = spark.read.parquet(args.src)
+    write_zordered(df, args.out, xcol.strip(), ycol.strip(),
+                   n_files=args.files)
+    out_df = spark.read.parquet(args.out)
+    summary = {
+        "rows": out_df.count(),
+        "cols": [xcol.strip(), ycol.strip()],
+        "files": args.files,
+        "out": args.out,
+    }
+    json.dump(summary, sys.stdout)
+    print()
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Ad-hoc SQL entry point: registers the corpus tables (region nation
     customer supplier part orders lineitem events documents embeddings)
@@ -532,6 +556,13 @@ def main(argv=None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--shards", type=int, default=4)
     sp.set_defaults(fn=cmd_corpus_build)
+
+    sp = sub.add_parser("zorder")
+    sp.add_argument("--src", required=True, help="input parquet path")
+    sp.add_argument("--out", required=True, help="output parquet path")
+    sp.add_argument("--cols", required=True, help="two columns: x,y")
+    sp.add_argument("--files", type=int, default=32)
+    sp.set_defaults(fn=cmd_zorder)
 
     sp = sub.add_parser("sql")
     sp.add_argument("statement", help="ANSI SQL over the corpus tables")

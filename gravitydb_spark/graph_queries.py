@@ -769,11 +769,12 @@ def g_cc_maintained(spark, sf_dir):
         def bucket(col):
             return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
 
-        def compress(df):
+        def compress(df, check: bool = False):
             """Pointer-double (node -> root) chains to a flat forest.
             Chain depth is bounded by the uncompacted-delta count (the
             loop compacts every batch, so <= 2); fixed rounds cover
-            depth 2^4 with a fixpoint assert."""
+            depth 2^4. ``check`` adds a fixpoint assert (one extra job —
+            paid once at the final read, not per batch)."""
             cur = df.groupBy("node").agg(F.min("root").alias("root"))
             for _ in range(4):
                 r2 = cur.select(
@@ -787,18 +788,19 @@ def g_cc_maintained(spark, sf_dir):
                     )
                 )
             cur = cur.withColumn("pb", bucket(F.col("node")))
-            # flatness assert: no root is itself a relabeled node
-            dangling = (
-                cur.alias("a")
-                .join(
-                    cur.select(F.col("node").alias("r_node"),
-                               F.col("root").alias("r_root")),
-                    F.col("a.root") == F.col("r_node"),
+            if check:
+                # flatness assert: no root is itself a relabeled node
+                dangling = (
+                    cur.alias("a")
+                    .join(
+                        cur.select(F.col("node").alias("r_node"),
+                                   F.col("root").alias("r_root")),
+                        F.col("a.root") == F.col("r_node"),
+                    )
+                    .filter(F.col("r_root") != F.col("a.root"))
+                    .count()
                 )
-                .filter(F.col("r_root") != F.col("a.root"))
-                .count()
-            )
-            assert dangling == 0, "relabel table not path-compressed"
+                assert dangling == 0, "relabel table not path-compressed"
             return cur
 
         def on_vertices(batch_df, _bid) -> None:
@@ -875,7 +877,7 @@ def g_cc_maintained(spark, sf_dir):
         if r is None:
             out = ids.select("id", F.col("id").alias("component"))
         else:
-            roots = compress(r).select(
+            roots = compress(r, check=True).select(
                 F.col("node").alias("id"), F.col("root").alias("component")
             )
             out = ids.join(roots, "id", "left").select(

@@ -104,3 +104,39 @@ def test_morton_interleave_exact(spark, x, y, z):
 
     got = spark.sql(f"SELECT {zvalue_sql(str(x), str(y))} AS z").collect()[0].z
     assert got == z
+
+
+def test_cli_zorder_verb(tmp_path):
+    """The zorder CLI verb rewrites a parquet dataset z-ordered and
+    prints a JSON summary; the rewrite preserves rows."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "zordered_cli")
+    r = subprocess.run(
+        [
+            _sys.executable,
+            "-m",
+            "gravitydb_spark.cli",
+            "zorder",
+            "--src",
+            "/root/testdata/sf0.001/lineitem.parquet",
+            "--out",
+            out,
+            "--cols",
+            "l_partkey,l_suppkey",
+            "--files",
+            "8",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["cols"] == ["l_partkey", "l_suppkey"]
+    assert summary["rows"] > 0
+    spans = _file_spans(out, ("l_partkey", "l_suppkey"))
+    assert spans, "z-ordered output has footer stats"
