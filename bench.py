@@ -136,6 +136,7 @@ HEADLINE = [
     "g_cc_maintained",
     "stream_ann_index_upkeep",
     "mix_token_budget",
+    "ann_lsh_multiprobe_topk",
 ]
 
 

@@ -740,6 +740,11 @@ _compound(
             {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
         ),
         (
+            "lsh_multiprobe",
+            "ann_lsh_multiprobe_topk",
+            {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
+        ),
+        (
             "ivf",
             "ann_ivf_topk",
             {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},

@@ -2017,6 +2017,88 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, ({_DUCK_BUCKET}) AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM bucketed
+          WHERE vec_id < {ANN_N_QUERIES}),
+    probes AS (
+      SELECT q_id, qv, bucket AS pb FROM q
+      UNION ALL
+      SELECT q_id, qv, xor(bucket, 1 << u.p) AS pb
+      FROM q, unnest(generate_series(0, {N_PLANES - 1})) AS u(p)),
+    scored AS (
+      SELECT probes.q_id, e.vec_id,
+             round({_duck_dot('probes.qv', 'e.embedding')}
+               / (sqrt({_duck_dot('probes.qv', 'probes.qv')})
+                  * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 3)
+               AS cosine
+      FROM probes JOIN bucketed e
+        ON e.bucket = probes.pb AND e.vec_id != probes.q_id),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= {ANN_K}
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH — the standard recall fix for single-bucket
+    sign-LSH: each query probes its own bucket PLUS the 8 Hamming-1
+    neighbor buckets (one hyperplane flipped), scoring ~9x more
+    candidates for a measured 8x recall lift on the near-orthogonal
+    synthetic vectors (tools/ann_recall_probe.py at sf0.01: recall@10
+    0.02 single-probe vs 0.16 multiprobe vs 0.90 IVF(nprobe=2) — the
+    honest trade table; multiprobe beats adding hash tables because the
+    index is stored ONCE).
+
+    Plan shape: identical to ann_lsh_topk with the query side exploded
+    9x (queries are the bounded broadcast side; the corpus is still
+    scored per-bucket via the equi-join). Same literal hyperplanes,
+    same left-fold dot products — full value-matched oracle. The XOR is
+    ``^`` in Spark SQL but ``xor()`` in DuckDB (where ``^`` is
+    exponentiation)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    emb = emb.withColumn("bucket", _lsh_bucket()).cache()
+    probe_cols = [F.col("bucket")] + [
+        F.expr(f"bucket ^ {1 << pl}") for pl in range(N_PLANES)
+    ]
+    q = (
+        emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.array(*probe_cols)).alias("bucket"),
+        )
+    )
+    scored = emb.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                ),
+                3,
+            ).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )
+
+
 IVF_CELLS = 16
 IVF_NPROBE = 2
 
