@@ -137,6 +137,7 @@ HEADLINE = [
     "stream_ann_index_upkeep",
     "mix_token_budget",
     "ann_lsh_multiprobe_topk",
+    "stream_rollup_retractions",
 ]
 
 

@@ -1127,6 +1127,11 @@ _compound(
             {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "n3": "v_cents"},
         ),
         (
+            "rollup_retractions",
+            "stream_rollup_retractions",
+            {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "n3": "v_cents"},
+        ),
+        (
             "degrees_maintained",
             "g_degrees_maintained",
             {"k": "id", "n1": "out_degree", "n2": "in_degree"},

@@ -5426,6 +5426,122 @@ def stream_rollup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "stream_rollup_retractions",
+    oracle=f"""
+    SELECT event_type,
+           (epoch_ns(ts) // {_NS_PER_HOUR}) * 3600 AS hour_epoch_s,
+           count(*)::BIGINT AS n,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS v_cents
+    FROM events WHERE event_id % 5 != 4 GROUP BY 1, 2
+    """,
+)
+def stream_rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM with DELETES — the CDC (change-data-capture) completion of
+    stream_rollup_maintained: three insert micro-batches land the event
+    stream, then a fourth batch RETRACTS a subset (op = -1 rows for
+    event_id % 5 = 4 — an upstream correction/GDPR-style erasure). Each
+    foreachBatch appends the SIGNED partial aggregate (n = sum(op),
+    cents = sum(op * floor(value*100))); the same key-fold compaction
+    nets inserts against retractions, and the final read drops
+    fully-netted groups (n = 0) so a completely-erased hour VANISHES
+    from the view, exactly as the batch rollup over surviving events
+    has no such group. Oracle = that batch rollup (WHERE the retracted
+    subset is excluded).
+
+    This is why the view stores SIGNED ADDITIVE aggregates: count and
+    integer cent-sums form a group (inverses exist), so deletions are
+    just negative deltas — no rebuild, no tombstone table, same
+    per-batch map-side partials and key-proportional state. Non-
+    invertible aggregates (min/max/distinct) would need the full
+    per-key history or a rebuild; that boundary is documented in
+    COVERAGE.md."""
+    import shutil
+    import tempfile
+
+    from .relational_queries import normalize_events_ts
+    from .transaction import DatasetStore
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="gravityspark_ivmr_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        batches = [
+            static.filter(F.expr(f"event_id % 3 = {b}")).withColumn(
+                "op", F.lit(1).cast("int")
+            )
+            for b in range(3)
+        ] + [
+            static.filter(F.expr("event_id % 5 = 4")).withColumn(
+                "op", F.lit(-1).cast("int")
+            )
+        ]
+        for b, bdf in enumerate(batches):
+            tmp = os.path.join(work, f"tmp{b}")
+            bdf.coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+        staged_schema = batches[0].schema
+
+        store = DatasetStore(os.path.join(work, "view"))
+
+        def merge(df: DataFrame) -> DataFrame:
+            return df.groupBy("event_type", "h").agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("v_cents").cast("long").alias("v_cents"),
+            )
+
+        def handle(batch_df, _batch_id) -> None:
+            part = (
+                normalize_events_ts(batch_df)
+                .groupBy(
+                    "event_type", F.expr(f"ts DIV {_NS_PER_HOUR}").alias("h")
+                )
+                .agg(
+                    F.sum("op").cast("long").alias("n"),
+                    F.sum(
+                        F.col("op") * F.floor(F.col("value") * 100).cast("long")
+                    )
+                    .cast("long")
+                    .alias("v_cents"),
+                )
+            )
+            store.append(part)
+            store.compact(spark, min_deltas=2, transform=merge)
+
+        stream = (
+            spark.readStream.schema(staged_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = stream.writeStream.foreachBatch(handle).option(
+            "checkpointLocation", os.path.join(work, "ckpt")
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        view = (
+            merge(store.load(spark))
+            .filter(F.col("n") != 0)
+            .select(
+                "event_type",
+                (F.col("h") * 3600).cast("long").alias("hour_epoch_s"),
+                "n",
+                "v_cents",
+            )
+        )
+        return view.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _BM25_TERMS = ["spark", "data", "value"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TOPK = 20
