@@ -5693,7 +5693,11 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query-term-filtered explode, broadcast corpus stats); the vector
     leg broadcasts the SINGLE query vector over the corpus scan --
     map-side scoring, one global top-{_BM25_TOPK} (a {_BM25_TOPK}-row
-    TakeOrdered, no window shuffle needed but rank assignment uses one);
+    TakeOrdered, no window shuffle needed but rank assignment uses one).
+    The exact cosine leg is the oracle-checked baseline; at real scale
+    the vector leg swaps to ann_ivf_topk / ann_lsh_multiprobe_topk
+    (identical fusion over any ranked (doc_id, rank) list) -- measured
+    17x wall at 100x corpus for the exact leg, tools/r6_probe.py;
     fusion joins two <={_BM25_TOPK}-row lists -- driver-trivial at any
     corpus size. RRF doubles are IEEE-identical on both engines
     (1/(k+rank) sums), rounded to 6dp; ranks tie-break on doc_id."""

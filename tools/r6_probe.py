@@ -17,6 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import tools.pipeline_probe as pp
 from tools.pipeline_probe import build_rep10_docs, build_rep10_emb, run
 
 
@@ -24,18 +25,26 @@ def main() -> None:
     from gravitydb_spark.session import get_spark
 
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    pp.REPLICAS = reps
     spark = get_spark(app_name="r6_probe", shuffle_partitions=32)
-    out = "/tmp/gravityspark_probe_r6"
+    out = f"/tmp/gravityspark_probe_r6_x{reps}"
     build_rep10_docs(spark, base, out)
     build_rep10_emb(spark, base, out)
 
-    corpus_ops = ["ann_pq_topk", "search_hybrid_rrf"]
+    corpus_ops = [
+        "ann_pq_topk",
+        "search_hybrid_rrf",
+        "ann_lsh_multiprobe_topk",
+        "mix_token_budget",
+    ]
     run(spark, base, "base", corpus_ops)
-    run(spark, out, "rep10", corpus_ops)
+    run(spark, out, f"rep{reps}", corpus_ops)
 
-    tpch_ops = ["layout_zorder_zonemap", "g_cc_maintained"]
-    run(spark, "/root/testdata/sf0.01", "sf0.01", tpch_ops)
-    run(spark, "/root/testdata/sf0.1", "sf0.1", tpch_ops)
+    if reps == 10:
+        tpch_ops = ["layout_zorder_zonemap", "g_cc_maintained"]
+        run(spark, "/root/testdata/sf0.01", "sf0.01", tpch_ops)
+        run(spark, "/root/testdata/sf0.1", "sf0.1", tpch_ops)
 
 
 if __name__ == "__main__":
