@@ -138,6 +138,7 @@ HEADLINE = [
     "mix_token_budget",
     "ann_lsh_multiprobe_topk",
     "stream_rollup_retractions",
+    "search_hybrid_rrf_ivf",
 ]
 
 

@@ -761,6 +761,11 @@ _compound(
             "search_hybrid_rrf",
             {"vec_id": "doc_id", "cosine": "rrf", "rnk": "rnk"},
         ),
+        (
+            "hybrid_ivf",
+            "search_hybrid_rrf_ivf",
+            {"vec_id": "doc_id", "cosine": "rrf", "rnk": "rnk"},
+        ),
     ],
     "Gate family for similarity search: brute-force cosine top-k baseline,"
     " LSH-bucketed, IVF (inverted-file) and product-quantization"

@@ -5681,6 +5681,39 @@ def _hybrid_rrf_oracle() -> str:
     """
 
 
+def _hybrid_lex_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 ranked as (doc_id, lex_rnk)."""
+    return (
+        REGISTRY["text_bm25_search"].fn(spark, sf_dir)
+        .withColumn(
+            "lex_rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "lex_rnk")
+    )
+
+
+def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of two bounded (doc_id, *_rnk) lists."""
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("lex_rnk")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("vec_rnk")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .withColumn("rrf", rrf)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id"))),
+        )
+        .filter(F.col("rnk") <= _HYBRID_TOPK)
+        .select("doc_id", "lex_rnk", "vec_rnk", "rrf", "rnk")
+    )
+
+
 @register("search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid first-stage retrieval: the BM25 lexical top-{_BM25_TOPK}
@@ -5701,16 +5734,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion joins two <={_BM25_TOPK}-row lists -- driver-trivial at any
     corpus size. RRF doubles are IEEE-identical on both engines
     (1/(k+rank) sums), rounded to 6dp; ranks tie-break on doc_id."""
-    lex = (
-        REGISTRY["text_bm25_search"].fn(spark, sf_dir)
-        .withColumn(
-            "lex_rnk",
-            F.row_number().over(
-                Window.orderBy(F.desc("score"), F.asc("doc_id"))
-            ),
-        )
-        .select("doc_id", "lex_rnk")
-    )
+    lex = _hybrid_lex_leg(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
@@ -5743,18 +5767,46 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "vec_rnk")
     )
-    rrf = F.round(
-        F.coalesce(1.0 / (_RRF_K + F.col("lex_rnk")), F.lit(0.0))
-        + F.coalesce(1.0 / (_RRF_K + F.col("vec_rnk")), F.lit(0.0)),
-        6,
+    return _rrf_fuse(lex, vec)
+
+
+def _hybrid_rrf_ivf_oracle() -> str:
+    bm25 = REGISTRY["text_bm25_search"].oracle
+    ivf = REGISTRY["ann_ivf_topk"].oracle
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rnk
+      FROM ({bm25}) _b),
+    vec AS (
+      SELECT vec_id AS doc_id, rnk AS vec_rnk
+      FROM ({ivf}) _v WHERE q_id = {_HYBRID_Q}),
+    fused AS (
+      SELECT doc_id, lex_rnk, vec_rnk,
+             round(COALESCE(1.0 / ({_RRF_K} + lex_rnk), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + vec_rnk), 0.0), 6) AS rrf
+      FROM lex FULL OUTER JOIN vec USING (doc_id))
+    SELECT doc_id, lex_rnk, vec_rnk, rrf,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+    FROM fused
+    ORDER BY rnk LIMIT {_HYBRID_TOPK}
+    """
+
+
+@register("search_hybrid_rrf_ivf", oracle=_hybrid_rrf_ivf_oracle())
+def search_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid retriever's SCALE ROUTE, realized and oracle-checked:
+    identical reciprocal-rank fusion (:func:`_rrf_fuse`), with the
+    vector leg served by the IVF index (ann_ivf_topk filtered to the
+    query, top-10 by construction) instead of the brute-force cosine
+    scan -- the swap search_hybrid_rrf's docstring promises (measured:
+    the exact leg is the 17x term at 100x corpus; the IVF leg touches
+    ~nprobe/16 of it). Any ranked (doc_id, rank) list fuses the same
+    way -- stream_ann_index_upkeep's maintained index serves this leg
+    bit-identically."""
+    lex = _hybrid_lex_leg(spark, sf_dir)
+    vec = (
+        REGISTRY["ann_ivf_topk"].fn(spark, sf_dir)
+        .filter(F.col("q_id") == _HYBRID_Q)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rnk").alias("vec_rnk"))
     )
-    return (
-        lex.join(vec, "doc_id", "full_outer")
-        .withColumn("rrf", rrf)
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id"))),
-        )
-        .filter(F.col("rnk") <= _HYBRID_TOPK)
-        .select("doc_id", "lex_rnk", "vec_rnk", "rrf", "rnk")
-    )
+    return _rrf_fuse(lex, vec)
