@@ -139,6 +139,7 @@ HEADLINE = [
     "ann_lsh_multiprobe_topk",
     "stream_rollup_retractions",
     "search_hybrid_rrf_ivf",
+    "stream_rollup_versions",
 ]
 
 

@@ -1137,6 +1137,12 @@ _compound(
             {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "n3": "v_cents"},
         ),
         (
+            "rollup_versions",
+            "stream_rollup_versions",
+            {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "n3": "v_cents",
+             "n4": "asof_batch"},
+        ),
+        (
             "degrees_maintained",
             "g_degrees_maintained",
             {"k": "id", "n1": "out_degree", "n2": "in_degree"},

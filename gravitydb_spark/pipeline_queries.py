@@ -5427,6 +5427,117 @@ def stream_rollup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_rollup_versions",
+    oracle=f"""
+    SELECT 0::BIGINT AS asof_batch, event_type,
+           (epoch_ns(ts) // {_NS_PER_HOUR}) * 3600 AS hour_epoch_s,
+           count(*)::BIGINT AS n,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS v_cents
+    FROM events WHERE event_id % 3 = 0 GROUP BY 2, 3
+    UNION ALL
+    SELECT 2::BIGINT, event_type,
+           (epoch_ns(ts) // {_NS_PER_HOUR}) * 3600,
+           count(*)::BIGINT,
+           sum(floor(value * 100)::BIGINT)::BIGINT
+    FROM events GROUP BY 2, 3
+    """,
+)
+def stream_rollup_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL on an incrementally maintained view: the rollup
+    maintenance loop (same 3 insert batches as stream_rollup_maintained)
+    PUBLISHES each batch's folded view as a full-state version to a
+    :class:`VersionedViewStore` — the third user of the shared
+    publication-log protocol (graph snapshots, delta logs, now view
+    versions). Any past consistency point stays readable at parquet
+    cost until gc_versions bounds the history; an old reader and the
+    newest writer share zero mutable state.
+
+    Returns the view AS OF batch 0 (events with event_id %% 3 = 0)
+    union the view AS OF batch 2 (all events), tagged by ``asof_batch`` —
+    each a load_version read, both checked against the batch rollup of
+    the corresponding event subset. Version publication is one extra
+    view-sized write per batch on top of the delta append — the cost of
+    a consistency point, paid only at the cadence the operator chooses
+    (here: every batch)."""
+    import shutil
+    import tempfile
+
+    from .relational_queries import normalize_events_ts
+    from .transaction import DatasetStore, VersionedViewStore
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="gravityspark_ivmv_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        for b in range(_IVM_BATCHES):
+            tmp = os.path.join(work, f"tmp{b}")
+            static.filter(F.expr(f"event_id % {_IVM_BATCHES} = {b}")).coalesce(
+                1
+            ).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+
+        store = DatasetStore(os.path.join(work, "deltas"))
+        versions = VersionedViewStore(os.path.join(work, "versions"))
+
+        def merge(df: DataFrame) -> DataFrame:
+            return df.groupBy("event_type", "h").agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("v_cents").cast("long").alias("v_cents"),
+            )
+
+        def handle(batch_df, _batch_id) -> None:
+            part = (
+                normalize_events_ts(batch_df)
+                .groupBy(
+                    "event_type", F.expr(f"ts DIV {_NS_PER_HOUR}").alias("h")
+                )
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum(F.floor(F.col("value") * 100).cast("long"))
+                    .cast("long")
+                    .alias("v_cents"),
+                )
+            )
+            store.append(part)
+            store.compact(spark, min_deltas=2, transform=merge)
+            versions.publish(merge(store.load(spark)))
+
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = stream.writeStream.foreachBatch(handle).option(
+            "checkpointLocation", os.path.join(work, "ckpt")
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def asof(idx: int, tag: int) -> DataFrame:
+            return versions.load_version(spark, idx).select(
+                F.lit(tag).cast("long").alias("asof_batch"),
+                "event_type",
+                (F.col("h") * 3600).cast("long").alias("hour_epoch_s"),
+                "n",
+                "v_cents",
+            )
+
+        out = asof(0, 0).unionByName(asof(-1, 2))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "stream_rollup_retractions",
     oracle=f"""
     SELECT event_type,

@@ -277,6 +277,71 @@ class TransactionalStore(_SnapshotLog):
             os.unlink(lock)
 
 
+class VersionedViewStore(_SnapshotLog):
+    """Versioned FULL-STATE views on the shared publication-log
+    protocol: unlike :class:`DatasetStore` (whose snapshots are deltas
+    that UNION), every published snapshot here is a complete view
+    version — ``publish`` one DataFrame per maintenance step and any
+    past version stays readable (``load_version``) until
+    ``gc_versions`` bounds the history. This is time travel for
+    INCREMENTALLY MAINTAINED views (stream_rollup_versions composes it
+    with the foreachBatch rollup loop), the same retention/atomicity/
+    crash-orphan contract as TransactionalStore's graph snapshots — one
+    _SnapshotLog implementation under all three."""
+
+    def publish(self, df) -> str:
+        lock = self._acquire_lock()
+        try:
+            name = self._alloc_name()
+            target = os.path.join(self.path, name)
+            try:
+                df.write.mode("error").parquet(target)
+            except BaseException:
+                import shutil
+
+                shutil.rmtree(target, ignore_errors=True)
+                raise
+            self._write_log(self._published() + [name])
+            return name
+        finally:
+            os.unlink(lock)
+
+    def versions(self) -> list:
+        return self.snapshots()
+
+    def load_version(self, spark, version):
+        """Read one published version by name or index (negative ok,
+        -1 = newest)."""
+        names = self.versions()
+        if isinstance(version, int):
+            try:
+                name = names[version]
+            except IndexError:
+                raise FileNotFoundError(
+                    f"{self.path}: version index {version} out of range"
+                    f" ({len(names)} published)"
+                )
+        else:
+            name = version
+            if name not in names:
+                raise FileNotFoundError(f"{self.path}: no version {name!r}")
+        return spark.read.parquet(os.path.join(self.path, name))
+
+    def gc_versions(self, keep: int = 5) -> list:
+        """De-publish the oldest versions beyond ``keep`` (two-phase:
+        bytes go on the next writer's turn, same reader grace as the
+        other stores — here de-log only; orphan dirs are invisible)."""
+        lock = self._acquire_lock()
+        try:
+            names = self._published()
+            drop = names[:-keep] if keep > 0 else names
+            if drop:
+                self._write_log(names[len(drop):])
+            return drop
+        finally:
+            os.unlink(lock)
+
+
 class DatasetStore(_SnapshotLog):
     """Generic DataFrame delta-log store on the SAME publication-log
     protocol as :class:`TransactionalStore` (one shared implementation —

@@ -256,3 +256,30 @@ class TestTimeTravel:
         )
         assert s1 == "snap-58"
         assert store.snapshots() == [s0, s1]
+
+
+def test_versioned_view_store_publish_load_gc(spark, tmp_path):
+    """VersionedViewStore: each publish is a full readable version;
+    load_version by index/name; gc_versions de-publishes oldest but
+    keeps the newest; orphan dirs stay invisible (shared _SnapshotLog
+    contract)."""
+    import pyspark.sql.functions as F
+
+    from gravitydb_spark.transaction import VersionedViewStore
+
+    store = VersionedViewStore(str(tmp_path / "views"))
+    for n in (1, 2, 3):
+        store.publish(spark.range(n).select(F.col("id").cast("long")))
+    assert len(store.versions()) == 3
+    assert store.load_version(spark, 0).count() == 1
+    assert store.load_version(spark, -1).count() == 3
+    name1 = store.versions()[1]
+    assert store.load_version(spark, name1).count() == 2
+    dropped = store.gc_versions(keep=1)
+    assert len(dropped) == 2
+    assert len(store.versions()) == 1
+    assert store.load_version(spark, -1).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.load_version(spark, name1)
