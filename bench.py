@@ -140,6 +140,7 @@ HEADLINE = [
     "stream_rollup_retractions",
     "search_hybrid_rrf_ivf",
     "stream_rollup_versions",
+    "ann_pq_rerank_topk",
 ]
 
 

@@ -757,6 +757,11 @@ _compound(
             {"q_id": "q_id", "vec_id": "vec_id", "cosine": "score_scaled", "rnk": "rnk"},
         ),
         (
+            "pq_rerank",
+            "ann_pq_rerank_topk",
+            {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
+        ),
+        (
             "hybrid",
             "search_hybrid_rrf",
             {"vec_id": "doc_id", "cosine": "rrf", "rnk": "rnk"},

@@ -1797,6 +1797,42 @@ def _pq_kernels(book: dict):
     return encode, lut
 
 
+def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, vec_id, score_scaled) for every corpus vector x query --
+    the shared ADC scoring frame: Arrow encode/LUT kernels + one JVM
+    element_at-sum projection over the broadcast pairing (see
+    ann_pq_topk's docstring for the full plan story)."""
+    import pandas as pd  # noqa: F401 -- Arrow path requirement
+
+    from pyspark.sql import types as T
+
+    encode, lut = _pq_kernels(_pq_codebook(spark, sf_dir))
+    e = load(spark, sf_dir, "embeddings")
+    codes_schema = T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [T.StructField(f"pos{m}", T.IntegerType()) for m in range(PQ_M)]
+    )
+    lut_schema = T.StructType(
+        [T.StructField("q_id", T.LongType())]
+        + [
+            T.StructField(f"lut{m}", T.ArrayType(T.LongType()))
+            for m in range(PQ_M)
+        ]
+    )
+    codes = e.select("vec_id", "embedding").mapInPandas(encode, codes_schema)
+    qlut = (
+        e.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(lut, lut_schema)
+    )
+    score = F.expr(
+        " + ".join(f"element_at(lut{m}, pos{m})" for m in range(PQ_M))
+    )
+    return codes.join(
+        F.broadcast(qlut), F.col("vec_id") != F.col("q_id")
+    ).select("q_id", "vec_id", score.cast("long").alias("score_scaled"))
+
+
 @register(
     "ann_pq_topk",
     oracle=f"""
@@ -1856,44 +1892,104 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum of the cl-ordered anchors == ORDER BY d, cl; top-k prefers
     the lowest vec_id. Scores stay far below 2^53, so the compound
     gate's double slot carries them exactly."""
-    import pandas as pd  # noqa: F401 -- Arrow path requirement
-
-    from pyspark.sql import types as T
-
-    encode, lut = _pq_kernels(_pq_codebook(spark, sf_dir))
-    e = load(spark, sf_dir, "embeddings")
-    codes_schema = T.StructType(
-        [T.StructField("vec_id", T.LongType())]
-        + [T.StructField(f"pos{m}", T.IntegerType()) for m in range(PQ_M)]
-    )
-    lut_schema = T.StructType(
-        [T.StructField("q_id", T.LongType())]
-        + [
-            T.StructField(f"lut{m}", T.ArrayType(T.LongType()))
-            for m in range(PQ_M)
-        ]
-    )
-    codes = e.select("vec_id", "embedding").mapInPandas(encode, codes_schema)
-    qlut = (
-        e.filter(F.col("vec_id") < ANN_N_QUERIES)
-        .select("vec_id", "embedding")
-        .mapInPandas(lut, lut_schema)
-    )
-    score = F.expr(
-        " + ".join(f"element_at(lut{m}, pos{m})" for m in range(PQ_M))
-    )
-    scored = codes.join(
-        F.broadcast(qlut), F.col("vec_id") != F.col("q_id")
-    ).select("q_id", "vec_id", score.cast("long").alias("score_scaled"))
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score_scaled"), F.asc("vec_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        _pq_adc_scored(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= ANN_K)
         .select("q_id", "vec_id", "score_scaled", "rnk")
     )
 
+
+
+PQ_SHORTLIST = 50
+
+
+def _pq_rerank_oracle() -> str:
+    base = REGISTRY["ann_pq_topk"].oracle
+    # reuse everything up to `ranked`, widen the cut to the shortlist,
+    # then re-rank the shortlist by EXACT cosine
+    head = base.split("SELECT q_id, vec_id, score_scaled, rnk FROM ranked")[0]
+    return f"""{head.rstrip()},
+    shortlist AS (
+      SELECT q_id, vec_id FROM ranked WHERE rnk <= {PQ_SHORTLIST}),
+    exact AS (
+      SELECT s.q_id, s.vec_id,
+             round({_duck_dot('q.embedding', 'e.embedding')}
+               / (sqrt({_duck_dot('q.embedding', 'q.embedding')})
+                  * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 3)
+               AS cosine
+      FROM shortlist s
+      JOIN embeddings q ON q.vec_id = s.q_id
+      JOIN embeddings e ON e.vec_id = s.vec_id),
+    reranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rnk
+      FROM exact)
+    SELECT q_id, vec_id, cosine, rnk FROM reranked WHERE rnk <= {ANN_K}
+    """
+
+
+@register("ann_pq_rerank_topk", oracle=_pq_rerank_oracle())
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + EXACT RE-RANK -- the standard two-stage ANN serving stack:
+    the compressed ADC scores cut the corpus to a 50-candidate
+    shortlist per query (cheap, memory-bound, the billion-vector
+    filter), then the shortlist alone is re-scored with exact cosine
+    against the raw vectors and re-ranked. Recall@10 recovers from the
+    lossy codes' 0.30 to a measured 0.60 (tools/ann_recall_probe.py --
+    bounded by the 50-deep ADC shortlist's own recall; deepen the
+    shortlist to trade re-rank cost for recall) while the exact math
+    touches only q x 50 vectors -- the re-rank cost is
+    query-proportional, never corpus-proportional.
+
+    Plan shape: the shortlist window is the same single Exchange as
+    ann_pq_topk; the re-rank joins the 50-row-per-query shortlist to
+    the raw embeddings (broadcast the bounded shortlist, the corpus
+    side prunes by the equi-join) and the final window sees q x 50
+    rows. Oracle reuses the full PQ training/assignment/ADC chain with
+    the exact-cosine tail."""
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.desc("score_scaled"), F.asc("vec_id")
+    )
+    shortlist = (
+        _pq_adc_scored(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    qv = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    exact = (
+        e.select("vec_id", "v")
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qv.join(
+            F.broadcast(shortlist.select("q_id").distinct()), "q_id"
+        )), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                ),
+                3,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )
 
 
 def _hyperplane_signs() -> list[list[float]]:
