@@ -1706,6 +1706,7 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict:
     cent = ex.filter(F.col("vec_id") < PQ_CODES * PQ_TRAIN_MOD).select(
         "m", F.col("vec_id").alias("cl"), "i", F.col("x").alias("cx")
     )
+    cached_cents = []
     for _ in range(PQ_ITERS):
         d = (
             ex.join(F.broadcast(cent), ["m", "i"])
@@ -1731,8 +1732,11 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict:
                 .alias("cx")
             )
         ).cache()  # tiny (M*K*SUB rows); cuts the per-iteration lineage
+        cached_cents.append(cent)
     rows = cent.collect()  # bounded: <= M*K*SUB = 1024 ints
     ex.unpersist()
+    for c in cached_cents:  # r4 ADVICE class: never leave cache entries behind
+        c.unpersist()
     book: dict = {}
     for r in rows:
         book.setdefault(r["m"], {}).setdefault(r["cl"], {})[r["i"]] = r["cx"]
@@ -1955,22 +1959,28 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_adc = Window.partitionBy("q_id").orderBy(
         F.desc("score_scaled"), F.asc("vec_id")
     )
+    # localCheckpoint: the shortlist feeds TWO consumers below — without
+    # the barrier Catalyst inlines the whole corpus ADC subtree into
+    # both broadcasts and the most expensive stage runs twice (the
+    # shared-subtree rule, CLAUDE.md)
     shortlist = (
         _pq_adc_scored(spark, sf_dir)
         .withColumn("rn", F.row_number().over(w_adc))
         .filter(F.col("rn") <= PQ_SHORTLIST)
         .select("q_id", "vec_id")
+        .localCheckpoint(eager=True)
     )
     e = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    qv = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    # the shortlist's q_id universe IS the query set by construction
+    qv = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
     exact = (
         e.select("vec_id", "v")
         .join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(qv.join(
-            F.broadcast(shortlist.select("q_id").distinct()), "q_id"
-        )), "q_id")
+        .join(F.broadcast(qv), "q_id")
         .select(
             "q_id",
             "vec_id",
@@ -2439,6 +2449,9 @@ def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("rn") <= IVF_NPROBE)
             .select("q_id", "cell")
+            # two consumers (the pruning collect + the scored join) —
+            # barrier so the centroid window runs once
+            .localCheckpoint(eager=True)
         )
         probe_cells = [r.cell for r in probes.select("cell").distinct().collect()]
         lists = store.load(spark, where=F.col("cell").isin(probe_cells))
@@ -3549,8 +3562,9 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: doc token counts are a size() projection (NO token
     explode); per-source totals are one partial-agg groupBy on the
     shard key joined back as a BROADCAST (sources are a small dim);
-    the keep decision stays a pure per-row predicate. Two passes over
-    the doc-level projection, zero corpus-sized shuffles."""
+    the keep decision stays a pure per-row predicate. Exactly TWO
+    tokenizing passes over the corpus (the totals aggregation, barrier-
+    pinned, and the per-row keep scan), zero corpus-sized shuffles."""
     n_tok = (
         F.when(
             F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
@@ -3561,10 +3575,18 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = load(spark, sf_dir, "documents").select(
         "doc_id", "source", n_tok.alias("n_tok")
     )
-    total = dt.agg(F.sum("n_tok").cast("long").alias("t"))
-    rate = (
+    # ONE tokenizing corpus scan: per-source totals, localCheckpointed
+    # (the ~|sources|-row frame feeds both the global total and the
+    # rate derivation — without the barrier Catalyst re-inlines the
+    # corpus aggregation into each consumer and the scan runs 3x)
+    per_source = (
         dt.groupBy("source", F.expr(_MIX_BP).cast("long").alias("weight_bp"))
         .agg(F.sum("n_tok").cast("long").alias("tokens_total"))
+        .localCheckpoint(eager=True)
+    )
+    total = per_source.agg(F.sum("tokens_total").cast("long").alias("t"))
+    rate = (
+        per_source
         .crossJoin(F.broadcast(total))
         .select(
             "source",

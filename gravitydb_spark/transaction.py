@@ -135,6 +135,82 @@ class _SnapshotLog:
         be readable as a version)."""
         return self._published()
 
+    def _publish_dir(self, write_fn) -> str:
+        """Shared publish step: lock, allocate a snapshot name, let
+        ``write_fn(target_dir)`` produce the bytes (cleaned up on any
+        error so the number is never burned with partial data), append
+        the name to the log. One implementation for DatasetStore.append
+        and VersionedViewStore.publish."""
+        lock = self._acquire_lock()
+        try:
+            name = self._alloc_name()
+            target = os.path.join(self.path, name)
+            try:
+                write_fn(target)
+            except BaseException:
+                import shutil
+
+                shutil.rmtree(target, ignore_errors=True)
+                raise
+            self._write_log(self._published() + [name])
+            return name
+        finally:
+            os.unlink(lock)
+
+    def _resolve(self, version) -> str:
+        """Resolve a published name or index (negative ok, -1 = newest)
+        to the snapshot name; FileNotFoundError otherwise."""
+        names = self.snapshots()
+        if isinstance(version, int):
+            try:
+                return names[version]
+            except IndexError:
+                raise FileNotFoundError(
+                    f"{self.path}: snapshot index {version} out of range"
+                    f" ({len(names)} published)"
+                )
+        if version not in names:
+            raise FileNotFoundError(f"{self.path}: no snapshot {version!r}")
+        return version
+
+    def _gc_published(self, keep: int, grace: bool) -> list:
+        """Two-phase bounded-history GC over the publication log (the
+        gc_snapshots contract — see TransactionalStore.gc_snapshots for
+        the full reader/GC story): shrink the log now, park names in
+        GC_PENDING, delete the PREVIOUS pass's parked bytes. The newest
+        entry is always retained (keep >= 1 enforced)."""
+        import shutil
+
+        if keep < 1:
+            raise ValueError("keep must be >= 1")
+        lock = self._acquire_lock()
+        try:
+            pending_path = os.path.join(self.path, self.GC_PENDING)
+            if os.path.exists(pending_path):
+                with open(pending_path) as f:
+                    aged = [ln.strip() for ln in f if ln.strip()]
+                for n in aged:
+                    shutil.rmtree(os.path.join(self.path, n), ignore_errors=True)
+                os.unlink(pending_path)
+            names = self.snapshots()
+            current = self._current_name()
+            doomed = [
+                n for n in names[:-keep] if n != current
+            ] if len(names) > keep else []
+            if doomed:
+                self._write_log([n for n in names if n not in doomed])
+                if grace:
+                    tmp = pending_path + ".tmp"
+                    with open(tmp, "w") as f:
+                        f.write("\n".join(doomed) + "\n")
+                    os.replace(tmp, pending_path)
+                else:
+                    for n in doomed:
+                        shutil.rmtree(os.path.join(self.path, n))
+            return doomed
+        finally:
+            os.unlink(lock)
+
 
 class TransactionalStore(_SnapshotLog):
     """Durable shadow-paged store: ``<path>/snap-<n>/`` snapshot dirs +
@@ -155,19 +231,7 @@ class TransactionalStore(_SnapshotLog):
         index into :meth:`snapshots` (negative ok, -1 = newest
         published). Time-travel reads never touch CURRENT — an old
         reader and the newest writer share zero mutable state."""
-        names = self.snapshots()
-        if isinstance(snapshot, int):
-            try:
-                name = names[snapshot]
-            except IndexError:
-                raise FileNotFoundError(
-                    f"{self.path}: snapshot index {snapshot} out of range"
-                    f" ({len(names)} published)"
-                )
-        else:
-            name = snapshot
-            if name not in names:
-                raise FileNotFoundError(f"{self.path}: no snapshot {name!r}")
+        name = self._resolve(snapshot)
         return PropertyGraph.load(spark, os.path.join(self.path, name), schema)
 
     def gc_snapshots(self, keep: int = 5, grace: bool = True) -> list:
@@ -191,42 +255,7 @@ class TransactionalStore(_SnapshotLog):
         limit (no reader registry exists; pick your GC cadence longer
         than your longest time-travel read). ``grace=False`` restores
         immediate deletion for callers that know there are no readers."""
-        import shutil
-
-        if keep < 1:
-            raise ValueError("keep must be >= 1")
-        lock = self._acquire_lock()
-        try:
-            pending_path = os.path.join(self.path, self.GC_PENDING)
-            # phase 2 of the PREVIOUS pass: names de-logged back then
-            # have aged a full GC interval — drop their bytes now
-            if os.path.exists(pending_path):
-                with open(pending_path) as f:
-                    aged = [ln.strip() for ln in f if ln.strip()]
-                for n in aged:
-                    shutil.rmtree(os.path.join(self.path, n), ignore_errors=True)
-                os.unlink(pending_path)
-            names = self.snapshots()
-            current = self._current_name()
-            doomed = [
-                n for n in names[:-keep] if n != current
-            ] if len(names) > keep else []
-            if doomed:
-                # shrink the log FIRST (atomic), then drop the bytes: a
-                # crash in between leaves unreferenced dirs (harmless
-                # orphans), never a log entry pointing at deleted bytes
-                self._write_log([n for n in names if n not in doomed])
-                if grace:
-                    tmp = pending_path + ".tmp"
-                    with open(tmp, "w") as f:
-                        f.write("\n".join(doomed) + "\n")
-                    os.replace(tmp, pending_path)
-                else:
-                    for n in doomed:
-                        shutil.rmtree(os.path.join(self.path, n))
-            return doomed
-        finally:
-            os.unlink(lock)
+        return self._gc_published(keep, grace)
 
     def diff(self, spark, base_snapshot, new_snapshot, schema=None) -> dict:
         """ChangeSet between two published versions (changeset.graph_diff
@@ -290,21 +319,10 @@ class VersionedViewStore(_SnapshotLog):
     _SnapshotLog implementation under all three."""
 
     def publish(self, df) -> str:
-        lock = self._acquire_lock()
-        try:
-            name = self._alloc_name()
-            target = os.path.join(self.path, name)
-            try:
-                df.write.mode("error").parquet(target)
-            except BaseException:
-                import shutil
-
-                shutil.rmtree(target, ignore_errors=True)
-                raise
-            self._write_log(self._published() + [name])
-            return name
-        finally:
-            os.unlink(lock)
+        """Publish one full-state version. Returns its snapshot name."""
+        return self._publish_dir(
+            lambda target: df.write.mode("error").parquet(target)
+        )
 
     def versions(self) -> list:
         return self.snapshots()
@@ -312,34 +330,17 @@ class VersionedViewStore(_SnapshotLog):
     def load_version(self, spark, version):
         """Read one published version by name or index (negative ok,
         -1 = newest)."""
-        names = self.versions()
-        if isinstance(version, int):
-            try:
-                name = names[version]
-            except IndexError:
-                raise FileNotFoundError(
-                    f"{self.path}: version index {version} out of range"
-                    f" ({len(names)} published)"
-                )
-        else:
-            name = version
-            if name not in names:
-                raise FileNotFoundError(f"{self.path}: no version {name!r}")
-        return spark.read.parquet(os.path.join(self.path, name))
+        return spark.read.parquet(
+            os.path.join(self.path, self._resolve(version))
+        )
 
-    def gc_versions(self, keep: int = 5) -> list:
-        """De-publish the oldest versions beyond ``keep`` (two-phase:
-        bytes go on the next writer's turn, same reader grace as the
-        other stores — here de-log only; orphan dirs are invisible)."""
-        lock = self._acquire_lock()
-        try:
-            names = self._published()
-            drop = names[:-keep] if keep > 0 else names
-            if drop:
-                self._write_log(names[len(drop):])
-            return drop
-        finally:
-            os.unlink(lock)
+    def gc_versions(self, keep: int = 5, grace: bool = True) -> list:
+        """De-publish the oldest versions beyond ``keep`` — the shared
+        TWO-PHASE contract (_gc_published): this pass shrinks the log
+        and parks the names; their bytes are deleted on the NEXT pass
+        (reader grace). keep >= 1 enforced; the newest version is
+        always retained."""
+        return self._gc_published(keep, grace)
 
 
 class DatasetStore(_SnapshotLog):
@@ -378,21 +379,7 @@ class DatasetStore(_SnapshotLog):
 
     def append(self, df) -> str:
         """Publish one delta. Returns its snapshot name."""
-        lock = self._acquire_lock()
-        try:
-            name = self._alloc_name()
-            target = os.path.join(self.path, name)
-            try:
-                self._write(df, target)
-            except BaseException:
-                import shutil
-
-                shutil.rmtree(target, ignore_errors=True)
-                raise
-            self._write_log(self._published() + [name])
-            return name
-        finally:
-            os.unlink(lock)
+        return self._publish_dir(lambda target: self._write(df, target))
 
     def _read(self, spark, names):
         # each snapshot dir is read as its own root (partition discovery

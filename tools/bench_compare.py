@@ -29,7 +29,7 @@ def main() -> None:
     t_new = sum(new[k] for k in common)
     print(
         f"common set: {len(common)} queries, "
-        f"{t_old:.1f}s -> {t_new:.1f}s ({t_new / t_old:.2f}x)"
+        f"{t_old:.1f}s -> {t_new:.1f}s ({t_new / max(t_old, 1e-9):.2f}x)"
     )
     for k in sorted(common, key=lambda k: new[k] / max(old[k], 1e-9),
                     reverse=True):
