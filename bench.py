@@ -141,6 +141,8 @@ HEADLINE = [
     "search_hybrid_rrf_ivf",
     "stream_rollup_versions",
     "ann_pq_rerank_topk",
+    "split_train_val_test",
+    "pack_length_buckets",
 ]
 
 

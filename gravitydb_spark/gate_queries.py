@@ -675,6 +675,18 @@ _compound(
             {"doc_id": "doc_id", "source": "source", "r": "pick_rank"},
         ),
         (
+            "tvt_split",
+            "split_train_val_test",
+            # split packed into the source slot; count in the id slot
+            {"source": "source || ':' || split", "doc_id": "n"},
+        ),
+        (
+            "length_buckets",
+            "pack_length_buckets",
+            {"source": "CAST(bucket AS STRING)", "doc_id": "tokens",
+             "r": "n_docs", "r2": "padding_tokens"},
+        ),
+        (
             "token_budget",
             "mix_token_budget",
             # per-source rollup in the generic slots: kept docs + rate

@@ -538,6 +538,131 @@ def sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# train/val/test split in basis points (sums to 10000)
+_SPLIT_BP = {"train": 9000, "val": 500, "test": 500}
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_duck_h32("doc_id::VARCHAR || ':split'")} AS hv
+      FROM documents),
+    labeled AS (
+      SELECT source,
+             CASE
+               WHEN hv < {_H32_SPACE * _SPLIT_BP["train"] // 10000} THEN 'train'
+               WHEN hv < {_H32_SPACE * (_SPLIT_BP["train"] + _SPLIT_BP["val"]) // 10000}
+                 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM h)
+    SELECT source, split, count(*)::BIGINT AS n
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the boundary every training
+    pipeline must draw exactly once and never move: each document's
+    split is a pure function of its id hash (salted with ':split' so
+    this boundary is INDEPENDENT of every sampling decision that uses
+    the unsalted hash), thresholds at 90/5/5 in basis points. Returns
+    per-(source, split) counts — the stratification report that shows
+    each source lands in every split at the global rate (hash
+    uniformity), with no per-source quota logic needed.
+
+    Re-running on any cluster at any parallelism reproduces the same
+    assignment; a document can never migrate between train and test
+    across runs (the leakage failure mode of RNG-based splits). A pure
+    codegen projection + one small groupBy."""
+    hv = _h32(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
+    t_train = _H32_SPACE * _SPLIT_BP["train"] // 10000
+    t_val = _H32_SPACE * (_SPLIT_BP["train"] + _SPLIT_BP["val"]) // 10000
+    split = (
+        F.when(hv < t_train, F.lit("train"))
+        .when(hv < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+_LEN_BUCKET_SEQ = 256  # tokens per packed sequence (pack_sequences' unit)
+
+
+@register(
+    "pack_length_buckets",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len({_DUCK_TOKENS}) END::BIGINT AS n_tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok <= 1 THEN 0
+                  ELSE CAST(ceil(log2(n_tok::DOUBLE)) AS BIGINT) END AS bucket
+      FROM dt)
+    SELECT bucket,
+           (1 << bucket)::BIGINT AS bucket_len,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS tokens,
+           sum((1 << bucket) - n_tok)::BIGINT AS padding_tokens
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats — the padding-efficiency report
+    behind bucketed batch construction: documents are binned into
+    power-of-two token-length buckets (ceil(log2(n_tok))), and each
+    bucket reports how many padding tokens a batch padded to the bucket
+    length wastes. At training scale the padding column IS the wasted
+    FLOPs; bucketing by length is the standard fix to sequence-length
+    variance (the alternative, pack_sequences, concatenates instead —
+    the two ops are the two sides of the same batching decision).
+
+    log2 on integer inputs is exact for the bucket decision: ceil(log2)
+    changes value only at exact powers of two, where the DOUBLE log2 is
+    exact, so both engines bin identically. One tokenizing scan (size()
+    projection, no explode), one tiny groupBy."""
+    n_tok = (
+        F.when(
+            F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+        )
+        .otherwise(F.size(_TOKENS_FN()))
+        .cast("long")
+    )
+    bucket = F.when(F.col("n_tok") <= 1, F.lit(0)).otherwise(
+        F.ceil(F.log2(F.col("n_tok").cast("double"))).cast("long")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(n_tok.alias("n_tok"))
+        .select("n_tok", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+        .withColumn(
+            "bucket_len",
+            F.expr("CAST(shiftleft(1L, CAST(bucket AS INT)) AS BIGINT)"),
+        )
+        # sum(bucket_len - n_tok) == n_docs*bucket_len - sum(n_tok)
+        .withColumn(
+            "padding_tokens",
+            (F.col("bucket_len") * F.col("n_docs") - F.col("tokens")).cast("long"),
+        )
+        .select("bucket", "bucket_len", "n_docs", "tokens", "padding_tokens")
+        .orderBy("bucket")
+    )
+
+
 STRATUM_CAP = 5
 
 
