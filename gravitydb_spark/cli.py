@@ -395,6 +395,26 @@ def cmd_explain(args) -> int:
 
 
 
+def cmd_run_query(args) -> int:
+    """Run any registered query (all SURVEY.md §2 operators + the
+    pipeline/analytics surface, 180+ names — `explain --query list`
+    enumerates them) against --sf-dir and print JSON rows, bounded by
+    --limit. The CLI twin of `__spark_entry__.queries()`: everything
+    the driver gate checks is also runnable from a terminal."""
+    from .registry import queries
+
+    spark = get_spark("gravitydb_cli")
+    qs = queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; try explain --query list",
+              file=sys.stderr)
+        return 1
+    df = qs[args.query](spark, args.sf_dir)
+    for line in df.limit(args.limit).toJSON().collect():
+        print(line)
+    return 0
+
+
 def cmd_corpus_build(args) -> int:
     """Corpus build verb: run the full clean → dedup → decontaminate →
     mix → pack pipeline over --sf-dir and export manifested JSONL shards
@@ -556,6 +576,12 @@ def main(argv=None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--shards", type=int, default=4)
     sp.set_defaults(fn=cmd_corpus_build)
+
+    sp = sub.add_parser("run-query")
+    sp.add_argument("--query", required=True, help="registered query name")
+    sp.add_argument("--sf-dir", dest="sf_dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.set_defaults(fn=cmd_run_query)
 
     sp = sub.add_parser("zorder")
     sp.add_argument("--src", required=True, help="input parquet path")

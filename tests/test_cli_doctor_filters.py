@@ -459,3 +459,26 @@ def test_cli_sql_verb(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     t0 = _json.loads(r2.stdout.strip().splitlines()[-1])["t0"]
     assert isinstance(t0, int) and t0 > 10**18  # epoch-nanos magnitude
+
+
+class TestRunQueryVerb:
+    def test_run_query_prints_json_rows(self, spark, capsys):
+        import json
+
+        from gravitydb_spark.cli import main
+
+        rc = main([
+            "run-query", "--query", "pack_length_buckets",
+            "--sf-dir", "/root/testdata/sf0.001", "--limit", "3",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        rows = [json.loads(ln) for ln in out.strip().splitlines()]
+        assert 0 < len(rows) <= 3
+        assert {"bucket", "bucket_len", "n_docs"} <= set(rows[0])
+
+    def test_run_query_unknown_name_errors(self, spark, capsys):
+        from gravitydb_spark.cli import main
+
+        rc = main(["run-query", "--query", "no_such_query"])
+        assert rc == 1
