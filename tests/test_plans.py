@@ -494,3 +494,16 @@ def test_zonemap_is_projection_plus_single_agg(plans):
     assert "Window" not in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_pq_rerank_post_shortlist_is_bounded(plans):
+    # the ADC shortlist is localCheckpointed (barrier: it feeds two
+    # broadcasts), so the visible plan is the re-rank stage: broadcast
+    # joins of the bounded shortlist against the raw vectors, one
+    # Exchange for the final per-query window — no corpus-sized sort
+    # or cartesian pairing
+    p = plans("ann_pq_rerank_topk")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 1, p[:3000]
