@@ -403,12 +403,14 @@ def cmd_run_query(args) -> int:
     the driver gate checks is also runnable from a terminal."""
     from .registry import queries
 
-    spark = get_spark("gravitydb_cli")
+    # queries() needs no SparkContext (CLAUDE.md invariant) — validate
+    # the name BEFORE paying session startup
     qs = queries()
     if args.query not in qs:
         print(f"unknown query {args.query!r}; try explain --query list",
               file=sys.stderr)
         return 1
+    spark = get_spark("gravitydb_cli")
     df = qs[args.query](spark, args.sf_dir)
     for line in df.limit(args.limit).toJSON().collect():
         print(line)

@@ -592,9 +592,6 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LEN_BUCKET_SEQ = 256  # tokens per packed sequence (pack_sequences' unit)
-
-
 @register(
     "pack_length_buckets",
     oracle=f"""
@@ -1858,10 +1855,14 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict:
             )
         ).cache()  # tiny (M*K*SUB rows); cuts the per-iteration lineage
         cached_cents.append(cent)
-    rows = cent.collect()  # bounded: <= M*K*SUB = 1024 ints
-    ex.unpersist()
-    for c in cached_cents:  # r4 ADVICE class: never leave cache entries behind
-        c.unpersist()
+    try:
+        rows = cent.collect()  # bounded: <= M*K*SUB = 1024 ints
+    finally:
+        # never leave cache entries behind (r4 ADVICE class) — on the
+        # failure path too
+        ex.unpersist()
+        for c in cached_cents:
+            c.unpersist()
     book: dict = {}
     for r in rows:
         book.setdefault(r["m"], {}).setdefault(r["cl"], {})[r["i"]] = r["cx"]
@@ -2034,13 +2035,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PQ_SHORTLIST = 50
+_pq_shortlist_memo: dict = {}
 
 
 def _pq_rerank_oracle() -> str:
     base = REGISTRY["ann_pq_topk"].oracle
     # reuse everything up to `ranked`, widen the cut to the shortlist,
     # then re-rank the shortlist by EXACT cosine
-    head = base.split("SELECT q_id, vec_id, score_scaled, rnk FROM ranked")[0]
+    parts = base.split("SELECT q_id, vec_id, score_scaled, rnk FROM ranked")
+    assert len(parts) == 2, "ann_pq_topk oracle text drifted; fix the splice"
+    head = parts[0]
     return f"""{head.rstrip()},
     shortlist AS (
       SELECT q_id, vec_id FROM ranked WHERE rnk <= {PQ_SHORTLIST}),
@@ -2081,20 +2085,25 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     side prunes by the equi-join) and the final window sees q x 50
     rows. Oracle reuses the full PQ training/assignment/ADC chain with
     the exact-cosine tail."""
-    w_adc = Window.partitionBy("q_id").orderBy(
-        F.desc("score_scaled"), F.asc("vec_id")
-    )
     # localCheckpoint: the shortlist feeds TWO consumers below — without
     # the barrier Catalyst inlines the whole corpus ADC subtree into
-    # both broadcasts and the most expensive stage runs twice (the
-    # shared-subtree rule, CLAUDE.md)
-    shortlist = (
-        _pq_adc_scored(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= PQ_SHORTLIST)
-        .select("q_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    # both broadcasts and the most expensive stage runs twice. MEMOIZED
+    # per (session, sf_dir) like the codebook: the gate compound runs
+    # both PQ variants, and without the memo each paid the corpus ADC
+    # pass again (and plan-only consumers triggered it eagerly).
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _pq_shortlist_memo:
+        w_adc = Window.partitionBy("q_id").orderBy(
+            F.desc("score_scaled"), F.asc("vec_id")
+        )
+        _pq_shortlist_memo[key] = (
+            _pq_adc_scored(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(w_adc))
+            .filter(F.col("rn") <= PQ_SHORTLIST)
+            .select("q_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    shortlist = _pq_shortlist_memo[key]
     e = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )

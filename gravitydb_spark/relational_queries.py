@@ -1607,6 +1607,7 @@ def clear_memo_cache(spark: SparkSession | None = None) -> int:
         pipeline_queries._rep_pair_cache,
         pipeline_queries._stream_index_cache,
         pipeline_queries._pq_book_memo,
+        pipeline_queries._pq_shortlist_memo,
         graph_queries._graph_cache,
     ]
     sk = _session_key(spark) if spark is not None else None
