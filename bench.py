@@ -143,6 +143,7 @@ HEADLINE = [
     "ann_pq_rerank_topk",
     "split_train_val_test",
     "pack_length_buckets",
+    "bpe_train_merges",
 ]
 
 

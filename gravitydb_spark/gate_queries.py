@@ -635,6 +635,11 @@ _compound(
         ("vocab_topk", "corpus_vocab_topk", {"k": "token", "n1": "n", "n2": "rank"}),
         ("bpe_merge", "bpe_pair_merge", {"k": "pair", "n1": "n", "n2": "rank"}),
         (
+            "bpe_train",
+            "bpe_train_merges",
+            {"k": "pair", "n1": "n", "n2": "corpus_tokens"},
+        ),
+        (
             "length_quantiles",
             "corpus_length_quantiles",
             {"k": "stat", "n1": "q_chars", "n2": "q_tokens"},
@@ -652,7 +657,7 @@ _compound(
     ],
     "Gate family for corpus statistics: KMV distinct-count sketch vs exact,"
     " the corpus vocabulary top-k, BPE merge-candidate pair counting"
-    " (the tokenizer-training inner step), integer-rank per-source"
+    " plus the full unrolled merge-training loop, integer-rank per-source"
     " length/token quantiles (quality-threshold tuning), and the"
     " mergeable equi-width histogram quantile sketch (the no-sort scale"
     " path next to the exact quantiles) and the count-min frequency"

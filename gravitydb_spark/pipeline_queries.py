@@ -4482,6 +4482,163 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.withColumn("rank", F.row_number().over(w))
 
 
+N_BPE_MERGES = 3
+
+
+def _duck_bpe_train_ctes() -> str:
+    """Unrolled greedy BPE merge chain: t0 = the piece rows, then per
+    iteration (pair counts -> top pair -> greedy non-overlapping match
+    selection -> rebuilt rows). Mirrors the Spark loop step for step."""
+    parts = [f"""t0 AS (
+      SELECT doc_id, u.i AS pos, ps[u.i] AS tok
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{_BPE_RE}') AS ps
+            FROM documents),
+           unnest(generate_series(1, len(ps))) AS u(i))"""]
+    for k in range(1, N_BPE_MERGES + 1):
+        parts.append(f"""n{k} AS (
+      SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM t{k - 1}),
+    c{k} AS (
+      SELECT tok AS a, nxt AS b, count(*)::BIGINT AS n
+      FROM n{k} WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    p{k} AS (SELECT a, b, n FROM c{k} ORDER BY n DESC, a || '+' || b LIMIT 1),
+    mm{k} AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY doc_id, grp ORDER BY pos) - 1
+                 AS off
+        FROM (
+          SELECT x.doc_id, x.pos,
+                 x.pos - row_number() OVER (PARTITION BY x.doc_id
+                                            ORDER BY x.pos) AS grp
+          FROM n{k} x, p{k}
+          WHERE x.tok = p{k}.a AND x.nxt = p{k}.b) _g) _o
+      WHERE off % 2 = 0),
+    t{k} AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             tok
+      FROM (
+        SELECT x.doc_id, x.pos,
+               CASE WHEN s.pos IS NOT NULL
+                    THEN x.tok || '+' || (SELECT b FROM p{k})
+                    ELSE x.tok END AS tok
+        FROM n{k} x
+        LEFT JOIN mm{k} s ON s.doc_id = x.doc_id AND s.pos = x.pos
+        LEFT JOIN mm{k} d ON d.doc_id = x.doc_id AND d.pos = x.pos - 1
+        WHERE d.pos IS NULL) _r)""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH {_duck_bpe_train_ctes()}
+    {" UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS step, a || '+' || b AS pair, n, "
+        f"(SELECT count(*)::BIGINT FROM t{k}) AS corpus_tokens FROM p{k}"
+        for k in range(1, N_BPE_MERGES + 1)
+    )}
+    ORDER BY step
+    """,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE tokenizer-training loop ({N_BPE_MERGES} unrolled
+    iterations) -- the outer loop bpe_pair_merge is the inner step of:
+    count adjacent-piece pairs, take the top merge (count DESC, pair
+    ASC), apply it greedily left-to-right across every document, and
+    repeat on the rewritten corpus. Returns one row per learned merge
+    (step, pair, its count at merge time, corpus tokens AFTER the
+    rewrite) -- the merge table IS the trained tokenizer artifact.
+
+    The greedy overlap rule is the subtle part: adjacent matches only
+    occur in runs of a repeated token when the merge is (a, a) -- within
+    a run, BPE merges at even offsets (aaa -> [aa, a]). Both engines
+    select matches via run-grouping (grp = pos - row_number over
+    matches) and keep even in-run offsets -- no sequential recurrence
+    needed, so the whole iteration is windows + joins and the DuckDB
+    oracle replays training bit-exactly.
+
+    Scale posture: every window partitions BY DOCUMENT (parallel across
+    the corpus; a document is the natural sequential unit of BPE), the
+    pair count partial-aggregates map-side, and the top pair is a
+    bounded 1-row collect per iteration (the kmeans pattern). State is
+    localCheckpointed per iteration: it feeds two consumers (the count
+    and the rewrite) and the loop would otherwise recompute the whole
+    chain each round."""
+    pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(pieces).alias("p0", "tok"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+        .localCheckpoint(eager=True)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    out_rows = []
+    for step in range(1, N_BPE_MERGES + 1):
+        n = toks.withColumn("nxt", F.lead("tok").over(w_doc))
+        top = (
+            n.filter(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(
+                F.desc("n"), F.asc(F.concat_ws("+", F.col("tok"), F.col("nxt")))
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, cnt = top["tok"], top["nxt"], top["n"]
+        matches = (
+            n.filter((F.col("tok") == a) & (F.col("nxt") == b))
+            .withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
+            .withColumn(
+                "off",
+                F.row_number().over(
+                    Window.partitionBy("doc_id", "grp").orderBy("pos")
+                )
+                - 1,
+            )
+            .filter(F.col("off") % 2 == 0)
+            .select("doc_id", F.col("pos").alias("mpos"))
+        )
+        toks = (
+            n.join(
+                matches.select(
+                    "doc_id", F.col("mpos").alias("pos"),
+                    F.lit(True).alias("is_merge"),
+                ),
+                ["doc_id", "pos"],
+                "left",
+            )
+            .join(
+                matches.select(
+                    "doc_id", (F.col("mpos") + 1).alias("pos"),
+                    F.lit(True).alias("is_drop"),
+                ),
+                ["doc_id", "pos"],
+                "left",
+            )
+            .filter(F.col("is_drop").isNull())
+            .select(
+                "doc_id",
+                "pos",
+                F.when(
+                    F.col("is_merge").isNotNull(),
+                    F.concat_ws("+", F.col("tok"), F.lit(b)),
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .withColumn("pos", F.row_number().over(w_doc))
+            .localCheckpoint(eager=True)
+        )
+        out_rows.append((step, f"{a}+{b}", cnt, toks.count()))
+    return spark.createDataFrame(
+        out_rows, "step long, pair string, n long, corpus_tokens long"
+    )
+
+
 RESIZE_TW = 4  # resize target width (pixels)
 RESIZE_TH = 4  # resize target height
 
