@@ -144,6 +144,8 @@ HEADLINE = [
     "split_train_val_test",
     "pack_length_buckets",
     "bpe_train_merges",
+    "sample_weighted_priority",
+    "lineitem_corr_matrix",
 ]
 
 

@@ -351,6 +351,11 @@ _compound(
             {"k1": "l_returnflag", "k2": "l_linestatus", "n1": "n", "m1": "sum_qty"},
         ),
         (
+            "corr_matrix",
+            "lineitem_corr_matrix",
+            {"k1": "col_a", "k2": "col_b", "n1": "n", "m1": "corr"},
+        ),
+        (
             "dq_audit",
             "data_quality_audit",
             {"k1": "chk", "n1": "n_bad", "n2": "n_checked"},
@@ -678,6 +683,12 @@ _compound(
             "stratified",
             "sample_stratified_by_source",
             {"doc_id": "doc_id", "source": "source", "r": "pick_rank"},
+        ),
+        (
+            "weighted_priority",
+            "sample_weighted_priority",
+            {"doc_id": "doc_id", "source": "source", "r": "rank",
+             "r2": "weight_bp"},
         ),
         (
             "tvt_split",

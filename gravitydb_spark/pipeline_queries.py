@@ -3649,6 +3649,61 @@ def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WSAMPLE_K = 30
+
+
+def _h32_sql_wsample(idcol: str) -> str:
+    """The _h32 hash as a SQL string, salted for weighted sampling."""
+    return (
+        f"CAST(conv(substring(md5(CAST({idcol} AS STRING) || ':wsample'),"
+        f" 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, {_MIX_BP} AS weight_bp,
+             ({_duck_h32("doc_id::VARCHAR || ':wsample'")} * 10000)
+               // ({_MIX_BP}) AS priority
+      FROM documents)
+    SELECT doc_id, source, weight_bp::BIGINT AS weight_bp, priority,
+           row_number() OVER (ORDER BY priority, doc_id) AS rank
+    FROM keyed
+    ORDER BY priority, doc_id LIMIT {_WSAMPLE_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by priority keys (the
+    A-ES/priority-sampling family, integer form): each document draws
+    priority = hash/weight (scaled to integer basis points — the
+    division preserves the hash/weight ORDER, which is all priority
+    sampling uses), and the global top-{k} smallest priorities are the
+    sample. Higher-weight sources win proportionally more slots;
+    re-running reproduces the same sample on any cluster (the hash is
+    salted ':wsample' so it is independent of the split/mix hashes).
+
+    Scale posture: the key is a pure codegen projection; the cut is
+    orderBy+limit — TakeOrderedAndProject (map-side partial top-k,
+    never a global sort); rank assignment windows the {k} survivors
+    only."""
+    pr = F.expr(
+        f"({_h32_sql_wsample('doc_id')} * 10000) DIV ({_MIX_BP})"
+    )
+    keyed = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(_MIX_BP).cast("long").alias("weight_bp"),
+        pr.alias("priority"),
+    )
+    top = keyed.orderBy("priority", "doc_id").limit(_WSAMPLE_K)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy("priority", "doc_id")),
+    )
+
+
 _MIX_BUDGET_DIV = 4  # token budget = corpus_tokens / 4
 
 

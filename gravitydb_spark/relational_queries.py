@@ -2598,3 +2598,114 @@ def layout_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Profiling: exact-arithmetic correlation matrix (lineitem numerics)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_SCALE = 10_000  # column scaling cancels in the correlation
+
+
+def _corr_matrix_oracle() -> str:
+    sums = ["count(*)::BIGINT AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"sum(x_{c})::DECIMAL(38,0) AS s_{c}")
+        sums.append(f"sum(x_{c} * x_{c})::DECIMAL(38,0) AS ss_{c}")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        sums.append(f"sum(x_{a} * x_{b})::DECIMAL(38,0) AS sp_{a}_{b}")
+    scaled = ", ".join(
+        f"CAST(round({c} * {_CORR_SCALE}) AS BIGINT) AS x_{c}"
+        for c in _CORR_COLS
+    )
+    arms = []
+    for a, b in pairs:
+        num = f"(n::DOUBLE * sp_{a}_{b}::DOUBLE - s_{a}::DOUBLE * s_{b}::DOUBLE)"
+        da = f"(n::DOUBLE * ss_{a}::DOUBLE - s_{a}::DOUBLE * s_{a}::DOUBLE)"
+        db = f"(n::DOUBLE * ss_{b}::DOUBLE - s_{b}::DOUBLE * s_{b}::DOUBLE)"
+        arms.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+            f"round({num} / sqrt({da} * {db}), 4) AS corr FROM agg"
+        )
+    return (
+        f"WITH sc AS (SELECT {scaled} FROM lineitem),\n"
+        f"    agg AS (SELECT {', '.join(sums)} FROM sc)\n    "
+        + "\n    UNION ALL ".join(arms)
+        + "\n    ORDER BY col_a, col_b"
+    )
+
+
+@register("lineitem_corr_matrix", oracle=_corr_matrix_oracle())
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem numeric columns —
+    the profiling step a BI/feature pipeline runs before modeling. The
+    moments are EXACT integer sums (columns scaled to ints — scaling
+    cancels in the correlation — products summed as DECIMAL(38,0), so
+    no float summation order exists); the final ratio is one fixed
+    double expression per pair, rounded to 4dp, identical on both
+    engines. ONE corpus scan computes all 15 moment aggregates
+    map-side; the 6 output rows derive from the single 1-row aggregate
+    (a broadcast-sized stack, no second scan)."""
+    sc = load(spark, sf_dir, "lineitem").select(
+        *[
+            F.expr(f"CAST(round({c} * {_CORR_SCALE}) AS BIGINT)").alias(f"x_{c}")
+            for c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(
+            F.sum(F.col(f"x_{c}").cast("decimal(38,0)")).alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum(
+                (F.col(f"x_{c}") * F.col(f"x_{c}")).cast("decimal(38,0)")
+            ).alias(f"ss_{c}")
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(
+                (F.col(f"x_{a}") * F.col(f"x_{b}")).cast("decimal(38,0)")
+            ).alias(f"sp_{a}_{b}")
+        )
+    # localCheckpoint: the 1-row aggregate feeds 6 union arms — without
+    # the barrier Catalyst inlines the corpus aggregation into each arm
+    # (6 scans; the shared-subtree rule)
+    agg = sc.agg(*aggs).localCheckpoint(eager=True)
+    arms = []
+    for a, b in pairs:
+        num = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        da = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        )
+        db = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        arms.append(
+            agg.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n"),
+                F.expr(f"round({num} / sqrt({da} * {db}), 4)").alias("corr"),
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out.orderBy("col_a", "col_b")
