@@ -146,6 +146,7 @@ HEADLINE = [
     "bpe_train_merges",
     "sample_weighted_priority",
     "lineitem_corr_matrix",
+    "events_outliers_mad",
 ]
 
 

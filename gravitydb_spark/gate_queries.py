@@ -973,6 +973,11 @@ _compound(
             {"k": "event_type", "n1": "hour_of_day", "n2": "max_events", "v": "avg_events"},
         ),
         (
+            "outliers_mad",
+            "events_outliers_mad",
+            {"k": "event_type", "n1": "n", "n2": "n_outliers", "v": "mad"},
+        ),
+        (
             "cohort_retention",
             "events_cohort_retention",
             {"n1": "cohort_day", "n2": "day_offset", "n3": "active_users"},

@@ -2709,3 +2709,76 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for arm in arms[1:]:
         out = out.unionByName(arm)
     return out.orderBy("col_a", "col_b")
+
+
+_MAD_K = 3.0  # flag beyond 3 robust standard deviations
+_MAD_CONSISTENCY = 1.4826  # MAD -> sigma under normality
+
+
+@register(
+    "events_outliers_mad",
+    oracle=f"""
+    WITH ev AS (SELECT event_type, value FROM events),
+    med AS (
+      SELECT event_type, median(value)::DOUBLE AS med
+      FROM ev GROUP BY 1),
+    dev AS (
+      SELECT ev.event_type, ev.value, med.med,
+             abs(ev.value - med.med) AS d
+      FROM ev JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, median(d)::DOUBLE AS mad
+      FROM dev GROUP BY 1)
+    SELECT dev.event_type,
+           count(*)::BIGINT AS n,
+           round(any_value(dev.med), 4) AS med,
+           round(any_value(mad.mad), 4) AS mad,
+           sum(CASE WHEN dev.d > {_MAD_K} * {_MAD_CONSISTENCY} * mad.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection by median absolute deviation — the
+    companion to events_anomaly_zscore that a heavy-tailed value
+    distribution needs (mean/stddev are themselves dragged by the
+    outliers; median/MAD are 50%-breakdown robust). Flags values whose
+    absolute deviation exceeds 3 robust sigmas (MAD x 1.4826, the
+    normal-consistency constant) and reports per-type counts.
+
+    Parity: both engines compute the SAME linear-interpolation median
+    (percentile == quantile_cont/median — the agg_quantiles precedent),
+    so med/mad are bit-identical and the flag comparisons agree
+    everywhere; displayed stats round to 4dp, flags compare unrounded.
+
+    Plan: two grouped medians (per-type sorts — exact by design; the
+    approx_percentile swap is the documented scale knob) and one
+    counting pass, each joined back via a BROADCAST of the small
+    per-type stats dim."""
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("d") > _MAD_K * _MAD_CONSISTENCY * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
