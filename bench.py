@@ -147,6 +147,7 @@ HEADLINE = [
     "sample_weighted_priority",
     "lineitem_corr_matrix",
     "events_outliers_mad",
+    "g_degrees_retractions",
 ]
 
 

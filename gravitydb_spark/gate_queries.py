@@ -1186,6 +1186,11 @@ _compound(
             {"k": "id", "n1": "out_degree", "n2": "in_degree"},
         ),
         (
+            "degrees_retractions",
+            "g_degrees_retractions",
+            {"k": "id", "n1": "out_degree", "n2": "in_degree"},
+        ),
+        (
             "cc_maintained",
             "g_cc_maintained",
             # composite identity packed into the one string slot

@@ -713,6 +713,127 @@ def g_degrees_maintained(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "g_degrees_retractions",
+    oracle="""
+    SELECT 'c' || c_custkey AS id, 1::BIGINT AS out_degree,
+           0::BIGINT AS in_degree
+    FROM customer
+    UNION ALL
+    SELECT 'n' || n_nationkey, 1::BIGINT,
+           (SELECT count(*) FROM customer
+            WHERE c_nationkey = n_nationkey)::BIGINT
+    FROM nation
+    UNION ALL
+    SELECT 'r' || r_regionkey, 0::BIGINT,
+           (SELECT count(*) FROM nation
+            WHERE n_regionkey = r_regionkey)::BIGINT
+    FROM region
+    """,
+)
+def g_degrees_retractions(spark, sf_dir):
+    """GRAPH-side IVM WITH DELETES — the changefeed analog of
+    stream_rollup_retractions: three insert micro-batches land the edge
+    set, then a retraction batch deletes every supplier-outgoing edge
+    (op = -1 — a bulk entity offboarding). Each foreachBatch appends
+    SIGNED degree deltas; compaction nets them by vertex, and vertices
+    whose degrees fully net to zero VANISH from the view — exactly as
+    the batch recompute over surviving edges has no supplier rows.
+    Degrees are additive integers (a group — inverses exist), so this
+    is the same no-rebuild deletion story as the relational rollup;
+    COVERAGE.md documents the non-invertible boundary.
+
+    Oracle = per-vertex degrees of the surviving graph (customer→nation
+    and nation→region edges only), derived relationally."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .transaction import DatasetStore
+
+    g = tpch_graph(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="gravityspark_gdr_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        edges = g.edges.select("edge_id", "src", "dst")
+        batches = [
+            edges.filter(
+                F.pmod(F.xxhash64(F.col("edge_id")), F.lit(3)) == b
+            ).withColumn("op", F.lit(1).cast("int"))
+            for b in range(3)
+        ] + [
+            edges.filter(F.col("src").startswith("s")).withColumn(
+                "op", F.lit(-1).cast("int")
+            )
+        ]
+        for b, bdf in enumerate(batches):
+            tmp = os.path.join(work, f"tmp{b}")
+            bdf.coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+        staged_schema = batches[0].schema
+
+        store = DatasetStore(os.path.join(work, "deg"))
+
+        def fold(df):
+            return df.groupBy("id").agg(
+                F.sum("dout").cast("long").alias("dout"),
+                F.sum("din").cast("long").alias("din"),
+            )
+
+        def handle(batch_df, _bid) -> None:
+            ends = batch_df.select(
+                F.col("src").alias("id"),
+                F.col("op").cast("long").alias("dout"),
+                F.lit(0).cast("long").alias("din"),
+            ).unionByName(
+                batch_df.select(
+                    F.col("dst").alias("id"),
+                    F.lit(0).cast("long").alias("dout"),
+                    F.col("op").cast("long").alias("din"),
+                )
+            )
+            store.append(fold(ends))
+            store.compact(spark, min_deltas=2, transform=fold)
+
+        stream = (
+            spark.readStream.schema(staged_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        view = (
+            fold(store.load(spark))
+            # fully-netted vertices vanish (the deletion semantics)
+            .filter((F.col("dout") != 0) | (F.col("din") != 0))
+            .select(
+                "id",
+                F.col("dout").alias("out_degree"),
+                F.col("din").alias("in_degree"),
+            )
+        )
+        return view.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _CC_MERGE_BUCKETS = 8
 
 
