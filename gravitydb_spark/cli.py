@@ -444,15 +444,23 @@ def cmd_zorder(args) -> int:
     a JSON summary with per-file span statistics before/after."""
     from .operators.layout import write_zordered
 
+    names = [c.strip() for c in args.cols.split(",")]
+    if len(names) != 2 or not all(names):
+        print(
+            "error: --cols must name exactly two comma-separated columns, "
+            f"e.g. --cols x,y (got {args.cols!r})",
+            file=sys.stderr,
+        )
+        return 1
     spark = get_spark("gravitydb_cli")
-    xcol, ycol = args.cols.split(",", 1)
+    xcol, ycol = names
     df = spark.read.parquet(args.src)
-    write_zordered(df, args.out, xcol.strip(), ycol.strip(),
+    write_zordered(df, args.out, xcol, ycol,
                    n_files=args.files)
     out_df = spark.read.parquet(args.out)
     summary = {
         "rows": out_df.count(),
-        "cols": [xcol.strip(), ycol.strip()],
+        "cols": [xcol, ycol],
         "files": args.files,
         "out": args.out,
     }

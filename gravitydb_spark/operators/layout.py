@@ -89,6 +89,11 @@ def write_zordered(
         F.min(ycol).alias("ymn"),
         F.max(ycol).alias("ymx"),
     ).collect()[0]
+    if any(v is None for v in (b.xmn, b.xmx, b.ymn, b.ymx)):
+        raise ValueError(
+            f"write_zordered: input has no rows with non-null ({xcol}, {ycol}) "
+            "— z-order bounds are undefined on an empty dataset"
+        )
     z = zvalue_sql(
         norm_sql(xcol, b.xmn, b.xmx, bits), norm_sql(ycol, b.ymn, b.ymx, bits), bits
     )

@@ -4557,7 +4557,7 @@ def _duck_bpe_train_ctes() -> str:
     c{k} AS (
       SELECT tok AS a, nxt AS b, count(*)::BIGINT AS n
       FROM n{k} WHERE nxt IS NOT NULL GROUP BY 1, 2),
-    p{k} AS (SELECT a, b, n FROM c{k} ORDER BY n DESC, a || '+' || b LIMIT 1),
+    p{k} AS (SELECT a, b, n FROM c{k} ORDER BY n DESC, a, b LIMIT 1),
     mm{k} AS (
       SELECT doc_id, pos FROM (
         SELECT doc_id, pos,
@@ -4637,9 +4637,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.filter(F.col("nxt").isNotNull())
             .groupBy("tok", "nxt")
             .agg(F.count("*").cast("long").alias("n"))
-            .orderBy(
-                F.desc("n"), F.asc(F.concat_ws("+", F.col("tok"), F.col("nxt")))
-            )
+            .orderBy(F.desc("n"), F.asc("tok"), F.asc("nxt"))
             .limit(1)
             .collect()[0]
         )
