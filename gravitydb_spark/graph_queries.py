@@ -651,7 +651,7 @@ def g_degrees_maintained(spark, sf_dir):
                 F.sum("n").cast("long").alias("n")
             )
 
-        def on_edges(batch_df, _bid) -> None:
+        def on_edges(batch_df, bid) -> None:
             ends = batch_df.select(
                 F.col("src").alias("id"),
                 F.lit(1).cast("long").alias("dout"),
@@ -663,16 +663,21 @@ def g_degrees_maintained(spark, sf_dir):
                     F.lit(1).cast("long").alias("din"),
                 )
             )
-            deg_store.append(fold_deg(ends))
+            # append_once: degree deltas are additive sums, so an
+            # at-least-once foreachBatch replay would double-count them
+            # without the bid high-water-mark guard (r6 VERDICT #1)
+            if deg_store.append_once(fold_deg(ends), bid) is None:
+                return
             deg_store.compact(spark, min_deltas=2, transform=fold_deg)
 
-        def on_vertices(batch_df, _bid) -> None:
+        def on_vertices(batch_df, bid) -> None:
             part = (
                 batch_df.join(F.broadcast(props), "prop_hash")
                 .groupBy("schema_type")
                 .agg(F.count("*").cast("long").alias("n"))
             )
-            type_store.append(part)
+            if type_store.append_once(part, bid) is None:
+                return
             type_store.compact(spark, min_deltas=2, transform=fold_types)
 
         for feed, handler, tag in (
@@ -786,7 +791,7 @@ def g_degrees_retractions(spark, sf_dir):
                 F.sum("din").cast("long").alias("din"),
             )
 
-        def handle(batch_df, _bid) -> None:
+        def handle(batch_df, bid) -> None:
             ends = batch_df.select(
                 F.col("src").alias("id"),
                 F.col("op").cast("long").alias("dout"),
@@ -798,7 +803,10 @@ def g_degrees_retractions(spark, sf_dir):
                     F.col("op").cast("long").alias("din"),
                 )
             )
-            store.append(fold(ends))
+            # signed additive deltas — replay guard (r6 VERDICT #1): a
+            # replayed retraction batch must not subtract twice
+            if store.append_once(fold(ends), bid) is None:
+                return
             store.compact(spark, min_deltas=2, transform=fold)
 
         stream = (

@@ -5846,7 +5846,7 @@ def stream_rollup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("v_cents").cast("long").alias("v_cents"),
             )
 
-        def handle(batch_df, _batch_id) -> None:
+        def handle(batch_df, batch_id) -> None:
             part = (
                 normalize_events_ts(batch_df)
                 .groupBy(
@@ -5859,7 +5859,12 @@ def stream_rollup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("v_cents"),
                 )
             )
-            store.append(part)
+            # append_once: foreachBatch is at-least-once, and sum
+            # partials are NOT inert under duplication — a replayed
+            # append would double-count after the key-fold (r6 VERDICT
+            # #1). The bid high-water mark makes the replay a no-op.
+            if store.append_once(part, batch_id) is None:
+                return  # replayed batch — delta already committed
             store.compact(spark, min_deltas=2, transform=merge)
 
         stream = (
@@ -5954,7 +5959,7 @@ def stream_rollup_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("v_cents").cast("long").alias("v_cents"),
             )
 
-        def handle(batch_df, _batch_id) -> None:
+        def handle(batch_df, batch_id) -> None:
             part = (
                 normalize_events_ts(batch_df)
                 .groupBy(
@@ -5967,9 +5972,15 @@ def stream_rollup_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("v_cents"),
                 )
             )
-            store.append(part)
-            store.compact(spark, min_deltas=2, transform=merge)
-            versions.publish(merge(store.load(spark)))
+            # replay-idempotent upkeep (r6 VERDICT #1): the delta append
+            # and the version publication each gate on their OWN bid
+            # high-water mark — a crash between them replays into
+            # "skip the delta, still publish the pending version", so
+            # neither a double-counted sum nor a duplicate version
+            # (which would shift load_version indexes) can occur.
+            if store.append_once(part, batch_id) is not None:
+                store.compact(spark, min_deltas=2, transform=merge)
+            versions.publish_once(merge(store.load(spark)), batch_id)
 
         stream = (
             spark.readStream.schema(static.schema)
@@ -6070,7 +6081,7 @@ def stream_rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("v_cents").cast("long").alias("v_cents"),
             )
 
-        def handle(batch_df, _batch_id) -> None:
+        def handle(batch_df, batch_id) -> None:
             part = (
                 normalize_events_ts(batch_df)
                 .groupBy(
@@ -6085,7 +6096,11 @@ def stream_rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("v_cents"),
                 )
             )
-            store.append(part)
+            # signed deltas are additive too — same replay guard as the
+            # insert-only rollup (a replayed retraction batch must not
+            # subtract twice)
+            if store.append_once(part, batch_id) is None:
+                return
             store.compact(spark, min_deltas=2, transform=merge)
 
         stream = (

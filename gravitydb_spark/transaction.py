@@ -105,21 +105,44 @@ class _SnapshotLog:
     # pointer can never disagree, and a crashed commit's orphan snap dir
     # (written but never swapped in) is invisible to time travel by
     # construction: it was never appended to the log.
-    def _published(self) -> list:
+    #
+    # Leading ``#key=value`` lines are LOG METADATA, carried through
+    # every atomic replace (compaction, GC) unless a writer explicitly
+    # updates them. The one metadata key today is ``bid_hwm`` — the
+    # applied-batch high-water mark behind :meth:`DatasetStore.
+    # append_once` / :meth:`VersionedViewStore.publish_once`: because it
+    # rides in the SAME file as the name list, "this delta is published"
+    # and "this batch id was applied" commit in one os.replace — there
+    # is no window where a crash separates them.
+    def _log_lines(self) -> list:
         try:
             with open(os.path.join(self.path, self.CURRENT), encoding="utf-8") as f:
                 return [ln.strip() for ln in f if ln.strip()]
         except FileNotFoundError:
             return []
 
+    def _published(self) -> list:
+        return [ln for ln in self._log_lines() if not ln.startswith("#")]
+
+    def _meta(self) -> dict:
+        out = {}
+        for ln in self._log_lines():
+            if ln.startswith("#") and "=" in ln:
+                k, v = ln[1:].split("=", 1)
+                out[k] = v
+        return out
+
     def _current_name(self) -> Optional[str]:
         names = self._published()
         return names[-1] if names else None
 
-    def _write_log(self, names: list) -> None:
+    def _write_log(self, names: list, meta: Optional[dict] = None) -> None:
+        if meta is None:  # every rewrite preserves metadata by default
+            meta = self._meta()
+        lines = [f"#{k}={v}" for k, v in sorted(meta.items())] + list(names)
         tmp = os.path.join(self.path, self.CURRENT + ".tmp")
         with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(names) + "\n")
+            f.write("\n".join(lines) + "\n")
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.path, self.CURRENT))
@@ -135,14 +158,30 @@ class _SnapshotLog:
         be readable as a version)."""
         return self._published()
 
-    def _publish_dir(self, write_fn) -> str:
+    def _publish_dir(self, write_fn, bid: Optional[int] = None) -> Optional[str]:
         """Shared publish step: lock, allocate a snapshot name, let
         ``write_fn(target_dir)`` produce the bytes (cleaned up on any
         error so the number is never burned with partial data), append
         the name to the log. One implementation for DatasetStore.append
-        and VersionedViewStore.publish."""
+        and VersionedViewStore.publish.
+
+        ``bid`` makes the publish IDEMPOTENT under at-least-once replay
+        (Structured Streaming foreachBatch): batch ids are monotone per
+        query, so a bid at or below the store's applied high-water mark
+        means this exact publish already committed — skip it (return
+        None). Otherwise the delta name and the advanced ``bid_hwm``
+        land in ONE atomic log replace: a crash before it leaves an
+        invisible orphan dir (replay re-publishes cleanly), a crash
+        after it (before the stream checkpoint commits) makes the replay
+        a no-op — additive deltas can never be double-counted."""
         lock = self._acquire_lock()
         try:
+            meta = self._meta()
+            if bid is not None:
+                bid = int(bid)
+                if bid <= int(meta.get("bid_hwm", -1)):
+                    return None  # already applied — at-least-once replay
+                meta["bid_hwm"] = str(bid)
             name = self._alloc_name()
             target = os.path.join(self.path, name)
             try:
@@ -152,7 +191,7 @@ class _SnapshotLog:
 
                 shutil.rmtree(target, ignore_errors=True)
                 raise
-            self._write_log(self._published() + [name])
+            self._write_log(self._published() + [name], meta)
             return name
         finally:
             os.unlink(lock)
@@ -324,6 +363,17 @@ class VersionedViewStore(_SnapshotLog):
             lambda target: df.write.mode("error").parquet(target)
         )
 
+    def publish_once(self, df, bid) -> Optional[str]:
+        """Replay-idempotent :meth:`publish` for at-least-once
+        maintenance loops (foreachBatch): publish this version only if
+        ``bid`` is above the store's applied high-water mark, so a
+        replayed batch can neither publish a DUPLICATE version (which
+        would shift every ``load_version`` index after it) nor skip one.
+        Returns None when the replay is recognized and skipped."""
+        return self._publish_dir(
+            lambda target: df.write.mode("error").parquet(target), bid=bid
+        )
+
     def versions(self) -> list:
         return self.snapshots()
 
@@ -380,6 +430,20 @@ class DatasetStore(_SnapshotLog):
     def append(self, df) -> str:
         """Publish one delta. Returns its snapshot name."""
         return self._publish_dir(lambda target: self._write(df, target))
+
+    def append_once(self, df, bid) -> Optional[str]:
+        """Replay-idempotent :meth:`append` for ADDITIVE deltas under
+        at-least-once delivery (foreachBatch): membership-style deltas
+        are inert under duplication, but sum/count partials are NOT — a
+        replayed append after a crash between the append and the stream
+        checkpoint commit would be double-counted by the key-folding
+        compaction. ``bid`` (the monotone foreachBatch batch id; one
+        writer stream per store) gates the publish on the log's applied
+        high-water mark, which advances in the SAME atomic log replace
+        that publishes the delta — and, because the mark lives in the
+        log, it survives compaction folding the delta away. Returns
+        None when the replay is recognized and skipped."""
+        return self._publish_dir(lambda target: self._write(df, target), bid=bid)
 
     def _read(self, spark, names):
         # each snapshot dir is read as its own root (partition discovery

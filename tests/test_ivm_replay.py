@@ -1,0 +1,163 @@
+"""Replay idempotency of the ADDITIVE IVM stores (r6 VERDICT #1).
+
+foreachBatch is at-least-once: a crash between a store publish and the
+stream checkpoint commit re-delivers the same batch. Membership-style
+deltas are inert under duplication; SUM/COUNT partials are not — a
+re-appended partial would be double-counted by the key-folding
+compaction, and a re-published version would shift load_version
+indexes. The guard is the ``bid_hwm`` log-metadata high-water mark
+behind DatasetStore.append_once / VersionedViewStore.publish_once:
+the delta name and the advanced mark commit in ONE atomic log replace,
+and the mark survives compaction folding the delta away.
+
+These tests mirror test_upkeep_batch_replay_is_idempotent for the five
+additive stores' handler shapes (rollup maintained / versions /
+retractions, graph degrees maintained / retractions).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gravitydb_spark.transaction import DatasetStore, VersionedViewStore
+
+
+def _fold(df):
+    return df.groupBy("k").agg(F.sum("n").cast("long").alias("n"))
+
+
+def _view(spark, store):
+    return {
+        r["k"]: r["n"] for r in _fold(store.load(spark)).collect()
+    }
+
+
+def test_append_once_skips_replayed_bid(spark, tmp_path):
+    store = DatasetStore(str(tmp_path / "s"))
+    d0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long")
+    assert store.append_once(d0, 0) is not None
+    # replay of the SAME batch: recognized, delta not re-published
+    assert store.append_once(d0, 0) is None
+    assert len(store.snapshots()) == 1
+    assert _view(spark, store) == {"a": 1, "b": 2}
+
+
+def test_hwm_survives_compaction(spark, tmp_path):
+    """The crash window that makes a per-delta tag insufficient: the
+    handler appends bid 1, compaction folds the delta away, THEN the
+    crash happens (before the checkpoint commit). The replay of bid 1
+    must still be recognized — the mark lives in the log, not in the
+    folded-away delta rows."""
+    store = DatasetStore(str(tmp_path / "s"))
+    store.append_once(spark.createDataFrame([("a", 1)], "k string, n long"), 0)
+    store.append_once(spark.createDataFrame([("a", 5)], "k string, n long"), 1)
+    assert store.compact(spark, min_deltas=2, transform=_fold)
+    assert len(store.snapshots()) == 1  # deltas folded into one snapshot
+    # replay of bid 1 after its delta no longer exists as a delta
+    assert (
+        store.append_once(
+            spark.createDataFrame([("a", 5)], "k string, n long"), 1
+        )
+        is None
+    )
+    assert _view(spark, store) == {"a": 6}
+    # the next REAL batch still lands
+    assert store.append_once(
+        spark.createDataFrame([("a", 10)], "k string, n long"), 2
+    ) is not None
+    assert _view(spark, store) == {"a": 16}
+
+
+def test_signed_retraction_replay_does_not_double_subtract(spark, tmp_path):
+    """The retraction-shaped handler: op=-1 partials net inserts away.
+    A replayed retraction batch must not subtract twice (which would
+    drive a fully-netted key NEGATIVE instead of zero)."""
+    store = DatasetStore(str(tmp_path / "s"))
+
+    def handle(batch_rows, bid):
+        part = _fold(spark.createDataFrame(batch_rows, "k string, n long"))
+        if store.append_once(part, bid) is None:
+            return
+        store.compact(spark, min_deltas=2, transform=_fold)
+
+    handle([("a", 1), ("b", 1)], 0)
+    handle([("a", -1)], 1)  # retraction nets a away
+    handle([("a", -1)], 1)  # at-least-once replay of the retraction
+    assert _view(spark, store) == {"a": 0, "b": 1}
+
+
+def test_publish_once_no_duplicate_version(spark, tmp_path):
+    vs = VersionedViewStore(str(tmp_path / "v"))
+    v0 = spark.createDataFrame([("a", 1)], "k string, n long")
+    v1 = spark.createDataFrame([("a", 3)], "k string, n long")
+    assert vs.publish_once(v0, 0) is not None
+    assert vs.publish_once(v0, 0) is None  # replay: no duplicate version
+    assert vs.publish_once(v1, 1) is not None
+    assert len(vs.versions()) == 2
+    # index-addressed time travel is stable under the replay
+    assert vs.load_version(spark, 0).collect()[0]["n"] == 1
+    assert vs.load_version(spark, -1).collect()[0]["n"] == 3
+
+
+def test_versions_crash_between_append_and_publish(spark, tmp_path):
+    """stream_rollup_versions' two-store handler: delta store and
+    version store gate on their OWN marks, so a crash after the delta
+    append but before the version publish replays into 'skip the
+    delta, still publish the pending version'."""
+    store = DatasetStore(str(tmp_path / "d"))
+    vs = VersionedViewStore(str(tmp_path / "v"))
+
+    def handle(batch_rows, bid, crash_before_publish=False):
+        part = _fold(spark.createDataFrame(batch_rows, "k string, n long"))
+        if store.append_once(part, bid) is not None:
+            store.compact(spark, min_deltas=2, transform=_fold)
+        if crash_before_publish:
+            return  # simulated crash window
+        vs.publish_once(_fold(store.load(spark)), bid)
+
+    handle([("a", 1)], 0)
+    handle([("a", 2)], 1, crash_before_publish=True)  # crashed run
+    handle([("a", 2)], 1)  # the replay
+    assert _view(spark, store) == {"a": 3}  # delta applied exactly once
+    assert len(vs.versions()) == 2  # exactly one version per batch
+    assert vs.load_version(spark, 0).collect()[0]["n"] == 1
+    assert vs.load_version(spark, 1).collect()[0]["n"] == 3
+
+
+def test_meta_roundtrip_and_gc_preserves_hwm(spark, tmp_path):
+    """Log metadata rides through every atomic replace: compaction
+    (tested above), GC, and plain appends must all preserve bid_hwm."""
+    store = DatasetStore(str(tmp_path / "s"))
+    for b in range(4):
+        store.append_once(
+            spark.createDataFrame([("a", 1)], "k string, n long"), b
+        )
+    store.append(spark.createDataFrame([("z", 0)], "k string, n long"))
+    store._gc_published(keep=2, grace=True)
+    assert store._meta()["bid_hwm"] == "3"
+    assert store.append_once(
+        spark.createDataFrame([("a", 1)], "k string, n long"), 3
+    ) is None
+
+
+def test_bid_rejects_only_at_or_below_hwm(spark, tmp_path):
+    store = DatasetStore(str(tmp_path / "s"))
+    d = spark.createDataFrame([("a", 1)], "k string, n long")
+    assert store.append_once(d, 5) is not None
+    assert store.append_once(d, 4) is None  # below the mark
+    assert store.append_once(d, 5) is None  # at the mark
+    assert store.append_once(d, 6) is not None
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_plain_append_unaffected(spark, tmp_path, partitioned):
+    """append() without a bid keeps its unconditional semantics (the
+    membership-style stores rely on duplication being inert, not on
+    the mark), and partitioned stores accept append_once too."""
+    cols = ("k",) if partitioned else ()
+    store = DatasetStore(str(tmp_path / "s"), partition_cols=cols)
+    d = spark.createDataFrame([("a", 1)], "k string, n long")
+    store.append(d)
+    store.append(d)  # duplicate delta allowed: caller owns semantics
+    assert len(store.snapshots()) == 2
+    assert store.append_once(d, 0) is not None
+    assert store.append_once(d, 0) is None
