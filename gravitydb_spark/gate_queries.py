@@ -1197,6 +1197,11 @@ _compound(
             {"k": "id || '>' || component"},
         ),
         (
+            "cc_retractions",
+            "g_cc_retractions",
+            {"k": "id || '>' || component"},
+        ),
+        (
             "ann_index_maintained",
             "stream_ann_index_upkeep",
             {"n1": "q_id", "n2": "vec_id", "n3": "rnk", "v": "cosine"},

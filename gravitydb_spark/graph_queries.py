@@ -843,6 +843,11 @@ def g_degrees_retractions(spark, sf_dir):
 
 
 _CC_MERGE_BUCKETS = 8
+# relabel-table flatten cadence: the view-sized compression rewrite is
+# paid once per this many published deltas (amortized O(view/K) per
+# batch); between compactions the probe pointer-chases chains of depth
+# <= the delta count. Must stay <= 16 (compress covers depth 2^4).
+_CC_COMPACT_EVERY = 4
 
 
 @register("g_cc_maintained", oracle=_CC_ORACLE)
@@ -854,29 +859,40 @@ def g_cc_maintained(spark, sf_dir):
 
     - ``memb``: the vertex ids seen so far (vertex feed, fold=distinct);
     - ``merges``: the union-find relabel table (node -> root). Each edge
-      batch maps its endpoints through the CURRENT roots (a left join
-      whose scan is PARTITION-PRUNED to the endpoints' hash buckets —
-      the store is partitioned by ``pb = hash(node) % 8``), runs
-      min-label CC over the batch-contracted root graph (cc_labels —
-      the contracted graph is merge-sized, not corpus-sized), and
-      appends the resulting (old_root -> new_root) relabels. Compaction
-      after every batch folds the table FLAT (pointer-doubling to full
-      path compression), so the next probe is a depth-1 lookup.
+      batch CHASES its endpoints to their current roots (bounded
+      pointer-chasing: one pruned left join per uncompacted delta —
+      every round's scan is PARTITION-PRUNED to the frontier roots'
+      hash buckets, the store is partitioned by ``pb = hash(node) %
+      8``), runs min-label CC over the batch-contracted root graph
+      (cc_labels — the contracted graph is merge-sized, not
+      corpus-sized), and APPENDS the resulting (old_root -> new_root)
+      relabels as a batch-sized delta. Compaction (pointer-doubling to
+      full path compression) is AMORTIZED every ``_CC_COMPACT_EVERY``
+      deltas instead of every batch (r6 VERDICT #2): eager flattening
+      is inherently O(view) per batch — rows pointing at a relabeled
+      root are scattered across every bucket — so the per-batch
+      maintenance write is the batch-sized delta, and the view-sized
+      rewrite is paid once per K batches (amortized O(view/K)).
 
     Insert-only maintenance: with min-id roots, labels only ever
-    decrease, and a batch's relabels reference current roots — the
-    final view (memb left-join merges, label = root else own id) equals
-    the BATCH min-label CC of the final graph, which is exactly what
-    the oracle computes (same SQL as g_connected_components). Deletions
-    are out of IVM scope by design (a delete can split a component;
-    policy = batch recompute, documented in COVERAGE.md).
+    decrease, and a batch's relabels reference current (fully chased)
+    roots — so every node carries AT MOST ONE mapping across all
+    deltas, chain depth grows by at most one per delta (the chase's
+    round bound = the published-delta count), and the final view (memb
+    left-join compressed merges, label = root else own id) equals the
+    BATCH min-label CC of the final graph, which is exactly what the
+    oracle computes (same SQL as g_connected_components). Deletions
+    are out of IVM scope by design here (a delete can split a
+    component); g_cc_retractions completes the story with
+    component-scoped recompute on retraction batches.
 
-    Scale posture: per batch, probe work is batch-sized against pruned
-    buckets; cc_labels runs on the contracted graph (roots, not
-    vertices); compaction rewrites the relabel table (view-sized, the
-    same contract as the maintained rollup). At 100 TB the relabel
-    table is vertices-minus-components rows — the same order as the CC
-    OUTPUT itself."""
+    Scale posture: per batch, probe work is batch-sized × chain depth
+    (≤ K, each round against pruned buckets) and the WRITE is the
+    batch-sized relabel delta; the relabel table (vertices-minus-
+    components rows — the same order as the CC output) is rewritten
+    once per K batches, not per batch. test_ivm_replay-style probe
+    evidence lives in tests/test_cc_maintenance.py: per-batch
+    maintenance bytes track the delta, not the view."""
     import shutil
     import tempfile
     import uuid as _uuid
@@ -936,35 +952,64 @@ def g_cc_maintained(spark, sf_dir):
             memb.append(batch_df.select("id").distinct())
             memb.compact(spark, min_deltas=3, transform=lambda d: d.distinct())
 
-        def on_edges(batch_df, _bid) -> None:
-            ends = batch_df.select("src", "dst").localCheckpoint(eager=True)
-            probe_pb = [
-                r.pb
-                for r in ends.select(bucket(F.col("src")).alias("pb"))
-                .unionByName(ends.select(bucket(F.col("dst")).alias("pb")))
-                .distinct()
-                .collect()
-            ]
-            cur = merges.load(spark, where=F.col("pb").isin(probe_pb))
-            if cur is None:
-                rooted = ends.select(
-                    F.col("src").alias("ru"), F.col("dst").alias("rv")
-                )
-            else:
-                ru = cur.select(
-                    F.col("node").alias("src"), F.col("root").alias("ru")
-                )
-                rv = cur.select(
-                    F.col("node").alias("dst"), F.col("root").alias("rv")
-                )
-                rooted = (
-                    ends.join(ru, "src", "left")
-                    .join(rv, "dst", "left")
-                    .select(
-                        F.coalesce("ru", F.col("src")).alias("ru"),
-                        F.coalesce("rv", F.col("dst")).alias("rv"),
+        def chase(vals: "DataFrame") -> "DataFrame":
+            """(v) -> (v, root): chase each value to its CURRENT root.
+            Chain depth is bounded by the published-delta count (a
+            compacted table is flat; each later delta adds at most one
+            level, because relabels only ever name fully-chased roots),
+            so that count is the round bound — and every round's scan
+            is partition-pruned to the frontier roots' buckets, with an
+            early exit once a round advances nothing."""
+            cur = vals.select("v", F.col("v").alias("root")).localCheckpoint(
+                eager=True
+            )
+            for _ in range(max(len(merges.snapshots()), 0)):
+                buckets = [
+                    r.pb
+                    for r in cur.select(bucket(F.col("root")).alias("pb"))
+                    .distinct()
+                    .collect()
+                ]
+                m = merges.load(spark, where=F.col("pb").isin(buckets))
+                if m is None:
+                    break
+                step = (
+                    cur.join(
+                        m.select(
+                            F.col("node").alias("root"),
+                            F.col("root").alias("nroot"),
+                        ),
+                        "root",
+                        "left",
                     )
+                    .select("v", "root", "nroot")
+                    .localCheckpoint(eager=True)
                 )
+                if step.filter(F.col("nroot").isNotNull()).limit(1).count() == 0:
+                    break  # frontier fully chased
+                cur = step.select(
+                    "v", F.coalesce("nroot", "root").alias("root")
+                ).localCheckpoint(eager=True)
+            return cur
+
+        def on_edges(batch_df, bid) -> None:
+            ends = batch_df.select("src", "dst").localCheckpoint(eager=True)
+            roots = chase(
+                ends.select(F.col("src").alias("v"))
+                .unionByName(ends.select(F.col("dst").alias("v")))
+                .distinct()
+            )
+            rooted = (
+                ends.join(
+                    roots.select(F.col("v").alias("src"), F.col("root").alias("ru")),
+                    "src",
+                )
+                .join(
+                    roots.select(F.col("v").alias("dst"), F.col("root").alias("rv")),
+                    "dst",
+                )
+                .select("ru", "rv")
+            )
             pairs = rooted.filter(F.col("ru") != F.col("rv")).select(
                 F.col("ru").alias("src"), F.col("rv").alias("dst")
             )
@@ -979,10 +1024,15 @@ def g_cc_maintained(spark, sf_dir):
                 .localCheckpoint(eager=True)
             )
             if relabels.count():
+                # batch-sized delta now; the view-sized flatten is
+                # amortized over _CC_COMPACT_EVERY deltas (r6 VERDICT
+                # #2 — eager per-batch compression was O(view)/batch).
+                # The relabel table is min-fold idempotent, so no
+                # append_once needed: a replayed delta is inert.
                 merges.append(relabels)
-                # flatten EVERY batch so the next probe is a depth-1
-                # pruned lookup (min_deltas=1: always fold)
-                merges.compact(spark, min_deltas=1, transform=compress)
+                merges.compact(
+                    spark, min_deltas=_CC_COMPACT_EVERY, transform=compress
+                )
 
         for feed, handler, tag in (
             (stream_vertices(spark, gp, max_files_per_trigger=1), on_vertices, "v"),
@@ -1007,6 +1057,434 @@ def g_cc_maintained(spark, sf_dir):
             out = ids.select("id", F.col("id").alias("component"))
         else:
             roots = compress(r, check=True).select(
+                F.col("node").alias("id"), F.col("root").alias("component")
+            )
+            out = ids.join(roots, "id", "left").select(
+                "id", F.coalesce("component", "id").alias("component")
+            )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_CC_RETRACT_ORACLE = """
+    WITH comp AS (
+      SELECT n_regionkey AS rk, min('c' || c_custkey) AS component
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      WHERE n_regionkey != 0 GROUP BY 1),
+    ncomp AS (
+      SELECT n_nationkey AS nk,
+             coalesce(min('c' || c_custkey), 'n' || n_nationkey) AS component
+      FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      WHERE n_regionkey = 0 GROUP BY 1)
+    SELECT 'c' || c_custkey AS id,
+           coalesce(comp.component, ncomp.component) AS component
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    LEFT JOIN comp ON comp.rk = n_regionkey
+    LEFT JOIN ncomp ON ncomp.nk = n_nationkey
+    UNION ALL
+    SELECT 's' || s_suppkey, coalesce(comp.component, ncomp.component)
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    LEFT JOIN comp ON comp.rk = n_regionkey
+    LEFT JOIN ncomp ON ncomp.nk = n_nationkey
+    UNION ALL
+    SELECT 'n' || n_nationkey, coalesce(comp.component, ncomp.component)
+    FROM nation LEFT JOIN comp ON comp.rk = n_regionkey
+    LEFT JOIN ncomp ON ncomp.nk = n_nationkey
+    UNION ALL
+    SELECT 'r' || r_regionkey,
+           CASE WHEN r_regionkey = 0 THEN 'r0' ELSE comp.component END
+    FROM region LEFT JOIN comp ON comp.rk = r_regionkey
+    """
+
+
+@register("g_cc_retractions", oracle=_CC_RETRACT_ORACLE)
+def g_cc_retractions(spark, sf_dir):
+    """CC DELETE REPAIR (r6 VERDICT directive #5) — completes the graph
+    IVM story the way stream_rollup_retractions completed the relational
+    one: connected components are NOT invertible (a deleted edge can
+    SPLIT a component, so signed deltas can't net the view), so the
+    deletion policy is COMPONENT-SCOPED RECOMPUTE — on a retraction
+    batch, rebuild exactly the components the deleted edges touch, from
+    exactly their surviving edges, and leave every other component's
+    state bytes untouched.
+
+    Three state choices make the touched-only contract hold at scale:
+
+    - ``labels`` is an EPOCH-VERSIONED relabel store (node, root, ep;
+      max-ep row wins): a split can RAISE a node's label, which breaks
+      the insert path's min-fold monotonicity — epochs make repair rows
+      supersede instead of compete. Partitioned by BOTH pb=hash(node)
+      (forward probes prune on it; a node's rows all share pb, so a
+      pruned max-ep lookup is exact) and rb=hash(root) (reverse lookups
+      prune on it).
+    - ``members_of`` inverts label -> nodes WITHOUT a view-sized scan:
+      rb-pruned reverse chase discovers candidate members level by
+      level, then a pb-pruned verification re-reads each candidate's
+      true max-ep row (the rb-pruned discovery alone could surface a
+      SUPERSEDED mapping into a touched component).
+    - the live-edge log is partitioned by tb=hash(component tag): an
+      edge is written tagged with its component (insert: the post-merge
+      root; repair RE-TAGS survivors with their new labels), so
+      "surviving edges of the touched components" is a tb-pruned scan +
+      a member semi-join — component-sized, never corpus-sized.
+
+    Demo: three insert micro-batches land the tpch graph's edges, then
+    a retraction batch deletes region 0's PartOf (nation->region) edges
+    — region 0's component splits into per-nation stars plus the region
+    singleton, while regions 1-4 are untouched (their bytes are never
+    rewritten: the repair reads/writes only touched buckets). Oracle =
+    batch CC of the surviving graph. All store writes are inert under
+    at-least-once replay: labels/edge rows are max-ep keyed (a replayed
+    append duplicates rows with identical (key, ep) — max_by picks
+    one), so no bid guard is needed, unlike the additive stores.
+
+    The reference has no changefeed surface (SURVEY §2.9 mandates the
+    analog); the repair policy realizes what COVERAGE.md documented as
+    out-of-IVM-scope for g_cc_maintained."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .operators.iterative import cc_labels
+    from .transaction import DatasetStore
+
+    nb = _CC_MERGE_BUCKETS
+    g = tpch_graph(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="gravityspark_gccr_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        edges = g.edges.select("edge_id", "src", "dst")
+        doomed = (F.col("src").startswith("n")) & (F.col("dst") == "r0")
+        batches = [
+            edges.filter(
+                F.pmod(F.xxhash64(F.col("edge_id")), F.lit(3)) == b
+            ).withColumn("op", F.lit(1).cast("int"))
+            for b in range(3)
+        ] + [edges.filter(doomed).withColumn("op", F.lit(-1).cast("int"))]
+        for b, bdf in enumerate(batches):
+            tmp = os.path.join(work, f"tmp{b}")
+            bdf.coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+        staged_schema = batches[0].schema
+
+        labels = DatasetStore(
+            os.path.join(work, "labels"), partition_cols=("pb", "rb")
+        )
+        edgelog = DatasetStore(os.path.join(work, "elog"), partition_cols=("tb",))
+
+        def bucket(col):
+            return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
+
+        def lab_rows(df, ep: int):
+            return df.select(
+                "node",
+                "root",
+                F.lit(ep).cast("long").alias("ep"),
+                bucket(F.col("node")).alias("pb"),
+                bucket(F.col("root")).alias("rb"),
+            )
+
+        def edge_rows(df, op: int, ep: int):
+            return df.select(
+                "src",
+                "dst",
+                F.lit(op).cast("int").alias("op"),
+                F.lit(ep).cast("long").alias("ep"),
+                "tag",
+                bucket(F.col("tag")).alias("tb"),
+            )
+
+        def cur_fn(df):
+            """The current mapping: max-ep row per node."""
+            return df.groupBy("node").agg(
+                F.max_by("root", "ep").alias("root"), F.max("ep").alias("ep")
+            )
+
+        def compact_labels(df):
+            """Fold to the current mapping and pointer-double it flat
+            (the amortized view-sized rewrite — g_cc_maintained's
+            contract; per-batch writes stay delta-sized)."""
+            fn = cur_fn(df)
+            for _ in range(4):
+                r2 = fn.select(
+                    F.col("node").alias("r_node"), F.col("root").alias("r_root")
+                )
+                fn = fn.join(r2, fn["root"] == r2["r_node"], "left").select(
+                    "node", F.coalesce("r_root", "root").alias("root"), "ep"
+                )
+            return fn.withColumn("pb", bucket(F.col("node"))).withColumn(
+                "rb", bucket(F.col("root"))
+            )
+
+        def fold_edges(df):
+            """Per-edge max-ep row; fully-dead edges drop out."""
+            return (
+                df.groupBy("src", "dst")
+                .agg(
+                    F.max_by("op", "ep").alias("op"),
+                    F.max_by("tag", "ep").alias("tag"),
+                    F.max("ep").alias("ep"),
+                )
+                .filter(F.col("op") == 1)
+                .withColumn("tb", bucket(F.col("tag")))
+            )
+
+        def chase(vals):
+            """(v) -> (v, root): forward chase to the current root.
+            Every round prunes on pb (exact: a node's rows share pb)."""
+            cur = vals.select("v", F.col("v").alias("root")).localCheckpoint(
+                eager=True
+            )
+            for _ in range(len(labels.snapshots()) + 1):
+                buckets = [
+                    r.pb
+                    for r in cur.select(bucket(F.col("root")).alias("pb"))
+                    .distinct()
+                    .collect()
+                ]
+                m = labels.load(spark, where=F.col("pb").isin(buckets))
+                if m is None:
+                    break
+                step = (
+                    cur.join(
+                        cur_fn(m).select(
+                            F.col("node").alias("root"),
+                            F.col("root").alias("nroot"),
+                        ),
+                        "root",
+                        "left",
+                    )
+                    .select("v", "root", "nroot")
+                    .localCheckpoint(eager=True)
+                )
+                if (
+                    step.filter(
+                        F.col("nroot").isNotNull()
+                        & (F.col("nroot") != F.col("root"))
+                    )
+                    .limit(1)
+                    .count()
+                    == 0
+                ):
+                    break
+                cur = step.select(
+                    "v", F.coalesce("nroot", "root").alias("root")
+                ).localCheckpoint(eager=True)
+            return cur
+
+        def members_of(comps):
+            """(root) -> (node): every node whose current label is in
+            ``comps`` (the labels themselves included). rb-pruned
+            discovery + pb-pruned max-ep verification per level."""
+            total = comps.select(F.col("root").alias("node")).localCheckpoint(
+                eager=True
+            )
+            frontier = total.select(F.col("node").alias("root"))
+            for _ in range(len(labels.snapshots()) + 2):
+                buckets = [
+                    r.rb
+                    for r in frontier.select(bucket(F.col("root")).alias("rb"))
+                    .distinct()
+                    .collect()
+                ]
+                m = labels.load(spark, where=F.col("rb").isin(buckets))
+                if m is None:
+                    break
+                cands = (
+                    m.join(frontier, "root", "left_semi")
+                    .select("node")
+                    .distinct()
+                    .join(total, "node", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if cands.limit(1).count() == 0:
+                    break
+                # verify: a candidate's row pointing into the frontier
+                # may be SUPERSEDED — re-read its true current mapping
+                vbuckets = [
+                    r.pb
+                    for r in cands.select(bucket(F.col("node")).alias("pb"))
+                    .distinct()
+                    .collect()
+                ]
+                truth = cur_fn(
+                    labels.load(spark, where=F.col("pb").isin(vbuckets)).join(
+                        cands, "node", "left_semi"
+                    )
+                )
+                new = (
+                    truth.join(frontier, "root", "left_semi")
+                    .select("node")
+                    .localCheckpoint(eager=True)
+                )
+                if new.limit(1).count() == 0:
+                    break
+                total = total.unionByName(new).localCheckpoint(eager=True)
+                frontier = new.select(F.col("node").alias("root"))
+            return total
+
+        def handle(batch_df, bid) -> None:
+            bid = int(bid)
+            ins = batch_df.filter(F.col("op") == 1)
+            dels = batch_df.filter(F.col("op") == -1)
+            if ins.limit(1).count():
+                ends = ins.select("src", "dst").localCheckpoint(eager=True)
+                roots = chase(
+                    ends.select(F.col("src").alias("v"))
+                    .unionByName(ends.select(F.col("dst").alias("v")))
+                    .distinct()
+                )
+                rooted = (
+                    ends.join(
+                        roots.select(
+                            F.col("v").alias("src"), F.col("root").alias("ru")
+                        ),
+                        "src",
+                    )
+                    .join(
+                        roots.select(
+                            F.col("v").alias("dst"), F.col("root").alias("rv")
+                        ),
+                        "dst",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                pairs = rooted.filter(F.col("ru") != F.col("rv")).select(
+                    F.col("ru").alias("src"), F.col("rv").alias("dst")
+                )
+                rel = (
+                    cc_labels(pairs)
+                    .filter(F.col("id") != F.col("component"))
+                    .select(
+                        F.col("id").alias("node"), F.col("component").alias("root")
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                if rel.count():
+                    labels.append(lab_rows(rel, 4 * bid))
+                # tag each edge with its post-merge component
+                tagged = (
+                    rooted.join(
+                        rel.select(
+                            F.col("node").alias("ru"), F.col("root").alias("nru")
+                        ),
+                        "ru",
+                        "left",
+                    )
+                    .select(
+                        "src", "dst", F.coalesce("nru", "ru").alias("tag")
+                    )
+                )
+                edgelog.append(edge_rows(tagged, 1, 4 * bid))
+            if dels.limit(1).count():
+                dends = dels.select("src", "dst").localCheckpoint(eager=True)
+                droots = chase(
+                    dends.select(F.col("src").alias("v"))
+                    .unionByName(dends.select(F.col("dst").alias("v")))
+                    .distinct()
+                )
+                touched = (
+                    droots.select("root").distinct().localCheckpoint(eager=True)
+                )
+                mem = members_of(touched)
+                # delete markers, tagged with the edge's CURRENT component
+                dtag = dends.join(
+                    droots.select(
+                        F.col("v").alias("src"), F.col("root").alias("tag")
+                    ),
+                    "src",
+                )
+                edgelog.append(edge_rows(dtag, -1, 4 * bid + 1))
+                # surviving edges of the touched components: tb-pruned
+                # scan + member semi-join (tags are members by
+                # construction: post-merge roots or repair labels)
+                tbuckets = [
+                    r.tb
+                    for r in mem.select(bucket(F.col("node")).alias("tb"))
+                    .distinct()
+                    .collect()
+                ]
+                el = edgelog.load(spark, where=F.col("tb").isin(tbuckets))
+                live = (
+                    el.groupBy("src", "dst")
+                    .agg(
+                        F.max_by("op", "ep").alias("op"),
+                        F.max_by("tag", "ep").alias("tag"),
+                    )
+                    .filter(F.col("op") == 1)
+                    .join(
+                        mem.select(F.col("node").alias("tag")), "tag", "left_semi"
+                    )
+                    .select("src", "dst")
+                    .localCheckpoint(eager=True)
+                )
+                newlab = cc_labels(live).select(
+                    F.col("id").alias("node"), F.col("component").alias("root")
+                )
+                repaired = (
+                    mem.join(newlab, "node", "left")
+                    .select(
+                        "node", F.coalesce("root", "node").alias("root")
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                labels.append(lab_rows(repaired, 4 * bid + 2))
+                # re-tag survivors so future pruning stays exact
+                retag = live.join(
+                    repaired.select(
+                        F.col("node").alias("src"), F.col("root").alias("tag")
+                    ),
+                    "src",
+                )
+                edgelog.append(edge_rows(retag, 1, 4 * bid + 2))
+            labels.compact(
+                spark, min_deltas=_CC_COMPACT_EVERY, transform=compact_labels
+            )
+            edgelog.compact(
+                spark, min_deltas=_CC_COMPACT_EVERY + 1, transform=fold_edges
+            )
+
+        stream = (
+            spark.readStream.schema(staged_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        ids = g.vertices.select("id").distinct()
+        lab = labels.load(spark)
+        if lab is None:
+            out = ids.select("id", F.col("id").alias("component"))
+        else:
+            fn = cur_fn(lab)
+            for _ in range(4):  # pointer-double the max-ep function flat
+                r2 = fn.select(
+                    F.col("node").alias("r_node"), F.col("root").alias("r_root")
+                )
+                fn = fn.join(r2, fn["root"] == r2["r_node"], "left").select(
+                    "node",
+                    F.coalesce("r_root", "root").alias("root"),
+                    "ep",
+                )
+            roots = fn.select(
                 F.col("node").alias("id"), F.col("root").alias("component")
             )
             out = ids.join(roots, "id", "left").select(
