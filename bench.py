@@ -148,6 +148,9 @@ HEADLINE = [
     "lineitem_corr_matrix",
     "events_outliers_mad",
     "g_degrees_retractions",
+    # round 7 additions
+    "g_cc_retractions",
+    "bpe_sampled_apply",
 ]
 
 

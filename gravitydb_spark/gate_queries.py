@@ -645,6 +645,11 @@ _compound(
             {"k": "pair", "n1": "n", "n2": "corpus_tokens"},
         ),
         (
+            "bpe_sampled",
+            "bpe_sampled_apply",
+            {"k": "pair", "n1": "step", "n2": "n"},
+        ),
+        (
             "length_quantiles",
             "corpus_length_quantiles",
             {"k": "stat", "n1": "q_chars", "n2": "q_tokens"},
