@@ -151,6 +151,7 @@ HEADLINE = [
     # round 7 additions
     "g_cc_retractions",
     "bpe_sampled_apply",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -795,6 +795,11 @@ _compound(
             {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
         ),
         (
+            "ivfpq",
+            "ann_ivfpq_topk",
+            {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
+        ),
+        (
             "hybrid",
             "search_hybrid_rrf",
             {"vec_id": "doc_id", "cosine": "rrf", "rnk": "rnk"},
