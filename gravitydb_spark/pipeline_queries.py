@@ -5805,8 +5805,14 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mx",
         "n",
     )
-    hist = binned.groupBy("bin", "mn", "mx", "n").agg(
-        F.count("*").alias("c")
+    # limit(_HIST_BINS) is a semantic no-op (bin ∈ [0, BINS) by
+    # construction) that makes the bound VISIBLE to the plan: the
+    # global cumulative window below is provably ≤ BINS rows, which the
+    # no-unbounded-global-windows guard (test_plans) checks for
+    hist = (
+        binned.groupBy("bin", "mn", "mx", "n")
+        .agg(F.count("*").alias("c"))
+        .limit(_HIST_BINS)
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("c").over(w))

@@ -2121,6 +2121,41 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _global_rank(df: DataFrame, order_cols, buckets: int = 32):
+    """EXACT distributed global rank without a single-task window (the
+    classic range-partition + offset-stitch): range-partition on the
+    sort keys, row_number WITHIN each (pid-partitioned) range, then add
+    the cumulative per-range counts — one bounded collect (≤ ``buckets``
+    rows). The localCheckpoint pins the sampled range boundaries so the
+    count job and the rank job see identical partitions. Returns
+    (df + _rn, total_rows). Every key must be unique under order_cols
+    for downstream positional bucketing to be exact."""
+    spark = df.sparkSession
+    s = (
+        df.repartitionByRange(buckets, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cnt = sorted(
+        (r["_pid"], r["n"])
+        for r in s.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offs, acc = [], 0
+    for pid, n_ in cnt:
+        offs.append((pid, acc))
+        acc += n_
+    off = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = (
+        s.join(F.broadcast(off), "_pid")
+        .withColumn(
+            "_rn", F.row_number().over(w).cast("long") + F.col("_off")
+        )
+        .drop("_pid", "_off")
+    )
+    return ranked, acc
+
+
 @register(
     "events_rfm_scores",
     oracle=f"""
@@ -2143,14 +2178,19 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM scoring — recency / frequency / monetary quartiles per
     purchasing user, the segmentation every CRM pipeline computes. One
-    per-user aggregation of the purchase stream; the three ntile windows
-    run over the USER-sized aggregate (not the fact), with deterministic
-    user_id tie-breaks so quartile boundaries are engine-exact. NOTE:
-    unpartitioned ntile single-partitions each sort — fine for an
-    aggregate this small, but when the purchasing-user relation is
-    itself huge, switch to broadcast quantile CUTOFFS (approx_percentile
-    on the aggregate, then a scan-side bucket expression) and accept the
-    tie-handling difference. Recency
+    per-user aggregation of the purchase stream, then three EXACT
+    global rankings over the user-sized aggregate.
+
+    The r6 formulation ran three unpartitioned ntile windows — a
+    single-task total sort each, the shape the no-unbounded-global-
+    windows plan guard now bans (the purchasing-user relation is
+    corpus-scaled at 100 TB). Replaced by :func:`_global_rank` — range
+    partition + per-range row_number + cumulative-offset stitch (one
+    ≤32-row collect per metric) — and the exact positional ntile
+    bucketing (first N mod 4 buckets hold ceil(N/4) rows), valid
+    because the user_id tie-break makes every sort key unique and rank
+    therefore positional. Deterministic,
+    engine-exact, and every window in the plan is partitioned. Recency
     is measured against the corpus max timestamp (1-row broadcast), so
     the query is reproducible rather than wall-clock-dependent."""
     p = (
@@ -2164,7 +2204,7 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mx = p.agg(F.max("last_ts").alias("corpus_max"))
-    return (
+    base = (
         p.crossJoin(F.broadcast(mx))
         .select(
             "user_id",
@@ -2173,16 +2213,39 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "frequency",
             "monetary",
-            F.ntile(4)
-            .over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
-            .alias("r_quartile"),
-            F.ntile(4)
-            .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
-            .alias("f_quartile"),
-            F.ntile(4)
-            .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
-            .alias("m_quartile"),
+            "last_ts",
         )
+        .localCheckpoint(eager=True)  # barrier: feeds 3 rankings + output
+    )
+    out = base
+    for metric, key, qcol in (
+        ("r", "last_ts", "r_quartile"),
+        ("f", "frequency", "f_quartile"),
+        ("m", "monetary", "m_quartile"),
+    ):
+        ranked, n_users = _global_rank(
+            base.select("user_id", key), [F.desc(key), F.asc("user_id")]
+        )
+        # exact ntile(4) positionally: the first (N mod 4) buckets hold
+        # ceil(N/4) rows, the rest floor(N/4) — pure integer arithmetic
+        # (ceil(a/b) = (a+b-1) div b), no float boundary risk
+        qsz, rem = divmod(max(n_users, 1), 4)
+        r1 = rem * (qsz + 1)
+        bucket = (
+            f"CAST(CASE WHEN _rn <= {r1} THEN (_rn + {qsz}) DIV {qsz + 1} "
+            f"ELSE {rem} + (_rn - {r1} + {max(qsz, 1) - 1}) "
+            f"DIV {max(qsz, 1)} END AS INT)"
+        )
+        q = ranked.select("user_id", F.expr(bucket).alias(qcol))
+        out = out.join(q, "user_id")
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 

@@ -507,3 +507,47 @@ def test_pq_rerank_post_shortlist_is_bounded(plans):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert p.count("Exchange hashpartitioning") == 1, p[:3000]
+
+
+def _lplan_nodes(jnode):
+    """Flatten a Catalyst logical-plan tree (py4j) depth-first."""
+    out = [jnode]
+    ch = jnode.children()
+    for i in range(ch.size()):
+        out.extend(_lplan_nodes(ch.apply(i)))
+    return out
+
+
+def test_no_unbounded_global_windows_anywhere(spark, sf_dir):
+    """r6 VERDICT directive #6: a Window with an EMPTY partition spec
+    serializes the whole input through one task — fine only when that
+    input is already bounded by a prior limit/top-k (the RRF fusion's
+    20-row lists). Assert it for EVERY registered query's returned
+    plan, so a future operator can't ship a corpus-sized global window
+    silently. Compounds are skipped (their plan is a union of member
+    plans already checked; running them would just re-execute every
+    member). Streaming/iterative queries return localCheckpointed
+    results whose visible plan is the (window-free) checkpoint scan —
+    trivially compliant, which is correct: their per-batch plans are
+    guarded by their own tests."""
+    from gravitydb_spark.gate_queries import COMPOUND_MEMBERS
+    from gravitydb_spark.registry import queries
+
+    qs = queries()
+    offenders = []
+    for name, fn in qs.items():
+        if name in COMPOUND_MEMBERS:
+            continue
+        df = fn(spark, sf_dir)
+        for node in _lplan_nodes(df._jdf.queryExecution().optimizedPlan()):
+            if node.nodeName() != "Window":
+                continue
+            if node.partitionSpec().size() > 0:
+                continue
+            below = _lplan_nodes(node)[1:]
+            if not any(
+                d.nodeName() in ("GlobalLimit", "LocalLimit") for d in below
+            ):
+                offenders.append(name)
+                break
+    assert not offenders, f"unbounded global Window in: {offenders}"
