@@ -152,6 +152,7 @@ HEADLINE = [
     "g_cc_retractions",
     "bpe_sampled_apply",
     "ann_ivfpq_topk",
+    "stream_bm25_index_upkeep",
 ]
 
 

@@ -1217,6 +1217,11 @@ _compound(
             {"n1": "q_id", "n2": "vec_id", "n3": "rnk", "v": "cosine"},
         ),
         (
+            "bm25_index_maintained",
+            "stream_bm25_index_upkeep",
+            {"n1": "doc_id", "v": "score"},
+        ),
+        (
             "audio_meta",
             "stream_audio_meta",
             {"n1": "doc_id", "n2": "n_bytes", "n3": "sample_sum"},
