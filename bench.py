@@ -153,6 +153,7 @@ HEADLINE = [
     "bpe_sampled_apply",
     "ann_ivfpq_topk",
     "stream_bm25_index_upkeep",
+    "stream_ivfpq_index_upkeep",
 ]
 
 

@@ -1222,6 +1222,11 @@ _compound(
             {"n1": "doc_id", "v": "score"},
         ),
         (
+            "ivfpq_index_maintained",
+            "stream_ivfpq_index_upkeep",
+            {"n1": "q_id", "n2": "vec_id", "n3": "rnk", "v": "cosine"},
+        ),
+        (
             "audio_meta",
             "stream_audio_meta",
             {"n1": "doc_id", "n2": "n_bytes", "n3": "sample_sum"},

@@ -2801,6 +2801,200 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ivfpq_index_upkeep",
+    # the maintained codes answer bit-identically to batch IVFPQ, so it
+    # carries the SAME full oracle (shared string, single source)
+    oracle=REGISTRY["ann_ivfpq_topk"].oracle,
+)
+def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED IVFPQ index — the streaming ingest of
+    the full serving composition: each embedding micro-batch is
+    assigned to its coarse cell (broadcast first-16 quantizer, the
+    stream_ann_index_upkeep contract) AND PQ-encoded (the trained
+    Arrow kernel), and the index stores ONLY (cell, vec_id, codes) —
+    partitioned by cell, no raw floats: n×{PQ_M} bytes of state, the
+    memory story that makes billion-vector serving feasible. The query
+    path loads the nprobe probed cells via PartitionFilters, ADC-scores
+    the codes against the broadcast LUT, and re-ranks the top-
+    {PQ_SHORTLIST} shortlist with exact cosine against the raw
+    embedding table (the rerank side is a bounded q×{PQ_SHORTLIST}
+    broadcast join — raw vectors live in the base table, not the
+    index, exactly as FAISS separates codes from storage).
+
+    Replay safety: assignment and encoding are both content-
+    deterministic (same vector → same cell, same codes), so
+    at-least-once redelivery only creates duplicate rows; compaction
+    and the query fold them with dropDuplicates(vec_id) — inert, like
+    the IVF index and unlike the additive stores (which need the bid
+    mark). Answers bit-identically to the batch ann_ivfpq_topk and
+    shares its oracle string verbatim."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from .transaction import DatasetStore
+
+    emb = load(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="gravityspark_ivfpqidx_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        for b in range(_ANN_UPKEEP_BATCHES):
+            tmp = os.path.join(work, f"tmp{b}")
+            emb.filter(
+                F.col("vec_id") % _ANN_UPKEEP_BATCHES == b
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+
+        cent = (
+            emb.filter(F.col("vec_id") < IVF_CELLS)
+            .select(
+                F.col("vec_id").alias("cell"),
+                F.col("embedding").cast("array<double>").alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        encode, lut = _pq_kernels(_pq_codebook(spark, sf_dir))
+        codes_schema = T.StructType(
+            [T.StructField("vec_id", T.LongType())]
+            + [T.StructField(f"pos{m}", T.IntegerType()) for m in range(PQ_M)]
+        )
+        store = DatasetStore(os.path.join(work, "codes"), partition_cols=("cell",))
+
+        def handle(batch_df, _bid) -> None:
+            v = batch_df.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+            w = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cell"))
+            assigned = (
+                v.join(F.broadcast(cent))
+                .select(
+                    "vec_id", "cell", _dot(F.col("v"), F.col("cv")).alias("d")
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "cell")
+            )
+            codes = batch_df.select("vec_id", "embedding").mapInPandas(
+                encode, codes_schema
+            )
+            store.append(codes.join(assigned, "vec_id"))
+            store.compact(
+                spark,
+                min_deltas=3,
+                transform=lambda d: d.dropDuplicates(["vec_id"]),
+            )
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # ---- query path against the maintained codes ----
+        qv = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        probes = (
+            qv.join(F.broadcast(cent))
+            .select("q_id", "cell", _dot(F.col("qv"), F.col("cv")).alias("d"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("q_id").orderBy(
+                        F.desc("d"), F.asc("cell")
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= IVF_NPROBE)
+            .select("q_id", "cell")
+            .localCheckpoint(eager=True)  # feeds pruning collect + join
+        )
+        cells = [r.cell for r in probes.select("cell").distinct().collect()]
+        lut_schema = T.StructType(
+            [T.StructField("q_id", T.LongType())]
+            + [
+                T.StructField(f"lut{m}", T.ArrayType(T.LongType()))
+                for m in range(PQ_M)
+            ]
+        )
+        qlut = (
+            emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+            .select("vec_id", "embedding")
+            .mapInPandas(lut, lut_schema)
+        )
+        idx = store.load(spark, where=F.col("cell").isin(cells)).dropDuplicates(
+            ["vec_id"]
+        )
+        scored = (
+            idx.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .join(F.broadcast(qlut), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                _pq_adc_score_expr().cast("long").alias("score_scaled"),
+            )
+        )
+        w_sl = Window.partitionBy("q_id").orderBy(
+            F.desc("score_scaled"), F.asc("vec_id")
+        )
+        shortlist = (
+            scored.withColumn("rn", F.row_number().over(w_sl))
+            .filter(F.col("rn") <= PQ_SHORTLIST)
+            .select("q_id", "vec_id")
+        )
+        exact = (
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+            .join(F.broadcast(shortlist), "vec_id")
+            .join(
+                F.broadcast(qv.select("q_id", "qv")), "q_id"
+            )
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(
+                    _dot(F.col("qv"), F.col("v"))
+                    / (
+                        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                        * F.sqrt(_dot(F.col("v"), F.col("v")))
+                    ),
+                    3,
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        out = (
+            exact.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= ANN_K)
+            .select("q_id", "vec_id", "cosine", "rnk")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH bucketed AS (
