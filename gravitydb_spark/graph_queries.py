@@ -973,18 +973,14 @@ def g_cc_maintained(spark, sf_dir):
                 m = merges.load(spark, where=F.col("pb").isin(buckets))
                 if m is None:
                     break
-                step = (
-                    cur.join(
-                        m.select(
-                            F.col("node").alias("root"),
-                            F.col("root").alias("nroot"),
-                        ),
-                        "root",
-                        "left",
-                    )
-                    .select("v", "root", "nroot")
-                    .localCheckpoint(eager=True)
-                )
+                step = cur.join(
+                    m.select(
+                        F.col("node").alias("root"),
+                        F.col("root").alias("nroot"),
+                    ),
+                    "root",
+                    "left",
+                ).select("v", "root", "nroot")
                 if step.filter(F.col("nroot").isNotNull()).limit(1).count() == 0:
                     break  # frontier fully chased
                 cur = step.select(
@@ -1238,7 +1234,10 @@ def g_cc_retractions(spark, sf_dir):
 
         def chase(vals):
             """(v) -> (v, root): forward chase to the current root.
-            Every round prunes on pb (exact: a node's rows share pb)."""
+            Every round prunes on pb (exact: a node's rows share pb).
+            The common case (flat table, no chains) is ONE collect +
+            one advanced-row probe; only rounds that actually advance
+            pay a lineage-cut checkpoint."""
             cur = vals.select("v", F.col("v").alias("root")).localCheckpoint(
                 eager=True
             )
@@ -1252,18 +1251,14 @@ def g_cc_retractions(spark, sf_dir):
                 m = labels.load(spark, where=F.col("pb").isin(buckets))
                 if m is None:
                     break
-                step = (
-                    cur.join(
-                        cur_fn(m).select(
-                            F.col("node").alias("root"),
-                            F.col("root").alias("nroot"),
-                        ),
-                        "root",
-                        "left",
-                    )
-                    .select("v", "root", "nroot")
-                    .localCheckpoint(eager=True)
-                )
+                step = cur.join(
+                    cur_fn(m).select(
+                        F.col("node").alias("root"),
+                        F.col("root").alias("nroot"),
+                    ),
+                    "root",
+                    "left",
+                ).select("v", "root", "nroot")
                 if (
                     step.filter(
                         F.col("nroot").isNotNull()
@@ -1332,9 +1327,10 @@ def g_cc_retractions(spark, sf_dir):
 
         def handle(batch_df, bid) -> None:
             bid = int(bid)
+            ops = {r["op"] for r in batch_df.select("op").distinct().collect()}
             ins = batch_df.filter(F.col("op") == 1)
             dels = batch_df.filter(F.col("op") == -1)
-            if ins.limit(1).count():
+            if 1 in ops:
                 ends = ins.select("src", "dst").localCheckpoint(eager=True)
                 roots = chase(
                     ends.select(F.col("src").alias("v"))
@@ -1383,7 +1379,7 @@ def g_cc_retractions(spark, sf_dir):
                     )
                 )
                 edgelog.append(edge_rows(tagged, 1, 4 * bid))
-            if dels.limit(1).count():
+            if -1 in ops:
                 dends = dels.select("src", "dst").localCheckpoint(eager=True)
                 droots = chase(
                     dends.select(F.col("src").alias("v"))
