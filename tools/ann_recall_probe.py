@@ -35,7 +35,7 @@ def main() -> None:
     for name in ("ann_lsh_topk", "ann_lsh_multiprobe_topk",
                  "ann_ivf_topk", "ann_pq_topk",
                  "ann_pq_rerank_topk", "ann_ivfpq_topk",
-                 "stream_ann_index_upkeep"):
+                 "stream_ann_index_upkeep", "stream_ivfpq_index_upkeep"):
         got = topk_sets(name)
         per_q = []
         for q, t in sorted(truth.items()):
