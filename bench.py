@@ -154,6 +154,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "stream_bm25_index_upkeep",
     "stream_ivfpq_index_upkeep",
+    "quality_lr_train",
 ]
 
 

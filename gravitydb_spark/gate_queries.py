@@ -517,6 +517,11 @@ _compound(
             },
         ),
         (
+            "quality_lr_train",
+            "quality_lr_train",
+            {"doc_id": "step", "s": "weights", "m1": "npos"},
+        ),
+        (
             "tfidf",
             "text_tfidf_keywords",
             {

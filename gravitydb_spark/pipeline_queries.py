@@ -169,6 +169,137 @@ def text_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- distributed classifier TRAINING (the offline step text_quality_lr
+#    assumes) — exact fixed-point arithmetic so the oracle replays it --
+_LRT_STEPS = 4
+_LRT_U = 1_000_000  # micro-unit weight/probability scale
+_LRT_DIV = (10, 10_000, 1_000)  # per-feature learning-rate divisors
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — Python // floors,
+    but Spark DIV and DuckDB integer // both truncate; the driver-side
+    weight update must match them on negative gradients."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _duck_lrt_ctes() -> str:
+    parts = [
+        f"""lf AS MATERIALIZED (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             n_chars AS x1, len({_DUCK_TOKENS})::BIGINT AS x2
+      FROM documents WHERE len({_DUCK_TOKENS}) > 0),
+    lw0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2)"""
+    ]
+    for k in range(1, _LRT_STEPS + 1):
+        parts.append(f"""ls{k} AS MATERIALIZED (
+      SELECT count(*)::BIGINT AS n,
+             sum(err)::BIGINT AS g0,
+             sum(err * x1)::BIGINT AS g1,
+             sum(err * x2)::BIGINT AS g2,
+             sum(CASE WHEN p_u > {_LRT_U // 2} THEN 1 ELSE 0 END)::BIGINT
+               AS npos
+      FROM (
+        SELECT y, x1, x2, p_u, p_u - y * {_LRT_U} AS err
+        FROM (
+          SELECT y, x1, x2,
+                 {_LRT_U // 2} + (z_u * {_LRT_U // 2})
+                   // ({_LRT_U} + abs(z_u)) AS p_u
+          FROM (
+            SELECT y, x1, x2, w0 + w1 * x1 + w2 * x2 AS z_u
+            FROM lf, lw{k - 1}) _z) _p) _e),
+    lw{k} AS (
+      SELECT w0 - g0 // (n * {_LRT_DIV[0]}) AS w0,
+             w1 - g1 // (n * {_LRT_DIV[1]}) AS w1,
+             w2 - g2 // (n * {_LRT_DIV[2]}) AS w2
+      FROM ls{k}, lw{k - 1})""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "quality_lr_train",
+    oracle=f"""
+    WITH {_duck_lrt_ctes()}
+    {" UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS step, "
+        f"w0 || ':' || w1 || ':' || w2 AS weights, npos "
+        f"FROM lw{k}, ls{k}"
+        for k in range(1, _LRT_STEPS + 1)
+    )}
+    ORDER BY step
+    """,
+)
+def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED CLASSIFIER TRAINING — the offline step
+    text_quality_lr's baked weights assume, run as {_LRT_STEPS} exact
+    batch-gradient-descent steps over the corpus (label: lang = 'en';
+    features: bias, n_chars, token count). Each step is ONE map-side
+    partial aggregate (4 integer sums + a count) and a 1-row collect —
+    the kmeans/_pq_codebook driver-literal pattern; the model state is
+    3 ints, never a shuffled table.
+
+    Why it hash-matches: there is NOT ONE double anywhere in the
+    recurrence. Weights and probabilities live in micro-units (BIGINT);
+    the squashing function is the RATIONAL sigmoid σ̃(z) = 0.5 +
+    (z/2)/(1+|z|) evaluated entirely in integer arithmetic — p_u = U/2
+    + floor(z_u·U/2 / (U + |z_u|)) — because even rounding a double
+    once per doc per step diverges (Spark's round goes through
+    BigDecimal.valueOf's shortest-string repr; DuckDB rounds the exact
+    binary — measured ±1 micro-unit drift that compounds through the
+    loop). TRUNCATING division everywhere — Spark DIV and DuckDB integer
+    ``//`` both truncate toward zero (measured: -7 // 2 = -3 in DuckDB),
+    while Python ``//`` floors, so the driver-side weight update goes
+    through :func:`_tdiv`. Output: the weight vector after each step (packed
+    w0:w1:w2) plus that step's positive-prediction count; the oracle
+    unrolls the whole training loop in materialized CTEs.
+
+    Scale posture: per step, one scan + one 5-value aggregate —
+    gradient descent at 100 TB is scan-bound and this is the minimal
+    plan for it; the feature frame is localCheckpointed once and reused
+    across steps."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _TOKENS_FN()
+    feats = (
+        docs.filter(F.size(toks) > 0)
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+            F.col("n_chars").cast("long").alias("x1"),
+            F.size(toks).cast("long").alias("x2"),
+        )
+        .localCheckpoint(eager=True)  # barrier: reused every step
+    )
+    w = [0, 0, 0]
+    rows = []
+    half, U = _LRT_U // 2, _LRT_U
+    for step in range(1, _LRT_STEPS + 1):
+        # integer rational sigmoid: p_u = U/2 + trunc(z·U/2 / (U+|z|)).
+        # TRUNCATING division on all three engines: Spark DIV truncates,
+        # DuckDB integer // truncates (-7//2 = -3, measured — it does
+        # NOT floor like Python), and the driver updates use _tdiv
+        z = f"({w[0]} + {w[1]} * x1 + {w[2]} * x2)"
+        p_u = F.expr(
+            f"{half} + (({z} * {half}) DIV ({U} + abs({z})))"
+        ).cast("long")
+        err = p_u - F.col("y") * U
+        agg = (
+            feats.select("y", "x1", "x2", p_u.alias("p_u"), err.alias("err"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("err").alias("g0"),
+                F.sum(F.col("err") * F.col("x1")).alias("g1"),
+                F.sum(F.col("err") * F.col("x2")).alias("g2"),
+                F.sum((F.col("p_u") > half).cast("long")).alias("npos"),
+            )
+            .collect()[0]
+        )
+        n = agg["n"]
+        for i, g in enumerate((agg["g0"], agg["g1"], agg["g2"])):
+            w[i] -= _tdiv(int(g), n * _LRT_DIV[i])  # trunc == DuckDB //
+        rows.append((step, f"{w[0]}:{w[1]}:{w[2]}", int(agg["npos"])))
+    return spark.createDataFrame(rows, "step long, weights string, npos long")
+
+
 # marker-token profiles for the n-gram language-ID heuristic
 _LANG_PROFILES = {
     "en": ("the", "a", "small", "big"),
