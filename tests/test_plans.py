@@ -551,3 +551,31 @@ def test_no_unbounded_global_windows_anywhere(spark, sf_dir):
                 offenders.append(name)
                 break
     assert not offenders, f"unbounded global Window in: {offenders}"
+
+
+def test_ivfpq_is_pruned_adc_plus_bounded_rerank(plans):
+    # in-cell ADC: broadcast probes/LUT, no cartesian pairing, no
+    # corpus-sized sort-merge; the only hash Exchanges are the IVF
+    # assignment window and the per-query shortlist/final windows
+    p = plans("ann_ivfpq_topk")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "mapInPandas" in p or "MapInPandas" in p  # Arrow encode/LUT kernels
+
+
+def test_bpe_sampled_apply_result_is_driver_literal(plans):
+    # training collapses to a bounded driver sample; the returned frame
+    # is the assembled merge table (a LocalTableScan) — the corpus-wide
+    # apply pass already ran as one mapInPandas aggregate
+    p = plans("bpe_sampled_apply")
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p
+    assert "Exchange" not in p
+
+
+def test_quality_lr_train_result_is_driver_literal(plans):
+    # same contract: per-step aggregates are 1-row collects; the result
+    # frame is the packed weight table, no lingering corpus plan
+    p = plans("quality_lr_train")
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p
+    assert "Exchange" not in p
