@@ -155,6 +155,7 @@ HEADLINE = [
     "stream_bm25_index_upkeep",
     "stream_ivfpq_index_upkeep",
     "quality_lr_train",
+    "stream_join_maintained",
 ]
 
 

@@ -1232,6 +1232,11 @@ _compound(
             {"n1": "q_id", "n2": "vec_id", "n3": "rnk", "v": "cosine"},
         ),
         (
+            "join_maintained",
+            "stream_join_maintained",
+            {"n1": "o_custkey", "n2": "n_items", "n3": "cents"},
+        ),
+        (
             "audio_meta",
             "stream_audio_meta",
             {"n1": "doc_id", "n2": "n_bytes", "n3": "sample_sum"},

@@ -6826,6 +6826,176 @@ def stream_rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_SJM_KB = 16  # join-key hash buckets for the two state stores
+
+
+@register(
+    "stream_join_maintained",
+    oracle="""
+    SELECT o_custkey,
+           count(*)::BIGINT AS n_items,
+           sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    """,
+)
+def stream_join_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED JOIN VIEW — the textbook delta-join
+    completion of the IVM family (the earlier maintained views are all
+    single-table rollups): a per-customer revenue view over
+    orders ⋈ lineitem, maintained as BOTH inputs arrive interleaved in
+    micro-batches. Each batch applies the classic bilinear delta rule
+
+        ΔV = ΔO ⋈ L_state  ∪  O_state ⋈ ΔL  ∪  ΔO ⋈ ΔL
+
+    where O_state/L_state are the PRE-batch accumulated sides, kept in
+    join-key-bucket-partitioned DatasetStores so every delta-join probe
+    loads only the buckets the batch's keys hash into (PartitionFilters
+    — the dedup-index pruning contract, now on a two-sided join).
+
+    All three stores ride the round-7 replay protocol, and the ORDER of
+    publication is load-bearing: the view delta (additive count/cents
+    partials — double-counting poison) publishes FIRST, then the two
+    side states. A crash anywhere replays into per-store
+    skip-or-apply decisions that reconstruct exactly the committed
+    prefix: the view delta was computed against pre-batch state in
+    whichever run committed it, and a replayed state append can't
+    duplicate join rows (duplicate state rows would double every later
+    delta-join — state appends are NOT inert, unlike membership keys).
+
+    Insert-only by design; deletions compose with the retraction story
+    (signed ΔO/ΔL flow through the same bilinear rule — the
+    stream_rollup_retractions boundary notes apply). Oracle = the batch
+    join-aggregate over the full tables."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .transaction import DatasetStore
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_custkey"
+    )
+    items = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="gravityspark_sjm_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        # interleaved arrival: orders half A | lineitems A + orders B |
+        # lineitems B — so the delta rule fires in BOTH directions and
+        # the Δ⋈Δ term is exercised (batch 1 carries matching o+l rows)
+        o_half = F.pmod(F.xxhash64(F.col("okey")), F.lit(2))
+        tag = lambda df, kind: df.select(  # noqa: E731
+            F.lit(kind).alias("kind"),
+            "okey",
+            (F.col("o_custkey") if kind == "o" else F.lit(None)).cast("long").alias("o_custkey"),
+            (F.col("cents") if kind == "l" else F.lit(None)).cast("long").alias("cents"),
+        )
+        batches = [
+            tag(orders.filter(o_half == 0), "o"),
+            tag(items.filter(o_half == 0), "l").unionByName(
+                tag(orders.filter(o_half == 1), "o")
+            ),
+            tag(items.filter(o_half == 1), "l"),
+        ]
+        for b, bdf in enumerate(batches):
+            tmp = os.path.join(work, f"tmp{b}")
+            bdf.coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+        staged_schema = batches[0].schema
+
+        kb = F.pmod(F.xxhash64(F.col("okey")), F.lit(_SJM_KB)).cast("int")
+        o_store = DatasetStore(os.path.join(work, "o"), partition_cols=("kb",))
+        l_store = DatasetStore(os.path.join(work, "l"), partition_cols=("kb",))
+        view = DatasetStore(os.path.join(work, "view"))
+
+        def fold_view(df):
+            return df.groupBy("o_custkey").agg(
+                F.sum("n_items").cast("long").alias("n_items"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+
+        def agg_pairs(joined):
+            return joined.groupBy("o_custkey").agg(
+                F.count("*").cast("long").alias("n_items"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+
+        def handle(batch_df, bid) -> None:
+            dO = (
+                batch_df.filter(F.col("kind") == "o")
+                .select("okey", "o_custkey")
+                .localCheckpoint(eager=True)
+            )
+            dL = (
+                batch_df.filter(F.col("kind") == "l")
+                .select("okey", "cents")
+                .localCheckpoint(eager=True)
+            )
+            # pre-batch state, pruned to the delta keys' buckets
+            def pruned(store, delta):
+                bks = [
+                    r.kb for r in delta.select(kb.alias("kb")).distinct().collect()
+                ]
+                return store.load(spark, where=F.col("kb").isin(bks))
+
+            parts = [agg_pairs(dO.join(dL, "okey"))]  # ΔO ⋈ ΔL
+            lp = pruned(l_store, dO)
+            if lp is not None:  # ΔO ⋈ L_state
+                parts.append(agg_pairs(dO.join(lp.select("okey", "cents"), "okey")))
+            op = pruned(o_store, dL)
+            if op is not None:  # O_state ⋈ ΔL
+                parts.append(
+                    agg_pairs(dL.join(op.select("okey", "o_custkey"), "okey"))
+                )
+            from functools import reduce
+
+            dV = fold_view(reduce(lambda a, b: a.unionByName(b), parts))
+            # publication ORDER matters: view first (computed against
+            # pre-batch state), then the sides — every append bid-gated
+            view.append_once(dV, bid)
+            if o_store.append_once(dO.withColumn("kb", kb), bid) is not None:
+                o_store.compact(spark, min_deltas=4)
+            if l_store.append_once(dL.withColumn("kb", kb), bid) is not None:
+                l_store.compact(spark, min_deltas=4)
+            view.compact(spark, min_deltas=2, transform=fold_view)
+
+        stream = (
+            spark.readStream.schema(staged_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out = (
+            fold_view(view.load(spark))
+            .filter(F.col("n_items") > 0)
+            .select("o_custkey", "n_items", "cents")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _BM25_TERMS = ["spark", "data", "value"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TOPK = 20
