@@ -156,6 +156,7 @@ HEADLINE = [
     "stream_ivfpq_index_upkeep",
     "quality_lr_train",
     "stream_join_maintained",
+    "stream_join_retractions",
 ]
 
 

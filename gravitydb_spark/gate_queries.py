@@ -1237,6 +1237,11 @@ _compound(
             {"n1": "o_custkey", "n2": "n_items", "n3": "cents"},
         ),
         (
+            "join_retractions",
+            "stream_join_retractions",
+            {"n1": "o_custkey", "n2": "n_items", "n3": "cents"},
+        ),
+        (
             "audio_meta",
             "stream_audio_meta",
             {"n1": "doc_id", "n2": "n_bytes", "n3": "sample_sum"},

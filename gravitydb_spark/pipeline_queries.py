@@ -6996,6 +6996,192 @@ def stream_join_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "stream_join_retractions",
+    oracle="""
+    SELECT o_custkey,
+           count(*)::BIGINT AS n_items,
+           sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_linenumber % 3 != 1
+    GROUP BY o_custkey
+    """,
+)
+def stream_join_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-JOIN IVM WITH DELETES — the signed-MULTISET completion of
+    stream_join_maintained (the relational-algebra fact: joins
+    distribute over signed unions, so the same bilinear rule handles
+    deletions when every row carries a multiplicity): lineitems arrive
+    with op=±1 (a retraction batch erases every linenumber ≡ 1 mod 3 —
+    an upstream correction), the lineitem state folds to
+    (okey, cents, m = Σop) multiset rows dropping m = 0, and each
+    delta-join term weights by op·m:
+
+        ΔV(dL ⋈ O)  = Σ op        per item-row matched
+        ΔV(dO ⋈ L)  = Σ m         per state-row matched (m can be <0
+                                   transiently if a retraction precedes
+                                   its insert under reordering — the
+                                   algebra nets it out)
+
+    A customer whose every item is retracted VANISHES from the view
+    (n_items nets to 0), exactly as the batch join over surviving
+    lineitems has no such group — which is what the oracle computes.
+    Orders stay insert-only here (deleting an order is a cascade policy
+    question, not an algebra one; documented boundary). All stores
+    bid-gated, view-first publication order, key-bucket-pruned state
+    probes — the stream_join_maintained contract unchanged."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from functools import reduce
+
+    from .transaction import DatasetStore
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_custkey"
+    )
+    items = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_linenumber",
+    )
+    doomed = F.col("l_linenumber") % 3 == 1
+    work = tempfile.mkdtemp(prefix="gravityspark_sjr_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        o_half = F.pmod(F.xxhash64(F.col("okey")), F.lit(2))
+
+        def tag_o(df):
+            return df.select(
+                F.lit("o").alias("kind"),
+                "okey",
+                F.col("o_custkey").cast("long").alias("o_custkey"),
+                F.lit(None).cast("long").alias("cents"),
+                F.lit(0).cast("int").alias("op"),
+            )
+
+        def tag_l(df, op):
+            return df.select(
+                F.lit("l").alias("kind"),
+                "okey",
+                F.lit(None).cast("long").alias("o_custkey"),
+                "cents",
+                F.lit(op).cast("int").alias("op"),
+            )
+
+        batches = [
+            tag_o(orders.filter(o_half == 0)),
+            tag_l(items.filter(o_half == 0), 1).unionByName(
+                tag_o(orders.filter(o_half == 1))
+            ),
+            tag_l(items.filter(o_half == 1), 1),
+            tag_l(items.filter(doomed), -1),  # the retraction batch
+        ]
+        for b, bdf in enumerate(batches):
+            tmp = os.path.join(work, f"tmp{b}")
+            bdf.coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+        staged_schema = batches[0].schema
+
+        kb = F.pmod(F.xxhash64(F.col("okey")), F.lit(_SJM_KB)).cast("int")
+        o_store = DatasetStore(os.path.join(work, "o"), partition_cols=("kb",))
+        l_store = DatasetStore(os.path.join(work, "l"), partition_cols=("kb",))
+        view = DatasetStore(os.path.join(work, "view"))
+
+        def fold_view(df):
+            return df.groupBy("o_custkey").agg(
+                F.sum("n_items").cast("long").alias("n_items"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+
+        def fold_l(df):  # multiset fold: net multiplicities, drop zeros
+            return (
+                df.groupBy("okey", "cents", "kb")
+                .agg(F.sum("m").cast("long").alias("m"))
+                .filter(F.col("m") != 0)
+            )
+
+        def handle(batch_df, bid) -> None:
+            dO = (
+                batch_df.filter(F.col("kind") == "o")
+                .select("okey", "o_custkey")
+                .localCheckpoint(eager=True)
+            )
+            dL = (
+                batch_df.filter(F.col("kind") == "l")
+                .select("okey", "cents", F.col("op").cast("long").alias("m"))
+                .localCheckpoint(eager=True)
+            )
+
+            def pruned(store, delta):
+                bks = [
+                    r.kb
+                    for r in delta.select(kb.alias("kb")).distinct().collect()
+                ]
+                return store.load(spark, where=F.col("kb").isin(bks))
+
+            def agg_signed(joined):  # rows carry multiplicity m
+                return joined.groupBy("o_custkey").agg(
+                    F.sum("m").cast("long").alias("n_items"),
+                    F.sum(F.col("m") * F.col("cents")).cast("long").alias("cents"),
+                )
+
+            parts = [agg_signed(dO.join(dL, "okey"))]  # ΔO ⋈ ΔL
+            lp = pruned(l_store, dO)
+            if lp is not None:  # ΔO ⋈ L_state (state rows carry m)
+                parts.append(
+                    agg_signed(
+                        dO.join(fold_l(lp).select("okey", "cents", "m"), "okey")
+                    )
+                )
+            op_ = pruned(o_store, dL)
+            if op_ is not None:  # O_state ⋈ ΔL
+                parts.append(
+                    agg_signed(dL.join(op_.select("okey", "o_custkey"), "okey"))
+                )
+            dV = fold_view(reduce(lambda a, b: a.unionByName(b), parts))
+            view.append_once(dV, bid)
+            if o_store.append_once(dO.withColumn("kb", kb), bid) is not None:
+                o_store.compact(spark, min_deltas=4)
+            if l_store.append_once(dL.withColumn("kb", kb), bid) is not None:
+                l_store.compact(spark, min_deltas=3, transform=fold_l)
+            view.compact(spark, min_deltas=2, transform=fold_view)
+
+        stream = (
+            spark.readStream.schema(staged_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out = (
+            fold_view(view.load(spark))
+            .filter(F.col("n_items") != 0)
+            .select("o_custkey", "n_items", "cents")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _BM25_TERMS = ["spark", "data", "value"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TOPK = 20
