@@ -161,3 +161,65 @@ def test_plain_append_unaffected(spark, tmp_path, partitioned):
     assert len(store.snapshots()) == 2
     assert store.append_once(d, 0) is not None
     assert store.append_once(d, 0) is None
+
+
+def test_join_view_crash_between_view_and_state(spark, tmp_path):
+    """stream_join_maintained's three-store handler: the view delta
+    publishes FIRST (computed against pre-batch state), then the side
+    states. A crash between them replays into 'skip the view, apply
+    the states' — and a later batch's delta-join sees consistent
+    state, so the final view equals the batch join."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    o_store = DatasetStore(str(tmp_path / "o"))
+    l_store = DatasetStore(str(tmp_path / "l"))
+    view = DatasetStore(str(tmp_path / "v"))
+
+    def fold_view(df):
+        return df.groupBy("c").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+
+    def handle(orows, lrows, bid, crash_after_view=False):
+        dO = spark.createDataFrame(orows or [], "okey long, c string")
+        dL = spark.createDataFrame(lrows or [], "okey long, cents long")
+        parts = [
+            dO.join(dL, "okey").groupBy("c").agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+        ]
+        lp = l_store.load(spark)
+        if lp is not None:
+            parts.append(
+                dO.join(lp, "okey").groupBy("c").agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("cents"),
+                )
+            )
+        op = o_store.load(spark)
+        if op is not None:
+            parts.append(
+                dL.join(op, "okey").groupBy("c").agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("cents"),
+                )
+            )
+        view.append_once(fold_view(reduce(lambda a, b: a.unionByName(b), parts)), bid)
+        if crash_after_view:
+            return  # simulated crash window
+        o_store.append_once(dO, bid)
+        l_store.append_once(dL, bid)
+
+    handle([(1, "c1")], [], 0)
+    handle([], [(1, 10)], 1, crash_after_view=True)  # crashed run
+    handle([], [(1, 10)], 1)  # the replay
+    handle([], [(1, 5)], 2)  # later batch joins the recovered state
+    got = {
+        r["c"]: (r["n"], r["cents"])
+        for r in fold_view(view.load(spark)).collect()
+    }
+    assert got == {"c1": (2, 15)}, got
