@@ -28,7 +28,9 @@ def main() -> None:
     spark = get_spark("r7_probe")
     for name in ("bpe_sampled_apply", "bpe_train_merges", "g_cc_maintained",
                  "g_cc_retractions", "ann_ivfpq_topk",
-                 "stream_bm25_index_upkeep", "stream_ivfpq_index_upkeep"):
+                 "stream_bm25_index_upkeep", "stream_ivfpq_index_upkeep",
+                 "stream_join_maintained", "stream_join_retractions",
+                 "quality_lr_train"):
         for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
             t0 = time.time()
             n = REGISTRY[name].fn(spark, sf_dir).count()
