@@ -1154,11 +1154,15 @@ def g_cc_retractions(spark, sf_dir):
         base = 1_700_000_000
         edges = g.edges.select("edge_id", "src", "dst")
         doomed = (F.col("src").startswith("n")) & (F.col("dst") == "r0")
+        # two insert batches suffice to exercise chase/merge chains
+        # (batch-2 relabels reference batch-1 roots) before the
+        # retraction; the final state is batching-invariant, and each
+        # dropped batch saves a full cc_labels + append round
         batches = [
             edges.filter(
-                F.pmod(F.xxhash64(F.col("edge_id")), F.lit(3)) == b
+                F.pmod(F.xxhash64(F.col("edge_id")), F.lit(2)) == b
             ).withColumn("op", F.lit(1).cast("int"))
-            for b in range(3)
+            for b in range(2)
         ] + [edges.filter(doomed).withColumn("op", F.lit(-1).cast("int"))]
         for b, bdf in enumerate(batches):
             tmp = os.path.join(work, f"tmp{b}")
