@@ -981,7 +981,10 @@ def g_cc_maintained(spark, sf_dir):
                     "root",
                     "left",
                 ).select("v", "root", "nroot")
-                if step.filter(F.col("nroot").isNotNull()).limit(1).count() == 0:
+                advanced = step.filter(
+                    F.col("nroot").isNotNull() & (F.col("nroot") != F.col("root"))
+                )
+                if advanced.limit(1).count() == 0:
                     break  # frontier fully chased
                 cur = step.select(
                     "v", F.coalesce("nroot", "root").alias("root")
@@ -1065,8 +1068,13 @@ def g_cc_maintained(spark, sf_dir):
 
 _CC_RETRACT_ORACLE = """
     WITH comp AS (
-      SELECT n_regionkey AS rk, min('c' || c_custkey) AS component
-      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      -- total per region (r7 ADVICE): a customer-less region's component
+      -- label is the string-min over its remaining member ids, which is
+      -- min('n'||nk) ('n' < 'r' < 's'), matching the engine's min-label
+      SELECT n_regionkey AS rk,
+             coalesce(min('c' || c_custkey), min('n' || n_nationkey))
+               AS component
+      FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
       WHERE n_regionkey != 0 GROUP BY 1),
     ncomp AS (
       SELECT n_nationkey AS nk,
@@ -1089,7 +1097,8 @@ _CC_RETRACT_ORACLE = """
     LEFT JOIN ncomp ON ncomp.nk = n_nationkey
     UNION ALL
     SELECT 'r' || r_regionkey,
-           CASE WHEN r_regionkey = 0 THEN 'r0' ELSE comp.component END
+           CASE WHEN r_regionkey = 0 THEN 'r0'
+                ELSE coalesce(comp.component, 'r' || r_regionkey) END
     FROM region LEFT JOIN comp ON comp.rk = r_regionkey
     """
 
