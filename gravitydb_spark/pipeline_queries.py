@@ -1929,6 +1929,60 @@ def _duck_pq_ctes() -> str:
 _pq_book_memo: dict = {}
 
 
+def _lloyd_rows(ex, init_max: int, iters: int, per_subspace: bool):
+    """The ONE scaled-BIGINT Lloyd loop, shared by the raw-PQ codebook,
+    the IVFPQ coarse quantizer, and the residual-PQ codebook. ``ex`` is
+    an exploded (vec_id, m, i, x) training frame (cached by the caller);
+    init = the first ``init_max`` sample vectors (cl = vec_id); returns
+    the collected (m, cl, i, cx) centroid rows after ``iters``
+    iterations. ``per_subspace=True`` clusters each m independently
+    (product quantization); ``False`` clusters the full vector (coarse
+    quantizer), with (m, i) kept purely as the dimension key. Every
+    step is engine-exact (argmin tie on cl ASC, floor(sum/count)
+    update), so DuckDB oracles replay it as an unrolled CTE chain."""
+    sub = ["m"] if per_subspace else []
+    cent = ex.filter(F.col("vec_id") < init_max).select(
+        "m", F.col("vec_id").alias("cl"), "i", F.col("x").alias("cx")
+    )
+    cached_cents = []
+    for _ in range(iters):
+        d = (
+            ex.join(F.broadcast(cent), ["m", "i"])
+            .groupBy("vec_id", *sub, "cl")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                ).alias("d")
+            )
+        )
+        w = Window.partitionBy("vec_id", *sub).orderBy(
+            F.asc("d"), F.asc("cl")
+        )
+        members = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", *sub, "cl")
+        )
+        cent = (
+            ex.join(members, ["vec_id", *sub])
+            .groupBy("m", "cl", "i")
+            .agg(
+                F.floor(F.sum("x").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("cx")
+            )
+        ).cache()  # tiny (K*dim rows); cuts the per-iteration lineage
+        cached_cents.append(cent)
+    try:
+        rows = cent.collect()  # bounded: <= K * dim ints
+    finally:
+        # never leave cache entries behind (r4 ADVICE class) — on the
+        # failure path too
+        for c in cached_cents:
+            c.unpersist()
+    return rows
+
+
 def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict:
     """Train the per-subspace codebook and return it as plain Python
     ints: ``{m: [(cl, {i: cx}), ...sorted by cl]}`` -- M*K*SUB <= 1024
@@ -1956,44 +2010,12 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict:
         )
         .cache()
     )
-    cent = ex.filter(F.col("vec_id") < PQ_CODES * PQ_TRAIN_MOD).select(
-        "m", F.col("vec_id").alias("cl"), "i", F.col("x").alias("cx")
-    )
-    cached_cents = []
-    for _ in range(PQ_ITERS):
-        d = (
-            ex.join(F.broadcast(cent), ["m", "i"])
-            .groupBy("vec_id", "m", "cl")
-            .agg(
-                F.sum(
-                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
-                ).alias("d")
-            )
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cl"))
-        members = (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "cl")
-        )
-        cent = (
-            ex.join(members, ["vec_id", "m"])
-            .groupBy("m", "cl", "i")
-            .agg(
-                F.floor(F.sum("x").cast("double") / F.count("*"))
-                .cast("long")
-                .alias("cx")
-            )
-        ).cache()  # tiny (M*K*SUB rows); cuts the per-iteration lineage
-        cached_cents.append(cent)
     try:
-        rows = cent.collect()  # bounded: <= M*K*SUB = 1024 ints
+        rows = _lloyd_rows(
+            ex, PQ_CODES * PQ_TRAIN_MOD, PQ_ITERS, per_subspace=True
+        )
     finally:
-        # never leave cache entries behind (r4 ADVICE class) — on the
-        # failure path too
         ex.unpersist()
-        for c in cached_cents:
-            c.unpersist()
     book: dict = {}
     for r in rows:
         book.setdefault(r["m"], {}).setdefault(r["cl"], {})[r["i"]] = r["cx"]
@@ -2003,6 +2025,18 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict:
     }
     _pq_book_memo[key] = out
     return out
+
+
+def _np_scaled(col):
+    """(n, dim) int64 of round-half-away-from-zero(v * PQ_SCALE_INT) —
+    exactly Spark's round() and DuckDB's round() (np.rint would
+    banker's-round and diverge on exact .5 products)."""
+    import numpy as np
+
+    v = np.stack(col.to_numpy()).astype(np.float64) * PQ_SCALE_INT
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+        np.int64
+    )
 
 
 def _pq_kernels(book: dict):
@@ -2026,11 +2060,7 @@ def _pq_kernels(book: dict):
         for m in range(PQ_M)
     ]
 
-    def scaled(col) -> "np.ndarray":
-        v = np.stack(col.to_numpy()).astype(np.float64) * PQ_SCALE_INT
-        return np.where(
-            v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
-        ).astype(np.int64)
+    scaled = _np_scaled
 
     def encode(batches):
         import pandas as pd
@@ -2763,50 +2793,320 @@ def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _ivfpq_oracle() -> str:
-    """IVF shortlist + in-cell ADC + exact re-rank, composed from the
-    trained-PQ chain and the IVF quantizer CTEs."""
-    return f"""
-    WITH {_duck_pq_ctes()},
-    pdists AS (
+# Residual IVFPQ (r7 VERDICT directive #2): the coarse quantizer is
+# TRAINED (scaled-int Lloyd, shared loop) instead of first-K seeds, and
+# PQ encodes the RESIDUAL x − centroid(cell) per the FAISS-standard
+# composition — residuals concentrate near zero, so the same code budget
+# quantizes them finer than raw vectors (measured ADC-only recall probe
+# in SCALE.md §4h).
+IVF_ITERS = 2  # coarse Lloyd iterations (engine-exact, oracle-unrolled)
+IVF_TRAIN_MOD = PQ_TRAIN_MOD  # one deterministic sample for both stages
+
+_ivfpq_model_memo: dict = {}
+
+
+def _ivfpq_model(spark: SparkSession, sf_dir: str):
+    """(cents, book): the two trained artifacts of residual IVFPQ, both
+    bounded driver collects memoized per (session, sf_dir):
+
+    - ``cents``: the TRAINED coarse quantizer — {IVF_CELLS} full-vector
+      centroids from {IVF_ITERS} scaled-BIGINT Lloyd iterations over the
+      deterministic 1/{IVF_TRAIN_MOD} sample (init = first-K sample
+      vectors), as ``[(cl, {(m, i): cx})...]`` sorted by cl;
+    - ``book``: the residual-PQ codebook — the SAME per-subspace Lloyd
+      as :func:`_pq_codebook`, but trained on x − centroid(cell(x)) of
+      the sample vectors.
+
+    Everything downstream (assignment, encoding, LUT, probes) is pure
+    integer arithmetic on these constants, so the DuckDB oracle replays
+    the full chain bit-exactly."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ivfpq_model_memo:
+        return _ivfpq_model_memo[key]
+    ex = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % IVF_TRAIN_MOD == 0)
+        .select("vec_id", F.posexplode(F.col("embedding")).alias("p", "xf"))
+        .select(
+            "vec_id",
+            (F.col("p") / PQ_SUB).cast("int").alias("m"),
+            (F.col("p") % PQ_SUB + 1).cast("int").alias("i"),
+            F.round(F.col("xf").cast("double") * PQ_SCALE_INT, 0)
+            .cast("long")
+            .alias("x"),
+        )
+        .cache()
+    )
+    try:
+        crows = _lloyd_rows(
+            ex, IVF_CELLS * IVF_TRAIN_MOD, IVF_ITERS, per_subspace=False
+        )
+        centdf = spark.createDataFrame(
+            [(r["m"], r["cl"], r["i"], r["cx"]) for r in crows],
+            "m int, cl bigint, i int, cx bigint",
+        )
+        # assign each sample vector to its nearest trained cell (L2,
+        # tie cl ASC), then train the per-subspace codebook on residuals
+        d = (
+            ex.join(F.broadcast(centdf), ["m", "i"])
+            .groupBy("vec_id", "cl")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                ).alias("d")
+            )
+        )
+        asg = (
+            d.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.asc("d"), F.asc("cl")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cl")
+        )
+        rex = (
+            ex.join(asg, "vec_id")
+            .join(
+                F.broadcast(centdf.withColumnRenamed("cx", "ccx")),
+                ["m", "cl", "i"],
+            )
+            .select(
+                "vec_id", "m", "i", (F.col("x") - F.col("ccx")).alias("x")
+            )
+            .cache()
+        )
+        try:
+            rrows = _lloyd_rows(
+                rex, PQ_CODES * PQ_TRAIN_MOD, PQ_ITERS, per_subspace=True
+            )
+        finally:
+            rex.unpersist()
+    finally:
+        ex.unpersist()
+    cents_map: dict = {}
+    for r in crows:
+        cents_map.setdefault(r["cl"], {})[(r["m"], r["i"])] = r["cx"]
+    cents = sorted(cents_map.items())
+    book: dict = {}
+    for r in rrows:
+        book.setdefault(r["m"], {}).setdefault(r["cl"], {})[r["i"]] = r["cx"]
+    out = (
+        cents,
+        {
+            m: sorted((cl, vec) for cl, vec in cls.items())
+            for m, cls in book.items()
+        },
+    )
+    _ivfpq_model_memo[key] = out
+    return out
+
+
+def _ivfpq_kernels(cents, book):
+    """The Arrow-vectorized residual-IVFPQ kernels, closed over the
+    trained coarse centroids and residual codebook as numpy constants:
+
+    - ``encode``: corpus batch → (vec_id, cell, pos0..pos{PQ_M - 1}) —
+      coarse-assign (argmin L2, first-min == lowest cl), subtract the
+      centroid, PQ-encode the residual. Cell ids are positions into the
+      cl-ordered centroid list (same convention as the pos codes).
+    - ``probe``: query batch → {IVF_NPROBE} rows (q_id, cell, qcdot)
+      per query — the L2-nearest cells plus the scaled dot(q, centroid)
+      term the ADC score needs under the IP metric:
+      score = dot(q, c) + dot(q, r̂) with r̂ read from the LUT.
+    - ``lut``: query batch → per-subspace dot tables against the
+      RESIDUAL codebook anchors (query side is raw — LUTs are
+      cell-independent under IP).
+    """
+    import numpy as np
+
+    cl_sorted = [cl for cl, _ in cents]
+    CIV = np.array(
+        [
+            [vec[(m, i)] for m in range(PQ_M) for i in range(1, PQ_SUB + 1)]
+            for _, vec in cents
+        ],
+        dtype=np.int64,
+    )  # (K_cells, dim) in cl order
+    RC = [
+        np.array(
+            [[vec[i] for i in range(1, PQ_SUB + 1)] for _, vec in book[m]],
+            dtype=np.int64,
+        )
+        for m in range(PQ_M)
+    ]
+
+    def _cells(x):
+        d = ((x[:, None, :] - CIV[None, :, :]) ** 2).sum(axis=2)  # (n, K)
+        return d
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = _np_scaled(pdf["embedding"])
+            cell = np.argmin(_cells(x), axis=1)  # first-min == lowest cl
+            r = x - CIV[cell]
+            out = {
+                "vec_id": pdf["vec_id"],
+                "cell": cell.astype("int32"),
+            }
+            for m in range(PQ_M):
+                rm = r[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                d = ((rm[:, None, :] - RC[m][None, :, :]) ** 2).sum(axis=2)
+                out[f"pos{m}"] = (np.argmin(d, axis=1) + 1).astype("int32")
+            yield pd.DataFrame(out)
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = _np_scaled(pdf["embedding"])
+            d = _cells(x)
+            qc = x @ CIV.T  # (n, K) scaled dot(q, centroid)
+            order = np.argsort(d, axis=1, kind="stable")  # ties → low cl
+            rows = {"q_id": [], "cell": [], "qcdot": []}
+            for j, qid in enumerate(pdf["vec_id"]):
+                for c in order[j, :IVF_NPROBE]:
+                    rows["q_id"].append(qid)
+                    rows["cell"].append(int(c))
+                    rows["qcdot"].append(int(qc[j, c]))
+            yield pd.DataFrame(
+                {
+                    "q_id": pd.Series(rows["q_id"], dtype="int64"),
+                    "cell": pd.Series(rows["cell"], dtype="int32"),
+                    "qcdot": pd.Series(rows["qcdot"], dtype="int64"),
+                }
+            )
+
+    def lut(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = _np_scaled(pdf["embedding"])
+            out = {"q_id": pdf["vec_id"]}
+            for m in range(PQ_M):
+                xm = x[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                out[f"lut{m}"] = list(xm @ RC[m].T)
+            yield pd.DataFrame(out)
+
+    del cl_sorted  # cell ids are list positions; cl values stay internal
+    return encode, probe, lut
+
+
+def _duck_ivfpq_ctes() -> str:
+    """The full residual-IVFPQ training + serving chain in SQL: coarse
+    Lloyd ({IVF_ITERS} unrolled iterations, full-vector, the same
+    integer recurrence as the Spark loop) → corpus assignment →
+    residuals → residual-PQ Lloyd → codes / query LUTs / probed cells
+    with the dot(q, centroid) term."""
+    parts = [
+        f"""pex AS MATERIALIZED (
+      SELECT vec_id, (u.i - 1) // {PQ_SUB} AS m, ((u.i - 1) % {PQ_SUB}) + 1 AS i,
+             CAST(round(embedding[u.i]::DOUBLE * {PQ_SCALE_INT}) AS BIGINT) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    pct AS MATERIALIZED (SELECT * FROM pex WHERE vec_id % {IVF_TRAIN_MOD} = 0),
+    ic0 AS (SELECT vec_id AS cl, m, i, x AS cx FROM pct
+            WHERE vec_id < {IVF_CELLS * IVF_TRAIN_MOD})"""
+    ]
+    prev = "ic0"
+    for it in range(IVF_ITERS):
+        parts.append(
+            f"""ia{it} AS (
+      SELECT vec_id, cl, sum((x - cx) * (x - cx)) AS d
+      FROM pct JOIN {prev} USING (m, i) GROUP BY 1, 2),
+    ib{it} AS (
+      SELECT vec_id, cl FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d ASC, cl ASC) AS rn
+        FROM ia{it}) WHERE rn = 1),
+    ic{it + 1} AS (
+      SELECT cl, m, i, CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS cx
+      FROM pct JOIN ib{it} USING (vec_id) GROUP BY 1, 2, 3)"""
+        )
+        prev = f"ic{it + 1}"
+    parts.append(
+        f"""ivcb AS MATERIALIZED (SELECT * FROM {prev}),
+    iad AS (
+      SELECT vec_id, cl, sum((x - cx) * (x - cx)) AS d
+      FROM pex JOIN ivcb USING (m, i) GROUP BY 1, 2),
+    iassign AS MATERIALIZED (
+      SELECT vec_id, cl AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d ASC, cl ASC) AS rn
+        FROM iad) WHERE rn = 1),
+    rex AS MATERIALIZED (
+      SELECT p.vec_id, p.m, p.i, p.x - c.cx AS x
+      FROM pex p
+      JOIN iassign a ON a.vec_id = p.vec_id
+      JOIN ivcb c ON c.cl = a.cell AND c.m = p.m AND c.i = p.i),
+    rct AS MATERIALIZED (SELECT * FROM rex WHERE vec_id % {PQ_TRAIN_MOD} = 0),
+    rc0 AS (SELECT m, vec_id AS cl, i, x AS cx FROM rct
+            WHERE vec_id < {PQ_CODES * PQ_TRAIN_MOD})"""
+    )
+    prev = "rc0"
+    for it in range(PQ_ITERS):
+        parts.append(
+            f"""ra{it} AS (
       SELECT vec_id, m, cl, sum((x - cx) * (x - cx)) AS d
-      FROM pex JOIN pqcb USING (m, i) GROUP BY 1, 2, 3),
-    codes AS MATERIALIZED (
+      FROM rct JOIN {prev} USING (m, i) GROUP BY 1, 2, 3),
+    rb{it} AS (
       SELECT vec_id, m, cl FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                      ORDER BY d ASC, cl ASC) AS rn
-        FROM pdists) WHERE rn = 1),
-    lut AS MATERIALIZED (
+        FROM ra{it}) WHERE rn = 1),
+    rc{it + 1} AS (
+      SELECT m, cl, i, CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS cx
+      FROM rct JOIN rb{it} USING (vec_id, m) GROUP BY 1, 2, 3)"""
+        )
+        prev = f"rc{it + 1}"
+    parts.append(
+        f"""rqcb AS MATERIALIZED (SELECT * FROM {prev}),
+    rdists AS (
+      SELECT vec_id, m, cl, sum((x - cx) * (x - cx)) AS d
+      FROM rex JOIN rqcb USING (m, i) GROUP BY 1, 2, 3),
+    rcodes AS MATERIALIZED (
+      SELECT vec_id, m, cl FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, cl ASC) AS rn
+        FROM rdists) WHERE rn = 1),
+    rlut AS MATERIALIZED (
       SELECT qx.vec_id AS q_id, m, cl, sum(qx.x * c.cx)::BIGINT AS dot_s
-      FROM pex qx JOIN pqcb c USING (m, i)
+      FROM pex qx JOIN rqcb c USING (m, i)
       WHERE qx.vec_id < {ANN_N_QUERIES}
       GROUP BY 1, 2, 3),
-    cent AS (
-      SELECT vec_id AS cell, embedding AS cv FROM embeddings
-      WHERE vec_id < {IVF_CELLS}),
-    assigned AS MATERIALIZED (
-      SELECT vec_id, cell FROM (
-        SELECT e.vec_id, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_duck_dot('e.embedding', 'c.cv')} DESC,
-                                           c.cell ASC) AS rn
-        FROM embeddings e JOIN cent c ON TRUE) WHERE rn = 1),
+    qcd AS (
+      SELECT vec_id AS q_id, cl, sum((x - cx) * (x - cx)) AS d,
+             sum(x * cx)::BIGINT AS qcdot
+      FROM pex JOIN ivcb USING (m, i)
+      WHERE vec_id < {ANN_N_QUERIES} GROUP BY 1, 2),
     probes AS MATERIALIZED (
-      SELECT vec_id AS q_id, cell FROM (
-        SELECT e.vec_id, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {_duck_dot('e.embedding', 'c.cv')} DESC,
-                                           c.cell ASC) AS rn
-        FROM embeddings e JOIN cent c ON TRUE
-        WHERE e.vec_id < {ANN_N_QUERIES}) WHERE rn <= {IVF_NPROBE}),
+      SELECT q_id, cl AS cell, qcdot FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY d ASC, cl ASC) AS rn
+        FROM qcd) WHERE rn <= {IVF_NPROBE})"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _ivfpq_oracle() -> str:
+    """Residual IVFPQ: trained coarse quantizer + residual codes +
+    in-cell ADC (dot(q, centroid) + LUT residual dot) + exact
+    re-rank."""
+    return f"""
+    WITH {_duck_ivfpq_ctes()},
     adc AS (
-      SELECT p.q_id, cd.vec_id, sum(l.dot_s)::BIGINT AS score_scaled
-      FROM codes cd
-      JOIN assigned a ON a.vec_id = cd.vec_id
+      SELECT p.q_id, cd.vec_id,
+             (p.qcdot + sum(l.dot_s))::BIGINT AS score_scaled
+      FROM rcodes cd
+      JOIN iassign a ON a.vec_id = cd.vec_id
       JOIN probes p ON p.cell = a.cell
-      JOIN lut l ON l.m = cd.m AND l.cl = cd.cl AND l.q_id = p.q_id
+      JOIN rlut l ON l.m = cd.m AND l.cl = cd.cl AND l.q_id = p.q_id
       WHERE cd.vec_id != p.q_id
-      GROUP BY 1, 2),
+      GROUP BY 1, 2, p.qcdot),
     shortlist AS (
       SELECT q_id, vec_id FROM (
         SELECT q_id, vec_id,
@@ -2833,66 +3133,68 @@ def _ivfpq_oracle() -> str:
 
 @register("ann_ivfpq_topk", oracle=_ivfpq_oracle())
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFPQ — the FAISS-standard serving composition and the missing
-    rung on the measured recall ladder (r6 VERDICT directive #4): the
-    IVF coarse quantizer cuts the corpus to each query's
-    {IVF_NPROBE}/{IVF_CELLS} nearest cells, the PQ codes ADC-score ONLY
-    those cells' vectors (memory-bound lookups, no raw floats), and the
-    ADC top-{PQ_SHORTLIST} shortlist is re-ranked with exact cosine.
-    Scored fraction per query is nprobe/cells of the corpus (vs PQ's
-    100% compressed scan); the exact math touches q × {PQ_SHORTLIST}
-    vectors only.
+    """RESIDUAL IVFPQ — the FAISS-standard serving composition (r6
+    directive #4, upgraded per r7 directive #2): the TRAINED coarse
+    quantizer ({IVF_ITERS} scaled-int Lloyd iterations over the
+    deterministic sample, not first-K seeds) cuts the corpus to each
+    query's {IVF_NPROBE}/{IVF_CELLS} L2-nearest cells; PQ codes encode
+    the RESIDUAL x − centroid(cell) (residuals concentrate near zero,
+    so the same code budget quantizes finer — the measured ADC-only
+    recall gain is in SCALE.md §4h); ADC scores only the probed cells'
+    codes as dot(q, centroid) + Σ LUT[residual code] (the IP-metric
+    decomposition); the ADC top-{PQ_SHORTLIST} shortlist is re-ranked
+    with exact cosine. Scored fraction per query is nprobe/cells of the
+    corpus; the exact math touches q × {PQ_SHORTLIST} vectors only.
 
-    Plan: codes are one Arrow mapInPandas projection (zero shuffle);
-    the cell restriction is codes ⋈ assigned (co-keyed on vec_id) ⋈
-    broadcast(probes); ADC is the broadcast-LUT element_at sum in one
-    JVM projection; the only corpus-sized Exchange is the IVF
-    assignment window + the per-query shortlist window; re-rank
-    broadcasts the bounded q × {PQ_SHORTLIST} shortlist. Oracle
-    replays coarse quantizer + PQ training + in-cell ADC + exact
-    re-rank bit-exactly (same scaled-BIGINT arithmetic and tie-breaks
-    as ann_pq_topk / ann_ivf_topk)."""
+    Plan: cell assignment + residual encoding fuse into ONE Arrow
+    mapInPandas projection over the corpus scan — the corpus-sized
+    assignment window Exchange of the raw-vector formulation is GONE
+    (argmin over the broadcast centroid constants happens inside the
+    kernel); probes and LUTs are query-sized kernel outputs, broadcast;
+    ADC is the qcdot + element_at sum in one JVM projection; the only
+    corpus-sized Exchange left is the per-query shortlist window.
+    Oracle replays coarse Lloyd + assignment + residual-PQ training +
+    in-cell ADC + exact re-rank bit-exactly (same scaled-BIGINT
+    arithmetic, argmin ties on lowest cl, probe ties on lowest cl)."""
+    from pyspark.sql import types as T
+
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    cent = emb.filter(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    cents, book = _ivfpq_model(spark, sf_dir)
+    encode, probe, lut = _ivfpq_kernels(cents, book)
+    codes_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+        + [T.StructField(f"pos{m}", T.IntegerType()) for m in range(PQ_M)]
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cell"))
-    assigned = (
-        emb.join(F.broadcast(cent))
-        .select("vec_id", "cell", _dot(F.col("v"), F.col("cv")).alias("d"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+    lut_schema = T.StructType(
+        [T.StructField("q_id", T.LongType())]
+        + [
+            T.StructField(f"lut{m}", T.ArrayType(T.LongType()))
+            for m in range(PQ_M)
+        ]
     )
-    probes = (
-        emb.filter(F.col("vec_id") < ANN_N_QUERIES)
-        .join(F.broadcast(cent))
-        .select(
-            F.col("vec_id").alias("q_id"),
-            "cell",
-            _dot(F.col("v"), F.col("cv")).alias("d"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.desc("d"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select("q_id", "cell")
+    codes = emb.select("vec_id", "embedding").mapInPandas(
+        encode, codes_schema
     )
-    codes, qlut = _pq_code_frames(spark, sf_dir)
+    qemb = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    probes = qemb.mapInPandas(probe, "q_id long, cell int, qcdot long")
+    qlut = qemb.mapInPandas(lut, lut_schema)
     scored = (
-        codes.join(assigned, "vec_id")
-        .join(F.broadcast(probes), "cell")
+        codes.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(F.broadcast(qlut), "q_id")
         .select(
             "q_id",
             "vec_id",
-            _pq_adc_score_expr().cast("long").alias("score_scaled"),
+            (F.col("qcdot") + _pq_adc_score_expr())
+            .cast("long")
+            .alias("score_scaled"),
         )
     )
     w_sl = Window.partitionBy("q_id").orderBy(
@@ -2938,11 +3240,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=REGISTRY["ann_ivfpq_topk"].oracle,
 )
 def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTALLY MAINTAINED IVFPQ index — the streaming ingest of
-    the full serving composition: each embedding micro-batch is
-    assigned to its coarse cell (broadcast first-16 quantizer, the
-    stream_ann_index_upkeep contract) AND PQ-encoded (the trained
-    Arrow kernel), and the index stores ONLY (cell, vec_id, codes) —
+    """INCREMENTALLY MAINTAINED residual-IVFPQ index — the streaming
+    ingest of the full serving composition: each embedding micro-batch
+    is coarse-assigned (TRAINED Lloyd quantizer) AND residual-PQ-encoded
+    in ONE Arrow kernel pass (no assignment join at all), and the index
+    stores ONLY (cell, vec_id, codes) —
     partitioned by cell, no raw floats: n×{PQ_M} bytes of state, the
     memory story that makes billion-vector serving feasible. The query
     path loads the nprobe probed cells via PartitionFilters, ADC-scores
@@ -2984,39 +3286,24 @@ def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (base + 60 * b, base + 60 * b))
             shutil.rmtree(tmp)
 
-        cent = (
-            emb.filter(F.col("vec_id") < IVF_CELLS)
-            .select(
-                F.col("vec_id").alias("cell"),
-                F.col("embedding").cast("array<double>").alias("cv"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        encode, lut = _pq_kernels(_pq_codebook(spark, sf_dir))
+        cents, book = _ivfpq_model(spark, sf_dir)
+        encode, probe, lut = _ivfpq_kernels(cents, book)
         codes_schema = T.StructType(
-            [T.StructField("vec_id", T.LongType())]
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("cell", T.IntegerType()),
+            ]
             + [T.StructField(f"pos{m}", T.IntegerType()) for m in range(PQ_M)]
         )
         store = DatasetStore(os.path.join(work, "codes"), partition_cols=("cell",))
 
         def handle(batch_df, _bid) -> None:
-            v = batch_df.select(
-                "vec_id", F.col("embedding").cast("array<double>").alias("v")
-            )
-            w = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cell"))
-            assigned = (
-                v.join(F.broadcast(cent))
-                .select(
-                    "vec_id", "cell", _dot(F.col("v"), F.col("cv")).alias("d")
-                )
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "cell")
-            )
+            # assignment + residual encoding fuse into the one Arrow
+            # kernel — cell comes out of the encode pass, no join
             codes = batch_df.select("vec_id", "embedding").mapInPandas(
                 encode, codes_schema
             )
-            store.append(codes.join(assigned, "vec_id"))
+            store.append(codes)
             store.compact(
                 spark,
                 min_deltas=3,
@@ -3046,21 +3333,12 @@ def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_id"),
             F.col("embedding").cast("array<double>").alias("qv"),
         )
-        probes = (
-            qv.join(F.broadcast(cent))
-            .select("q_id", "cell", _dot(F.col("qv"), F.col("cv")).alias("d"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("q_id").orderBy(
-                        F.desc("d"), F.asc("cell")
-                    )
-                ),
-            )
-            .filter(F.col("rn") <= IVF_NPROBE)
-            .select("q_id", "cell")
-            .localCheckpoint(eager=True)  # feeds pruning collect + join
+        qemb = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+            "vec_id", "embedding"
         )
+        probes = qemb.mapInPandas(
+            probe, "q_id long, cell int, qcdot long"
+        ).localCheckpoint(eager=True)  # feeds pruning collect + join
         cells = [r.cell for r in probes.select("cell").distinct().collect()]
         lut_schema = T.StructType(
             [T.StructField("q_id", T.LongType())]
@@ -3069,11 +3347,7 @@ def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for m in range(PQ_M)
             ]
         )
-        qlut = (
-            emb.filter(F.col("vec_id") < ANN_N_QUERIES)
-            .select("vec_id", "embedding")
-            .mapInPandas(lut, lut_schema)
-        )
+        qlut = qemb.mapInPandas(lut, lut_schema)
         idx = store.load(spark, where=F.col("cell").isin(cells)).dropDuplicates(
             ["vec_id"]
         )
@@ -3084,7 +3358,9 @@ def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "q_id",
                 "vec_id",
-                _pq_adc_score_expr().cast("long").alias("score_scaled"),
+                (F.col("qcdot") + _pq_adc_score_expr())
+                .cast("long")
+                .alias("score_scaled"),
             )
         )
         w_sl = Window.partitionBy("q_id").orderBy(

@@ -46,6 +46,73 @@ def main() -> None:
                           zip(sorted(truth), per_q))
         print(f"RECALL {name}: avg={avg:.3f} ({detail})", flush=True)
 
+    # ---- ADC-only (pre-re-rank) code quality: raw vs residual -------
+    # Same trained coarse cells, same probes — the ONLY difference is
+    # what the PQ codes encode (raw vector vs residual). This is the
+    # honest measure that residual encoding improved the codes, not the
+    # re-rank tail (r7 VERDICT directive #2).
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    from gravitydb_spark.pipeline_queries import (
+        ANN_K, ANN_N_QUERIES, PQ_M, _ivfpq_kernels, _ivfpq_model,
+        _pq_adc_score_expr, _pq_code_frames, load,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents, book = _ivfpq_model(spark, sf_dir)
+    encode, probe, lut = _ivfpq_kernels(cents, book)
+    import pyspark.sql.types as T
+    codes_schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()),
+         T.StructField("cell", T.IntegerType())]
+        + [T.StructField(f"pos{m}", T.IntegerType()) for m in range(PQ_M)]
+    )
+    lut_schema = T.StructType(
+        [T.StructField("q_id", T.LongType())]
+        + [T.StructField(f"lut{m}", T.ArrayType(T.LongType()))
+           for m in range(PQ_M)]
+    )
+    rcodes = emb.select("vec_id", "embedding").mapInPandas(
+        encode, codes_schema).cache()
+    qemb = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        "vec_id", "embedding")
+    probes = qemb.mapInPandas(probe, "q_id long, cell int, qcdot long")
+    rqlut = qemb.mapInPandas(lut, lut_schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_scaled"), F.asc("vec_id"))
+
+    def adc_recall(scored) -> float:
+        rows = (scored.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= ANN_K).collect())
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        return sum(len(got.get(q, set()) & t) / len(t)
+                   for q, t in sorted(truth.items())) / len(truth)
+
+    residual = (
+        rcodes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(rqlut), "q_id")
+        .select("q_id", "vec_id",
+                (F.col("qcdot") + _pq_adc_score_expr())
+                .cast("long").alias("score_scaled"))
+    )
+    print(f"RECALL adc_only_residual_in_cells: avg={adc_recall(residual):.3f}",
+          flush=True)
+    raw_codes, raw_qlut = _pq_code_frames(spark, sf_dir)
+    raw = (
+        raw_codes.join(rcodes.select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(probes.select("q_id", "cell")), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(raw_qlut), "q_id")
+        .select("q_id", "vec_id",
+                _pq_adc_score_expr().cast("long").alias("score_scaled"))
+    )
+    print(f"RECALL adc_only_raw_pq_in_cells: avg={adc_recall(raw):.3f}",
+          flush=True)
+    rcodes.unpersist()
+
 
 if __name__ == "__main__":
     main()
