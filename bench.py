@@ -157,6 +157,8 @@ HEADLINE = [
     "quality_lr_train",
     "stream_join_maintained",
     "stream_join_retractions",
+    # round 8 additions
+    "stream_dedup_retractions",
 ]
 
 

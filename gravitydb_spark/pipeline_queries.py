@@ -5264,6 +5264,235 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def _dedup_retract_oracle() -> str:
+    """Greedy admission over SURVIVING docs: the insert batches replay
+    the upkeep chain; after the retraction batch the index is exactly
+    the keys contributed by live docs (surviving evens + admitted
+    odds), so batch 2 admits docs whose only vetoes came from forgotten
+    documents."""
+
+    def adm(b: int, idx: str) -> str:
+        return f"""k{b} AS (
+      SELECT * FROM keyed WHERE doc_id % 2 = 1 AND (doc_id % 6) // 2 = {b}),
+    adm{b} AS (
+      SELECT DISTINCT doc_id FROM k{b} WHERE doc_id NOT IN (
+        SELECT k.doc_id FROM k{b} k
+        JOIN {idx} i ON k.band = i.band AND k.band_key = i.band_key))"""
+
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, shingle FROM (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t)-2, 0))) AS u(i))),
+    sigs AS (SELECT doc_id, {_DUCK_SIG} AS sig FROM sh GROUP BY doc_id),
+    keyed AS MATERIALIZED (
+      SELECT doc_id, band,
+             md5(array_to_string(
+               sig[band*{LSH_ROWS}+1 : band*{LSH_ROWS}+{LSH_ROWS}], ','))
+               AS band_key
+      FROM sigs, unnest(generate_series(0, {LSH_BANDS - 1})) AS u(band)),
+    idx0 AS (SELECT DISTINCT band, band_key FROM keyed WHERE doc_id % 2 = 0),
+    {adm(0, "idx0")},
+    idx1 AS (
+      SELECT band, band_key FROM idx0
+      UNION
+      SELECT k.band, k.band_key FROM keyed k JOIN adm0 a USING (doc_id)),
+    {adm(1, "idx1")},
+    idx2 AS (
+      SELECT DISTINCT band, band_key FROM keyed k
+      WHERE (k.doc_id % 2 = 0 AND k.doc_id % 10 != 0)
+         OR k.doc_id IN (SELECT doc_id FROM adm0)
+         OR k.doc_id IN (SELECT doc_id FROM adm1)),
+    {adm(2, "idx2")}
+    SELECT doc_id, 0::BIGINT AS batch FROM adm0
+    UNION ALL SELECT doc_id, 1::BIGINT FROM adm1
+    UNION ALL SELECT doc_id, 2::BIGINT FROM adm2
+    """
+
+
+@register("stream_dedup_retractions", oracle=_dedup_retract_oracle())
+def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-INDEX RETRACTIONS — the GDPR / right-to-be-forgotten shape
+    (r7 VERDICT directive #3), completing the retraction family the
+    rollups, degrees, CC, and joins already have: the band-key index
+    becomes a SIGNED MULTISET. Each live document contributes +1 to
+    every one of its distinct band keys (the seed corpus and every
+    admitted batch); a retraction batch recomputes the forgotten docs'
+    keys from content and appends −1 rows. A key vetoes admission iff
+    its folded multiplicity is > 0 — so a key shared by a deleted and a
+    surviving doc keeps vetoing (m = 2−1), while a key owned only by
+    forgotten docs stops (m = 0) and its near-dups become admissible in
+    later batches.
+
+    Sequence: insert batches 0 and 1 (odd docs, the upkeep admission
+    loop), then a retraction batch forgetting the doc_id % 10 == 0 half
+    of the SEED corpus (deletions are restricted to indexed docs — the
+    multiset invariant m = live-contributor-count needs every −1 to
+    cancel a real +1), then insert batch 2, whose admissions see the
+    repaired index.
+
+    Replay safety is the full r7 additive-IVM protocol: the signed rows
+    are sum-folded by compaction (per-row bid tags die in the fold), so
+    appends go through ``append_once`` (the ``#bid_hwm=`` mark in the
+    publication log survives compaction); the probe additionally
+    excludes same-bid rows so a crash-window replay re-decides against
+    the pre-batch state; admitted output is a per-batch overwrite dir
+    with the _SUCCESS marker. Probes stay partition-pruned: every row
+    carries bkb = hash(bk) % {_UPKEEP_BKB} and the store partitions by
+    it — the fold-then-veto runs over the batch's own buckets only.
+
+    Oracle: the unrolled greedy admission over SURVIVING docs — the
+    signed fold's m > 0 is exactly membership in the live docs' key
+    set, because every −1 cancels one live +1."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .transaction import DatasetStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="gravityspark_dedupret_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        feeds = [
+            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 0")),
+            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 1")),
+            docs.filter(F.expr("doc_id % 2 = 0 AND doc_id % 10 = 0")),
+            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 2")),
+        ]
+        ops = ["i", "i", "d", "i"]
+        for b, (feed, op) in enumerate(zip(feeds, ops)):
+            tmp = os.path.join(work, f"tmp{b}")
+            feed.withColumn("op", F.lit(op)).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+
+        unpivot = F.expr(
+            f"stack({LSH_BANDS}, "
+            + ", ".join(f"{b}, bk{b}" for b in range(LSH_BANDS))
+            + ") AS (band, bk)"
+        )
+        bkb = F.pmod(F.xxhash64("bk"), F.lit(_UPKEEP_BKB)).alias("bkb")
+        store = DatasetStore(
+            os.path.join(work, "index"), partition_cols=("bkb",)
+        )
+        # seed: +1 per (live-even doc, distinct band key)
+        store.append(
+            _row_band_keys(docs.filter("doc_id % 2 = 0"))
+            .select("doc_id", unpivot)
+            .distinct()
+            .select(
+                "band",
+                "bk",
+                F.lit(1).cast("long").alias("op_m"),
+                F.lit(-1).cast("long").alias("bid"),
+                bkb,
+            )
+        )
+        out_dir = os.path.join(work, "admitted")
+
+        def fold(d):
+            return (
+                d.groupBy("band", "bk", "bkb")
+                .agg(F.sum("op_m").cast("long").alias("op_m"))
+                .filter(F.col("op_m") != 0)
+                .select(
+                    "band",
+                    "bk",
+                    "op_m",
+                    F.lit(-1).cast("long").alias("bid"),
+                    "bkb",
+                )
+            )
+
+        def handle(batch_df, batch_id) -> None:
+            bid = int(batch_id)
+            bdir = os.path.join(out_dir, f"b={bid}")
+            if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+                return  # replayed, already fully processed
+            ins_keyed = (
+                _row_band_keys(batch_df.filter(F.col("op") == "i"))
+                .select("doc_id", unpivot)
+                .distinct()
+            )
+            del_keyed = (
+                _row_band_keys(batch_df.filter(F.col("op") == "d"))
+                .select("doc_id", unpivot)
+                .distinct()
+            )
+            bkbs = [r[0] for r in ins_keyed.select(bkb).distinct().collect()]
+            idx = store.load(spark, where=F.col("bkb").isin(bkbs)).filter(
+                F.col("bid") != bid
+            )
+            live = (
+                idx.groupBy("band", "bk")
+                .agg(F.sum("op_m").alias("m"))
+                .filter(F.col("m") > 0)
+            )
+            hits = (
+                ins_keyed.join(live, ["band", "bk"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            admitted = (
+                ins_keyed.select(
+                    "doc_id", F.expr("(doc_id % 6) DIV 2").alias("batch")
+                )
+                .distinct()
+                .join(hits, "doc_id", "left_anti")
+                .localCheckpoint()  # index append must not re-race the probe
+            )
+            deltas = (
+                ins_keyed.join(admitted, "doc_id", "left_semi")
+                .select("band", "bk", F.lit(1).cast("long").alias("op_m"))
+                .unionByName(
+                    del_keyed.select(
+                        "band", "bk", F.lit(-1).cast("long").alias("op_m")
+                    )
+                )
+                .select(
+                    "band", "bk", "op_m",
+                    F.lit(bid).cast("long").alias("bid"), bkb,
+                )
+            )
+            store.append_once(deltas, bid)
+            admitted.write.mode("overwrite").parquet(bdir)
+            store.compact(spark, min_deltas=3, transform=fold)
+
+        stream = (
+            spark.readStream.schema(
+                docs.withColumn("op", F.lit("i")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        for sub in ("stage", "index"):
+            shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
+        return spark.read.parquet(out_dir).select("doc_id", "batch")
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer training: BPE merge-candidate counting
 # ---------------------------------------------------------------------------
