@@ -159,6 +159,7 @@ HEADLINE = [
     "stream_join_retractions",
     # round 8 additions
     "stream_dedup_retractions",
+    "g_triangles_retractions",
 ]
 
 

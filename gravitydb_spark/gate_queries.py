@@ -1222,6 +1222,11 @@ _compound(
             {"k": "id || '>' || component"},
         ),
         (
+            "triangles_retractions",
+            "g_triangles_retractions",
+            {"k": "id", "n1": "triangles"},
+        ),
+        (
             "ann_index_maintained",
             "stream_ann_index_upkeep",
             {"n1": "q_id", "n2": "vec_id", "n3": "rnk", "v": "cosine"},
