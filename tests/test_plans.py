@@ -543,6 +543,7 @@ def test_no_unbounded_global_windows_anywhere(spark, sf_dir):
         "g_degrees_retractions",
         "g_cc_maintained",
         "g_cc_retractions",
+        "g_triangles_retractions",
         "quality_lr_train",
         "bpe_train_merges",
         "bpe_sampled_apply",
