@@ -160,6 +160,8 @@ HEADLINE = [
     # round 8 additions
     "stream_dedup_retractions",
     "g_triangles_retractions",
+    "ann_sq8_topk",
+    "mix_temperature_sample",
 ]
 
 

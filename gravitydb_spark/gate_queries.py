@@ -724,6 +724,14 @@ _compound(
             "sample_quality_pareto",
             {"doc_id": "doc_id", "source": "source", "r": "bucket", "r2": "kept"},
         ),
+        (
+            "temperature",
+            "mix_temperature_sample",
+            # per-source rollup: kept tokens in the id slot, sqrt-derived
+            # weight + kept docs in the generic slots
+            {"source": "source", "doc_id": "tokens_kept", "r": "weight_bp",
+             "r2": "n_kept"},
+        ),
     ],
     "Gate family for deterministic sampling: hash-based Bernoulli sample,"
     " per-source stratified top-k sampling, and quality-Pareto sampling"
@@ -802,6 +810,11 @@ _compound(
         (
             "ivfpq",
             "ann_ivfpq_topk",
+            {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
+        ),
+        (
+            "sq8",
+            "ann_sq8_topk",
             {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
         ),
         (

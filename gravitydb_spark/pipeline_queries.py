@@ -4591,6 +4591,142 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mix_temperature_sample",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, source,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len({_DUCK_TOKENS}) END::BIGINT AS n_tok
+      FROM documents),
+    tot AS (SELECT sum(n_tok)::BIGINT AS t FROM dt),
+    tw AS (
+      SELECT source, sum(n_tok)::BIGINT AS tokens_total,
+             CAST(floor(sqrt((sum(n_tok)::BIGINT * 10000)::DOUBLE))
+                  AS BIGINT) AS w
+      FROM dt GROUP BY 1),
+    ws AS (SELECT sum(w)::BIGINT AS wsum FROM tw),
+    wb AS (
+      SELECT source, tokens_total,
+             (10000 * w) // (SELECT wsum FROM ws) AS weight_bp
+      FROM tw),
+    rate AS (
+      SELECT source, tokens_total, weight_bp,
+             LEAST(10000,
+                   (((SELECT t FROM tot) // {_MIX_BUDGET_DIV})
+                    * weight_bp // 10000) * 10000
+                   // GREATEST(tokens_total, 1)) AS rate_bp
+      FROM wb),
+    kept AS (
+      SELECT dt.source, rate.weight_bp, rate.tokens_total, rate.rate_bp,
+             dt.n_tok,
+             CASE WHEN {_duck_h32("dt.doc_id::VARCHAR || ':tmix:' || dt.source")}
+                  < ({_H32_SPACE} * rate.rate_bp) // 10000
+                  THEN 1 ELSE 0 END AS k
+      FROM dt JOIN rate USING (source))
+    SELECT source, weight_bp::BIGINT AS weight_bp, tokens_total,
+           rate_bp::BIGINT AS rate_bp,
+           sum(k)::BIGINT AS n_kept,
+           sum(n_tok * k)::BIGINT AS tokens_kept
+    FROM kept GROUP BY 1, 2, 3, 4
+    """,
+)
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SMOOTHED domain mixing (the multilingual-corpus
+    α-sampling staple, XLM-R §3.1 / mT5 style): instead of fixed target
+    weights, each source's mixture weight is derived from its own size
+    raised to a temperature, w_i ∝ n_i^α — upweighting low-resource
+    sources relative to their natural share so the head domain cannot
+    drown the tail. α = 1/2 here, the one non-trivial exponent that is
+    ENGINE-EXACT: IEEE-754 sqrt is correctly rounded, so
+    floor(sqrt(tokens·10⁴)) is bit-identical on Spark and DuckDB where
+    a general pow(x, 0.3) is not reproducible across libms. (The ·10⁴
+    scale keeps two digits of sub-integer precision; exactness holds
+    while tokens_total ≤ 2⁵³/10⁴ ≈ 9·10¹¹ per source — comfortably
+    above a 100 TB corpus's per-source token counts only when sharded;
+    shard-level mixing is the production deployment anyway.)
+
+    The derived weights (basis points of Σ sqrt-weights) then drive the
+    same token-budget admission mix_token_budget pins: per-source keep
+    rate = min(1, budget-share / source-tokens), applied as a
+    deterministic salted-hash threshold (':tmix', independent of the
+    split/mix/wsample hashes). Reports per source: temperature weight,
+    token total, derived rate, kept docs and kept tokens — the shape a
+    training-mix audit dashboard consumes.
+
+    Scale posture: identical to mix_token_budget — ONE tokenizing
+    corpus scan into a barrier-pinned per-source aggregate (the sqrt
+    weight and its Σ are ~|sources|-row arithmetic on top), the rates
+    broadcast back, the keep decision a pure per-row predicate; two
+    corpus passes total, zero corpus-sized shuffles. All arithmetic
+    integer except the one correctly-rounded sqrt."""
+    n_tok = (
+        F.when(
+            F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+        )
+        .otherwise(F.size(_TOKENS_FN()))
+        .cast("long")
+    )
+    dt = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", n_tok.alias("n_tok")
+    )
+    per_source = (
+        dt.groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("tokens_total"))
+        .localCheckpoint(eager=True)  # one tokenizing scan, 3 consumers
+    )
+    tw = per_source.withColumn(
+        "w",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(tokens_total * 10000 AS DOUBLE))) AS BIGINT)"
+        ),
+    )
+    wsum = tw.agg(F.sum("w").cast("long").alias("wsum"))
+    total = per_source.agg(F.sum("tokens_total").cast("long").alias("t"))
+    rate = (
+        tw.crossJoin(F.broadcast(wsum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "tokens_total",
+            F.expr("(10000 * w) DIV wsum").cast("long").alias("weight_bp"),
+            F.col("t"),
+        )
+        .select(
+            "source",
+            "tokens_total",
+            "weight_bp",
+            F.least(
+                F.lit(10000),
+                F.expr(
+                    f"((t DIV {_MIX_BUDGET_DIV}) * weight_bp DIV 10000) * 10000"
+                    " DIV GREATEST(tokens_total, 1)"
+                ),
+            ).cast("long").alias("rate_bp"),
+        )
+    )
+    kept = (
+        _h32(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":tmix:"), F.col("source")
+            )
+        )
+        < F.expr(f"({_H32_SPACE} * rate_bp) DIV 10000")
+    ).cast("long")
+    return (
+        dt.join(F.broadcast(rate), "source")
+        .select(
+            "source", "weight_bp", "tokens_total", "rate_bp", "n_tok",
+            kept.alias("k"),
+        )
+        .groupBy("source", "weight_bp", "tokens_total", "rate_bp")
+        .agg(
+            F.sum("k").cast("long").alias("n_kept"),
+            F.sum(F.col("n_tok") * F.col("k")).cast("long").alias("tokens_kept"),
+        )
+    )
+
+
 # Gopher/C4-style heuristic filter thresholds (integer/exact arithmetic so
 # the rule bitmask is oracle-matched; the RE subset is Java+RE2 safe).
 _CCF_MIN_TOKENS = 5
@@ -6484,6 +6620,175 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.select(
         "vec_id", F.posexplode(projs).alias("k", "proj")
     ).select("vec_id", F.col("k").cast("long").alias("k"), "proj")
+
+
+SQ8_SHORTLIST = 50  # ADC shortlist depth before the exact re-rank
+
+
+def _sq8_score_terms(qv_el, c_fmt: str, mn_fmt: str, mx_fmt: str) -> str:
+    """The 64-term asymmetric SQ8 inner product — query exact, corpus
+    mid-bin dequantized — as ONE left-associated sum whose text shape is
+    identical on both engines (literals on the Spark side, stats columns
+    on the DuckDB side; values match because min/max are exact IEEE)."""
+    return " + ".join(
+        f"({qv_el(j)} * ({mn_fmt.format(j=j)} + (((({c_fmt.format(j=j)}) + 0.5)"
+        f" / {Q_LEVELS}.0) * ({mx_fmt.format(j=j)} - {mn_fmt.format(j=j)}))))"
+        for j in range(EMB_DIM)
+    )
+
+
+def _sq8_oracle_sql() -> str:
+    el = [f"embedding[{j + 1}]::DOUBLE" for j in range(EMB_DIM)]
+    mins = ", ".join(f"min(e{j}) AS mn{j}" for j in range(EMB_DIM))
+    maxs = ", ".join(f"max(e{j}) AS mx{j}" for j in range(EMB_DIM))
+    codes = []
+    for j in range(EMB_DIM):
+        code, _ = _q_exprs(f"e{j}", f"mn{j}", f"mx{j}")
+        codes.append(f"{code} AS c{j}")
+    flat_cols = ", ".join(f"{el[j]} AS e{j}" for j in range(EMB_DIM))
+    score = _sq8_score_terms(
+        lambda j: f"q.qv[{j + 1}]::DOUBLE", "c{j}", "mn{j}", "mx{j}"
+    )
+    return f"""
+    WITH flat AS MATERIALIZED (SELECT vec_id, {flat_cols} FROM embeddings),
+    stats AS MATERIALIZED (SELECT {mins}, {maxs} FROM flat),
+    coded AS MATERIALIZED (
+      SELECT flat.vec_id, stats.*, {', '.join(codes)} FROM flat, stats),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, coded.vec_id, ({score}) AS approx
+      FROM coded, q WHERE coded.vec_id != q.q_id),
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY approx DESC, vec_id ASC) AS rn
+        FROM scored) WHERE rn <= {SQ8_SHORTLIST}),
+    exact AS (
+      SELECT s.q_id, s.vec_id,
+             round({_duck_dot('qe.embedding', 'e.embedding')}
+               / (sqrt({_duck_dot('qe.embedding', 'qe.embedding')})
+                  * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 3)
+               AS cosine
+      FROM short s
+      JOIN embeddings qe ON qe.vec_id = s.q_id
+      JOIN embeddings e ON e.vec_id = s.vec_id),
+    reranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rnk
+      FROM exact)
+    SELECT q_id, vec_id, cosine, rnk FROM reranked WHERE rnk <= {ANN_K}
+    """
+
+
+_sq8_codes_memo: dict = {}
+
+
+@register("ann_sq8_topk", oracle=_sq8_oracle_sql())
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR-QUANTIZED ANN (SQ8) + exact re-rank — the missing middle
+    rung of the compression ladder (FAISS ``SQ8`` composition): the
+    corpus is stored as {EMB_DIM} uint8 codes per vector (4x smaller
+    than float32, vs PQ's 32x — the standard trade when recall matters
+    more than RAM), queries stay exact, and scoring is the asymmetric
+    inner product against the mid-bin dequantization
+    ``mn + ((code+0.5)/254)*(mx-mn)`` — the same per-dimension min/max
+    scale and dequant convention :func:`embed_quantize_int8` pins.
+    Because SQ8's per-dim error is tiny, the 50-deep shortlist is
+    near-exact and recall@10 recovers to ~1.0 after the exact re-rank
+    (measured: tools/ann_recall_probe.py) — the rung between
+    PQ+rerank (0.60) and brute force at a quarter of the index bytes.
+
+    Plan shape: per-dim min/max is one posexplode + 64-key partial agg
+    (bounded 64-row collect, same contract as embed_quantize_int8); the
+    CODES frame — the serving index, (vec_id, c0..c63) — is ONE codegen
+    projection over the corpus scan, localCheckpointed (memoized per
+    session x sf_dir: it is the materialized index artifact, and the
+    barrier keeps the 64 quantize CASEs out of the scoring expression);
+    scoring joins codes x broadcast 5-row queries in one flat
+    left-associated 64-term codegen sum — bit-identical text shape on
+    both engines (Spark bakes the collected min/max as literals; the
+    oracle recomputes them — exact IEEE min/max match bit-for-bit);
+    the ONLY corpus-sized Exchange is the per-query shortlist window,
+    and the exact math touches q x {SQ8_SHORTLIST} rows only.
+
+    100 TB posture: the index build is a scan-shaped write (codes
+    partition like the corpus, no shuffle); query cost is a broadcast
+    probe over the codes scan — the same shape ann_pq_topk runs, at
+    8x the code bytes but ~full recall."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _sq8_codes_memo:
+        st = (
+            emb.select(F.posexplode("v").alias("j", "val"))
+            .groupBy("j")
+            .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+            .collect()
+        )
+        mn = {r["j"]: repr(r["mn"]) for r in st}
+        mx = {r["j"]: repr(r["mx"]) for r in st}
+        v = F.col("v")
+        flat = emb.select(
+            "vec_id", *[v[j].alias(f"e{j}") for j in range(EMB_DIM)]
+        )
+        code_exprs = []
+        for j in range(EMB_DIM):
+            code, _ = _q_exprs(f"e{j}", f"({mn[j]})", f"({mx[j]})")
+            code_exprs.append(F.expr(code).alias(f"c{j}"))
+        coded = flat.select("vec_id", *code_exprs).localCheckpoint(eager=True)
+        _sq8_codes_memo[key] = (coded, mn, mx)
+    coded, mn, mx = _sq8_codes_memo[key]
+    q = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    # mn/mx literals differ per dim, so the Spark side formats per-term;
+    # the op tree is identical to _sq8_score_terms' oracle text
+    terms = " + ".join(
+        f"(qv[{j}] * (({mn[j]}) + ((((c{j}) + 0.5)"
+        f" / {Q_LEVELS}.0) * (({mx[j]}) - ({mn[j]})))))"
+        for j in range(EMB_DIM)
+    )
+    scored = coded.join(
+        F.broadcast(q), F.col("vec_id") != F.col("q_id")
+    ).select("q_id", "vec_id", F.expr(terms).alias("approx"))
+    w_short = Window.partitionBy("q_id").orderBy(
+        F.desc("approx"), F.asc("vec_id")
+    )
+    short = (
+        scored.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= SQ8_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qev")
+    )
+    exact = (
+        emb.select("vec_id", "v")
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qev"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("qev"), F.col("qev")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                ),
+                3,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,7 @@ def main() -> None:
     truth = topk_sets("ann_cosine_topk")
     for name in ("ann_lsh_topk", "ann_lsh_multiprobe_topk",
                  "ann_ivf_topk", "ann_pq_topk",
-                 "ann_pq_rerank_topk", "ann_ivfpq_topk",
+                 "ann_pq_rerank_topk", "ann_ivfpq_topk", "ann_sq8_topk",
                  "stream_ann_index_upkeep", "stream_ivfpq_index_upkeep"):
         got = topk_sets(name)
         per_q = []
