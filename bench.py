@@ -162,6 +162,7 @@ HEADLINE = [
     "g_triangles_retractions",
     "ann_sq8_topk",
     "mix_temperature_sample",
+    "ann_recall_eval",
 ]
 
 

@@ -818,6 +818,14 @@ _compound(
             {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
         ),
         (
+            "recall_eval",
+            "ann_recall_eval",
+            # per-(method, query) recall@10: hit count in the vec_id slot,
+            # basis points in the cosine slot, method ordinal in rnk
+            {"q_id": "q_id", "vec_id": "hits", "cosine": "recall_bp",
+             "rnk": "CASE WHEN method = 'ivf' THEN 1 ELSE 2 END"},
+        ),
+        (
             "hybrid",
             "search_hybrid_rrf",
             {"vec_id": "doc_id", "cosine": "rrf", "rnk": "rnk"},

@@ -6791,6 +6791,89 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_EVAL_METHODS = (("ivf", "ann_ivf_topk"), ("sq8", "ann_sq8_topk"))
+
+
+def _recall_eval_oracle() -> str:
+    """Splice the brute-force truth chain and each evaluated method's
+    full oracle chain (nested WITH inside a derived table — the same
+    wrapping every gate compound already uses) into a per-(method,
+    query) hit count."""
+    truth = REGISTRY["ann_cosine_topk"].oracle
+    got = {
+        m: REGISTRY[q].oracle for m, q in _RECALL_EVAL_METHODS
+    }
+    legs = []
+    for m, _ in _RECALL_EVAL_METHODS:
+        legs.append(f"""
+    SELECT '{m}' AS method, t.q_id,
+           sum(CASE WHEN g_{m}.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS hits,
+           (sum(CASE WHEN g_{m}.vec_id IS NULL THEN 0 ELSE 1 END)
+            * 10000 // {ANN_K})::BIGINT AS recall_bp
+    FROM truth t LEFT JOIN g_{m}
+      ON g_{m}.q_id = t.q_id AND g_{m}.vec_id = t.vec_id
+    GROUP BY 1, 2""")
+    got_ctes = ",\n    ".join(
+        f"g_{m} AS MATERIALIZED (SELECT q_id, vec_id FROM ({sql}) _g{m})"
+        for m, sql in got.items()
+    )
+    return f"""
+    WITH truth AS MATERIALIZED (SELECT q_id, vec_id FROM ({truth}) _t),
+    {got_ctes}
+    {' UNION ALL '.join(legs)}
+    """
+
+
+@register("ann_recall_eval", oracle=_recall_eval_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE ANN QUALITY EVALUATION — the continuous recall-
+    monitoring job a production vector-serving pipeline runs beside the
+    index (recall regressions from drift/retraining are silent until
+    measured): per query, recall@{ANN_K} of each approximate method
+    against the brute-force cosine truth, reported in integer basis
+    points so the number itself is gate-checked — the SCALE.md ladder
+    claims stop being probe-only folklore and become a driver-verified
+    result. Methods evaluated: IVF (the pruned serving route) and SQ8
+    (the compressed full-scan route).
+
+    Plan shape: truth and method top-k lists are the already-audited
+    member plans (memoized artifacts — PQ shortlists, SQ8 codes —
+    reuse within the session); the evaluation itself joins two
+    ≤ q x {ANN_K}-row frames per method — eval cost is query-
+    proportional, NEVER corpus-proportional, so the monitor runs at
+    whatever cadence ops wants. All arithmetic integer.
+
+    Oracle: the full truth + method chains spliced (each one's
+    training/assignment/scoring replayed), LEFT-JOIN hit counting."""
+    from functools import reduce as _reduce
+
+    truth = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    fns = {"ivf": ann_ivf_topk, "sq8": ann_sq8_topk}
+    out = []
+    for m, _ in _RECALL_EVAL_METHODS:
+        got = fns[m](spark, sf_dir).select(
+            "q_id", "vec_id", F.lit(1).alias("hit")
+        )
+        hit = F.sum(
+            F.when(F.col("hit").isNull(), 0).otherwise(1)
+        ).cast("long")
+        out.append(
+            truth.join(got, ["q_id", "vec_id"], "left")
+            .groupBy("q_id")
+            .agg(hit.alias("hits"))
+            .select(
+                F.lit(m).alias("method"),
+                "q_id",
+                "hits",
+                F.expr(f"hits * 10000 DIV {ANN_K}")
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+    return _reduce(DataFrame.union, out)
+
+
 # ---------------------------------------------------------------------------
 # RAG / training chunking: overlapping token windows
 # ---------------------------------------------------------------------------
