@@ -163,6 +163,7 @@ HEADLINE = [
     "ann_sq8_topk",
     "mix_temperature_sample",
     "ann_recall_eval",
+    "stream_kmeans_upkeep",
 ]
 
 

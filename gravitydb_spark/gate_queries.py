@@ -1277,6 +1277,11 @@ _compound(
             "stream_audio_meta",
             {"n1": "doc_id", "n2": "n_bytes", "n3": "sample_sum"},
         ),
+        (
+            "kmeans_maintained",
+            "stream_kmeans_upkeep",
+            {"n1": "cl", "n2": "i", "n3": "cx", "n4": "n_members"},
+        ),
     ],
     "Gate family for Structured Streaming joins/aggs: watermarked hourly"
     " rollup, the bounded-state view→click attribution join, online"

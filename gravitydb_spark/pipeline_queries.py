@@ -4322,6 +4322,225 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKM_BATCHES = 3  # streaming k-means demo micro-batches
+
+
+def _duck_stream_kmeans_ctes() -> str:
+    """Unrolled sequential mini-batch k-means chain: seed partials from
+    the first-K vectors, then per micro-batch (vec_id >= K split by
+    vec_id % {B}) fold-centroids → assign → append partials. Ends in
+    ``acc{B}`` — the full additive partial set — mirroring the Spark
+    foreachBatch loop batch for batch."""
+    parts = [
+        f"""ex AS MATERIALIZED (
+      SELECT vec_id, u.i AS i,
+             CAST(round(embedding[u.i]::DOUBLE * {KMEANS_SCALE}) AS BIGINT) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    acc0 AS (SELECT vec_id AS cl, i, 1::BIGINT AS n, x AS sx FROM ex
+             WHERE vec_id < {KMEANS_K})"""
+    ]
+    for b in range(_SKM_BATCHES):
+        parts.append(
+            f"""cb{b} AS (
+      SELECT cl, i, CAST(floor(sum(sx)::DOUBLE / sum(n)) AS BIGINT) AS cx
+      FROM acc{b} GROUP BY 1, 2),
+    d{b} AS (
+      SELECT e.vec_id, cl, sum((x - cx) * (x - cx)) AS d
+      FROM (SELECT * FROM ex
+            WHERE vec_id >= {KMEANS_K} AND vec_id % {_SKM_BATCHES} = {b}) e
+      JOIN cb{b} USING (i) GROUP BY 1, 2),
+    w{b} AS (
+      SELECT vec_id, cl FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d ASC, cl ASC) AS rn
+        FROM d{b}) WHERE rn = 1),
+    p{b} AS (
+      SELECT w{b}.cl, ex.i, count(*)::BIGINT AS n, sum(ex.x)::BIGINT AS sx
+      FROM ex JOIN w{b} USING (vec_id) GROUP BY 1, 2),
+    acc{b + 1} AS (SELECT * FROM acc{b} UNION ALL SELECT * FROM p{b})"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "stream_kmeans_upkeep",
+    oracle=f"""
+    WITH {_duck_stream_kmeans_ctes()}
+    SELECT cl, i, CAST(floor(sum(sx)::DOUBLE / sum(n)) AS BIGINT) AS cx,
+           sum(n)::BIGINT AS n_members
+    FROM acc{_SKM_BATCHES} GROUP BY 1, 2
+    """,
+)
+def stream_kmeans_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED K-MEANS CENTROIDS — streaming mini-batch clustering as
+    IVM of ML state (the online form of SemDeDup / IVF-cell
+    maintenance: new embeddings keep arriving, the cluster model must
+    follow without retraining): the centroid view's sufficient
+    statistics are ADDITIVE — per (cluster, dim) the store holds
+    partial (n, Σx) rows, and the served centroid is
+    floor(Σsx / Σn). Each micro-batch assigns its vectors against the
+    centroids-so-far (scaled-BIGINT argmin, cl-ASC tie — the exact
+    embed_kmeans arithmetic) and appends one K×{EMB_DIM}-row partial
+    delta; history stays frozen (sequential/mini-batch k-means à la
+    Bottou-Bengio — past assignments never move, the property that
+    makes the state additive and the chain engine-exact). Divergence
+    from MLlib's StreamingKMeans: no exponential decay factor — decay
+    multiplies state by a float α each batch, which is neither additive
+    nor engine-exact; the frozen-history form is.
+
+    Replay/consistency is the full r7 additive-IVM protocol: partials
+    carry the batch id, appends go through ``append_once`` (the
+    ``#bid_hwm=`` mark survives compaction), and the assignment probe
+    excludes same-bid rows so a crash-window replay re-assigns against
+    the pre-batch state. Compaction folds partials by (cl, i) every 4
+    deltas — stored bytes stay proportional to the K×{EMB_DIM} view,
+    not the batch history.
+
+    100 TB posture: per batch ONE scaled-explode pass over the batch's
+    vectors, a broadcast join against the K×{EMB_DIM} centroid rows
+    (state fold is view-sized — tiny), one groupBy(vec_id, cl) argmin
+    shuffle of batch×K rows, one K×{EMB_DIM} partial append. Work is
+    batch-proportional; the model state never grows past K×dim.
+
+    Output: the final served centroids (cl, i, cx) with member counts.
+    Oracle: the seed + per-batch fold/assign/append chain unrolled."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .transaction import DatasetStore
+
+    emb = load(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="gravityspark_skmeans_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        for b in range(_SKM_BATCHES):
+            tmp = os.path.join(work, f"tmp{b}")
+            emb.filter(
+                (F.col("vec_id") >= KMEANS_K)
+                & (F.col("vec_id") % _SKM_BATCHES == b)
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+
+        def scaled_explode(df):
+            return df.select(
+                "vec_id", F.posexplode(F.col("embedding")).alias("p", "xf")
+            ).select(
+                "vec_id",
+                (F.col("p") + 1).alias("i"),
+                F.round(F.col("xf").cast("double") * KMEANS_SCALE, 0)
+                .cast("long")
+                .alias("x"),
+            )
+
+        store = DatasetStore(os.path.join(work, "cents"), partition_cols=("cl",))
+        # seed partials: the first-K vectors found their own clusters
+        store.append(
+            scaled_explode(emb.filter(F.col("vec_id") < KMEANS_K)).select(
+                F.col("vec_id").alias("cl"),
+                "i",
+                F.lit(1).cast("long").alias("n"),
+                F.col("x").alias("sx"),
+                F.lit(-1).cast("long").alias("bid"),
+            )
+        )
+
+        def fold(d):
+            return (
+                d.groupBy("cl", "i")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("sx").cast("long").alias("sx"),
+                )
+                .select(
+                    "cl", "i", "n", "sx", F.lit(-1).cast("long").alias("bid")
+                )
+            )
+
+        def handle(batch_df, batch_id) -> None:
+            bid = int(batch_id)
+            bx = scaled_explode(batch_df)
+            state = store.load(spark).filter(F.col("bid") != bid)
+            cents = state.groupBy("cl", "i").agg(
+                F.floor(F.sum("sx").cast("double") / F.sum("n"))
+                .cast("long")
+                .alias("cx")
+            )
+            d = (
+                bx.join(F.broadcast(cents), "i")
+                .groupBy("vec_id", "cl")
+                .agg(
+                    F.sum(
+                        (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                    ).alias("d")
+                )
+            )
+            w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cl"))
+            winners = (
+                d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "cl")
+            )
+            partials = (
+                bx.join(winners, "vec_id")
+                .groupBy("cl", "i")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("x").cast("long").alias("sx"),
+                )
+                .select(
+                    "cl", "i", "n", "sx",
+                    F.lit(bid).cast("long").alias("bid"),
+                )
+            )
+            store.append_once(partials, bid)
+            store.compact(spark, min_deltas=4, transform=fold)
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out = (
+            store.load(spark)
+            .groupBy("cl", "i")
+            .agg(
+                F.floor(F.sum("sx").cast("double") / F.sum("n"))
+                .cast("long")
+                .alias("cx"),
+                F.sum("n").cast("long").alias("n_members"),
+            )
+            .select(
+                F.col("cl").cast("long").alias("cl"),
+                F.col("i").cast("long").alias("i"),
+                "cx",
+                "n_members",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Training-batch construction: sequence packing / domain mixture / CC filters
 # ---------------------------------------------------------------------------

@@ -223,3 +223,40 @@ def test_join_view_crash_between_view_and_state(spark, tmp_path):
         for r in fold_view(view.load(spark)).collect()
     }
     assert got == {"c1": (2, 15)}, got
+
+
+def test_kmeans_sufficient_stats_replay(spark, tmp_path):
+    """stream_kmeans_upkeep's handler shape (the sixth additive family):
+    served centroid = floor(Σsx / Σn) over bid-tagged partials. A
+    replayed batch must (a) re-assign against the PRE-batch centroids —
+    the probe excludes same-bid rows — and (b) not double-count the
+    partials (append_once skip)."""
+    store = DatasetStore(str(tmp_path / "km"), partition_cols=("cl",))
+    schema = "cl int, i long, n long, sx long, bid long"
+    store.append(
+        spark.createDataFrame([(0, 1, 1, 100, -1), (1, 1, 1, 900, -1)], schema)
+    )
+
+    def cents(bid):
+        st = store.load(spark).filter(F.col("bid") != bid)
+        rows = (
+            st.groupBy("cl", "i")
+            .agg(
+                F.floor(F.sum("sx").cast("double") / F.sum("n"))
+                .cast("long")
+                .alias("cx")
+            )
+            .collect()
+        )
+        return {(r["cl"], r["i"]): r["cx"] for r in rows}
+
+    before = cents(0)
+    p0 = spark.createDataFrame([(0, 1, 2, 240, 0)], schema)
+    assert store.append_once(p0, 0) is not None
+    # crash-window replay: the probe still sees only pre-batch state
+    assert cents(0) == before
+    # and the re-append is recognized and skipped
+    assert store.append_once(p0, 0) is None
+    served = cents(-999)  # serving fold sees everything
+    assert served[(0, 1)] == (100 + 240) // 3
+    assert served[(1, 1)] == 900

@@ -2,9 +2,10 @@
 (r7 VERDICT directive #5): the CC stores got measured per-batch-bytes
 tests in test_cc_maintenance; this extends the same
 bytes-written-∝-delta assertion to the join-IVM side state, the BM25
-postings, the IVFPQ codes store, the signed dedup band-key index, and
-the triangle adjacency state — so a future edit can't silently
-reintroduce a view-sized rewrite on non-compaction batches.
+postings, the IVFPQ codes store, the signed dedup band-key index, the
+triangle adjacency state, and the k-means sufficient-statistics store —
+so a future edit can't silently reintroduce a view-sized rewrite on
+non-compaction batches.
 
 Each case replicates its query's exact store shape (partition layout +
 fold transform + compaction cadence; file:line cited per family),
@@ -134,9 +135,38 @@ def _delta_tri(spark, b):
     )
 
 
+def _fold_kmeans(df):  # pipeline_queries.stream_kmeans_upkeep fold
+    return (
+        df.groupBy("cl", "i")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sx").cast("long").alias("sx"),
+        )
+        .select("cl", "i", "n", "sx", F.lit(-1).cast("long").alias("bid"))
+    )
+
+
+def _seed_kmeans(spark):
+    return spark.range(4000).select(
+        (F.col("id") % 8).cast("int").alias("cl"),
+        F.col("id").alias("i"),
+        F.lit(1).cast("long").alias("n"),
+        (F.col("id") * 3).alias("sx"),
+        F.lit(-1).cast("long").alias("bid"),
+    )
+
+
+def _delta_kmeans(spark, b):
+    return spark.createDataFrame(
+        [(b % 8, 9_000_000 + b, 1, 42, b)],
+        "cl int, i long, n long, sx long, bid long",
+    )
+
+
 FAMILIES = [
     # (name, partition_cols, seed, delta, transform, min_deltas)
     ("join_l_state", ("kb",), _seed_join_l, _delta_join_l, _fold_join_l, 3),
+    ("kmeans_stats", ("cl",), _seed_kmeans, _delta_kmeans, _fold_kmeans, 4),
     ("bm25_postings", ("tb",), _seed_bm25, _delta_bm25, None, 4),
     ("ivfpq_codes", ("cell",), _seed_ivfpq, _delta_ivfpq, _fold_ivfpq, 3),
     ("dedup_signed", ("bkb",), _seed_dedup, _delta_dedup, _fold_dedup_signed, 3),
