@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_minhash_cluster",
     "dedup_pair_triangles",
+    "dedup_pair_truss",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_repetition",

@@ -753,6 +753,7 @@ _compound(
             {"a": "doc_id", "b": "cluster", "v": "keep"},
         ),
         ("triangles", "dedup_pair_triangles", {"a": "doc_id", "b": "triangles"}),
+        ("truss", "dedup_pair_truss", {"a": "a", "b": "b", "v": "peel_round"}),
         (
             "verify",
             "dedup_jaccard_verify",
@@ -766,9 +767,10 @@ _compound(
     ],
     "Gate family for MinHash near-dup dedup: banded-LSH candidate pairs"
     " with estimated Jaccard, connected-component clustering with"
-    " keep-choice, triangle counts over the pair graph, and exact-Jaccard"
-    " plus Levenshtein relative-edit-distance verification of the"
-    " candidates (the two-stage production shape, two verifier lenses).",
+    " keep-choice, triangle counts and 3-truss edge peel over the pair"
+    " graph, and exact-Jaccard plus Levenshtein relative-edit-distance"
+    " verification of the candidates (the two-stage production shape,"
+    " two verifier lenses).",
 )
 
 _compound(

@@ -552,6 +552,77 @@ def kcore_onion(und: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
     return out
 
 
+def truss_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
+    """DF[a, b, peel_round: long] — iterative k-truss peel over a
+    canonically-oriented edge DF[a, b] (a < b, one row per undirected
+    edge). Round r removes every edge whose SUPPORT — the number of
+    triangles it closes among still-alive edges, |N(a) ∩ N(b)| — is
+    < k − 2; edges removed in round r get ``peel_round`` = r, survivors
+    (the k-truss) get 0. The truss is the edge-wise analog of the
+    k-core: every surviving edge sits in ≥ k − 2 surviving triangles, a
+    strictly stronger cohesion signal than connectivity (a transitive
+    chain has no triangles at all).
+
+    Deterministic like the core peel (an edge's removal round depends
+    only on the graph and k), so a DuckDB oracle unrolls the same
+    rounds as a CTE chain; rounds past the fixpoint remove nothing on
+    either engine. Raises past ``max_rounds`` — an unconverged
+    decomposition is silently wrong (same contract as kcore_onion).
+
+    Scale posture: each round's support count is the standard wedge
+    join (edges ⋈ und on the shared endpoint ⋈ und closing the third
+    side) — the same bounded-candidate shape triangle_counts runs —
+    followed by one groupBy(a, b) and a left-join filter;
+    ``localCheckpoint`` cuts per-round lineage. Peel depth is the
+    cascade length, small on near-dup pair graphs (dup families are
+    dense cliques; bridges fall in round 1)."""
+    edges = pairs.select("a", "b").localCheckpoint(eager=False)
+    thr = k - 2
+    peeled = []
+    converged = False
+    # max_rounds REMOVAL rounds budgeted + one confirming empty round
+    # (the oracle's unroll depth counts removal rounds — same off-by-one
+    # contract as kcore_onion)
+    for r in range(1, max_rounds + 2):
+        und = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        sup = (
+            edges.join(
+                und.select(F.col("a").alias("a"), F.col("b").alias("w")), "a"
+            )
+            .join(
+                und.select(F.col("a").alias("b"), F.col("b").alias("w")),
+                ["b", "w"],
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("sup"))
+        )
+        es = edges.join(sup, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("sup", F.lit(0)).alias("sup")
+        )
+        removed = es.filter(F.col("sup") < thr).select("a", "b").localCheckpoint()
+        if removed.isEmpty():
+            converged = True
+            break
+        if r > max_rounds:
+            break  # removal in the confirm round: depth exceeds budget
+        peeled.append(removed.withColumn("peel_round", F.lit(r).cast("long")))
+        edges = (
+            es.filter(F.col("sup") >= thr)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    if not converged:
+        raise RuntimeError(
+            f"truss_peel did not reach its fixpoint in {max_rounds} rounds"
+        )
+    out = edges.withColumn("peel_round", F.lit(0).cast("long"))
+    for p in peeled:
+        out = out.unionByName(p)
+    return out
+
+
 def pagerank_weighted_scaled(
     verts: DataFrame,
     edges: DataFrame,

@@ -1371,6 +1371,77 @@ def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs).withColumnRenamed("id", "doc_id")
 
 
+_TRUSS_ROUNDS = 4  # ≥ peel depth on the pair graph (dup families are dense
+# cliques, bridges fall in round 1; extra rounds are no-ops on both
+# engines — same fixpoint-unroll trick as the kcore/SSSP oracles)
+
+
+def _truss_oracle_sql(rounds: int = _TRUSS_ROUNDS, k: int = 3) -> str:
+    """Unrolled k-truss peel as a CTE chain over the shared ``pairs`` CTE:
+    e_r = surviving edges after round r, sup_r = per-edge triangle support
+    among round-(r-1) survivors (the wedge join u1 ⋈ u2 on the shared
+    third endpoint — the same formulation the Spark side runs), rm_r =
+    edges peeled in round r (support < k − 2). Rounds past the fixpoint
+    remove nothing on either engine."""
+    thr = k - 2
+    parts = [
+        f"{_DUCK_PAIR_CTES}",
+        "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""u{r - 1} AS MATERIALIZED (
+      SELECT a, b FROM e{r - 1} UNION ALL SELECT b AS a, a AS b FROM e{r - 1}),
+    sup{r} AS MATERIALIZED (
+      SELECT e.a, e.b, coalesce(s.c, 0) AS sup
+      FROM e{r - 1} e LEFT JOIN (
+        SELECT e2.a, e2.b, count(*) AS c
+        FROM e{r - 1} e2
+        JOIN u{r - 1} u1 ON u1.a = e2.a
+        JOIN u{r - 1} u2 ON u2.a = e2.b AND u2.b = u1.b
+        GROUP BY e2.a, e2.b) s ON s.a = e.a AND s.b = e.b),
+    rm{r} AS MATERIALIZED (
+      SELECT a, b, {r}::BIGINT AS peel_round FROM sup{r} WHERE sup < {thr}),
+    e{r} AS MATERIALIZED (SELECT a, b FROM sup{r} WHERE sup >= {thr})"""
+        )
+    removed = "\nUNION ALL ".join(
+        f"SELECT a, b, peel_round FROM rm{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT a, b, 0::BIGINT AS peel_round FROM e{rounds}"
+        + "\nUNION ALL "
+        + removed
+    )
+
+
+@register("dedup_pair_truss", oracle=_truss_oracle_sql())
+def dedup_pair_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss decomposition of the near-dup pair graph: every candidate
+    pair labeled with the peel round at which it falls out of the 3-truss
+    (an edge survives iff it closes ≥ 1 triangle among survivors), 0 for
+    the truss itself. The edge-wise analog of g_kcore_onion's vertex peel,
+    and a strictly stronger dedup-family signal than CC clusters or raw
+    triangle counts: template families are dense cliques whose edges all
+    survive, while chance LSH collisions are bridges with no triangle
+    support and fall in round 1 — exactly the edges a production pipeline
+    wants to drop before transitively merging clusters. The reference has
+    no iterative graph ops (SURVEY.md §2.5); like PageRank/CC/k-core this
+    extends its analytics surface with the scale-mandatory formulation
+    (operators/iterative.py:truss_peel — per-round wedge join + groupBy +
+    survivor filter, localCheckpoint lineage cuts, fixpoint-asserted).
+
+    Oracle: the same peel unrolled as a DuckDB CTE chain over the shared
+    ``pairs`` CTE — an independent engine running the identical rounds."""
+    from .operators.iterative import truss_peel
+
+    pairs = _minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return truss_peel(pairs, k=3, max_rounds=_TRUSS_ROUNDS)
+
+
 CLEAN_MIN_TOKENS = 30
 CLEAN_MAX_TOP_TOKEN_FRAC = 0.15
 

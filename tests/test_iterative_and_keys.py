@@ -159,6 +159,49 @@ def test_kcore_onion_depth_equal_to_budget_converges(spark):
     assert got == {"a": 1, "d": 1, "b": 2, "c": 2}
 
 
+def test_truss_peel_clique_with_pendant(spark):
+    from gravitydb_spark.operators.iterative import truss_peel
+
+    # 4-clique {a,b,c,d} + pendant edge d–e. k=4 (support ≥ 2): every
+    # clique edge closes 2 triangles → survives (0); the pendant closes
+    # none → round 1. Hand-computed, engine-independent.
+    clique = [(x, y) for x in "abcd" for y in "abcd" if x < y]
+    e = spark.createDataFrame(clique + [("d", "e")], "a string, b string")
+    got = {(r["a"], r["b"]): r["peel_round"] for r in truss_peel(e, k=4).collect()}
+    assert got == {**{p: 0 for p in clique}, ("d", "e"): 1}
+
+
+def test_truss_peel_cascade_two_rounds(spark):
+    from gravitydb_spark.operators.iterative import truss_peel
+
+    # diamond (two triangles sharing edge b–c) under k=4: round 1 removes
+    # the four rim edges (support 1 < 2); round 2 removes b–c, whose
+    # support fell 2 → 0. Exercises the cascade path — at k=3 no cascade
+    # is possible (support-0 edges sit in no triangle, so their removal
+    # never lowers another edge's support).
+    diamond = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    e = spark.createDataFrame(diamond, "a string, b string")
+    got = {(r["a"], r["b"]): r["peel_round"] for r in truss_peel(e, k=4).collect()}
+    assert got == {
+        ("a", "b"): 1,
+        ("a", "c"): 1,
+        ("b", "d"): 1,
+        ("c", "d"): 1,
+        ("b", "c"): 2,
+    }
+
+
+def test_truss_peel_unconverged_raises(spark):
+    import pytest as _pytest
+
+    from gravitydb_spark.operators.iterative import truss_peel
+
+    diamond = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    e = spark.createDataFrame(diamond, "a string, b string")
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        truss_peel(e, k=4, max_rounds=1)
+
+
 def test_weighted_pagerank_follows_weights(spark):
     # a -> b (w=9), a -> c (w=1): b must outrank c; all mass conserved
     # within integer-floor loss

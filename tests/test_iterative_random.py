@@ -282,6 +282,59 @@ def test_kcore_onion_matches_python_peel(spark, seed):
     assert got == expected
 
 
+@pytest.mark.parametrize("seed", [7, 19])
+def test_truss_peel_matches_python_peel(spark, seed):
+    """Random graph vs a pure-Python synchronous truss peel of the
+    identical rule (remove all edges with alive-support < k − 2 each
+    round, support = shared-neighbor count over alive edges)."""
+    from gravitydb_spark.operators.iterative import truss_peel
+
+    rng = random.Random(seed)
+    n = rng.randint(8, 16)
+    ids = [f"v{i:02d}" for i in range(n)]
+    m = rng.randint(n, n * 3)
+    pairs = sorted(
+        {
+            tuple(sorted((rng.randrange(n), rng.randrange(n))))
+            for _ in range(m)
+        }
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    k = rng.choice([3, 4])
+
+    alive = set(pairs)
+    expected, rnd = {}, 0
+    while True:
+        rnd += 1
+        sup = {
+            (a, b): sum(
+                1
+                for w in range(n)
+                if w not in (a, b)
+                and tuple(sorted((a, w))) in alive
+                and tuple(sorted((b, w))) in alive
+            )
+            for (a, b) in alive
+        }
+        dead = {e for e, s in sup.items() if s < k - 2}
+        if not dead:
+            break
+        for e in dead:
+            expected[(ids[e[0]], ids[e[1]])] = rnd
+        alive -= dead
+    for a, b in alive:
+        expected[(ids[a], ids[b])] = 0
+
+    e = spark.createDataFrame(
+        [(ids[a], ids[b]) for a, b in pairs], "a string, b string"
+    )
+    got = {
+        (r["a"], r["b"]): r["peel_round"]
+        for r in truss_peel(e, k=k, max_rounds=max(rnd, 1)).collect()
+    }
+    assert got == expected
+
+
 @pytest.mark.parametrize("seed", [5, 23])
 def test_weighted_pagerank_matches_python_recurrence(spark, seed):
     """Random weighted digraph vs a pure-Python run of the identical
