@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_pair_triangles",
     "dedup_pair_truss",
     "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
     "dedup_simhash",
     "text_repetition",
     "corpus_vocab_topk",

@@ -764,13 +764,19 @@ _compound(
             "dedup_edit_verify",
             {"a": "doc_a", "b": "doc_b", "v": "rel_dist"},
         ),
+        (
+            "containment",
+            "dedup_ngram_containment",
+            {"a": "doc_a", "b": "doc_b", "v": "containment"},
+        ),
     ],
     "Gate family for MinHash near-dup dedup: banded-LSH candidate pairs"
     " with estimated Jaccard, connected-component clustering with"
     " keep-choice, triangle counts and 3-truss edge peel over the pair"
-    " graph, and exact-Jaccard plus Levenshtein relative-edit-distance"
+    " graph, exact-Jaccard plus Levenshtein relative-edit-distance"
     " verification of the candidates (the two-stage production shape,"
-    " two verifier lenses).",
+    " two verifier lenses), and asymmetric n-gram containment pairs"
+    " (quote-inclusion dedup symmetric Jaccard misses).",
 )
 
 _compound(

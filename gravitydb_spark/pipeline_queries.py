@@ -1083,6 +1083,88 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_DUCK_SH_CTES},
+    shf AS MATERIALIZED (
+      SELECT doc_id, shingle, n_sh FROM (
+        SELECT sh.*, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+      WHERE df <= greatest({SHINGLE_DF_CAP},
+                           {SHINGLE_DF_FRACTION} *
+                           (SELECT count(*) FROM documents))),
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter, any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter / least(n_a, n_b)::DOUBLE, 4) AS containment,
+           round(inter / (n_a + n_b - inter)::DOUBLE, 4) AS jaccard
+    FROM cpairs
+    WHERE inter / least(n_a, n_b)::DOUBLE >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by n-gram CONTAINMENT — |A∩B| / min(|A|, |B|) ≥ 0.8
+    — the asymmetric criterion that catches quote-inclusion: a short doc
+    embedded verbatim inside a long one has containment ≈ 1 while its
+    Jaccard is diluted by the long doc's extra content (and MinHash-LSH,
+    which estimates symmetric Jaccard, never surfaces the pair either —
+    test_containment_catches_subset_pair pins exactly that case on a
+    constructed corpus). Both scores are returned so the asymmetric
+    pairs (high containment, low Jaccard) are directly visible. Same
+    capped inverted-shingle join as ``dedup_ngram_jaccard`` — candidates
+    come from the index, NOT from LSH, so asymmetric pairs are reachable
+    — with the same deterministic lower-bound semantics (the
+    intersection counts capped shingles only, |A|/|B| stay full-set
+    sizes).
+
+    Scale posture identical to dedup_ngram_jaccard: df-capped ban list
+    (broadcast anti-join) kills the df² boilerplate blow-up before the
+    self-join; df agg and join shuffle on the same shingle key; the
+    containment-vs-jaccard predicate is a post-aggregation filter, no new
+    shuffle."""
+    sh = _shingled_docs(spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").count()
+    cap = max(float(SHINGLE_DF_CAP), SHINGLE_DF_FRACTION * n_docs)
+    banned = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > F.lit(cap))
+        .select("shingle")
+    )
+    shf = sh.join(F.broadcast(banned), "shingle", "leftanti")
+    a = shf.alias("a")
+    b = shf.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    cont = F.col("inter") / F.least(F.col("n_a"), F.col("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return inter.filter(cont >= CONTAINMENT_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.round(cont, 4).alias("containment"),
+        F.round(jac, 4).alias("jaccard"),
+    )
+
+
 N_MINHASH = 16
 LSH_BANDS = 4
 # rows (signature components) per band — interpolated into BOTH engines'
