@@ -144,6 +144,7 @@ HEADLINE = [
     "stream_rollup_versions",
     "ann_pq_rerank_topk",
     "split_train_val_test",
+    "split_leakage_safe",
     "pack_length_buckets",
     "bpe_train_merges",
     "sample_weighted_priority",

@@ -707,6 +707,14 @@ _compound(
             {"source": "source || ':' || split", "doc_id": "n"},
         ),
         (
+            "leakage_safe_split",
+            "split_leakage_safe",
+            # cluster-rep split: count in the id slot, prevented
+            # train/test straddles in the generic slot
+            {"source": "source || ':' || split", "doc_id": "n",
+             "r": "n_rehomed"},
+        ),
+        (
             "length_buckets",
             "pack_length_buckets",
             {"source": "CAST(bucket AS STRING)", "doc_id": "tokens",

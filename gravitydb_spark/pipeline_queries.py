@@ -1524,6 +1524,100 @@ def dedup_pair_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truss_peel(pairs, k=3, max_rounds=_TRUSS_ROUNDS)
 
 
+def _split_case_sql(hv: str) -> str:
+    """The 90/5/5 split CASE over a 32-bit hash expression (DuckDB) —
+    thresholds shared with split_train_val_test."""
+    t_train = _H32_SPACE * _SPLIT_BP["train"] // 10000
+    t_val = _H32_SPACE * (_SPLIT_BP["train"] + _SPLIT_BP["val"]) // 10000
+    return (
+        f"CASE WHEN {hv} < {t_train} THEN 'train'"
+        f" WHEN {hv} < {t_val} THEN 'val' ELSE 'test' END"
+    )
+
+
+_SPLIT_REP_SQL = _split_case_sql(
+    _duck_h32("coalesce(cl.cluster, d.doc_id)::VARCHAR || ':split'")
+)
+_SPLIT_OWN_SQL = _split_case_sql(_duck_h32("d.doc_id::VARCHAR || ':split'"))
+
+
+@register(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIR_CTES},
+    dedges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT u AS src, u AS node FROM (SELECT DISTINCT u FROM dedges)
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN dedges e ON r.node = e.u),
+    cl AS MATERIALIZED (
+      SELECT src AS doc_id, min(node) AS cluster FROM reach GROUP BY src),
+    lab AS (
+      SELECT d.source,
+             {_SPLIT_REP_SQL} AS split,
+             CASE WHEN {_SPLIT_REP_SQL} != {_SPLIT_OWN_SQL} THEN 1 ELSE 0 END
+               AS rehomed
+      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+    SELECT source, split, count(*)::BIGINT AS n,
+           sum(rehomed)::BIGINT AS n_rehomed
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: each document is assigned by
+    the hash of its near-dup CLUSTER representative (the
+    dedup_minhash_cluster label; its own id if unclustered), so every
+    member of a near-duplicate cluster lands in the SAME split. The
+    plain per-doc hash split (split_train_val_test) is reproducible but
+    leaky: two near-identical documents can straddle the train/test
+    boundary, silently inflating eval scores — the contamination mode
+    n-gram decontamination (which checks only the eval set itself)
+    doesn't cover. Same ':split' salt and 90/5/5 thresholds, so
+    unclustered docs (the overwhelming majority) keep EXACTLY the
+    assignment the plain split gives them; ``n_rehomed`` counts the
+    cluster members whose own-hash split differs from their cluster's —
+    the train/test straddles this operator just prevented, made visible
+    per (source, split) cell.
+
+    Scale posture: the cluster labels reuse dedup_minhash_cluster's full
+    machinery (signature-collapse skew guard, large-star/small-star CC,
+    memoized pair cache); this adds one left join against the small
+    clustered-doc set and a codegen hash projection + small groupBy —
+    the same shape as the plain split plus one equi-join."""
+    clusters = dedup_minhash_cluster(spark, sf_dir).select("doc_id", "cluster")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    rep = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    t_train = _H32_SPACE * _SPLIT_BP["train"] // 10000
+    t_val = _H32_SPACE * (_SPLIT_BP["train"] + _SPLIT_BP["val"]) // 10000
+
+    def _split(hv):
+        return (
+            F.when(hv < t_train, F.lit("train"))
+            .when(hv < t_val, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    sp_rep = _split(_h32(F.concat(rep.cast("string"), F.lit(":split"))))
+    sp_own = _split(
+        _h32(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
+    )
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "source",
+            sp_rep.alias("split"),
+            (sp_rep != sp_own).cast("int").alias("rehomed"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("rehomed").cast("long").alias("n_rehomed"),
+        )
+    )
+
+
 CLEAN_MIN_TOKENS = 30
 CLEAN_MAX_TOP_TOKEN_FRAC = 0.15
 
