@@ -157,6 +157,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "stream_bm25_index_upkeep",
     "stream_ivfpq_index_upkeep",
+    "stream_ivfpq_retractions",
     "quality_lr_train",
     "stream_join_maintained",
     "stream_join_retractions",

@@ -1279,6 +1279,11 @@ _compound(
             {"n1": "q_id", "n2": "vec_id", "n3": "rnk", "v": "cosine"},
         ),
         (
+            "ivfpq_retractions",
+            "stream_ivfpq_retractions",
+            {"n1": "q_id", "n2": "vec_id", "n3": "rnk", "v": "cosine"},
+        ),
+        (
             "join_maintained",
             "stream_join_maintained",
             {"n1": "o_custkey", "n2": "n_items", "n3": "cents"},

@@ -3339,10 +3339,13 @@ def _duck_ivfpq_ctes() -> str:
     return ",\n    ".join(parts)
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(corpus_pred: str = "TRUE") -> str:
     """Residual IVFPQ: trained coarse quantizer + residual codes +
     in-cell ADC (dot(q, centroid) + LUT residual dot) + exact
-    re-rank."""
+    re-rank. ``corpus_pred`` (over ``cd.vec_id``) restricts the SERVED
+    corpus — the retraction variant excludes forgotten vectors while
+    the model-training CTEs keep the full corpus, matching an engine
+    that trained its quantizers before the deletes arrived."""
     return f"""
     WITH {_duck_ivfpq_ctes()},
     adc AS (
@@ -3352,7 +3355,7 @@ def _ivfpq_oracle() -> str:
       JOIN iassign a ON a.vec_id = cd.vec_id
       JOIN probes p ON p.cell = a.cell
       JOIN rlut l ON l.m = cd.m AND l.cl = cd.cl AND l.q_id = p.q_id
-      WHERE cd.vec_id != p.q_id
+      WHERE cd.vec_id != p.q_id AND ({corpus_pred})
       GROUP BY 1, 2, p.qcdot),
     shortlist AS (
       SELECT q_id, vec_id FROM (
@@ -3624,6 +3627,221 @@ def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(
                 F.broadcast(qv.select("q_id", "qv")), "q_id"
             )
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(
+                    _dot(F.col("qv"), F.col("v"))
+                    / (
+                        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                        * F.sqrt(_dot(F.col("v"), F.col("v")))
+                    ),
+                    3,
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        out = (
+            exact.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= ANN_K)
+            .select("q_id", "vec_id", "cosine", "rnk")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# deleted vectors for the retraction variant: every 5th corpus vector
+# (queries excluded — they are the probe workload, not index content)
+_ANN_DEL_MOD, _ANN_DEL_REM = 5, 4
+_ANN_DEL_PRED_SQL = (
+    f"NOT (cd.vec_id % {_ANN_DEL_MOD} = {_ANN_DEL_REM}"
+    f" AND cd.vec_id >= {ANN_N_QUERIES})"
+)
+
+
+@register("stream_ivfpq_retractions", oracle=_ivfpq_oracle(_ANN_DEL_PRED_SQL))
+def stream_ivfpq_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ-INDEX RETRACTIONS — vector deletes on the maintained
+    codes-only store, the embeddings side of the right-to-be-forgotten
+    family (rollups, degrees, CC, joins, triangles, and the dedup index
+    already have one). Insert batches ingest the corpus exactly like
+    stream_ivfpq_index_upkeep; a retraction batch then forgets every
+    ``vec_id % {_ANN_DEL_MOD} == {_ANN_DEL_REM}`` corpus vector: the
+    delete rows run the SAME fused encode kernel (content-deterministic
+    cell assignment — a tombstone lands in precisely the partition its
+    add row lives in) but store only (cell, vec_id, op='d') with NULL
+    code columns. A vector is served iff it has an add row and no
+    tombstone; compaction physically drops the forgotten vectors' code
+    bytes and keeps the id-only tombstones (which keep vetoing a
+    replayed add).
+
+    Replay safety WITHOUT bid marks: adds and tombstones are both
+    content-deterministic and the delete is ABSORBING, so at-least-once
+    redelivery only creates duplicate rows that dropDuplicates folds —
+    the same inert-idempotence argument as the insert-only codes store,
+    extended by "no re-assert after forget". (Re-inserting a forgotten
+    vector would need epoch versioning — the signed-multiset stores
+    show that pattern; GDPR forget is deliberately absorbing.)
+
+    Query path: probed cells via PartitionFilters, tombstone anti-join,
+    ADC against the broadcast LUT, exact re-rank of the survivor
+    shortlist. Oracle: the shared residual-IVFPQ chain with the served
+    corpus restricted to survivors — the model-training CTEs keep the
+    full corpus, exactly like the engine, whose quantizers were trained
+    before the deletes arrived."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from .transaction import DatasetStore
+
+    emb = load(spark, sf_dir, "embeddings")
+    del_pred = (F.col("vec_id") % _ANN_DEL_MOD == _ANN_DEL_REM) & (
+        F.col("vec_id") >= ANN_N_QUERIES
+    )
+    work = tempfile.mkdtemp(prefix="gravityspark_ivfpqret_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        feeds = [
+            emb.filter(F.col("vec_id") % _ANN_UPKEEP_BATCHES == b)
+            for b in range(_ANN_UPKEEP_BATCHES)
+        ] + [emb.filter(del_pred)]
+        ops = ["i"] * _ANN_UPKEEP_BATCHES + ["d"]
+        for b, (feed, op) in enumerate(zip(feeds, ops)):
+            tmp = os.path.join(work, f"tmp{b}")
+            feed.withColumn("op", F.lit(op)).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+
+        cents, book = _ivfpq_model(spark, sf_dir)
+        encode, probe, lut = _ivfpq_kernels(cents, book)
+        codes_schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("cell", T.IntegerType()),
+            ]
+            + [T.StructField(f"pos{m}", T.IntegerType()) for m in range(PQ_M)]
+        )
+        store = DatasetStore(
+            os.path.join(work, "codes"), partition_cols=("cell",)
+        )
+
+        def fold(d: DataFrame) -> DataFrame:
+            # forget = physically drop the deleted vectors' code bytes;
+            # keep id-only tombstones so a replayed add stays vetoed
+            dels = d.filter(F.col("op") == "d")
+            alive = (
+                d.filter(F.col("op") == "i")
+                .dropDuplicates(["vec_id"])
+                .join(dels.select("vec_id"), "vec_id", "left_anti")
+            )
+            return alive.unionByName(dels.dropDuplicates(["vec_id"]))
+
+        def handle(batch_df, _bid) -> None:
+            ins = batch_df.filter(F.col("op") == "i")
+            dels = batch_df.filter(F.col("op") == "d")
+            rows = (
+                ins.select("vec_id", "embedding")
+                .mapInPandas(encode, codes_schema)
+                .withColumn("op", F.lit("i"))
+            )
+            tomb = (
+                dels.select("vec_id", "embedding")
+                .mapInPandas(encode, codes_schema)
+                .select(
+                    "vec_id",
+                    "cell",
+                    *[
+                        F.lit(None).cast("int").alias(f"pos{m}")
+                        for m in range(PQ_M)
+                    ],
+                )
+                .withColumn("op", F.lit("d"))
+            )
+            store.append(rows.unionByName(tomb))
+            store.compact(spark, min_deltas=3, transform=fold)
+
+        stream = (
+            spark.readStream.schema(
+                emb.withColumn("op", F.lit("i")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # ---- query path over the survivors ----
+        qemb = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+            "vec_id", "embedding"
+        )
+        probes = qemb.mapInPandas(
+            probe, "q_id long, cell int, qcdot long"
+        ).localCheckpoint(eager=True)
+        cells = [r.cell for r in probes.select("cell").distinct().collect()]
+        lut_schema = T.StructType(
+            [T.StructField("q_id", T.LongType())]
+            + [
+                T.StructField(f"lut{m}", T.ArrayType(T.LongType()))
+                for m in range(PQ_M)
+            ]
+        )
+        qlut = qemb.mapInPandas(lut, lut_schema)
+        idx = store.load(spark, where=F.col("cell").isin(cells))
+        tombs = idx.filter(F.col("op") == "d").select("vec_id").distinct()
+        alive = (
+            idx.filter(F.col("op") == "i")
+            .dropDuplicates(["vec_id"])
+            .join(tombs, "vec_id", "left_anti")
+        )
+        scored = (
+            alive.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .join(F.broadcast(qlut), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                (F.col("qcdot") + _pq_adc_score_expr())
+                .cast("long")
+                .alias("score_scaled"),
+            )
+        )
+        w_sl = Window.partitionBy("q_id").orderBy(
+            F.desc("score_scaled"), F.asc("vec_id")
+        )
+        shortlist = (
+            scored.withColumn("rn", F.row_number().over(w_sl))
+            .filter(F.col("rn") <= PQ_SHORTLIST)
+            .select("q_id", "vec_id")
+        )
+        qv = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        exact = (
+            emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+            .join(F.broadcast(shortlist), "vec_id")
+            .join(F.broadcast(qv), "q_id")
             .select(
                 "q_id",
                 "vec_id",
