@@ -163,12 +163,47 @@ def _delta_kmeans(spark, b):
     )
 
 
+def _fold_ivfpq_ret(df):  # stream_ivfpq_retractions fold
+    dels = df.filter(F.col("op") == "d")
+    alive = (
+        df.filter(F.col("op") == "i")
+        .dropDuplicates(["vec_id"])
+        .join(dels.select("vec_id"), "vec_id", "left_anti")
+    )
+    return alive.unionByName(dels.dropDuplicates(["vec_id"]))
+
+
+def _seed_ivfpq_ret(spark):
+    return spark.range(4000).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.col("id"), F.lit(16)).cast("int").alias("cell"),
+        (F.col("id") % 16).cast("int").alias("pos0"),
+        F.lit("i").alias("op"),
+    )
+
+
+def _delta_ivfpq_ret(spark, b):
+    # alternating add / tombstone deltas — both delta-sized appends
+    return spark.createDataFrame(
+        [(9_000_000 + b, b % 16, 3, "i" if b % 2 == 0 else "d")],
+        "vec_id long, cell int, pos0 int, op string",
+    )
+
+
 FAMILIES = [
     # (name, partition_cols, seed, delta, transform, min_deltas)
     ("join_l_state", ("kb",), _seed_join_l, _delta_join_l, _fold_join_l, 3),
     ("kmeans_stats", ("cl",), _seed_kmeans, _delta_kmeans, _fold_kmeans, 4),
     ("bm25_postings", ("tb",), _seed_bm25, _delta_bm25, None, 4),
     ("ivfpq_codes", ("cell",), _seed_ivfpq, _delta_ivfpq, _fold_ivfpq, 3),
+    (
+        "ivfpq_ret_codes",
+        ("cell",),
+        _seed_ivfpq_ret,
+        _delta_ivfpq_ret,
+        _fold_ivfpq_ret,
+        3,
+    ),
     ("dedup_signed", ("bkb",), _seed_dedup, _delta_dedup, _fold_dedup_signed, 3),
     ("tri_adjacency", ("vb",), _seed_tri, _delta_tri, _fold_tri_adj, 3),
 ]
@@ -216,3 +251,71 @@ def test_per_batch_bytes_track_delta_not_view(
         assert n == 4000 + k + 1
     else:
         assert n == 4000 + k + 1
+
+
+def test_ivfpq_retraction_fold_drops_forgotten_bytes(spark, tmp_path):
+    """The forget guarantees of stream_ivfpq_retractions' store: after a
+    tombstone batch folds, (1) the forgotten vectors' code bytes are
+    physically gone (store shrinks — 8 code columns per row, half the
+    rows reduced to id-only tombstones), (2) no forgotten id is served,
+    (3) tombstones persist, and (4) a REPLAYED add for a forgotten
+    vector stays vetoed through the next fold (absorbing delete)."""
+    pos = [F.pmod(F.col("id") * (m + 3), F.lit(256)).cast("int").alias(f"pos{m}")
+           for m in range(8)]
+    seed = spark.range(4000).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.col("id"), F.lit(16)).cast("int").alias("cell"),
+        *pos,
+        F.lit("i").alias("op"),
+    )
+
+    def fold(df):
+        dels = df.filter(F.col("op") == "d")
+        alive = (
+            df.filter(F.col("op") == "i")
+            .dropDuplicates(["vec_id"])
+            .join(dels.select("vec_id"), "vec_id", "left_anti")
+        )
+        return alive.unionByName(dels.dropDuplicates(["vec_id"]))
+
+    store = DatasetStore(str(tmp_path / "ret"), partition_cols=("cell",))
+    store.append(seed)
+    store.compact(spark, min_deltas=1, transform=fold)
+    bytes_full = _dir_bytes(str(tmp_path / "ret"))
+
+    tomb = spark.range(0, 4000, 2).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.col("id"), F.lit(16)).cast("int").alias("cell"),
+        *[F.lit(None).cast("int").alias(f"pos{m}") for m in range(8)],
+        F.lit("d").alias("op"),
+    )
+    store.append(tomb)
+    store.compact(spark, min_deltas=1, transform=fold)
+
+    loaded = store.load(spark)
+    served = fold(loaded).filter(F.col("op") == "i")
+    assert served.count() == 2000
+    assert served.filter(F.col("vec_id") % 2 == 0).count() == 0
+    assert loaded.filter(F.col("op") == "d").count() == 2000
+
+    # replayed add for forgotten vec 0: vetoed now AND after the fold
+    store.append(
+        spark.createDataFrame(
+            [(0, 0) + tuple(range(8)) + ("i",)],
+            "vec_id long, cell int, "
+            + ", ".join(f"pos{m} int" for m in range(8))
+            + ", op string",
+        )
+    )
+    assert fold(store.load(spark)).filter(
+        (F.col("vec_id") == 0) & (F.col("op") == "i")
+    ).count() == 0
+    store.compact(spark, min_deltas=1, transform=fold)
+    assert fold(store.load(spark)).filter(
+        (F.col("vec_id") == 0) & (F.col("op") == "i")
+    ).count() == 0
+
+    # the forgotten half's code bytes are physically gone: the folded
+    # store (2000 full rows + 2000 id-only tombstones + 1 vetoed add)
+    # is measurably smaller than the 4000-full-row original
+    assert _dir_bytes(str(tmp_path / "ret")) < bytes_full
