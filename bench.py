@@ -156,6 +156,7 @@ HEADLINE = [
     "bpe_sampled_apply",
     "ann_ivfpq_topk",
     "stream_bm25_index_upkeep",
+    "stream_bm25_retractions",
     "stream_ivfpq_index_upkeep",
     "stream_ivfpq_retractions",
     "quality_lr_train",

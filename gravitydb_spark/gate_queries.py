@@ -1274,6 +1274,11 @@ _compound(
             {"n1": "doc_id", "v": "score"},
         ),
         (
+            "bm25_retractions",
+            "stream_bm25_retractions",
+            {"n1": "doc_id", "v": "score"},
+        ),
+        (
             "ivfpq_index_maintained",
             "stream_ivfpq_index_upkeep",
             {"n1": "q_id", "n2": "vec_id", "n3": "rnk", "v": "cosine"},

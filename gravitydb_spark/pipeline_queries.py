@@ -8863,12 +8863,17 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TOPK = 20
 
 
-@register(
-    "text_bm25_search",
-    oracle=f"""
+def _bm25_oracle(doc_pred: str = "TRUE") -> str:
+    """The BM25 chain (tokenize → corpus stats → tf/df → k1/b scoring →
+    rounded top-k). ``doc_pred`` (over ``doc_id``) restricts the INDEXED
+    corpus — the retraction variant scores only surviving documents,
+    with N/avgdl/df all computed over survivors (a forgotten doc stops
+    influencing every statistic, not just the result list)."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, t[i] AS token, len(t) AS dl
-      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+            WHERE ({doc_pred})),
            unnest(generate_series(1, len(t))) AS u(i)),
     stats AS (SELECT count(DISTINCT doc_id) AS n,
                      avg(DISTINCT_dl.dl) AS avgdl
@@ -8891,7 +8896,12 @@ _BM25_TOPK = 20
     FROM scored
     ORDER BY round(s, 4) DESC, doc_id
     LIMIT {_BM25_TOPK}
-    """,
+    """
+
+
+@register(
+    "text_bm25_search",
+    oracle=_bm25_oracle(),
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text ranking for a fixed term set — the search primitive
@@ -9099,6 +9109,186 @@ def stream_bm25_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = tf.groupBy("token").agg(
             F.count("*").cast("double").alias("df")
         )
+        k1, b_ = _BM25_K1, _BM25_B
+        term = (
+            F.log(
+                (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b_ + b_ * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        out = (
+            tf.join(F.broadcast(df), "token")
+            .crossJoin(F.broadcast(st))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(term), 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(_BM25_TOPK)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# documents forgotten by the BM25 retraction demo (restricted to indexed
+# docs — every signed −1 posting must cancel a real +1)
+_BM25_DEL_PRED_SQL = "NOT (doc_id % 10 = 7)"
+
+
+@register(
+    "stream_bm25_retractions",
+    oracle=_bm25_oracle(_BM25_DEL_PRED_SQL),
+)
+def stream_bm25_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-INDEX RETRACTIONS — document forget on the maintained
+    inverted index, completing the lexical-search side of the
+    right-to-be-forgotten family. The postings become a SIGNED
+    MULTISET: an insert batch appends (token, doc_id, tf, dl, m=+1)
+    rows; a retraction batch re-tokenizes the forgotten documents from
+    content and appends the identical rows with m=−1 — compaction's
+    sum-fold cancels them to nothing, so the forgotten doc's bytes
+    leave the index. The 1-row corpus stats are additive in both
+    directions (−n_docs, −total_dl), so N and avgdl track the SURVIVING
+    corpus — a forgotten document stops influencing every other
+    document's score (df, idf, length normalization), not just the
+    result list. That is the part a lazy "filter results at query time"
+    forget gets wrong.
+
+    Replay safety: both stores are bid-gated (``append_once`` — the r7
+    additive-IVM protocol: a replayed batch can neither double a +1 nor
+    double a −1); the folds are plain sums, order-independent.
+
+    Sequence: 3 insert batches (doc_id % 3), then a retraction batch
+    forgetting the doc_id % 10 == 7 docs. Query path identical to the
+    upkeep twin (probe-term buckets via PartitionFilters, fold-then-
+    score); answers bit-identically to batch BM25 over survivors — the
+    oracle is the shared chain with the survivor predicate pushed into
+    the tokenize CTE."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .transaction import DatasetStore
+
+    docs = load(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="gravityspark_bm25ret_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        feeds = [docs.filter(F.expr(f"doc_id % 3 = {b}")) for b in range(3)]
+        feeds.append(docs.filter(F.expr("doc_id % 10 = 7")))
+        ops = ["i", "i", "i", "d"]
+        for b, (feed, op) in enumerate(zip(feeds, ops)):
+            tmp = os.path.join(work, f"tmp{b}")
+            feed.withColumn("op", F.lit(op)).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+
+        postings = DatasetStore(
+            os.path.join(work, "postings"), partition_cols=("tb",)
+        )
+        cstats = DatasetStore(os.path.join(work, "cstats"))
+
+        def tbucket(col):
+            return F.pmod(F.xxhash64(col), F.lit(_BM25_IDX_BUCKETS)).cast("int")
+
+        def fold_posts(df):
+            return (
+                df.groupBy("token", "doc_id", "tf", "dl", "tb")
+                .agg(F.sum("m").cast("long").alias("m"))
+                .filter(F.col("m") != 0)
+            )
+
+        def fold_stats(df):
+            return df.groupBy().agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("total_dl").cast("long").alias("total_dl"),
+            )
+
+        def handle(batch_df, bid) -> None:
+            sign = F.when(F.col("op") == "d", F.lit(-1)).otherwise(
+                F.lit(1)
+            ).cast("long")
+            toks = batch_df.select(
+                "doc_id",
+                sign.alias("m"),
+                F.explode(_TOKENS_FN()).alias("token"),
+                F.size(_TOKENS_FN()).alias("dl"),
+            )
+            posts = (
+                toks.groupBy("token", "doc_id")
+                .agg(
+                    F.count("*").cast("long").alias("tf"),
+                    F.first("dl").alias("dl"),
+                    F.first("m").alias("m"),
+                )
+                .withColumn("tb", tbucket(F.col("token")))
+            )
+            cdelta = (
+                batch_df.select(
+                    sign.alias("m"), F.size(_TOKENS_FN()).alias("dl")
+                )
+                .filter(F.col("dl") > 0)
+                .agg(
+                    F.sum("m").cast("long").alias("n"),
+                    F.sum(F.col("m") * F.col("dl"))
+                    .cast("long")
+                    .alias("total_dl"),
+                )
+            )
+            if postings.append_once(posts, bid) is not None:
+                postings.compact(spark, min_deltas=4, transform=fold_posts)
+            if cstats.append_once(cdelta, bid) is not None:
+                cstats.compact(spark, min_deltas=4, transform=fold_stats)
+
+        stream = (
+            spark.readStream.schema(
+                docs.withColumn("op", F.lit("i")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # query path: probe-term buckets, fold the signed rows, score
+        term_df = spark.createDataFrame(
+            [(t,) for t in _BM25_TERMS], "token string"
+        )
+        tbs = [
+            r.tb
+            for r in term_df.select(tbucket(F.col("token")).alias("tb")).collect()
+        ]
+        pruned = fold_posts(
+            postings.load(spark, where=F.col("tb").isin(tbs)).filter(
+                F.col("token").isin(_BM25_TERMS)
+            )
+        ).filter(F.col("m") > 0)
+        st = fold_stats(cstats.load(spark)).select(
+            "n", (F.col("total_dl").cast("double") / F.col("n")).alias("avgdl")
+        )
+        tf = pruned.select(
+            "doc_id", "token", F.col("tf").cast("double").alias("tf"), "dl"
+        )
+        df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
         k1, b_ = _BM25_K1, _BM25_B
         term = (
             F.log(
