@@ -59,6 +59,7 @@ HEADLINE = [
     "text_lang_id",
     "text_bpe_token_count",
     "ann_cosine_topk",
+    "ann_filtered_topk",
     "ann_lsh_topk",
     "dedup_embedding_cosine",
     "multimodal_binary_meta",

@@ -797,6 +797,11 @@ _compound(
             {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
         ),
         (
+            "filtered",
+            "ann_filtered_topk",
+            {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
+        ),
+        (
             "lsh",
             "ann_lsh_topk",
             {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},

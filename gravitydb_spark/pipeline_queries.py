@@ -2120,6 +2120,76 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label
+               FROM embeddings WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round({_duck_dot('q.qv', 'e.embedding')}
+               / (sqrt({_duck_dot('q.qv', 'q.qv')})
+                  * sqrt({_duck_dot('e.embedding', 'e.embedding')})), 3) AS cosine
+      FROM q JOIN embeddings e
+        ON e.label = q.label AND e.vec_id != q.q_id),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rnk
+      FROM scored)
+    SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= {ANN_K}
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k cosine restricted to corpus
+    vectors satisfying a metadata predicate, here "same ``label`` as the
+    query" (the FAISS-IDSelector / vector-DB-filter serving shape:
+    search within my category / language / tenant). Strategy is
+    PRE-FILTER: the predicate becomes a label equi-join, so each query
+    scores exactly its label group — the right plan when the filter is
+    selective, and EXACT (post-filtering an ANN shortlist, the other
+    standard strategy, silently starves queries whose matches weren't
+    in the shortlist; the IVF/IVFPQ rungs here would need
+    per-label probing to combine with filters, noted in SCALE.md).
+
+    Scale posture: one broadcast of the q×(vec, label) side, scoring
+    work Σ_q |label group| instead of q×corpus — the filter PRUNES
+    compute, not just results; per-query top-k is the standard
+    TakeOrdered window. At 100 TB with a label-partitioned corpus
+    layout the scan itself prunes to the probed labels
+    (PartitionFilters), the same access-path story as the IVF cells."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = emb.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("v"), F.col("v")))
+            ),
+            3,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )
+
+
 EMB_DIM = 64
 N_PLANES = 8
 
