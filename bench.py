@@ -36,6 +36,7 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_sessionize",
     "events_asof_join",
+    "events_session_overlap",
     "events_sessionize_bounded",
     "events_transition_bounded",
     "g_two_hop",

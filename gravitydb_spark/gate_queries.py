@@ -956,6 +956,12 @@ _compound(
             {"n1": "user_id", "n2": "n_sessions", "n3": "n_events"},
         ),
         (
+            "session_overlap",
+            "events_session_overlap",
+            {"n1": "user_a", "n2": "user_b", "n3": "n_overlaps",
+             "n4": "overlap_s_total"},
+        ),
+        (
             "sessionize_bounded",
             "events_sessionize_bounded",
             # same oracle as 'sessionize': hash-matching it proves the

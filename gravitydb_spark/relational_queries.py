@@ -448,6 +448,122 @@ def events_sessionize(
     )
 
 
+_OVERLAP_BIN_S = 3600  # ≥ max session duration (measured ~4,000s gap-
+# bounded at every SF — a session spans ≤ 2-3 bins; the bin only affects
+# candidate count, never correctness)
+
+
+@register(
+    "events_session_overlap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, epoch_ns(ts) // {NS_PER_SEC} AS sec,
+             CASE WHEN epoch_ns(ts) // {NS_PER_SEC}
+                    - lag(epoch_ns(ts) // {NS_PER_SEC})
+                        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                    > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                     IS NULL
+             THEN 1 ELSE 0 END AS ns
+      FROM events),
+    sid AS (
+      SELECT user_id, sec,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+    sess AS (
+      SELECT user_id, sid, min(sec) AS s, max(sec) AS e
+      FROM sid GROUP BY 1, 2),
+    ov AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             least(a.e, b.e) - greatest(a.s, b.s) AS osec
+      FROM sess a JOIN sess b
+        ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)
+    SELECT user_a, user_b, count(*)::BIGINT AS n_overlaps,
+           sum(osec)::BIGINT AS overlap_s_total
+    FROM ov GROUP BY 1, 2
+    """,
+)
+def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP JOIN without a cartesian product — per user
+    pair, how many of their sessions overlapped in time and for how
+    many total seconds (the co-activity / concurrency analytic;
+    interval joins are also the fraud-detection and ad-attribution
+    staple). A naive overlap join is a range predicate — Spark would
+    compile it to BroadcastNestedLoopJoin over sessions² — so the
+    engine uses the standard BINNED interval join: each session
+    [s, e] explodes to its covered {_OVERLAP_BIN_S}s time bins
+    (≤ 2-3 per session — sessions are gap-bounded), candidates
+    equi-join on bin, the exact overlap predicate filters, and
+    per-pair dropDuplicates folds multi-bin matches. Overlapping
+    intervals ALWAYS share the bin of any overlap second, so the
+    binning loses nothing; candidate count is output-proportional
+    (sessions co-active in an hour genuinely overlap each other).
+
+    Session intervals come from the same lag-gap sessionization as
+    events_sessionize (running-sum session ids over the identical
+    (ts, event_id) order), memoized so the self-join shares ONE cached
+    plan. Oracle: the naive quadratic overlap join over identically
+    derived sessions — an independent formulation, exact-integer
+    everywhere."""
+    sec = F.expr(f"ts DIV {NS_PER_SEC}")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+
+    def _build_sessions():
+        ev = load_events(spark, sf_dir).withColumn("sec", sec)
+        prev = F.lag("sec").over(w)
+        ns = F.when(prev.isNull() | ((F.col("sec") - prev) > 1800), 1).otherwise(0)
+        return (
+            ev.withColumn("ns", ns)
+            .withColumn(
+                "sid",
+                F.sum("ns").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("user_id", "sid")
+            .agg(F.min("sec").alias("s"), F.max("sec").alias("e"))
+        )
+
+    sess = _memo_cache(spark, sf_dir, "session_intervals", _build_sessions)
+    binned = sess.withColumn(
+        "bin",
+        F.explode(
+            F.expr(f"sequence(s DIV {_OVERLAP_BIN_S}, e DIV {_OVERLAP_BIN_S})")
+        ),
+    )
+    a = binned.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sid").alias("sid_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+        "bin",
+    )
+    b = binned.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sid").alias("sid_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        "bin",
+    )
+    pairs = (
+        a.join(b, "bin")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+        )
+        .dropDuplicates(["user_a", "sid_a", "user_b", "sid_b"])
+    )
+    osec = F.least(F.col("e_a"), F.col("e_b")) - F.greatest(
+        F.col("s_a"), F.col("s_b")
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count("*").cast("long").alias("n_overlaps"),
+        F.sum(osec).cast("long").alias("overlap_s_total"),
+    )
+
+
 @register(
     "agg_quantiles",
     oracle="""

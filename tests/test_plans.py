@@ -74,6 +74,14 @@ def test_asof_join_is_window_not_range_explosion(plans):
     assert "CartesianProduct" not in p
 
 
+def test_session_overlap_is_binned_equi_join(plans):
+    # the interval overlap predicate must ride the bin equi-join, never
+    # compile to a nested-loop range join over sessions²
+    p = plans("events_session_overlap")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_ann_lsh_is_equi_join_on_bucket(plans):
     p = plans("ann_lsh_topk")
     assert "BroadcastNestedLoopJoin" not in p
