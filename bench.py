@@ -170,6 +170,7 @@ HEADLINE = [
     "ann_sq8_topk",
     "mix_temperature_sample",
     "ann_recall_eval",
+    "ann_matryoshka_eval",
     "stream_kmeans_upkeep",
 ]
 

@@ -847,6 +847,13 @@ _compound(
              "rnk": "CASE WHEN method = 'ivf' THEN 1 ELSE 2 END"},
         ),
         (
+            "matryoshka_eval",
+            "ann_matryoshka_eval",
+            # per-(dim, query) truncated-prefix recall@10; dim in rnk
+            {"q_id": "q_id", "vec_id": "hits", "cosine": "recall_bp",
+             "rnk": "dim"},
+        ),
+        (
             "hybrid",
             "search_hybrid_rrf",
             {"vec_id": "doc_id", "cosine": "rrf", "rnk": "rnk"},

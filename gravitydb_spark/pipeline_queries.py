@@ -7628,6 +7628,118 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _reduce(DataFrame.union, out)
 
 
+_MRL_DIMS = [8, 16, 32]  # truncation prefixes evaluated against full-64
+
+
+def _mrl_oracle() -> str:
+    """Truth = full-dim brute chain; per prefix length d, the identical
+    chain over ``embedding[1:d]`` slices; LEFT-JOIN hit counting."""
+    truth = REGISTRY["ann_cosine_topk"].oracle
+    parts = [f"truth AS MATERIALIZED (SELECT q_id, vec_id FROM ({truth}) _t)"]
+    legs = []
+    for d in _MRL_DIMS:
+        qv, ev = "q.qv", f"e.embedding[1:{d}]"
+        parts.append(
+            f"""q{d} AS (SELECT vec_id AS q_id, embedding[1:{d}] AS qv
+             FROM embeddings WHERE vec_id < {ANN_N_QUERIES}),
+    sc{d} AS (
+      SELECT q.q_id, e.vec_id,
+             round({_duck_dot(qv, ev)}
+               / (sqrt({_duck_dot(qv, qv)})
+                  * sqrt({_duck_dot(ev, ev)})), 3) AS cosine
+      FROM q{d} q JOIN embeddings e ON e.vec_id != q.q_id),
+    g{d} AS MATERIALIZED (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rnk
+        FROM sc{d}) WHERE rnk <= {ANN_K})"""
+        )
+        legs.append(
+            f"""
+    SELECT {d}::BIGINT AS dim, t.q_id,
+           sum(CASE WHEN g{d}.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS hits,
+           (sum(CASE WHEN g{d}.vec_id IS NULL THEN 0 ELSE 1 END)
+            * 10000 // {ANN_K})::BIGINT AS recall_bp
+    FROM truth t LEFT JOIN g{d}
+      ON g{d}.q_id = t.q_id AND g{d}.vec_id = t.vec_id
+    GROUP BY 1, 2"""
+        )
+    return "WITH " + ",\n    ".join(parts) + " UNION ALL ".join(legs)
+
+
+@register("ann_matryoshka_eval", oracle=_mrl_oracle())
+def ann_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (truncated-dimension) RECALL EVALUATION — per prefix
+    length d ∈ {_MRL_DIMS} and query, recall@{ANN_K} of brute-force
+    cosine over the FIRST d embedding components against the full-
+    {EMB_DIM}-dim truth, in integer basis points. This is the serving
+    trade-off behind MRL-style embeddings (Kusupati et al., public):
+    truncating a prefix cuts index bytes and scoring FLOPs by
+    {EMB_DIM}/d with a measurable recall cost — and this query makes
+    that cost a gate-checked number per dimension rung, the same
+    in-engine-monitoring posture as ann_recall_eval (whose eval-join
+    shape it shares: method lists are q×{ANN_K} rows, eval cost is
+    query-proportional, never corpus-proportional).
+
+    Plan: one broadcast of the sliced query vectors per rung; the
+    corpus-side slice is a codegen array projection on the same scan;
+    the rest is the audited brute top-k window + a q×k hit join. All
+    score arithmetic is the shared left-fold dot (identical operation
+    order on both engines → bit-identical doubles)."""
+    from functools import reduce as _reduce
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    truth = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    out = []
+    for d in _MRL_DIMS:
+        q = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.slice(F.col("v"), 1, d).alias("qv"),
+        )
+        vd = F.slice(F.col("v"), 1, d)
+        scored = emb.join(
+            F.broadcast(q), F.col("vec_id") != F.col("q_id")
+        ).select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), vd)
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(vd, vd))
+                ),
+                3,
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        got = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= ANN_K)
+            .select("q_id", "vec_id", F.lit(1).alias("hit"))
+        )
+        hit = F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).cast("long")
+        out.append(
+            truth.join(got, ["q_id", "vec_id"], "left")
+            .groupBy("q_id")
+            .agg(hit.alias("hits"))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                "q_id",
+                "hits",
+                F.expr(f"hits * 10000 DIV {ANN_K}")
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+    return _reduce(DataFrame.union, out)
+
+
 # ---------------------------------------------------------------------------
 # RAG / training chunking: overlapping token windows
 # ---------------------------------------------------------------------------
