@@ -55,6 +55,7 @@ HEADLINE = [
     "text_repetition",
     "corpus_vocab_topk",
     "sketch_kmv_distinct",
+    "sketch_kmv_rollup",
     "corpus_length_quantiles",
     "text_quality_score",
     "text_lang_id",

@@ -642,6 +642,13 @@ _compound(
             "sketch_kmv_distinct",
             {"k": "event_type", "n1": "n_exact", "n2": "kmv_estimate"},
         ),
+        (
+            "kmv_rollup",
+            "sketch_kmv_rollup",
+            # merged-from-hours daily estimate (== direct by the KMV
+            # closure property, both computed and oracle-checked)
+            {"k": "CAST(day AS STRING)", "n1": "n_exact", "n2": "kmv_merged"},
+        ),
         ("vocab_topk", "corpus_vocab_topk", {"k": "token", "n1": "n", "n2": "rank"}),
         ("bpe_merge", "bpe_pair_merge", {"k": "pair", "n1": "n", "n2": "rank"}),
         (

@@ -538,6 +538,118 @@ def sketch_kmv_distinct(
     )
 
 
+@register(
+    "sketch_kmv_rollup",
+    oracle=f"""
+    WITH hv AS (
+      SELECT DISTINCT epoch_ns(ts) // {10**9} // 86400 AS day,
+             (epoch_ns(ts) // {10**9} % 86400) // 3600 AS hour,
+             {_duck_h32("user_id::VARCHAR")} AS hv
+      FROM events),
+    hourly AS (
+      SELECT day, hour, hv FROM (
+        SELECT day, hour, hv,
+               row_number() OVER (PARTITION BY day, hour ORDER BY hv) AS rn
+        FROM hv) WHERE rn <= {KMV_K}),
+    merged AS (
+      SELECT day, count(*) AS n_min, max(hv) AS kth FROM (
+        SELECT day, hv,
+               row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT day, hv FROM hourly))
+      WHERE rn <= {KMV_K} GROUP BY day),
+    direct AS (
+      SELECT day, count(*) AS n_min, max(hv) AS kth FROM (
+        SELECT day, hv,
+               row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT day, hv FROM hv))
+      WHERE rn <= {KMV_K} GROUP BY day),
+    exact AS (
+      SELECT epoch_ns(ts) // {10**9} // 86400 AS day,
+             count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events GROUP BY 1)
+    SELECT e.day::BIGINT AS day, n_exact,
+           CASE WHEN d.n_min < {KMV_K} THEN d.n_min
+                ELSE ({KMV_K - 1} * {_H32_SPACE}::BIGINT) // d.kth
+           END::BIGINT AS kmv_direct,
+           CASE WHEN m.n_min < {KMV_K} THEN m.n_min
+                ELSE ({KMV_K - 1} * {_H32_SPACE}::BIGINT) // m.kth
+           END::BIGINT AS kmv_merged
+    FROM exact e JOIN direct d USING (day) JOIN merged m USING (day)
+    """,
+)
+def sketch_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH ROLLUP — the mergeability property that makes sketches the
+    100 TB cardinality tool, gate-checked: per-(day, hour) KMV sketches
+    of distinct users are MERGED up to a daily estimate (k smallest of
+    the union of hourly k-smallest sets) alongside the directly-built
+    daily sketch, and the two are equal BY CONSTRUCTION (any of the k
+    smallest daily hashes is among its own hour's k smallest — the
+    classic KMV closure argument), so the oracle hash-match proves
+    mergeability end to end, not by unit test. This is the hypertable-
+    rollup serving pattern: keep cheap per-hour sketches, answer
+    day/week/month distinct counts by merging sketch rows — never
+    rescanning events — with the exact daily distinct alongside for
+    error visibility.
+
+    Plan shape: one distinct over (day, hour, user-hash) — the same
+    shuffle key family as the hourly rollup — then window top-k per
+    (day, hour) and per day; the merge input is ≤ 24·k rows per day
+    (sketch-sized, not data-sized), which is the entire point."""
+    from .relational_queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    day = F.expr(f"ts DIV {10**9} DIV 86400")
+    hour = F.expr(f"(ts DIV {10**9} % 86400) DIV 3600")
+    hv = (
+        ev.select(
+            day.alias("day"),
+            hour.alias("hour"),
+            _h32(F.col("user_id").cast("string")).alias("hv"),
+        )
+        .distinct()
+    )
+
+    def _kmv_per(df, keys):
+        w = Window.partitionBy(*keys).orderBy("hv")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K)
+        )
+
+    hourly = _kmv_per(hv, ["day", "hour"]).select("day", "hour", "hv")
+    merged = (
+        _kmv_per(hourly.select("day", "hv").distinct(), ["day"])
+        .groupBy("day")
+        .agg(F.count("*").alias("n_min"), F.max("hv").alias("kth"))
+    )
+    direct = (
+        _kmv_per(hv.select("day", "hv").distinct(), ["day"])
+        .groupBy("day")
+        .agg(F.count("*").alias("n_min"), F.max("hv").alias("kth"))
+    )
+    exact = ev.groupBy(day.alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+
+    def _est(pfx):
+        return F.when(
+            F.col(f"{pfx}.n_min") < KMV_K, F.col(f"{pfx}.n_min")
+        ).otherwise(
+            F.expr(f"({KMV_K - 1} * {_H32_SPACE}L) DIV {pfx}.kth")
+        )
+
+    return (
+        exact.join(direct.alias("d"), "day")
+        .join(merged.alias("m"), "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_exact",
+            _est("d").cast("long").alias("kmv_direct"),
+            _est("m").cast("long").alias("kmv_merged"),
+        )
+    )
+
+
 QUANTILE_PCTS = (10, 50, 90, 99)
 
 
