@@ -82,6 +82,24 @@ def test_session_overlap_is_binned_equi_join(plans):
     assert "CartesianProduct" not in p
 
 
+def test_filtered_ann_is_label_hash_join(plans):
+    # the metadata filter must compile to a hash join on label (the
+    # vec_id inequality rides as a join filter), never a nested loop
+    p = plans("ann_filtered_topk")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_containment_cap_is_broadcast_ban_list_not_window(plans):
+    # same df-cap discipline as dedup_ngram_jaccard: aggregated ban list
+    # (broadcast anti-join), no shingle-partitioned window
+    p = plans("dedup_ngram_containment")
+    assert "windowspecdefinition(shingle" not in p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
 def test_ann_lsh_is_equi_join_on_bucket(plans):
     p = plans("ann_lsh_topk")
     assert "BroadcastNestedLoopJoin" not in p
