@@ -1691,7 +1691,10 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment the plain split gives them; ``n_rehomed`` counts the
     cluster members whose own-hash split differs from their cluster's —
     the train/test straddles this operator just prevented, made visible
-    per (source, split) cell.
+    per (source, split) cell. Split proportions drift from 90/5/5 by at
+    most the clustered-doc fraction (a whole cluster moves together);
+    with dedup upstream that fraction is the near-dup rate, i.e. small
+    by the time anyone splits.
 
     Scale posture: the cluster labels reuse dedup_minhash_cluster's full
     machinery (signature-collapse skew guard, large-star/small-star CC,
@@ -3864,7 +3867,12 @@ def stream_ivfpq_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same inert-idempotence argument as the insert-only codes store,
     extended by "no re-assert after forget". (Re-inserting a forgotten
     vector would need epoch versioning — the signed-multiset stores
-    show that pattern; GDPR forget is deliberately absorbing.)
+    show that pattern; GDPR forget is deliberately absorbing.) The
+    tombstone-lands-in-its-add-row's-cell contract additionally
+    requires a FROZEN coarse quantizer — true here (the model is
+    trained once, up front) and in practice (retraining the quantizer
+    re-encodes the whole index anyway, at which point forgotten ids
+    are simply excluded from the rebuild).
 
     Query path: probed cells via PartitionFilters, tombstone anti-join,
     ADC against the broadcast LUT, exact re-rank of the survivor
