@@ -123,6 +123,7 @@ HEADLINE = [
     "basket_part_lift",
     "events_transition_matrix",
     "text_bm25_search",
+    "search_percolate",
     "profile_orders",
     "events_seasonality_profile",
     # round 5 additions

@@ -536,11 +536,18 @@ _compound(
             "text_bm25_search",
             {"doc_id": "doc_id", "m1": "score"},
         ),
+        (
+            "percolate",
+            "search_percolate",
+            {"doc_id": "doc_id", "m1": "query_id"},
+        ),
     ],
-    "Gate family for document quality scoring: stopword/length/uniqueness"
-    " ratios, repetition signals (top token / top bigram fractions), the"
-    " corpus-bigram LM predictability score (CCNet-style quality filter,"
-    " exact fixed-point arithmetic), and top-k tf-idf keywords per doc.",
+    "Gate family for document quality scoring and lexical search:"
+    " stopword/length/uniqueness ratios, repetition signals (top token /"
+    " top bigram fractions), the corpus-bigram LM predictability score"
+    " (CCNet-style quality filter, exact fixed-point arithmetic), top-k"
+    " tf-idf keywords per doc, BM25 ranking, and standing-query"
+    " percolation (reverse search).",
 )
 
 _compound(

@@ -9436,6 +9436,82 @@ def stream_bm25_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# standing percolation queries: (query_id, AND-term list) — the alerting
+# registry a reverse-search deployment keeps; literal on both engines
+_PERCOLATE_QUERIES = [
+    (1, ["spark", "join", "window"]),
+    (2, ["stream", "batch", "merge"]),
+    (3, ["hash", "filter", "scan"]),
+    (4, ["customer", "order", "value"]),
+    (5, ["sort", "group", "column"]),
+    (6, ["data", "query", "table"]),
+]
+
+
+def _percolate_values_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}', {len(terms)})"
+        for qid, terms in _PERCOLATE_QUERIES
+        for t in terms
+    )
+    return f"(VALUES {rows}) AS q(query_id, token, n_terms)"
+
+
+@register(
+    "search_percolate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t[i] AS token
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+           unnest(generate_series(1, len(t))) AS u(i)),
+    q AS (SELECT * FROM {_percolate_values_sql()}),
+    m AS (
+      SELECT query_id, doc_id, count(*) AS c, any_value(n_terms) AS n
+      FROM toks JOIN q USING (token) GROUP BY 1, 2)
+    SELECT query_id::BIGINT AS query_id, doc_id
+    FROM m WHERE c = n
+    """,
+)
+def search_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCOLATION — reverse search: match every document against a
+    REGISTRY of standing boolean queries (conjunctive term sets) and
+    emit (query_id, doc_id) for each satisfied query. This is the
+    alerting / routing / saved-search shape (Elasticsearch calls it
+    percolate): the queries are the stored side, the documents are the
+    probes — the exact inverse of text_bm25_search's access path.
+
+    Scale posture: the standing registry is broadcast (it is small by
+    nature — thousands of alerts, not billions); one tokenize scan per
+    document batch; matching is one equi-join on token + a (query, doc)
+    count compared to the query's term count (conjunctions need no
+    per-term state). At 100 TB this runs as a map-side join over the
+    corpus scan — and the same plan serves streaming percolation over
+    arriving micro-batches, since nothing here is corpus-stateful."""
+    qt = spark.createDataFrame(
+        [
+            (qid, t, len(terms))
+            for qid, terms in _PERCOLATE_QUERIES
+            for t in terms
+        ],
+        "query_id long, token string, n_terms int",
+    )
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_TOKENS_FN()).alias("token"))
+        .distinct()
+    )
+    return (
+        toks.join(F.broadcast(qt), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("c"),
+            F.first("n_terms").alias("n"),
+        )
+        .filter(F.col("c") == F.col("n"))
+        .select("query_id", "doc_id")
+    )
+
+
 # documents forgotten by the BM25 retraction demo (restricted to indexed
 # docs — every signed −1 posting must cancel a real +1)
 _BM25_DEL_PRED_SQL = "NOT (doc_id % 10 = 7)"
