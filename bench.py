@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_simhash",
     "text_repetition",
     "corpus_vocab_topk",
+    "corpus_collocations",
     "sketch_kmv_distinct",
     "sketch_kmv_rollup",
     "corpus_length_quantiles",

@@ -657,6 +657,11 @@ _compound(
             {"k": "CAST(day AS STRING)", "n1": "n_exact", "n2": "kmv_merged"},
         ),
         ("vocab_topk", "corpus_vocab_topk", {"k": "token", "n1": "n", "n2": "rank"}),
+        (
+            "collocations",
+            "corpus_collocations",
+            {"k": "w1 || ' ' || w2", "n1": "n", "n2": "pmi_bp"},
+        ),
         ("bpe_merge", "bpe_pair_merge", {"k": "pair", "n1": "n", "n2": "rank"}),
         (
             "bpe_train",

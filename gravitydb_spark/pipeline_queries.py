@@ -7268,6 +7268,87 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMI_MIN_COUNT = 5  # collocation support floor (rare-pair PMI is noise)
+_PMI_TOPK = 50
+
+
+@register(
+    "corpus_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, i, t[i] AS w
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+           unnest(generate_series(1, len(t))) AS u(i)),
+    big AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+    c1 AS (SELECT w, count(*) AS n1 FROM tok GROUP BY w),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+    tot AS (SELECT count(*) AS t FROM big),
+    pmi AS (
+      SELECT w1, w2, n2,
+             CAST(round(ln(n2::DOUBLE * t / (a.n1::DOUBLE * b.n1))
+                        * 10000) AS BIGINT) AS pmi_bp
+      FROM c2 JOIN c1 a ON a.w = c2.w1 JOIN c1 b ON b.w = c2.w2, tot
+      WHERE n2 >= {_PMI_MIN_COUNT})
+    SELECT w1, w2, n2::BIGINT AS n, pmi_bp
+    FROM pmi ORDER BY pmi_bp DESC, w1, w2 LIMIT {_PMI_TOPK}
+    """,
+)
+def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOPK} collocations by pointwise mutual information —
+    the classic corpus-analysis extraction (Church & Hanks, public):
+    PMI(w1, w2) = ln(c(w1,w2)·T / (c(w1)·c(w2))) over adjacent-token
+    bigrams with support ≥ {_PMI_MIN_COUNT}, reported in integer basis
+    points (×10⁴) so ordering and the top-k cut are engine-exact (the
+    ln itself follows the BM25 precedent: correctly-rounded inputs +
+    4-decimal rounding agree across both engines' libm in this range).
+    High-PMI pairs are the multiword expressions a tokenizer/vocab
+    builder wants as single units; the same statistic drives phrase
+    mining and stopword-boundary checks.
+
+    Plan shape: reuses text_lm_score's array-side bigram build (no
+    window); unigram/bigram counts partial-aggregate map-side so
+    shuffles carry vocabulary cardinality; the PMI join is vocab-sized;
+    T is one footer-count-style scalar (1-row collect, the n_docs
+    precedent) baked as a literal so the expression constant-folds; the
+    top-k is TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    t = _TOKENS_FN()
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    big = docs.select("doc_id", F.explode(pairs).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    tok = docs.select(F.explode(t).alias("w"))
+    c1 = tok.groupBy("w").agg(F.count("*").alias("n1"))
+    c2 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n2"))
+        .filter(F.col("n2") >= _PMI_MIN_COUNT)
+    )
+    tot = big.count()
+    a = c1.select(F.col("w").alias("w1"), F.col("n1").alias("n1a"))
+    b = c1.select(F.col("w").alias("w2"), F.col("n1").alias("n1b"))
+    return (
+        c2.join(a, "w1")
+        .join(b, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("n2").cast("long").alias("n"),
+            F.expr(
+                f"CAST(round(ln(CAST(n2 AS DOUBLE) * {tot}"
+                " / (CAST(n1a AS DOUBLE) * n1b)) * 10000) AS BIGINT)"
+            ).alias("pmi_bp"),
+        )
+        .orderBy(F.desc("pmi_bp"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOPK)
+    )
+
+
 # ---------------------------------------------------------------------------
 # tf-idf document keywords
 # ---------------------------------------------------------------------------
