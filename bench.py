@@ -84,6 +84,7 @@ HEADLINE = [
     "text_tfidf_keywords",
     "g_kcore_onion",
     "embed_quantize_int8",
+    "embed_top_direction",
     "embed_random_projection",
     "g_weighted_pagerank",
     "q6_forecast_revenue",

@@ -920,6 +920,11 @@ _compound(
             {"a": "vec_id", "b": "code_sum", "v": "recon_err"},
         ),
         (
+            "top_direction",
+            "embed_top_direction",
+            {"a": "dim", "b": "comp"},
+        ),
+        (
             "random_projection",
             "embed_random_projection",
             {"a": "vec_id", "b": "k", "v": "proj"},

@@ -2235,6 +2235,100 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PI_SCALE = 10**4  # component fixed-point (the PQ_SCALE_INT family)
+_PI_CDIV = 10**6  # Gram-entry down-scale (headroom for the matvec sums)
+_PI_VSCALE = 10**6  # iteration-vector fixed-point
+_PI_ITERS = 4
+
+
+def _power_iter_oracle() -> str:
+    """Distributed Gram build + {_PI_ITERS} unrolled scaled-integer power
+    steps: w = C'v (64-row matvec), d = max(1, max|w| // VSCALE),
+    v' = w // d — every op truncating BIGINT arithmetic on both engines
+    (and in the driver replica)."""
+    parts = [
+        f"""xs AS MATERIALIZED (
+      SELECT vec_id, u.i AS i,
+             CAST(round(embedding[u.i]::DOUBLE * {_PI_SCALE}) AS BIGINT) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+    gm AS MATERIALIZED (
+      SELECT a.i, b.i AS j, sum(a.x * b.x) // {_PI_CDIV} AS c
+      FROM xs a JOIN xs b USING (vec_id) GROUP BY 1, 2),
+    pv0 AS (SELECT i, CASE WHEN i = 1 THEN {_PI_VSCALE} ELSE 0 END AS v
+            FROM (SELECT DISTINCT i FROM gm))"""
+    ]
+    for k in range(1, _PI_ITERS + 1):
+        parts.append(
+            f"""pw{k} AS (
+      SELECT gm.i, sum(gm.c * p.v) AS w
+      FROM gm JOIN pv{k - 1} p ON p.i = gm.j GROUP BY gm.i),
+    pd{k} AS (SELECT greatest(max(abs(w)) // {_PI_VSCALE}, 1) AS d
+              FROM pw{k}),
+    pv{k} AS (SELECT i, w // d AS v FROM pw{k}, pd{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\nSELECT i::BIGINT AS dim, v::BIGINT AS comp"
+        f" FROM pv{_PI_ITERS} ORDER BY dim"
+    )
+
+
+@register("embed_top_direction", oracle=_power_iter_oracle())
+def embed_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL DIRECTION of the embedding second-moment (Gram)
+    matrix via power iteration — the PCA/whitening precursor an
+    embedding pipeline runs before dimension reduction or decorrelation.
+    The DATA-SIZED work is one distributed Gram build (explode dims,
+    co-partitioned self-join on vec_id, 64×64-group aggregate — one
+    shuffle, map-side partials); the iteration itself runs on the
+    collected 64×64 integer matrix — MODEL-sized driver state, the same
+    bounded-collect contract as the PQ codebooks. {_PI_ITERS} fixed
+    power steps in scaled-BIGINT arithmetic (truncating division on all
+    three engines, L∞ renormalization with a greatest(…,1) guard), so
+    the oracle replays the identical recurrence and the result is
+    engine-exact whether or not the spectrum has converged — on this
+    uniform-sphere testdata the spectrum is near-degenerate, so the
+    value demonstrated is the exact distributed-Gram + deterministic-
+    iteration SHAPE, not a meaningful principal axis (the honest caveat,
+    same as the ANN recall ladder's). Uncentered by design: the second
+    moment is what whitening normalizes; centering would add one exact
+    integer mean pass.
+
+    Overflow audit: |x| ≤ {_PI_SCALE}, Gram entry ≤ n·10⁸ (int64-safe to
+    n ≈ 9·10¹⁰ vectors), down-scaled by {_PI_CDIV} before the matvec so
+    w ≤ 64·c·{_PI_VSCALE} stays orders inside int64 at any SF."""
+    emb = load(spark, sf_dir, "embeddings")
+    xs = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "e"),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.expr(f"CAST(round(e * {_PI_SCALE}) AS BIGINT)").alias("x"),
+    )
+    a = xs.select("vec_id", "i", F.col("x").alias("xa"))
+    b = xs.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xb"))
+    gm = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.expr(f"sum(xa * xb) DIV {_PI_CDIV}").alias("c"))
+        .collect()
+    )
+    dims = sorted({r["i"] for r in gm})
+    cmat = {(r["i"], r["j"]): r["c"] for r in gm}
+    v = {i: (_PI_VSCALE if i == 1 else 0) for i in dims}
+    for _ in range(_PI_ITERS):
+        w = {
+            i: sum(cmat[(i, j)] * v[j] for j in dims) for i in dims
+        }
+        d = max(max(abs(x) for x in w.values()) // _PI_VSCALE, 1)
+        v = {i: _tdiv(w[i], d) for i in dims}
+    return spark.createDataFrame(
+        [(int(i), int(v[i])) for i in dims], "dim long, comp long"
+    )
+
+
 @register(
     "ann_filtered_topk",
     oracle=f"""

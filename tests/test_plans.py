@@ -573,6 +573,7 @@ def test_no_unbounded_global_windows_anywhere(spark, sf_dir):
         "quality_lr_train",
         "bpe_train_merges",
         "bpe_sampled_apply",
+        "embed_top_direction",
     }
     qs = queries()
     offenders = []
