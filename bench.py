@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_minhash_cluster",
     "dedup_pair_triangles",
     "dedup_pair_truss",
+    "dedup_pair_clustering",
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
     "dedup_simhash",

@@ -782,6 +782,11 @@ _compound(
         ("triangles", "dedup_pair_triangles", {"a": "doc_id", "b": "triangles"}),
         ("truss", "dedup_pair_truss", {"a": "a", "b": "b", "v": "peel_round"}),
         (
+            "clustering",
+            "dedup_pair_clustering",
+            {"a": "doc_id", "b": "degree", "v": "coeff_bp"},
+        ),
+        (
             "verify",
             "dedup_jaccard_verify",
             {"a": "doc_a", "b": "doc_b", "v": "jaccard"},

@@ -1565,6 +1565,77 @@ def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs).withColumnRenamed("id", "doc_id")
 
 
+@register(
+    "dedup_pair_clustering",
+    oracle=f"""
+    WITH {_DUCK_PAIR_CTES},
+    und AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT u AS doc_id, count(*) AS degree FROM und GROUP BY u),
+    tri3 AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+    tri AS (
+      SELECT doc_id, count(*) AS triangles
+      FROM (SELECT a AS doc_id FROM tri3
+            UNION ALL SELECT b FROM tri3
+            UNION ALL SELECT c FROM tri3)
+      GROUP BY doc_id)
+    SELECT d.doc_id, d.degree::BIGINT AS degree,
+           coalesce(t.triangles, 0)::BIGINT AS triangles,
+           ((20000 * coalesce(t.triangles, 0))
+            // (d.degree * (d.degree - 1)))::BIGINT AS coeff_bp
+    FROM deg d LEFT JOIN tri t ON t.doc_id = d.doc_id
+    WHERE d.degree >= 2
+    """,
+)
+def dedup_pair_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LOCAL CLUSTERING COEFFICIENT over the near-dup pair
+    graph — triangles / C(degree, 2) in integer basis points — the
+    third cohesion measure beside raw triangle counts and the truss
+    peel: coeff ≈ 10000 means the doc's near-dup neighborhood is a
+    clique (a template family), coeff ≈ 0 means the doc bridges
+    otherwise-unrelated near-dup groups (the LSH-collision / chain
+    shape a cluster-then-keep dedup should distrust). Restricted to
+    degree ≥ 2 (the coefficient is undefined below).
+
+    Spark path reuses the memoized pair graph, the degree-ordered
+    triangle operator (O(m^1.5) wedge bound under any skew), and one
+    degree aggregate + left join; the coefficient is a codegen integer
+    projection (truncating division on both engines). Oracle: naive
+    3-way triangle join + degree count over the shared pairs CTE."""
+    from .operators.iterative import triangle_counts
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    und = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("doc_id")).agg(
+        F.count("*").alias("degree")
+    )
+    tri = triangle_counts(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).withColumnRenamed("id", "doc_id")
+    return (
+        deg.join(tri, "doc_id", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "doc_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            F.expr(
+                "CAST((20000 * coalesce(triangles, 0))"
+                " DIV (degree * (degree - 1)) AS BIGINT)"
+            ).alias("coeff_bp"),
+        )
+    )
+
+
 _TRUSS_ROUNDS = 4  # ≥ peel depth on the pair graph (dup families are dense
 # cliques, bridges fall in round 1; extra rounds are no-ops on both
 # engines — same fixpoint-unroll trick as the kcore/SSSP oracles)
