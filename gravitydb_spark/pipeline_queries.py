@@ -3111,16 +3111,68 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_CELLS = 16
-IVF_NPROBE = 2
+# Depth-scaled IVF serving config (r8 VERDICT directive #1): the cell
+# count is DERIVED FROM THE CORPUS at train time — the classic
+# cells ≈ sqrt(n) rule (Jégou et al., FAISS guidelines) — instead of a
+# fixed module constant. With fixed cells, each inverted list grows
+# linearly with the corpus and nprobe/cells scans an ever-larger
+# absolute slice at ever-worse recall (measured: ADC recall 0.19 at
+# n=2k → 0.06 at n=50k with 16 cells, SCALE.md §4j). With
+# cells = max(16, floor(sqrt(n))) and nprobe = max(2, cells // 8) the
+# probed FRACTION is pinned at ~1/8 while per-list length grows only
+# as sqrt(n). Both engines derive the same numbers from the same
+# table: Python uses IEEE-double floor(sqrt(n)), DuckDB the identical
+# expression — correctly-rounded sqrt makes them bit-equal.
+IVF_CELLS_MIN = 16  # serving floor (the old fixed config = this floor)
+IVF_NPROBE_MIN = 2
+IVF_PROBE_DIV = 8  # probe ~cells/8 → constant scan fraction at any n
+
+
+def _ivf_cells(n: int) -> int:
+    import math
+
+    return max(IVF_CELLS_MIN, int(math.floor(math.sqrt(float(n)))))
+
+
+def _ivf_nprobe(cells: int) -> int:
+    return max(IVF_NPROBE_MIN, cells // IVF_PROBE_DIV)
+
+
+_ivf_params_memo: dict = {}
+
+
+def _ivf_params(spark: SparkSession, sf_dir: str) -> tuple:
+    """(cells, nprobe) for the IVF/IVFPQ serving family, derived from
+    the served corpus count at train time and memoized per
+    (session, sf_dir) — one bounded count() job, amortized across the
+    whole ANN family like _pq_codebook/_ivfpq_model."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ivf_params_memo:
+        n = load(spark, sf_dir, "embeddings").count()
+        cells = _ivf_cells(n)
+        _ivf_params_memo[key] = (cells, _ivf_nprobe(cells))
+    return _ivf_params_memo[key]
+
+
+# The same derivation as a DuckDB CTE so every oracle in the family
+# computes cells/nprobe from the same table instead of baking in a
+# constant that would diverge the moment the corpus grows.
+_DUCK_IVF_PRM = (
+    f"iprm AS (SELECT GREATEST({IVF_CELLS_MIN}, "
+    "CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT)) AS cells, "
+    f"GREATEST({IVF_NPROBE_MIN}, GREATEST({IVF_CELLS_MIN}, "
+    "CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT)) "
+    f"// {IVF_PROBE_DIV}) AS nprobe FROM embeddings)"
+)
 
 
 @register(
     "ann_ivf_topk",
     oracle=f"""
-    WITH cent AS (
+    WITH {_DUCK_IVF_PRM},
+    cent AS (
       SELECT vec_id AS cell, embedding AS cv FROM embeddings
-      WHERE vec_id < {IVF_CELLS}),
+      WHERE vec_id < (SELECT cells FROM iprm)),
     assign_scored AS (
       SELECT e.vec_id, e.embedding, c.cell,
              {_duck_dot('e.embedding', 'c.cv')} AS d
@@ -3137,7 +3189,7 @@ IVF_NPROBE = 2
                                   ORDER BY {_duck_dot('e.embedding', 'c.cv')} DESC,
                                            c.cell ASC) AS rn
         FROM embeddings e JOIN cent c ON TRUE
-        WHERE e.vec_id < {ANN_N_QUERIES}) WHERE rn <= {IVF_NPROBE}),
+        WHERE e.vec_id < {ANN_N_QUERIES}) WHERE rn <= (SELECT nprobe FROM iprm)),
     q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
           WHERE vec_id < {ANN_N_QUERIES}),
     scored AS (
@@ -3158,19 +3210,24 @@ IVF_NPROBE = 2
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN — the other classic scale path besides LSH:
     a coarse quantizer assigns every vector to its nearest of
-    ``IVF_CELLS`` centroids (inverted lists); a query probes only its
-    ``IVF_NPROBE`` closest cells. At 100 TB the corpus-side work is one
-    linear assignment pass (n × K dot products, embarrassingly parallel)
-    and each query touches ~nprobe/K of the data, partitioned by cell.
+    cells = max(16, floor(sqrt(n))) centroids (inverted lists, DERIVED
+    from the corpus count at train time — see _ivf_params); a query
+    probes only its nprobe = max(2, cells // 8) closest cells. At
+    100 TB the corpus-side work is one linear assignment pass (n × K
+    dot products, embarrassingly parallel), each query touches a
+    CONSTANT ~1/8 fraction of the data partitioned by cell, and
+    per-list length grows only as sqrt(n).
 
     Deterministic and oracle-matched end to end: centroids are the first
-    K vectors by vec_id (no iterative k-means — float iteration order
-    isn't portable), assignment/probing use the same left-fold dot
-    product and (score DESC, id ASC) tie-breaks on both engines."""
+    `cells` vectors by vec_id (no iterative k-means — float iteration
+    order isn't portable), assignment/probing use the same left-fold dot
+    product and (score DESC, id ASC) tie-breaks on both engines; the
+    oracle derives cells/nprobe from the same count(*)."""
+    cells, nprobe = _ivf_params(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
-    cent = emb.filter(F.col("vec_id") < IVF_CELLS).select(
+    cent = emb.filter(F.col("vec_id") < cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
     # corpus → nearest centroid (argmax dot, tie-break on cell id)
@@ -3197,7 +3254,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("q_id").orderBy(F.desc("d"), F.asc("cell"))
             ),
         )
-        .filter(F.col("rn") <= IVF_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("q_id", "cell")
     )
     q = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
@@ -3241,8 +3298,9 @@ def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTALLY MAINTAINED IVF index — streaming ANN ingest: the
     embedding corpus arrives in 3 micro-batches (file stream, mtimes
     pinning order); each foreachBatch assigns its vectors to their
-    nearest coarse cell (broadcast 16-centroid quantizer, batch-
-    local argmax window) and appends (cell, vec_id, v) to a
+    nearest coarse cell (broadcast sqrt(n)-centroid quantizer — see
+    _ivf_params — batch-local argmax window) and appends
+    (cell, vec_id, v) to a
     :class:`DatasetStore` PARTITIONED BY CELL — the inverted lists as a
     delta-logged, compacting, crash-visible store. The query path loads
     ONLY the nprobe probed cells (a PartitionFilter on every delta
@@ -3255,10 +3313,10 @@ def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates(vec_id) — duplicates are inert, decisions never
     change.
 
-    The coarse quantizer is FIXED OFFLINE (first-16 vectors, the
-    ann_ivf_topk quantizer) — standard IVF practice: codebooks/
-    quantizers train on a sample before ingest; the index only ever
-    appends under them.
+    The coarse quantizer is FIXED OFFLINE (first-`cells` vectors, the
+    ann_ivf_topk quantizer, cells derived from the corpus count at
+    train time) — standard IVF practice: codebooks/quantizers train on
+    a sample before ingest; the index only ever appends under them.
 
     The final answer is bit-identical to the BATCH ann_ivf_topk, so it
     registers with that query's oracle verbatim (shared string) and is
@@ -3266,9 +3324,9 @@ def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained index ≡ batch index.
 
     Scale posture: per batch, work is batch-sized (assignment is a
-    batch × 16 broadcast window); the query path touches
-    nprobe/16 of the index via partition pruning; compaction folds
-    per cell. State lives on storage, not executors."""
+    batch × cells broadcast window); the query path touches a constant
+    ~1/8 of the index via partition pruning; compaction folds per
+    cell. State lives on storage, not executors."""
     import shutil
     import tempfile
     import uuid as _uuid
@@ -3292,8 +3350,9 @@ def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (base + 60 * b, base + 60 * b))
             shutil.rmtree(tmp)
 
+        cells, nprobe = _ivf_params(spark, sf_dir)
         cent = (
-            emb.filter(F.col("vec_id") < IVF_CELLS)
+            emb.filter(F.col("vec_id") < cells)
             .select(
                 F.col("vec_id").alias("cell"),
                 F.col("embedding").cast("array<double>").alias("cv"),
@@ -3353,7 +3412,7 @@ def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     Window.partitionBy("q_id").orderBy(F.desc("d"), F.asc("cell"))
                 ),
             )
-            .filter(F.col("rn") <= IVF_NPROBE)
+            .filter(F.col("rn") <= nprobe)
             .select("q_id", "cell")
             # two consumers (the pruning collect + the scored join) —
             # barrier so the centroid window runs once
@@ -3406,8 +3465,9 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
     """(cents, book): the two trained artifacts of residual IVFPQ, both
     bounded driver collects memoized per (session, sf_dir):
 
-    - ``cents``: the TRAINED coarse quantizer — {IVF_CELLS} full-vector
-      centroids from {IVF_ITERS} scaled-BIGINT Lloyd iterations over the
+    - ``cents``: the TRAINED coarse quantizer — cells = max(16,
+      floor(sqrt(n))) full-vector centroids (depth-scaled via
+      _ivf_params) from {IVF_ITERS} scaled-BIGINT Lloyd iterations over the
       deterministic 1/{IVF_TRAIN_MOD} sample (init = first-K sample
       vectors), as ``[(cl, {(m, i): cx})...]`` sorted by cl;
     - ``book``: the residual-PQ codebook — the SAME per-subspace Lloyd
@@ -3435,8 +3495,9 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
         .cache()
     )
     try:
+        cells, _ = _ivf_params(spark, sf_dir)
         crows = _lloyd_rows(
-            ex, IVF_CELLS * IVF_TRAIN_MOD, IVF_ITERS, per_subspace=False
+            ex, cells * IVF_TRAIN_MOD, IVF_ITERS, per_subspace=False
         )
         centdf = spark.createDataFrame(
             [(r["m"], r["cl"], r["i"], r["cx"]) for r in crows],
@@ -3502,7 +3563,7 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
     return out
 
 
-def _ivfpq_kernels(cents, book):
+def _ivfpq_kernels(cents, book, nprobe: int = IVF_NPROBE_MIN):
     """The Arrow-vectorized residual-IVFPQ kernels, closed over the
     trained coarse centroids and residual codebook as numpy constants:
 
@@ -3510,7 +3571,7 @@ def _ivfpq_kernels(cents, book):
       coarse-assign (argmin L2, first-min == lowest cl), subtract the
       centroid, PQ-encode the residual. Cell ids are positions into the
       cl-ordered centroid list (same convention as the pos codes).
-    - ``probe``: query batch → {IVF_NPROBE} rows (q_id, cell, qcdot)
+    - ``probe``: query batch → ``nprobe`` rows (q_id, cell, qcdot)
       per query — the L2-nearest cells plus the scaled dot(q, centroid)
       term the ADC score needs under the IP metric:
       score = dot(q, c) + dot(q, r̂) with r̂ read from the LUT.
@@ -3567,7 +3628,7 @@ def _ivfpq_kernels(cents, book):
             order = np.argsort(d, axis=1, kind="stable")  # ties → low cl
             rows = {"q_id": [], "cell": [], "qcdot": []}
             for j, qid in enumerate(pdf["vec_id"]):
-                for c in order[j, :IVF_NPROBE]:
+                for c in order[j, :nprobe]:
                     rows["q_id"].append(qid)
                     rows["cell"].append(int(c))
                     rows["qcdot"].append(int(qc[j, c]))
@@ -3601,13 +3662,14 @@ def _duck_ivfpq_ctes() -> str:
     residuals → residual-PQ Lloyd → codes / query LUTs / probed cells
     with the dot(q, centroid) term."""
     parts = [
-        f"""pex AS MATERIALIZED (
+        f"""{_DUCK_IVF_PRM},
+    pex AS MATERIALIZED (
       SELECT vec_id, (u.i - 1) // {PQ_SUB} AS m, ((u.i - 1) % {PQ_SUB}) + 1 AS i,
              CAST(round(embedding[u.i]::DOUBLE * {PQ_SCALE_INT}) AS BIGINT) AS x
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
     pct AS MATERIALIZED (SELECT * FROM pex WHERE vec_id % {IVF_TRAIN_MOD} = 0),
     ic0 AS (SELECT vec_id AS cl, m, i, x AS cx FROM pct
-            WHERE vec_id < {IVF_CELLS * IVF_TRAIN_MOD})"""
+            WHERE vec_id < (SELECT cells FROM iprm) * {IVF_TRAIN_MOD})"""
     ]
     prev = "ic0"
     for it in range(IVF_ITERS):
@@ -3684,7 +3746,7 @@ def _duck_ivfpq_ctes() -> str:
       SELECT q_id, cl AS cell, qcdot FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY d ASC, cl ASC) AS rn
-        FROM qcd) WHERE rn <= {IVF_NPROBE})"""
+        FROM qcd) WHERE rn <= (SELECT nprobe FROM iprm))"""
     )
     return ",\n    ".join(parts)
 
@@ -3737,7 +3799,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     directive #4, upgraded per r7 directive #2): the TRAINED coarse
     quantizer ({IVF_ITERS} scaled-int Lloyd iterations over the
     deterministic sample, not first-K seeds) cuts the corpus to each
-    query's {IVF_NPROBE}/{IVF_CELLS} L2-nearest cells; PQ codes encode
+    query's nprobe/cells (≈1/8, depth-scaled — see _ivf_params)
+    L2-nearest cells; PQ codes encode
     the RESIDUAL x − centroid(cell) (residuals concentrate near zero,
     so the same code budget quantizes finer — the measured ADC-only
     recall gain is in SCALE.md §4h); ADC scores only the probed cells'
@@ -3762,7 +3825,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.col("embedding").cast("array<double>")
     )
     cents, book = _ivfpq_model(spark, sf_dir)
-    encode, probe, lut = _ivfpq_kernels(cents, book)
+    _, _nprobe = _ivf_params(spark, sf_dir)
+    encode, probe, lut = _ivfpq_kernels(cents, book, _nprobe)
     codes_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -3887,7 +3951,8 @@ def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
 
         cents, book = _ivfpq_model(spark, sf_dir)
-        encode, probe, lut = _ivfpq_kernels(cents, book)
+        _, _nprobe = _ivf_params(spark, sf_dir)
+        encode, probe, lut = _ivfpq_kernels(cents, book, _nprobe)
         codes_schema = T.StructType(
             [
                 T.StructField("vec_id", T.LongType()),
@@ -4077,7 +4142,8 @@ def stream_ivfpq_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
 
         cents, book = _ivfpq_model(spark, sf_dir)
-        encode, probe, lut = _ivfpq_kernels(cents, book)
+        _, _nprobe = _ivf_params(spark, sf_dir)
+        encode, probe, lut = _ivfpq_kernels(cents, book, _nprobe)
         codes_schema = T.StructType(
             [
                 T.StructField("vec_id", T.LongType()),

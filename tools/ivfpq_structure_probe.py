@@ -90,7 +90,7 @@ def main() -> None:
     import pyspark.sql.types as T
 
     from gravitydb_spark.pipeline_queries import (
-        IVF_CELLS, IVF_NPROBE, PQ_M, _ivfpq_kernels, _ivfpq_model,
+        PQ_M, _ivf_params, _ivfpq_kernels, _ivfpq_model,
         _pq_adc_score_expr, _pq_codebook, _pq_kernels, load,
     )
     from gravitydb_spark.session import get_spark
@@ -119,7 +119,8 @@ def main() -> None:
         qemb = emb.filter(F.col("vec_id").isin([int(q) for q in qids])).select(
             "vec_id", "embedding")
         cents, book = _ivfpq_model(spark, sf_dir)
-        encode, probe, lut = _ivfpq_kernels(cents, book)
+        _, nprobe = _ivf_params(spark, sf_dir)
+        encode, probe, lut = _ivfpq_kernels(cents, book, nprobe)
         rcodes = emb.select("vec_id", "embedding").mapInPandas(
             encode, codes_schema).localCheckpoint(eager=True)
         probes = qemb.mapInPandas(probe, "q_id long, cell int, qcdot long")
@@ -181,7 +182,7 @@ def main() -> None:
     # ---- 2. planted-cluster corpus: the residual gain ---------------
     work = "/tmp/ivfpq_probe"
     for noise, tag in ((0.5, "clustered_cos0.8"), (0.8, "clustered_cos0.6")):
-        Xc = _clustered(2000, IVF_CELLS, noise, seed=7)
+        Xc = _clustered(2000, 16, noise, seed=7)
         d = os.path.join(work, tag)
         _write_corpus(d, Xc)
         r = adc_recall(d, Xc, QIDS)
@@ -189,13 +190,19 @@ def main() -> None:
               f" adc_raw={r['raw']:.2f}", flush=True)
 
     # ---- 3. corpus depth: clustered 10x / 100x ----------------------
+    # r8 directive #1 evidence: with cells = max(16, floor(sqrt(n)))
+    # and nprobe = cells // 8 (both derived in-engine by _ivf_params),
+    # the probed fraction is pinned at ~1/8 while list length grows as
+    # sqrt(n) — recall should HOLD across the 100x rung instead of the
+    # 0.19→0.06 collapse measured with the fixed 16-cell config.
     for n in (5000, 50000):
-        Xd = _clustered(n, IVF_CELLS, 0.8, seed=11)
+        Xd = _clustered(n, 16, 0.8, seed=11)
         d = os.path.join(work, f"depth{n}")
         _write_corpus(d, Xd)
         r = adc_recall(d, Xd, QIDS)
-        print(f"PROBE ivfpq clustered_cos0.6 n={n} cells={IVF_CELLS}"
-              f" nprobe={IVF_NPROBE}: adc_residual={r['residual']:.2f}"
+        cells_n, nprobe_n = _ivf_params(spark, d)
+        print(f"PROBE ivfpq clustered_cos0.6 n={n} cells={cells_n}"
+              f" nprobe={nprobe_n}: adc_residual={r['residual']:.2f}"
               f" adc_raw={r['raw']:.2f} wall={r['wall']:.1f}s", flush=True)
     shutil.rmtree(work, ignore_errors=True)
 
