@@ -1269,6 +1269,11 @@ _compound(
             {"n1": "doc_id", "n2": "batch"},
         ),
         (
+            "dedup_retractions_by_id",
+            "stream_dedup_retractions_by_id",
+            {"n1": "doc_id", "n2": "batch"},
+        ),
+        (
             "rollup_maintained",
             "stream_rollup_maintained",
             {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "n3": "v_cents"},

@@ -42,9 +42,10 @@ Script-mode control flow (``transliterate_program``, used by
 block constructs a full Lua host runs: numeric ``for`` (inclusive
 bounds, ±step), ``for i,x in ipairs(t)``, ``while``, ``if/elseif/
 else``, ``function``/``return``/``break``, bare ``do`` blocks, the
-one-line ``… do BODY end`` / ``… then BODY end`` sugar, ``~=`` and the
-``#x`` length operator. ``repeat/until`` and ``goto`` are rejected with
-a porting pointer, as is any block statement outside those forms. The
+one-line ``… do BODY end`` / ``… then BODY end`` sugar, ``~=``, the
+``#x`` length operator, and ``repeat/until`` (post-tested, body scope
+visible to the condition). ``goto`` is rejected with a porting
+pointer, as is any block statement outside those forms. The
 line-at-a-time REPL keeps the expression subset only (blocks belong in
 scripts).
 

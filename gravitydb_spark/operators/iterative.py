@@ -569,13 +569,18 @@ def truss_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
     either engine. Raises past ``max_rounds`` — an unconverged
     decomposition is silently wrong (same contract as kcore_onion).
 
-    Scale posture: each round's support count is the standard wedge
-    join (edges ⋈ und on the shared endpoint ⋈ und closing the third
-    side) — the same bounded-candidate shape triangle_counts runs —
-    followed by one groupBy(a, b) and a left-join filter;
-    ``localCheckpoint`` cuts per-round lineage. Peel depth is the
-    cascade length, small on near-dup pair graphs (dup families are
-    dense cliques; bridges fall in round 1)."""
+    Scale posture: each round's support count enumerates each surviving
+    triangle ONCE via the degree-ordered orientation triangle_counts
+    uses (orient every edge low-(degree, id) → high, wedge from
+    outgoing pairs, close against the oriented set — max out-degree
+    O(sqrt(m)), so wedge candidates are O(m^1.5) regardless of skew; a
+    hub in the pair graph contributes no wedges from its own huge
+    neighborhood), then folds each triangle's three edges back to
+    canonical (a, b) for the per-edge support groupBy;
+    ``localCheckpoint`` cuts per-round lineage and the per-round
+    orientation cache is dropped before the next round. Peel depth is
+    the cascade length, small on near-dup pair graphs (dup families
+    are dense cliques; bridges fall in round 1)."""
     edges = pairs.select("a", "b").localCheckpoint(eager=False)
     thr = k - 2
     peeled = []
@@ -584,17 +589,66 @@ def truss_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
     # (the oracle's unroll depth counts removal rounds — same off-by-one
     # contract as kcore_onion)
     for r in range(1, max_rounds + 2):
-        und = edges.unionByName(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        deg = (
+            edges.select(F.col("a").alias("id"))
+            .unionByName(edges.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
         )
+        keyed = edges.join(
+            deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        ).join(
+            deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        # a < b by canonical construction, so (deg, id) ties keep a first
+        a_first = F.col("deg_a") <= F.col("deg_b")
+        oriented = keyed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(
+                a_first,
+                F.struct(F.col("deg_b").alias("d"), F.col("b").alias("i")),
+            )
+            .otherwise(
+                F.struct(F.col("deg_a").alias("d"), F.col("a").alias("i"))
+            )
+            .alias("vkey"),
+        ).cache()  # barrier: three consumers below share one degree pass
+        e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+        wedges = e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u"))
+            & (F.col("e1.vkey") < F.col("e2.vkey")),
+        ).select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+        closer = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+        tri = wedges.join(closer, ["y", "z"])
+        # each triangle found exactly once → its three edges, re-canonized
         sup = (
-            edges.join(
-                und.select(F.col("a").alias("a"), F.col("b").alias("w")), "a"
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("x", "y").alias("a"),
+                            F.greatest("x", "y").alias("b"),
+                        ),
+                        F.struct(
+                            F.least("x", "z").alias("a"),
+                            F.greatest("x", "z").alias("b"),
+                        ),
+                        F.struct(
+                            F.least("y", "z").alias("a"),
+                            F.greatest("y", "z").alias("b"),
+                        ),
+                    )
+                ).alias("e")
             )
-            .join(
-                und.select(F.col("a").alias("b"), F.col("b").alias("w")),
-                ["b", "w"],
-            )
+            .select("e.a", "e.b")
             .groupBy("a", "b")
             .agg(F.count("*").alias("sup"))
         )
@@ -603,16 +657,19 @@ def truss_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
         )
         removed = es.filter(F.col("sup") < thr).select("a", "b").localCheckpoint()
         if removed.isEmpty():
+            oriented.unpersist()
             converged = True
             break
         if r > max_rounds:
+            oriented.unpersist()
             break  # removal in the confirm round: depth exceeds budget
         peeled.append(removed.withColumn("peel_round", F.lit(r).cast("long")))
         edges = (
             es.filter(F.col("sup") >= thr)
             .select("a", "b")
-            .localCheckpoint(eager=False)
+            .localCheckpoint()  # eager: materialize before the cache drops
         )
+        oriented.unpersist()
     if not converged:
         raise RuntimeError(
             f"truss_peel did not reach its fixpoint in {max_rounds} rounds"

@@ -3138,19 +3138,34 @@ def _ivf_nprobe(cells: int) -> int:
     return max(IVF_NPROBE_MIN, cells // IVF_PROBE_DIV)
 
 
+IVF_SHORTLIST_MIN = 50  # == PQ_SHORTLIST; floor at small corpora
+IVF_SHORTLIST_DIV = 5  # rerank ~1/5 of the probed candidates
+
+
+def _ivf_shortlist(n: int, cells: int, nprobe: int) -> int:
+    """The IVFPQ rerank shortlist, held at a CONSTANT FRACTION (~1/5)
+    of the probed candidate count n·nprobe/cells: with a fixed 50-row
+    shortlist the 32-bit ADC codes must discriminate the true top-10
+    out of an ever-larger probed set (measured serving recall 0.81 at
+    n=2k → 0.28 at n=50k), while a fixed fraction keeps the exact-
+    rerank budget proportional to the ADC scan it follows."""
+    return max(IVF_SHORTLIST_MIN, n * nprobe // (cells * IVF_SHORTLIST_DIV))
+
+
 _ivf_params_memo: dict = {}
 
 
 def _ivf_params(spark: SparkSession, sf_dir: str) -> tuple:
-    """(cells, nprobe) for the IVF/IVFPQ serving family, derived from
-    the served corpus count at train time and memoized per
+    """(cells, nprobe, shortlist) for the IVF/IVFPQ serving family,
+    derived from the served corpus count at train time and memoized per
     (session, sf_dir) — one bounded count() job, amortized across the
     whole ANN family like _pq_codebook/_ivfpq_model."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ivf_params_memo:
         n = load(spark, sf_dir, "embeddings").count()
         cells = _ivf_cells(n)
-        _ivf_params_memo[key] = (cells, _ivf_nprobe(cells))
+        nprobe = _ivf_nprobe(cells)
+        _ivf_params_memo[key] = (cells, nprobe, _ivf_shortlist(n, cells, nprobe))
     return _ivf_params_memo[key]
 
 
@@ -3158,11 +3173,14 @@ def _ivf_params(spark: SparkSession, sf_dir: str) -> tuple:
 # computes cells/nprobe from the same table instead of baking in a
 # constant that would diverge the moment the corpus grows.
 _DUCK_IVF_PRM = (
+    # lateral column aliases: nprobe/shortlist reference cells in the
+    # same SELECT (DuckDB supports this; each derives from count(*))
     f"iprm AS (SELECT GREATEST({IVF_CELLS_MIN}, "
     "CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT)) AS cells, "
-    f"GREATEST({IVF_NPROBE_MIN}, GREATEST({IVF_CELLS_MIN}, "
-    "CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT)) "
-    f"// {IVF_PROBE_DIV}) AS nprobe FROM embeddings)"
+    f"GREATEST({IVF_NPROBE_MIN}, cells // {IVF_PROBE_DIV}) AS nprobe, "
+    f"GREATEST({IVF_SHORTLIST_MIN}, "
+    f"(count(*) * nprobe) // (cells * {IVF_SHORTLIST_DIV})) AS shortlist "
+    "FROM embeddings)"
 )
 
 
@@ -3223,7 +3241,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order isn't portable), assignment/probing use the same left-fold dot
     product and (score DESC, id ASC) tie-breaks on both engines; the
     oracle derives cells/nprobe from the same count(*)."""
-    cells, nprobe = _ivf_params(spark, sf_dir)
+    cells, nprobe, _ = _ivf_params(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
@@ -3350,7 +3368,7 @@ def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (base + 60 * b, base + 60 * b))
             shutil.rmtree(tmp)
 
-        cells, nprobe = _ivf_params(spark, sf_dir)
+        cells, nprobe, _ = _ivf_params(spark, sf_dir)
         cent = (
             emb.filter(F.col("vec_id") < cells)
             .select(
@@ -3495,7 +3513,7 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
         .cache()
     )
     try:
-        cells, _ = _ivf_params(spark, sf_dir)
+        cells, _, _ = _ivf_params(spark, sf_dir)
         crows = _lloyd_rows(
             ex, cells * IVF_TRAIN_MOD, IVF_ITERS, per_subspace=False
         )
@@ -3774,7 +3792,7 @@ def _ivfpq_oracle(corpus_pred: str = "TRUE") -> str:
         SELECT q_id, vec_id,
                row_number() OVER (PARTITION BY q_id
                                   ORDER BY score_scaled DESC, vec_id) AS rn
-        FROM adc) WHERE rn <= {PQ_SHORTLIST}),
+        FROM adc) WHERE rn <= (SELECT shortlist FROM iprm)),
     exact AS (
       SELECT s.q_id, s.vec_id,
              round({_duck_dot('q.embedding', 'e.embedding')}
@@ -3825,7 +3843,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.col("embedding").cast("array<double>")
     )
     cents, book = _ivfpq_model(spark, sf_dir)
-    _, _nprobe = _ivf_params(spark, sf_dir)
+    _, _nprobe, _shortlist = _ivf_params(spark, sf_dir)
     encode, probe, lut = _ivfpq_kernels(cents, book, _nprobe)
     codes_schema = T.StructType(
         [
@@ -3866,7 +3884,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shortlist = (
         scored.withColumn("rn", F.row_number().over(w_sl))
-        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .filter(F.col("rn") <= _shortlist)
         .select("q_id", "vec_id")
     )
     qv = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
@@ -3951,7 +3969,7 @@ def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
 
         cents, book = _ivfpq_model(spark, sf_dir)
-        _, _nprobe = _ivf_params(spark, sf_dir)
+        _, _nprobe, _shortlist = _ivf_params(spark, sf_dir)
         encode, probe, lut = _ivfpq_kernels(cents, book, _nprobe)
         codes_schema = T.StructType(
             [
@@ -4033,7 +4051,7 @@ def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         shortlist = (
             scored.withColumn("rn", F.row_number().over(w_sl))
-            .filter(F.col("rn") <= PQ_SHORTLIST)
+            .filter(F.col("rn") <= _shortlist)
             .select("q_id", "vec_id")
         )
         exact = (
@@ -4142,7 +4160,7 @@ def stream_ivfpq_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
 
         cents, book = _ivfpq_model(spark, sf_dir)
-        _, _nprobe = _ivf_params(spark, sf_dir)
+        _, _nprobe, _shortlist = _ivf_params(spark, sf_dir)
         encode, probe, lut = _ivfpq_kernels(cents, book, _nprobe)
         codes_schema = T.StructType(
             [
@@ -4250,7 +4268,7 @@ def stream_ivfpq_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         shortlist = (
             scored.withColumn("rn", F.row_number().over(w_sl))
-            .filter(F.col("rn") <= PQ_SHORTLIST)
+            .filter(F.col("rn") <= _shortlist)
             .select("q_id", "vec_id")
         )
         qv = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
@@ -6492,17 +6510,17 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        # the admitted parquet IS the result — return it lazily (no
-        # driver collect: at scale this is the admitted corpus). The
-        # scaffolding (staged batches, checkpoint, index deltas) is
-        # per-invocation /tmp and dropped here; out_dir lives until the
-        # OS reaps /tmp, like any ephemeral query spill.
-        for sub in ("stage", "index"):
-            shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
-        return spark.read.parquet(out_dir).select("doc_id", "batch")
-    except BaseException:
+        # read + eagerly checkpoint the admitted output so the WHOLE
+        # work dir can be dropped on the success path too — returning a
+        # lazy reader over /tmp leaked the dir per invocation (r8
+        # ADVICE); same pattern as stream_ivfpq_retractions
+        return (
+            spark.read.parquet(out_dir)
+            .select("doc_id", "batch")
+            .localCheckpoint(eager=True)
+        )
+    finally:
         shutil.rmtree(work, ignore_errors=True)
-        raise
 
 
 def _dedup_retract_oracle() -> str:
@@ -6726,12 +6744,218 @@ def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        for sub in ("stage", "index"):
-            shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
-        return spark.read.parquet(out_dir).select("doc_id", "batch")
-    except BaseException:
+        return (
+            spark.read.parquet(out_dir)
+            .select("doc_id", "batch")
+            .localCheckpoint(eager=True)
+        )
+    finally:
         shutil.rmtree(work, ignore_errors=True)
-        raise
+
+
+_KEYMAP_KB = 32  # hash-bucket fanout of the doc_id → band-key map
+
+
+@register("stream_dedup_retractions_by_id", oracle=_dedup_retract_oracle())
+def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-ONLY dedup-index retractions (r8 VERDICT directive #2): the
+    realistic GDPR shape. :func:`stream_dedup_retractions` recomputes a
+    forgotten document's band keys FROM CONTENT — but at forget time
+    the content is usually already gone (that is the point of the
+    request). Here the engine persists a second bucket-partitioned
+    store, the KEYMAP (doc_id → distinct band keys), alongside the
+    signed band-key index, written for every +1 contributor (the seed
+    corpus and each admitted batch) under the same ``append_once``
+    replay protocol. A retraction batch is then JUST doc_ids: the
+    forgotten ids' −1 rows are read back from the keymap with a
+    partition-pruned probe (kb = hash(doc_id) % {_KEYMAP_KB} buckets of
+    the batch's own ids), never from text — the delete feed carries
+    NULL content to prove it.
+
+    Everything else is the signed-multiset protocol of
+    stream_dedup_retractions (fold m>0 veto, bkb-pruned index probes,
+    per-batch _SUCCESS overwrite dirs, bid high-water marks on BOTH
+    stores), and the final admitted set is identical, so it registers
+    with the same unrolled greedy-admission oracle string.
+
+    Scale posture: the keymap grows with the corpus but every probe
+    touches only the retraction batch's kb buckets; writes are
+    delta-sized (byte-tested in test_store_compaction_bytes)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .transaction import DatasetStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    work = tempfile.mkdtemp(prefix="gravityspark_dedupretid_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        null_cols = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in docs.schema.fields
+            if f.name != "doc_id"
+        ]
+        feeds = [
+            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 0")),
+            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 1")),
+            # the forget feed: doc_ids ONLY — content is gone by now
+            docs.filter(F.expr("doc_id % 2 = 0 AND doc_id % 10 = 0")).select(
+                "doc_id", *null_cols
+            ),
+            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 2")),
+        ]
+        ops = ["i", "i", "d", "i"]
+        for b, (feed, op) in enumerate(zip(feeds, ops)):
+            tmp = os.path.join(work, f"tmp{b}")
+            feed.withColumn("op", F.lit(op)).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+
+        unpivot = F.expr(
+            f"stack({LSH_BANDS}, "
+            + ", ".join(f"{b}, bk{b}" for b in range(LSH_BANDS))
+            + ") AS (band, bk)"
+        )
+        bkb = F.pmod(F.xxhash64("bk"), F.lit(_UPKEEP_BKB)).alias("bkb")
+        kb = F.pmod(F.xxhash64("doc_id"), F.lit(_KEYMAP_KB)).alias("kb")
+        store = DatasetStore(
+            os.path.join(work, "index"), partition_cols=("bkb",)
+        )
+        keymap = DatasetStore(
+            os.path.join(work, "keymap"), partition_cols=("kb",)
+        )
+        # seed: +1 per (live-even doc, distinct band key) — and the
+        # SAME rows into the keymap (two consumers → barrier once)
+        seed_keys = (
+            _row_band_keys(docs.filter("doc_id % 2 = 0"))
+            .select("doc_id", unpivot)
+            .distinct()
+            .localCheckpoint()
+        )
+        store.append(
+            seed_keys.select(
+                "band",
+                "bk",
+                F.lit(1).cast("long").alias("op_m"),
+                F.lit(-1).cast("long").alias("bid"),
+                bkb,
+            )
+        )
+        keymap.append(seed_keys.select("doc_id", "band", "bk", kb))
+        out_dir = os.path.join(work, "admitted")
+
+        def fold(d):
+            return (
+                d.groupBy("band", "bk", "bkb")
+                .agg(F.sum("op_m").cast("long").alias("op_m"))
+                .filter(F.col("op_m") != 0)
+                .select(
+                    "band",
+                    "bk",
+                    "op_m",
+                    F.lit(-1).cast("long").alias("bid"),
+                    "bkb",
+                )
+            )
+
+        def handle(batch_df, batch_id) -> None:
+            bid = int(batch_id)
+            bdir = os.path.join(out_dir, f"b={bid}")
+            if os.path.exists(os.path.join(bdir, "_SUCCESS")):
+                return  # replayed, already fully processed
+            ins_keyed = (
+                _row_band_keys(batch_df.filter(F.col("op") == "i"))
+                .select("doc_id", unpivot)
+                .distinct()
+            )
+            del_ids = batch_df.filter(F.col("op") == "d").select("doc_id")
+            # id-only retraction: band keys come from the persisted
+            # keymap (pruned to the batch ids' kb buckets), not content
+            del_kbs = [r[0] for r in del_ids.select(kb).distinct().collect()]
+            del_keyed = (
+                keymap.load(spark, where=F.col("kb").isin(del_kbs))
+                .join(del_ids, "doc_id", "left_semi")
+                .select("doc_id", "band", "bk")
+                .distinct()
+            )
+            bkbs = [r[0] for r in ins_keyed.select(bkb).distinct().collect()]
+            idx = store.load(spark, where=F.col("bkb").isin(bkbs)).filter(
+                F.col("bid") != bid
+            )
+            live = (
+                idx.groupBy("band", "bk")
+                .agg(F.sum("op_m").alias("m"))
+                .filter(F.col("m") > 0)
+            )
+            hits = (
+                ins_keyed.join(live, ["band", "bk"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            admitted = (
+                ins_keyed.select(
+                    "doc_id", F.expr("(doc_id % 6) DIV 2").alias("batch")
+                )
+                .distinct()
+                .join(hits, "doc_id", "left_anti")
+                .localCheckpoint()  # index append must not re-race the probe
+            )
+            adm_keys = ins_keyed.join(admitted, "doc_id", "left_semi")
+            deltas = (
+                adm_keys.select(
+                    "band", "bk", F.lit(1).cast("long").alias("op_m")
+                )
+                .unionByName(
+                    del_keyed.select(
+                        "band", "bk", F.lit(-1).cast("long").alias("op_m")
+                    )
+                )
+                .select(
+                    "band", "bk", "op_m",
+                    F.lit(bid).cast("long").alias("bid"), bkb,
+                )
+            )
+            store.append_once(deltas, bid)
+            # admitted docs become future-forgettable: persist their keys
+            keymap.append_once(
+                adm_keys.select("doc_id", "band", "bk", kb), bid
+            )
+            admitted.write.mode("overwrite").parquet(bdir)
+            store.compact(spark, min_deltas=3, transform=fold)
+            keymap.compact(spark, min_deltas=3)
+
+        stream = (
+            spark.readStream.schema(
+                docs.withColumn("op", F.lit("i")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(work, f"ckpt_{_uuid.uuid4().hex[:8]}"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.read.parquet(out_dir)
+            .select("doc_id", "batch")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

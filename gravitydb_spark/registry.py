@@ -42,6 +42,56 @@ REGISTRY: dict[str, QuerySpec] = {}
 # tools/oracle_check.py still verifies each fine-grained query.
 GATE_ORDER: list[str] = []
 
+# EXPLICIT plan-guard exemptions (r8 ADVICE: an attribute, not a naming
+# convention). tests/test_plans.py's global-window guard runs every
+# registered query's returned plan; the queries below return a
+# localCheckpoint scan or a driver-assembled literal (running them would
+# re-execute a multi-batch stream or training loop for a trivially
+# window-free plan), so they are skipped THERE and guarded by the tests
+# evidenced HERE: each reason either cites a test file that mentions the
+# query by name, or declares "oracle-e2e" (the driver value-hash-checks
+# the full result against its batch-equivalent DuckDB oracle every
+# round — requires the oracle to actually be registered). A new
+# streaming/driver-literal operator must add its own entry — the guard
+# fails on any stream_* query missing from this dict, on stale entries,
+# on absent cited files, and on oracle-e2e claims without an oracle.
+PLAN_EXEMPT: dict[str, str] = {
+    # graph IVM (foreachBatch over DatasetStore state)
+    "g_degrees_maintained": "oracle-e2e (maintained ≡ batch degrees, hash-checked); store bytes: test_store_compaction_bytes.py",
+    "g_degrees_retractions": "oracle-e2e (signed fold ≡ batch degrees of the surviving graph)",
+    "g_cc_maintained": "maintained-CC repair rounds: test_cc_maintenance.py",
+    "g_cc_retractions": "delete-repair machinery: test_cc_maintenance.py (cc_labels/repair rounds); oracle-e2e",
+    "g_triangles_retractions": "trilinear delta probes pruned: test_cc_maintenance.py; adjacency bytes: test_store_compaction_bytes.py",
+    # driver-literal results (bounded collect assembles the frame)
+    "quality_lr_train": "result is a driver literal: test_plans.py::test_quality_lr_train_result_is_driver_literal",
+    "bpe_train_merges": "oracle-e2e (unrolled merge chain); result is a bounded driver literal like bpe_sampled_apply",
+    "bpe_sampled_apply": "result is a driver literal: test_plans.py::test_bpe_sampled_apply_result_is_driver_literal",
+    "embed_top_direction": "oracle-e2e (distributed Gram + unrolled power iteration, hash-checked); collect is 64x64",
+    # Structured Streaming demos (watermarked aggs / stream-static joins;
+    # per-batch plans are bounded by construction, state by watermark)
+    "stream_hourly_rollup": "oracle-e2e (streaming rollup ≡ batch GROUP BY, hash-checked); watermark state bounded by construction",
+    "stream_rollup_maintained": "oracle-e2e; additive-store replay protocol: test_ivm_replay.py (append_once/bid_hwm)",
+    "stream_rollup_retractions": "oracle-e2e; signed-fold replay protocol: test_ivm_replay.py",
+    "stream_rollup_versions": "as-of versioned log: test_ivm_replay.py",
+    "stream_value_outliers": "oracle-e2e (stream-static broadcast z-score ≡ batch, hash-checked)",
+    "stream_view_click_join": "oracle-e2e (watermark-bounded stream-stream join ≡ batch interval join)",
+    "stream_dedup_keys": "oracle-e2e (streaming dropDuplicates ≡ batch DISTINCT, hash-checked)",
+    "stream_sessionize": "applyInPandasWithState gap sessions: test_stateful_streaming.py",
+    "stream_incremental_dedup": "stream-static anti-join pruning: test_streaming_dedup_buckets.py",
+    "stream_dedup_index_upkeep": "bucket-pruned probes: test_streaming_dedup_buckets.py; replay: test_ivm_replay.py",
+    "stream_dedup_retractions": "signed band multiset: test_dedup_retractions.py; bytes: test_store_compaction_bytes.py",
+    "stream_dedup_retractions_by_id": "id-only keymap retraction: test_dedup_retractions.py; keymap bytes: test_store_compaction_bytes.py",
+    "stream_ann_index_upkeep": "oracle-e2e (maintained index ≡ batch ann_ivf_topk, SHARED oracle string); partition pruning probed in test_streaming_dedup_buckets.py (same DatasetStore contract)",
+    "stream_ivfpq_index_upkeep": "codes store compaction: test_store_compaction_bytes.py",
+    "stream_ivfpq_retractions": "tombstone anti-join fold: test_store_compaction_bytes.py",
+    "stream_bm25_index_upkeep": "oracle-e2e (maintained postings ≡ batch BM25); postings bytes: test_store_compaction_bytes.py (bm25_postings family)",
+    "stream_bm25_retractions": "oracle-e2e (signed postings ≡ batch BM25 of survivors); bytes: test_store_compaction_bytes.py",
+    "stream_join_maintained": "two-sided join state: test_ivm_replay.py",
+    "stream_join_retractions": "signed join-side folds: test_ivm_replay.py; bytes: test_store_compaction_bytes.py",
+    "stream_kmeans_upkeep": "sufficient-stats store: test_store_compaction_bytes.py",
+    "stream_audio_meta": "oracle-e2e; the WAV chunk-walk kernel itself: test_multimodal.py (batch path, same function)",
+}
+
 
 def register(name: str, oracle: Optional[str] = None):
     def deco(fn):

@@ -563,24 +563,61 @@ def test_no_unbounded_global_windows_anywhere(spark, sf_dir):
     # localCheckpoint scan or a driver-literal LocalTableScan — trivially
     # window-free — but CALLING them executes the full multi-batch
     # stream/training loop (minutes of redundant work, r7 ADVICE). Their
-    # per-batch plans are guarded by their own tests; skip them here.
-    DRIVER_LITERAL = {
-        "g_degrees_maintained",
-        "g_degrees_retractions",
-        "g_cc_maintained",
-        "g_cc_retractions",
-        "g_triangles_retractions",
-        "quality_lr_train",
-        "bpe_train_merges",
-        "bpe_sampled_apply",
-        "embed_top_direction",
-    }
+    # per-batch plans are guarded by the tests each registry.PLAN_EXEMPT
+    # entry cites; skip them here.
+    import pathlib
+    import re
+
+    from gravitydb_spark.registry import PLAN_EXEMPT
+
     qs = queries()
+    # companion guard (r8 ADVICE): the skip is an EXPLICIT registry
+    # attribute (registry.PLAN_EXEMPT), not a naming convention, and
+    # every exemption must name at least one real test file that
+    # actually mentions the query — so a future streaming operator
+    # can't become exempt by its name alone, and an exemption can't
+    # point at coverage that doesn't exist.
+    from gravitydb_spark.registry import REGISTRY
+
+    here = pathlib.Path(__file__).parent
+    problems = []
+    for name, reason in PLAN_EXEMPT.items():
+        if name not in qs:
+            problems.append(f"{name}: exempt but not registered")
+            continue
+        cited = re.findall(r"test_\w+\.py", reason)
+        missing = [f for f in cited if not (here / f).exists()]
+        if missing:
+            problems.append(f"{name}: cited test file(s) absent: {missing}")
+            continue
+        mentioned = any(name in (here / f).read_text() for f in cited)
+        # two accepted evidence forms: a dedicated test that names the
+        # query, or a declared full-result oracle check ("oracle-e2e" —
+        # the driver value-hash-matches the query against its batch
+        # oracle every round; the claim requires the oracle to exist)
+        oracle_e2e = (
+            "oracle-e2e" in reason and REGISTRY[name].oracle is not None
+        )
+        if not (mentioned or oracle_e2e):
+            problems.append(
+                f"{name}: no cited test mentions it and no oracle-e2e claim"
+            )
+    streaming_unlisted = [
+        n
+        for n in qs
+        if n not in COMPOUND_MEMBERS
+        and n.startswith("stream_")
+        and n not in PLAN_EXEMPT
+    ]
+    assert not problems and not streaming_unlisted, (
+        problems,
+        streaming_unlisted,
+    )
     offenders = []
     for name, fn in qs.items():
         if name in COMPOUND_MEMBERS:
             continue
-        if name.startswith("stream_") or name in DRIVER_LITERAL:
+        if name in PLAN_EXEMPT:
             continue
         df = fn(spark, sf_dir)
         for node in _lplan_nodes(df._jdf.queryExecution().optimizedPlan()):

@@ -190,9 +190,28 @@ def _delta_ivfpq_ret(spark, b):
     )
 
 
+def _seed_keymap(spark):
+    # stream_dedup_retractions_by_id keymap: doc_id → distinct band keys,
+    # partitioned by kb = hash(doc_id) % 32 (pipeline_queries)
+    return spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 8).cast("int").alias("band"),
+        F.md5(F.col("id").cast("string")).alias("bk"),
+        F.pmod(F.xxhash64("id"), F.lit(32)).cast("int").alias("kb"),
+    )
+
+
+def _delta_keymap(spark, b):
+    return spark.createDataFrame(
+        [(9_000_000 + b, 0, f"key{b}", b % 32)],
+        "doc_id long, band int, bk string, kb int",
+    )
+
+
 FAMILIES = [
     # (name, partition_cols, seed, delta, transform, min_deltas)
     ("join_l_state", ("kb",), _seed_join_l, _delta_join_l, _fold_join_l, 3),
+    ("dedup_keymap", ("kb",), _seed_keymap, _delta_keymap, None, 3),
     ("kmeans_stats", ("cl",), _seed_kmeans, _delta_kmeans, _fold_kmeans, 4),
     ("bm25_postings", ("tb",), _seed_bm25, _delta_bm25, None, 4),
     ("ivfpq_codes", ("cell",), _seed_ivfpq, _delta_ivfpq, _fold_ivfpq, 3),

@@ -119,7 +119,7 @@ def main() -> None:
         qemb = emb.filter(F.col("vec_id").isin([int(q) for q in qids])).select(
             "vec_id", "embedding")
         cents, book = _ivfpq_model(spark, sf_dir)
-        _, nprobe = _ivf_params(spark, sf_dir)
+        _, nprobe, shortlist = _ivf_params(spark, sf_dir)
         encode, probe, lut = _ivfpq_kernels(cents, book, nprobe)
         rcodes = emb.select("vec_id", "embedding").mapInPandas(
             encode, codes_schema).localCheckpoint(eager=True)
@@ -128,17 +128,28 @@ def main() -> None:
         w = Window.partitionBy("q_id").orderBy(
             F.desc("score_scaled"), F.asc("vec_id"))
 
-        def rec(scored) -> float:
+        def rec(scored) -> tuple:
+            """(adc_recall@10, serving_recall@10): ADC-only top-10, and
+            top-10 after the real path's exact rerank of the ADC
+            top-``shortlist`` (depth-scaled, _ivf_params) — a true top-10 member inside the
+            shortlist always survives an exact rerank, so serving
+            recall is shortlist membership."""
             rows = (scored.withColumn("rnk", F.row_number().over(w))
-                    .filter(F.col("rnk") <= 10).collect())
-            got: dict = {}
+                    .filter(F.col("rnk") <= shortlist).collect())
+            got10: dict = {}
+            gotSL: dict = {}
             for r in rows:
-                got.setdefault(r.q_id, set()).add(r.vec_id)
-            return sum(len(got.get(q, set()) & t) / len(t)
-                       for q, t in truth.items()) / len(truth)
+                gotSL.setdefault(r.q_id, set()).add(r.vec_id)
+                if r.rnk <= 10:
+                    got10.setdefault(r.q_id, set()).add(r.vec_id)
+            adc = sum(len(got10.get(q, set()) & t) / len(t)
+                      for q, t in truth.items()) / len(truth)
+            serving = sum(len(gotSL.get(q, set()) & t) / len(t)
+                          for q, t in truth.items()) / len(truth)
+            return adc, serving
 
         t0 = time.time()
-        residual = rec(
+        residual, serving = rec(
             rcodes.join(F.broadcast(probes), "cell")
             .filter(F.col("vec_id") != F.col("q_id"))
             .join(F.broadcast(rqlut), "q_id")
@@ -150,14 +161,15 @@ def main() -> None:
         raw_codes = emb.select("vec_id", "embedding").mapInPandas(
             renc, raw_schema)
         raw_qlut = qemb.mapInPandas(rlut_k, lut_schema)
-        raw = rec(
+        raw, _ = rec(
             raw_codes.join(rcodes.select("vec_id", "cell"), "vec_id")
             .join(F.broadcast(probes.select("q_id", "cell")), "cell")
             .filter(F.col("vec_id") != F.col("q_id"))
             .join(F.broadcast(raw_qlut), "q_id")
             .select("q_id", "vec_id",
                     _pq_adc_score_expr().cast("long").alias("score_scaled")))
-        return {"residual": residual, "raw": raw, "wall": res_wall}
+        return {"residual": residual, "serving": serving,
+                "raw": raw, "wall": res_wall}
 
     # ---- 1. seed-query artifact on the REAL corpus ------------------
     real = "/root/testdata/sf0.01"
@@ -177,7 +189,7 @@ def main() -> None:
                       ("nonseed_queries_100-149", QIDS)):
         r = adc_recall(real, X, qids)
         print(f"PROBE ivfpq real_sf0.01 {tag}: adc_residual={r['residual']:.2f}"
-              f" adc_raw={r['raw']:.2f}", flush=True)
+              f" adc_raw={r['raw']:.2f} serving={r['serving']:.2f}", flush=True)
 
     # ---- 2. planted-cluster corpus: the residual gain ---------------
     work = "/tmp/ivfpq_probe"
@@ -187,7 +199,7 @@ def main() -> None:
         _write_corpus(d, Xc)
         r = adc_recall(d, Xc, QIDS)
         print(f"PROBE ivfpq {tag} n=2000: adc_residual={r['residual']:.2f}"
-              f" adc_raw={r['raw']:.2f}", flush=True)
+              f" adc_raw={r['raw']:.2f} serving={r['serving']:.2f}", flush=True)
 
     # ---- 3. corpus depth: clustered 10x / 100x ----------------------
     # r8 directive #1 evidence: with cells = max(16, floor(sqrt(n)))
@@ -200,10 +212,12 @@ def main() -> None:
         d = os.path.join(work, f"depth{n}")
         _write_corpus(d, Xd)
         r = adc_recall(d, Xd, QIDS)
-        cells_n, nprobe_n = _ivf_params(spark, d)
+        cells_n, nprobe_n, short_n = _ivf_params(spark, d)
         print(f"PROBE ivfpq clustered_cos0.6 n={n} cells={cells_n}"
-              f" nprobe={nprobe_n}: adc_residual={r['residual']:.2f}"
-              f" adc_raw={r['raw']:.2f} wall={r['wall']:.1f}s", flush=True)
+              f" nprobe={nprobe_n} shortlist={short_n}:"
+              f" adc_residual={r['residual']:.2f}"
+              f" adc_raw={r['raw']:.2f} serving={r['serving']:.2f}"
+              f" wall={r['wall']:.1f}s", flush=True)
     shutil.rmtree(work, ignore_errors=True)
 
 
