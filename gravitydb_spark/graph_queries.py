@@ -1103,6 +1103,494 @@ _CC_RETRACT_ORACLE = """
     """
 
 
+# BFS-tree rebuild round cap: covers any component of diameter <= this;
+# deeper components fall back to a fat-but-spanning forest (every live
+# edge touching the unreached tail), trading the O(1)-delete win there
+# for unconditional correctness of the redundancy proof.
+_CC_BFS_ROUNDS = 64
+
+
+class CCIvm:
+    """The CC delete-repair machinery behind :func:`g_cc_retractions`,
+    factored out so tests and probes can drive insert/delete batches
+    directly on constructed graphs. Three epoch-versioned stores:
+
+    - ``labels``: the relabel table (node, root, ep; max-ep wins),
+      partitioned by pb=hash(node) AND rb=hash(root);
+    - ``edgelog``: live edges tagged with their component, partitioned
+      by tb=hash(tag), so "surviving edges of the touched components"
+      is a pruned scan;
+    - ``forest`` (r8 VERDICT directive #3): a SPANNING SUBGRAPH of the
+      live graph as canonical (a, b) rows, partitioned by
+      fb=hash(a|b). An insert that lands INSIDE a component
+      (pre-batch roots equal) is provably non-tree and never enters;
+      a merge contributes one representative edge per distinct
+      pre-batch root pair. A retraction batch classifies its edges
+      against the forest: NON-members are redundant by construction
+      (the forest spans the live connectivity without them), so their
+      deletion is O(batch) — tombstone the edge log and stop; only
+      FOREST members trigger the component-scoped recompute, which
+      also rebuilds the touched components' forest as a BFS tree over
+      the surviving edges (so batch-internal cycles that sneaked extra
+      representatives in are thinned on first repair).
+
+    All rows are max-(key, ep) keyed, so at-least-once replay
+    duplicates are inert; ``last_delete_stats`` exposes the
+    classification so tests/probes can assert the O(1) path was taken.
+    """
+
+    def __init__(self, spark, workdir: str, nb: int = _CC_MERGE_BUCKETS):
+        from .transaction import DatasetStore
+
+        self.spark = spark
+        self.nb = nb
+        self.labels = DatasetStore(
+            os.path.join(workdir, "labels"), partition_cols=("pb", "rb")
+        )
+        self.edgelog = DatasetStore(
+            os.path.join(workdir, "elog"), partition_cols=("tb",)
+        )
+        self.forest = DatasetStore(
+            os.path.join(workdir, "forest"), partition_cols=("fb",)
+        )
+        self.last_delete_stats: dict | None = None
+
+    # ---- row shapes -----------------------------------------------
+
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.nb)).cast("int")
+
+    def _lab_rows(self, df, ep: int):
+        return df.select(
+            "node",
+            "root",
+            F.lit(ep).cast("long").alias("ep"),
+            self._bucket(F.col("node")).alias("pb"),
+            self._bucket(F.col("root")).alias("rb"),
+        )
+
+    def _edge_rows(self, df, op: int, ep: int):
+        return df.select(
+            "src",
+            "dst",
+            F.lit(op).cast("int").alias("op"),
+            F.lit(ep).cast("long").alias("ep"),
+            "tag",
+            self._bucket(F.col("tag")).alias("tb"),
+        )
+
+    def _forest_rows(self, df, op: int, ep: int):
+        """Canonical (a, b) forest rows from any (a, b) frame."""
+        return df.select(
+            "a",
+            "b",
+            F.lit(op).cast("int").alias("op"),
+            F.lit(ep).cast("long").alias("ep"),
+            self._bucket(F.concat_ws("|", "a", "b")).alias("fb"),
+        )
+
+    @staticmethod
+    def _canon(df):
+        return df.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+
+    @staticmethod
+    def _cur_fn(df):
+        """The current mapping: max-ep row per node."""
+        return df.groupBy("node").agg(
+            F.max_by("root", "ep").alias("root"), F.max("ep").alias("ep")
+        )
+
+    # ---- compaction folds -------------------------------------------
+
+    def _compact_labels(self, df):
+        """Fold to the current mapping and pointer-double it flat (the
+        amortized view-sized rewrite; per-batch writes stay
+        delta-sized)."""
+        fn = self._cur_fn(df)
+        for _ in range(4):
+            r2 = fn.select(
+                F.col("node").alias("r_node"), F.col("root").alias("r_root")
+            )
+            fn = fn.join(r2, fn["root"] == r2["r_node"], "left").select(
+                "node", F.coalesce("r_root", "root").alias("root"), "ep"
+            )
+        return fn.withColumn("pb", self._bucket(F.col("node"))).withColumn(
+            "rb", self._bucket(F.col("root"))
+        )
+
+    def _fold_edges(self, df):
+        """Per-edge max-ep row; fully-dead edges drop out."""
+        return (
+            df.groupBy("src", "dst")
+            .agg(
+                F.max_by("op", "ep").alias("op"),
+                F.max_by("tag", "ep").alias("tag"),
+                F.max("ep").alias("ep"),
+            )
+            .filter(F.col("op") == 1)
+            .withColumn("tb", self._bucket(F.col("tag")))
+        )
+
+    def _fold_forest(self, df):
+        return (
+            df.groupBy("a", "b")
+            .agg(F.max_by("op", "ep").alias("op"), F.max("ep").alias("ep"))
+            .filter(F.col("op") == 1)
+            .withColumn("fb", self._bucket(F.concat_ws("|", "a", "b")))
+        )
+
+    def compact(self) -> None:
+        self.labels.compact(
+            self.spark, min_deltas=_CC_COMPACT_EVERY, transform=self._compact_labels
+        )
+        self.edgelog.compact(
+            self.spark, min_deltas=_CC_COMPACT_EVERY + 1, transform=self._fold_edges
+        )
+        self.forest.compact(
+            self.spark,
+            min_deltas=_CC_COMPACT_EVERY + 1,
+            transform=lambda d: self._fold_forest(d).select(
+                "a", "b", "op", "ep", "fb"
+            ),
+        )
+
+    # ---- pruned lookups ---------------------------------------------
+
+    def chase(self, vals):
+        """(v) -> (v, root): forward chase to the current root. Every
+        round prunes on pb (exact: a node's rows share pb). The common
+        case (flat table, no chains) is ONE collect + one advanced-row
+        probe; only rounds that actually advance pay a lineage-cut
+        checkpoint."""
+        cur = vals.select("v", F.col("v").alias("root")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(len(self.labels.snapshots()) + 1):
+            buckets = [
+                r.pb
+                for r in cur.select(self._bucket(F.col("root")).alias("pb"))
+                .distinct()
+                .collect()
+            ]
+            m = self.labels.load(self.spark, where=F.col("pb").isin(buckets))
+            if m is None:
+                break
+            step = cur.join(
+                self._cur_fn(m).select(
+                    F.col("node").alias("root"), F.col("root").alias("nroot")
+                ),
+                "root",
+                "left",
+            ).select("v", "root", "nroot")
+            if (
+                step.filter(
+                    F.col("nroot").isNotNull() & (F.col("nroot") != F.col("root"))
+                )
+                .limit(1)
+                .count()
+                == 0
+            ):
+                break
+            cur = step.select(
+                "v", F.coalesce("nroot", "root").alias("root")
+            ).localCheckpoint(eager=True)
+        return cur
+
+    def members_of(self, comps):
+        """(root) -> (node): every node whose current label is in
+        ``comps`` (the labels themselves included). rb-pruned discovery
+        + pb-pruned max-ep verification per level."""
+        total = comps.select(F.col("root").alias("node")).localCheckpoint(
+            eager=True
+        )
+        frontier = total.select(F.col("node").alias("root"))
+        for _ in range(len(self.labels.snapshots()) + 2):
+            buckets = [
+                r.rb
+                for r in frontier.select(self._bucket(F.col("root")).alias("rb"))
+                .distinct()
+                .collect()
+            ]
+            m = self.labels.load(self.spark, where=F.col("rb").isin(buckets))
+            if m is None:
+                break
+            cands = (
+                m.join(frontier, "root", "left_semi")
+                .select("node")
+                .distinct()
+                .join(total, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if cands.limit(1).count() == 0:
+                break
+            vbuckets = [
+                r.pb
+                for r in cands.select(self._bucket(F.col("node")).alias("pb"))
+                .distinct()
+                .collect()
+            ]
+            truth = self._cur_fn(
+                self.labels.load(
+                    self.spark, where=F.col("pb").isin(vbuckets)
+                ).join(cands, "node", "left_semi")
+            )
+            new = (
+                truth.join(frontier, "root", "left_semi")
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
+            if new.limit(1).count() == 0:
+                break
+            total = total.unionByName(new).localCheckpoint(eager=True)
+            frontier = new.select(F.col("node").alias("root"))
+        return total
+
+    # ---- batch entry points -------------------------------------------
+
+    def insert_batch(self, ends, bid: int) -> None:
+        from .operators.iterative import cc_labels
+
+        ends = ends.select("src", "dst").localCheckpoint(eager=True)
+        roots = self.chase(
+            ends.select(F.col("src").alias("v"))
+            .unionByName(ends.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        rooted = (
+            ends.join(
+                roots.select(F.col("v").alias("src"), F.col("root").alias("ru")),
+                "src",
+            )
+            .join(
+                roots.select(F.col("v").alias("dst"), F.col("root").alias("rv")),
+                "dst",
+            )
+            .localCheckpoint(eager=True)
+        )
+        pairs = rooted.filter(F.col("ru") != F.col("rv")).select(
+            F.col("ru").alias("src"), F.col("rv").alias("dst")
+        )
+        rel = (
+            cc_labels(pairs)
+            .filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias("node"), F.col("component").alias("root"))
+            .localCheckpoint(eager=True)
+        )
+        if rel.count():
+            self.labels.append(self._lab_rows(rel, 4 * bid))
+        # spanning-forest upkeep: one representative edge per distinct
+        # pre-batch root pair; intra-component edges (ru == rv) are
+        # provably non-tree and never enter — their later deletion
+        # takes the O(batch) path
+        reps = (
+            rooted.filter(F.col("ru") != F.col("rv"))
+            .groupBy("ru", "rv")
+            .agg(F.min(F.struct("src", "dst")).alias("e"))
+            .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        )
+        self.forest.append(self._forest_rows(self._canon(reps), 1, 4 * bid))
+        tagged = rooted.join(
+            rel.select(F.col("node").alias("ru"), F.col("root").alias("nru")),
+            "ru",
+            "left",
+        ).select("src", "dst", F.coalesce("nru", "ru").alias("tag"))
+        self.edgelog.append(self._edge_rows(tagged, 1, 4 * bid))
+
+    def delete_batch(self, dends, bid: int) -> None:
+        from .operators.iterative import cc_labels
+
+        dends = dends.select("src", "dst").localCheckpoint(eager=True)
+        # classify against the live spanning forest (fb-pruned probe):
+        # a non-member is redundant by construction — the forest spans
+        # the live connectivity without it — so its removal cannot
+        # split anything and the batch ends at the tombstone append
+        dcan = self._canon(dends).distinct()
+        fbuckets = [
+            r.fb
+            for r in dcan.select(
+                self._bucket(F.concat_ws("|", "a", "b")).alias("fb")
+            )
+            .distinct()
+            .collect()
+        ]
+        fr = self.forest.load(self.spark, where=F.col("fb").isin(fbuckets))
+        if fr is None:
+            tree_can = dcan.localCheckpoint(eager=True)  # no forest: assume worst
+        else:
+            tree_can = dcan.join(
+                self._fold_forest(fr).select("a", "b"), ["a", "b"], "left_semi"
+            ).localCheckpoint(eager=True)
+        # tombstones (all deletes) need the CURRENT tag — one pruned chase
+        droots = self.chase(
+            dends.select(F.col("src").alias("v"))
+            .unionByName(dends.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        dtag = dends.join(
+            droots.select(F.col("v").alias("src"), F.col("root").alias("tag")),
+            "src",
+        )
+        self.edgelog.append(self._edge_rows(dtag, -1, 4 * bid + 1))
+        self.forest.append(self._forest_rows(tree_can, -1, 4 * bid + 1))
+        n_tree = tree_can.count()
+        self.last_delete_stats = {
+            "deleted": dends.count(),
+            "tree": n_tree,
+            "recomputed": n_tree > 0,
+        }
+        if n_tree == 0:
+            return  # O(batch): no members_of, no recompute, no relabel
+        # component-scoped recompute, restricted to TREE-edge components
+        tends = dends.join(
+            tree_can,
+            (F.least("src", "dst") == F.col("a"))
+            & (F.greatest("src", "dst") == F.col("b")),
+            "left_semi",
+        )
+        touched = (
+            tends.select(F.col("src").alias("v"))
+            .unionByName(tends.select(F.col("dst").alias("v")))
+            .distinct()
+            .join(droots, "v")
+            .select("root")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        mem = self.members_of(touched)
+        tbuckets = [
+            r.tb
+            for r in mem.select(self._bucket(F.col("node")).alias("tb"))
+            .distinct()
+            .collect()
+        ]
+        el = self.edgelog.load(self.spark, where=F.col("tb").isin(tbuckets))
+        live = (
+            el.groupBy("src", "dst")
+            .agg(
+                F.max_by("op", "ep").alias("op"),
+                F.max_by("tag", "ep").alias("tag"),
+            )
+            .filter(F.col("op") == 1)
+            .join(mem.select(F.col("node").alias("tag")), "tag", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        newlab = cc_labels(live).select(
+            F.col("id").alias("node"), F.col("component").alias("root")
+        )
+        repaired = (
+            mem.join(newlab, "node", "left")
+            .select("node", F.coalesce("root", "node").alias("root"))
+            .localCheckpoint(eager=True)
+        )
+        self.labels.append(self._lab_rows(repaired, 4 * bid + 2))
+        retag = live.join(
+            repaired.select(F.col("node").alias("src"), F.col("root").alias("tag")),
+            "src",
+        )
+        self.edgelog.append(self._edge_rows(retag, 1, 4 * bid + 2))
+        # rebuild the touched components' forest as a BFS tree over the
+        # surviving edges: retire every old forest row among them, then
+        # append the tree (same-batch +1 at a higher epoch wins)
+        lcan = self._canon(live).distinct().localCheckpoint(eager=True)
+        lb = [
+            r.fb
+            for r in lcan.select(
+                self._bucket(F.concat_ws("|", "a", "b")).alias("fb")
+            )
+            .distinct()
+            .collect()
+        ]
+        old = self.forest.load(self.spark, where=F.col("fb").isin(lb))
+        if old is not None:
+            retired = self._fold_forest(old).join(lcan, ["a", "b"], "left_semi")
+            self.forest.append(
+                self._forest_rows(retired.select("a", "b"), -1, 4 * bid + 1)
+            )
+        und = live.unionByName(
+            live.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        visited = (
+            repaired.select(F.col("root").alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        frontier = visited
+        tree_parts = []
+        for _ in range(_CC_BFS_ROUNDS):  # rounds = component diameter, capped
+            step = (
+                und.join(frontier.select(F.col("id").alias("src")), "src")
+                .select(F.col("src").alias("pu"), F.col("dst").alias("id"))
+                .join(visited, "id", "left_anti")
+            )
+            parent = (
+                step.groupBy("id")
+                .agg(F.min("pu").alias("pu"))
+                .localCheckpoint(eager=True)
+            )
+            if parent.isEmpty():
+                break
+            tree_parts.append(parent)
+            visited = visited.unionByName(parent.select("id")).localCheckpoint(
+                eager=True
+            )
+            frontier = parent.select("id")
+        if tree_parts:
+            t = tree_parts[0]
+            for p in tree_parts[1:]:
+                t = t.unionByName(p)
+            tcan = t.select(
+                F.least("pu", "id").alias("a"), F.greatest("pu", "id").alias("b")
+            )
+            self.forest.append(self._forest_rows(tcan, 1, 4 * bid + 2))
+        # diameter past the round cap: the BFS tree alone would not
+        # span, and a non-spanning forest MISCLASSIFIES bridges as
+        # redundant (wrong answers, not just slow ones). Fallback: also
+        # admit every live edge incident to a not-yet-visited member —
+        # then any edge ABSENT from the forest has both endpoints in
+        # the BFS tree, so absence still proves redundancy. Deep
+        # components degrade to recompute-on-delete (the pre-forest
+        # behavior), shallow ones keep the O(batch) path.
+        unvisited = mem.join(
+            visited, mem["node"] == visited["id"], "left_anti"
+        ).select("node")
+        if not unvisited.isEmpty():
+            fat = (
+                lcan.join(
+                    unvisited.select(F.col("node").alias("a")), "a", "left_semi"
+                )
+                .unionByName(
+                    lcan.join(
+                        unvisited.select(F.col("node").alias("b")),
+                        "b",
+                        "left_semi",
+                    )
+                )
+                .distinct()
+            )
+            self.forest.append(self._forest_rows(fat, 1, 4 * bid + 2))
+
+    def flat_labels(self):
+        """DF[id, component] for every relabeled node (identity rows
+        absent), pointer-doubled flat."""
+        lab = self.labels.load(self.spark)
+        if lab is None:
+            return None
+        fn = self._cur_fn(lab)
+        for _ in range(4):
+            r2 = fn.select(
+                F.col("node").alias("r_node"), F.col("root").alias("r_root")
+            )
+            fn = fn.join(r2, fn["root"] == r2["r_node"], "left").select(
+                "node", F.coalesce("r_root", "root").alias("root"), "ep"
+            )
+        return fn.select(
+            F.col("node").alias("id"), F.col("root").alias("component")
+        )
+
+
 @register("g_cc_retractions", oracle=_CC_RETRACT_ORACLE)
 def g_cc_retractions(spark, sf_dir):
     """CC DELETE REPAIR (r6 VERDICT directive #5) — completes the graph
@@ -1112,9 +1600,14 @@ def g_cc_retractions(spark, sf_dir):
     deletion policy is COMPONENT-SCOPED RECOMPUTE — on a retraction
     batch, rebuild exactly the components the deleted edges touch, from
     exactly their surviving edges, and leave every other component's
-    state bytes untouched.
+    state bytes untouched — and (r8 directive #3) only when the deleted
+    edge is a member of the maintained SPANNING FOREST: a non-forest
+    edge is redundant by construction, so its retraction is an
+    O(batch) tombstone append with no member discovery, no recompute,
+    and no relabel (see :class:`CCIvm`, which holds the machinery and
+    the forest store; tests/probes drive it directly).
 
-    Three state choices make the touched-only contract hold at scale:
+    Four state choices make the touched-only contract hold at scale:
 
     - ``labels`` is an EPOCH-VERSIONED relabel store (node, root, ep;
       max-ep row wins): a split can RAISE a node's label, which breaks
@@ -1133,6 +1626,12 @@ def g_cc_retractions(spark, sf_dir):
       root; repair RE-TAGS survivors with their new labels), so
       "surviving edges of the touched components" is a tb-pruned scan +
       a member semi-join — component-sized, never corpus-sized.
+    - ``forest`` is a spanning subgraph of the live edges (canonical
+      (a, b) rows, fb-partitioned): inserts landing inside a component
+      never enter it, merges contribute one representative per root
+      pair, and repairs rebuild the touched components' rows as a BFS
+      tree — so the recompute triggers ONLY on deletes that can
+      actually disconnect.
 
     Demo: three insert micro-batches land the tpch graph's edges, then
     a retraction batch deletes region 0's PartOf (nation->region) edges
@@ -1150,9 +1649,6 @@ def g_cc_retractions(spark, sf_dir):
     import shutil
     import tempfile
     import uuid as _uuid
-
-    from .operators.iterative import cc_labels
-    from .transaction import DatasetStore
 
     nb = _CC_MERGE_BUCKETS
     g = tpch_graph(spark, sf_dir)
@@ -1183,282 +1679,16 @@ def g_cc_retractions(spark, sf_dir):
             shutil.rmtree(tmp)
         staged_schema = batches[0].schema
 
-        labels = DatasetStore(
-            os.path.join(work, "labels"), partition_cols=("pb", "rb")
-        )
-        edgelog = DatasetStore(os.path.join(work, "elog"), partition_cols=("tb",))
-
-        def bucket(col):
-            return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
-
-        def lab_rows(df, ep: int):
-            return df.select(
-                "node",
-                "root",
-                F.lit(ep).cast("long").alias("ep"),
-                bucket(F.col("node")).alias("pb"),
-                bucket(F.col("root")).alias("rb"),
-            )
-
-        def edge_rows(df, op: int, ep: int):
-            return df.select(
-                "src",
-                "dst",
-                F.lit(op).cast("int").alias("op"),
-                F.lit(ep).cast("long").alias("ep"),
-                "tag",
-                bucket(F.col("tag")).alias("tb"),
-            )
-
-        def cur_fn(df):
-            """The current mapping: max-ep row per node."""
-            return df.groupBy("node").agg(
-                F.max_by("root", "ep").alias("root"), F.max("ep").alias("ep")
-            )
-
-        def compact_labels(df):
-            """Fold to the current mapping and pointer-double it flat
-            (the amortized view-sized rewrite — g_cc_maintained's
-            contract; per-batch writes stay delta-sized)."""
-            fn = cur_fn(df)
-            for _ in range(4):
-                r2 = fn.select(
-                    F.col("node").alias("r_node"), F.col("root").alias("r_root")
-                )
-                fn = fn.join(r2, fn["root"] == r2["r_node"], "left").select(
-                    "node", F.coalesce("r_root", "root").alias("root"), "ep"
-                )
-            return fn.withColumn("pb", bucket(F.col("node"))).withColumn(
-                "rb", bucket(F.col("root"))
-            )
-
-        def fold_edges(df):
-            """Per-edge max-ep row; fully-dead edges drop out."""
-            return (
-                df.groupBy("src", "dst")
-                .agg(
-                    F.max_by("op", "ep").alias("op"),
-                    F.max_by("tag", "ep").alias("tag"),
-                    F.max("ep").alias("ep"),
-                )
-                .filter(F.col("op") == 1)
-                .withColumn("tb", bucket(F.col("tag")))
-            )
-
-        def chase(vals):
-            """(v) -> (v, root): forward chase to the current root.
-            Every round prunes on pb (exact: a node's rows share pb).
-            The common case (flat table, no chains) is ONE collect +
-            one advanced-row probe; only rounds that actually advance
-            pay a lineage-cut checkpoint."""
-            cur = vals.select("v", F.col("v").alias("root")).localCheckpoint(
-                eager=True
-            )
-            for _ in range(len(labels.snapshots()) + 1):
-                buckets = [
-                    r.pb
-                    for r in cur.select(bucket(F.col("root")).alias("pb"))
-                    .distinct()
-                    .collect()
-                ]
-                m = labels.load(spark, where=F.col("pb").isin(buckets))
-                if m is None:
-                    break
-                step = cur.join(
-                    cur_fn(m).select(
-                        F.col("node").alias("root"),
-                        F.col("root").alias("nroot"),
-                    ),
-                    "root",
-                    "left",
-                ).select("v", "root", "nroot")
-                if (
-                    step.filter(
-                        F.col("nroot").isNotNull()
-                        & (F.col("nroot") != F.col("root"))
-                    )
-                    .limit(1)
-                    .count()
-                    == 0
-                ):
-                    break
-                cur = step.select(
-                    "v", F.coalesce("nroot", "root").alias("root")
-                ).localCheckpoint(eager=True)
-            return cur
-
-        def members_of(comps):
-            """(root) -> (node): every node whose current label is in
-            ``comps`` (the labels themselves included). rb-pruned
-            discovery + pb-pruned max-ep verification per level."""
-            total = comps.select(F.col("root").alias("node")).localCheckpoint(
-                eager=True
-            )
-            frontier = total.select(F.col("node").alias("root"))
-            for _ in range(len(labels.snapshots()) + 2):
-                buckets = [
-                    r.rb
-                    for r in frontier.select(bucket(F.col("root")).alias("rb"))
-                    .distinct()
-                    .collect()
-                ]
-                m = labels.load(spark, where=F.col("rb").isin(buckets))
-                if m is None:
-                    break
-                cands = (
-                    m.join(frontier, "root", "left_semi")
-                    .select("node")
-                    .distinct()
-                    .join(total, "node", "left_anti")
-                    .localCheckpoint(eager=True)
-                )
-                if cands.limit(1).count() == 0:
-                    break
-                # verify: a candidate's row pointing into the frontier
-                # may be SUPERSEDED — re-read its true current mapping
-                vbuckets = [
-                    r.pb
-                    for r in cands.select(bucket(F.col("node")).alias("pb"))
-                    .distinct()
-                    .collect()
-                ]
-                truth = cur_fn(
-                    labels.load(spark, where=F.col("pb").isin(vbuckets)).join(
-                        cands, "node", "left_semi"
-                    )
-                )
-                new = (
-                    truth.join(frontier, "root", "left_semi")
-                    .select("node")
-                    .localCheckpoint(eager=True)
-                )
-                if new.limit(1).count() == 0:
-                    break
-                total = total.unionByName(new).localCheckpoint(eager=True)
-                frontier = new.select(F.col("node").alias("root"))
-            return total
+        ivm = CCIvm(spark, work, nb)
 
         def handle(batch_df, bid) -> None:
             bid = int(bid)
             ops = {r["op"] for r in batch_df.select("op").distinct().collect()}
-            ins = batch_df.filter(F.col("op") == 1)
-            dels = batch_df.filter(F.col("op") == -1)
             if 1 in ops:
-                ends = ins.select("src", "dst").localCheckpoint(eager=True)
-                roots = chase(
-                    ends.select(F.col("src").alias("v"))
-                    .unionByName(ends.select(F.col("dst").alias("v")))
-                    .distinct()
-                )
-                rooted = (
-                    ends.join(
-                        roots.select(
-                            F.col("v").alias("src"), F.col("root").alias("ru")
-                        ),
-                        "src",
-                    )
-                    .join(
-                        roots.select(
-                            F.col("v").alias("dst"), F.col("root").alias("rv")
-                        ),
-                        "dst",
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                pairs = rooted.filter(F.col("ru") != F.col("rv")).select(
-                    F.col("ru").alias("src"), F.col("rv").alias("dst")
-                )
-                rel = (
-                    cc_labels(pairs)
-                    .filter(F.col("id") != F.col("component"))
-                    .select(
-                        F.col("id").alias("node"), F.col("component").alias("root")
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                if rel.count():
-                    labels.append(lab_rows(rel, 4 * bid))
-                # tag each edge with its post-merge component
-                tagged = (
-                    rooted.join(
-                        rel.select(
-                            F.col("node").alias("ru"), F.col("root").alias("nru")
-                        ),
-                        "ru",
-                        "left",
-                    )
-                    .select(
-                        "src", "dst", F.coalesce("nru", "ru").alias("tag")
-                    )
-                )
-                edgelog.append(edge_rows(tagged, 1, 4 * bid))
+                ivm.insert_batch(batch_df.filter(F.col("op") == 1), bid)
             if -1 in ops:
-                dends = dels.select("src", "dst").localCheckpoint(eager=True)
-                droots = chase(
-                    dends.select(F.col("src").alias("v"))
-                    .unionByName(dends.select(F.col("dst").alias("v")))
-                    .distinct()
-                )
-                touched = (
-                    droots.select("root").distinct().localCheckpoint(eager=True)
-                )
-                mem = members_of(touched)
-                # delete markers, tagged with the edge's CURRENT component
-                dtag = dends.join(
-                    droots.select(
-                        F.col("v").alias("src"), F.col("root").alias("tag")
-                    ),
-                    "src",
-                )
-                edgelog.append(edge_rows(dtag, -1, 4 * bid + 1))
-                # surviving edges of the touched components: tb-pruned
-                # scan + member semi-join (tags are members by
-                # construction: post-merge roots or repair labels)
-                tbuckets = [
-                    r.tb
-                    for r in mem.select(bucket(F.col("node")).alias("tb"))
-                    .distinct()
-                    .collect()
-                ]
-                el = edgelog.load(spark, where=F.col("tb").isin(tbuckets))
-                live = (
-                    el.groupBy("src", "dst")
-                    .agg(
-                        F.max_by("op", "ep").alias("op"),
-                        F.max_by("tag", "ep").alias("tag"),
-                    )
-                    .filter(F.col("op") == 1)
-                    .join(
-                        mem.select(F.col("node").alias("tag")), "tag", "left_semi"
-                    )
-                    .select("src", "dst")
-                    .localCheckpoint(eager=True)
-                )
-                newlab = cc_labels(live).select(
-                    F.col("id").alias("node"), F.col("component").alias("root")
-                )
-                repaired = (
-                    mem.join(newlab, "node", "left")
-                    .select(
-                        "node", F.coalesce("root", "node").alias("root")
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                labels.append(lab_rows(repaired, 4 * bid + 2))
-                # re-tag survivors so future pruning stays exact
-                retag = live.join(
-                    repaired.select(
-                        F.col("node").alias("src"), F.col("root").alias("tag")
-                    ),
-                    "src",
-                )
-                edgelog.append(edge_rows(retag, 1, 4 * bid + 2))
-            labels.compact(
-                spark, min_deltas=_CC_COMPACT_EVERY, transform=compact_labels
-            )
-            edgelog.compact(
-                spark, min_deltas=_CC_COMPACT_EVERY + 1, transform=fold_edges
-            )
+                ivm.delete_batch(batch_df.filter(F.col("op") == -1), bid)
+            ivm.compact()
 
         stream = (
             spark.readStream.schema(staged_schema)
@@ -1479,23 +1709,10 @@ def g_cc_retractions(spark, sf_dir):
             q.stop()
 
         ids = g.vertices.select("id").distinct()
-        lab = labels.load(spark)
-        if lab is None:
+        roots = ivm.flat_labels()
+        if roots is None:
             out = ids.select("id", F.col("id").alias("component"))
         else:
-            fn = cur_fn(lab)
-            for _ in range(4):  # pointer-double the max-ep function flat
-                r2 = fn.select(
-                    F.col("node").alias("r_node"), F.col("root").alias("r_root")
-                )
-                fn = fn.join(r2, fn["root"] == r2["r_node"], "left").select(
-                    "node",
-                    F.coalesce("r_root", "root").alias("root"),
-                    "ep",
-                )
-            roots = fn.select(
-                F.col("node").alias("id"), F.col("root").alias("component")
-            )
             out = ids.join(roots, "id", "left").select(
                 "id", F.coalesce("component", "id").alias("component")
             )
@@ -2375,11 +2592,14 @@ def g_triangles_retractions(spark, sf_dir):
     replay recomputes a polluted ΔV but the view's bid_hwm refuses it).
 
     Scenario (content-deterministic): the nation–region skeleton plus
-    customer edges arrive in two insert batches (exercising Δ·Δ·Δ and
-    Δ·Δ·S), a retraction batch forgets the customer–region edges of
-    custkey % 10 == 0 (killing those triangles via a negative Δ·S·S
-    term), and supplier–region edges arrive LAST so every supplier
-    triangle closes through Δ·S·S. Oracle = the batch triangle count of
+    the first customer half arrive in batch 0 (Δ·Δ·Δ — triangles close
+    entirely within the batch), the second customer half plus ALL
+    supplier edges in batch 1 (Δ·Δ·S — two new edges close against the
+    standing skeleton), and a final retraction batch forgets the
+    customer–region edges of custkey % 10 == 0, killing those
+    triangles via the negative single-new-edge term (Δ·S·S) and
+    exercising the signed fold (r8 #4 trim: 3 batches cover all three
+    trilinear families plus the fold). Oracle = the batch triangle count of
     the SURVIVING graph (generic 3-join over the live canonical edge
     set). Like dedup_pair_triangles' orientation bound, wedge work is
     delta-bounded: the batch's endpoints, not the corpus, drive every
@@ -2429,6 +2649,13 @@ def g_triangles_retractions(spark, sf_dir):
             F.lit(d).cast("long").alias("d"),
         )
 
+    # r8 directive #4 batch trim (4 -> 3): supplier edges ride with the
+    # second customer half. Family coverage per batch: b0 closes
+    # triangles entirely inside the batch (t3 = Δ·Δ·Δ); b1's customer
+    # and supplier triangles close two new edges against the standing
+    # nation-region skeleton (t2 = Δ·Δ·S); the retraction kills
+    # customer triangles via the negative single-edge term
+    # (t1 = Δ·S·S) and exercises the signed fold.
     batches = [
         signed(
             nr.unionByName(
@@ -2440,11 +2667,11 @@ def g_triangles_retractions(spark, sf_dir):
             cn.filter(half == 1)
             .select("x", "y")
             .unionByName(cr.filter(half == 1).select("x", "y"))
-            .unionByName(sn),
+            .unionByName(sn)
+            .unionByName(sr),
             1,
         ),
         signed(cr.filter(F.col("c_custkey") % 10 == 0).select("x", "y"), -1),
-        signed(sr, 1),
     ]
     work = tempfile.mkdtemp(prefix="gravityspark_triret_")
     try:

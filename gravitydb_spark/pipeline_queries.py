@@ -6524,20 +6524,14 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_retract_oracle() -> str:
-    """Greedy admission over SURVIVING docs: the insert batches replay
-    the upkeep chain; after the retraction batch the index is exactly
-    the keys contributed by live docs (surviving evens + admitted
-    odds), so batch 2 admits docs whose only vetoes came from forgotten
-    documents."""
-
-    def adm(b: int, idx: str) -> str:
-        return f"""k{b} AS (
-      SELECT * FROM keyed WHERE doc_id % 2 = 1 AND (doc_id % 6) // 2 = {b}),
-    adm{b} AS (
-      SELECT DISTINCT doc_id FROM k{b} WHERE doc_id NOT IN (
-        SELECT k.doc_id FROM k{b} k
-        JOIN {idx} i ON k.band = i.band AND k.band_key = i.band_key))"""
-
+    """Greedy admission over SURVIVING docs: one insert batch (groups
+    0+1 together — r8 directive #4 batch trim; the sequential
+    inter-insert veto chain is stream_dedup_index_upkeep's job, this
+    family exercises the SIGNED fold), the retraction batch, then an
+    insert whose vetoes see the repaired index: after the forget the
+    index is exactly the keys contributed by live docs (surviving
+    evens + admitted odds), so group 2 admits docs whose only vetoes
+    came from forgotten documents."""
     return f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
@@ -6553,20 +6547,23 @@ def _dedup_retract_oracle() -> str:
                AS band_key
       FROM sigs, unnest(generate_series(0, {LSH_BANDS - 1})) AS u(band)),
     idx0 AS (SELECT DISTINCT band, band_key FROM keyed WHERE doc_id % 2 = 0),
-    {adm(0, "idx0")},
-    idx1 AS (
-      SELECT band, band_key FROM idx0
-      UNION
-      SELECT k.band, k.band_key FROM keyed k JOIN adm0 a USING (doc_id)),
-    {adm(1, "idx1")},
+    k01 AS (
+      SELECT * FROM keyed WHERE doc_id % 2 = 1 AND (doc_id % 6) // 2 < 2),
+    adm01 AS (
+      SELECT DISTINCT doc_id FROM k01 WHERE doc_id NOT IN (
+        SELECT k.doc_id FROM k01 k
+        JOIN idx0 i ON k.band = i.band AND k.band_key = i.band_key)),
     idx2 AS (
       SELECT DISTINCT band, band_key FROM keyed k
       WHERE (k.doc_id % 2 = 0 AND k.doc_id % 10 != 0)
-         OR k.doc_id IN (SELECT doc_id FROM adm0)
-         OR k.doc_id IN (SELECT doc_id FROM adm1)),
-    {adm(2, "idx2")}
-    SELECT doc_id, 0::BIGINT AS batch FROM adm0
-    UNION ALL SELECT doc_id, 1::BIGINT FROM adm1
+         OR k.doc_id IN (SELECT doc_id FROM adm01)),
+    k2 AS (
+      SELECT * FROM keyed WHERE doc_id % 2 = 1 AND (doc_id % 6) // 2 = 2),
+    adm2 AS (
+      SELECT DISTINCT doc_id FROM k2 WHERE doc_id NOT IN (
+        SELECT k.doc_id FROM k2 k
+        JOIN idx2 i ON k.band = i.band AND k.band_key = i.band_key))
+    SELECT doc_id, ((doc_id % 6) // 2)::BIGINT AS batch FROM adm01
     UNION ALL SELECT doc_id, 2::BIGINT FROM adm2
     """
 
@@ -6585,8 +6582,9 @@ def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     forgotten docs stops (m = 0) and its near-dups become admissible in
     later batches.
 
-    Sequence: insert batches 0 and 1 (odd docs, the upkeep admission
-    loop), then a retraction batch forgetting the doc_id % 10 == 0 half
+    Sequence: one insert batch (odd-doc groups 0+1 — the sequential
+    inter-insert chain is the upkeep twin's job; r8 #4 batch trim),
+    then a retraction batch forgetting the doc_id % 10 == 0 half
     of the SEED corpus (deletions are restricted to indexed docs — the
     multiset invariant m = live-contributor-count needs every −1 to
     cancel a real +1), then insert batch 2, whose admissions see the
@@ -6618,12 +6616,11 @@ def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(stage)
         base = 1_700_000_000
         feeds = [
-            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 0")),
-            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 1")),
+            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 < 2")),
             docs.filter(F.expr("doc_id % 2 = 0 AND doc_id % 10 = 0")),
             docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 2")),
         ]
-        ops = ["i", "i", "d", "i"]
+        ops = ["i", "d", "i"]
         for b, (feed, op) in enumerate(zip(feeds, ops)):
             tmp = os.path.join(work, f"tmp{b}")
             feed.withColumn("op", F.lit(op)).coalesce(1).write.parquet(tmp)
@@ -6799,15 +6796,14 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
             if f.name != "doc_id"
         ]
         feeds = [
-            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 0")),
-            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 1")),
+            docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 < 2")),
             # the forget feed: doc_ids ONLY — content is gone by now
             docs.filter(F.expr("doc_id % 2 = 0 AND doc_id % 10 = 0")).select(
                 "doc_id", *null_cols
             ),
             docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 2")),
         ]
-        ops = ["i", "i", "d", "i"]
+        ops = ["i", "d", "i"]
         for b, (feed, op) in enumerate(zip(feeds, ops)):
             tmp = os.path.join(work, f"tmp{b}")
             feed.withColumn("op", F.lit(op)).coalesce(1).write.parquet(tmp)
@@ -10076,8 +10072,12 @@ def stream_bm25_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     additive-IVM protocol: a replayed batch can neither double a +1 nor
     double a −1); the folds are plain sums, order-independent.
 
-    Sequence: 3 insert batches (doc_id % 3), then a retraction batch
-    forgetting the doc_id % 10 == 7 docs. Query path identical to the
+    Sequence: ONE insert batch, then a retraction batch forgetting the
+    doc_id % 10 == 7 docs (r8 directive #4 batch trim: the postings
+    algebra is additive, so insert batching exercised nothing the
+    single insert doesn't — the signed fold, the bid replay gate, and
+    the stats reversal all live in the retraction batch; the upkeep
+    twin still runs the 3-batch ingest). Query path identical to the
     upkeep twin (probe-term buckets via PartitionFilters, fold-then-
     score); answers bit-identically to batch BM25 over survivors — the
     oracle is the shared chain with the survivor predicate pushed into
@@ -10094,9 +10094,8 @@ def stream_bm25_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = os.path.join(work, "stage")
         os.makedirs(stage)
         base = 1_700_000_000
-        feeds = [docs.filter(F.expr(f"doc_id % 3 = {b}")) for b in range(3)]
-        feeds.append(docs.filter(F.expr("doc_id % 10 = 7")))
-        ops = ["i", "i", "i", "d"]
+        feeds = [docs, docs.filter(F.expr("doc_id % 10 = 7"))]
+        ops = ["i", "d"]
         for b, (feed, op) in enumerate(zip(feeds, ops)):
             tmp = os.path.join(work, f"tmp{b}")
             feed.withColumn("op", F.lit(op)).coalesce(1).write.parquet(tmp)
@@ -10159,9 +10158,10 @@ def stream_bm25_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             if postings.append_once(posts, bid) is not None:
-                postings.compact(spark, min_deltas=4, transform=fold_posts)
+                # 2-batch demo: fold once after the retraction lands
+                postings.compact(spark, min_deltas=2, transform=fold_posts)
             if cstats.append_once(cdelta, bid) is not None:
-                cstats.compact(spark, min_deltas=4, transform=fold_stats)
+                cstats.compact(spark, min_deltas=2, transform=fold_stats)
 
         stream = (
             spark.readStream.schema(
