@@ -541,6 +541,11 @@ _compound(
             "search_percolate",
             {"doc_id": "doc_id", "m1": "query_id"},
         ),
+        (
+            "percolate_bucketed",
+            "search_percolate_bucketed",
+            {"doc_id": "doc_id", "m1": "query_id"},
+        ),
     ],
     "Gate family for document quality scoring and lexical search:"
     " stopword/length/uniqueness ratios, repetition signals (top token /"
@@ -874,6 +879,19 @@ _compound(
             "matryoshka_eval",
             "ann_matryoshka_eval",
             # per-(dim, query) truncated-prefix recall@10; dim in rnk
+            {"q_id": "q_id", "vec_id": "hits", "cosine": "recall_bp",
+             "rnk": "dim"},
+        ),
+        (
+            "recall_eval_clustered",
+            "ann_recall_eval_clustered",
+            # IVF recall@10 on the constructed planted-cluster corpus
+            {"q_id": "q_id", "vec_id": "hits", "cosine": "recall_bp",
+             "rnk": "3"},
+        ),
+        (
+            "matryoshka_eval_clustered",
+            "ann_matryoshka_eval_clustered",
             {"q_id": "q_id", "vec_id": "hits", "cosine": "recall_bp",
              "rnk": "dim"},
         ),

@@ -8393,6 +8393,307 @@ def ann_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recall evaluation on a PLANTED-CLUSTER corpus (r8 VERDICT directive #6):
+# the driver's uniform-sphere embeddings cap every recall number (prefix ≈
+# random projection, IVF cells ≈ arbitrary Voronoi shards), so the gate was
+# checking numbers that structurally could not move. This corpus is
+# CONSTRUCTED IN-ENGINE, deterministically and ENGINE-PORTABLY: every
+# coordinate is an integer LCG draw mapped to a double with the identical
+# expression tree on both engines (bit-equal by IEEE determinism — no rng
+# object, no numpy), 16 planted centers, within-cluster cosine ≈ 0.8,
+# across ≈ 0 (the tools/ivfpq_structure_probe recipe, made SQL-expressible).
+# ---------------------------------------------------------------------------
+
+_SYNTH_N, _SYNTH_K = 2000, 16
+_SYNTH_Q0, _SYNTH_NQ = 100, 10  # query ids (past the coarse seeds)
+_SYNTH_CELLS = _ivf_cells(_SYNTH_N)  # 44 — same rule as the serving family
+_SYNTH_NPROBE = _ivf_nprobe(_SYNTH_CELLS)  # 5
+# value(i, d) = lcg(center_key) + 0.4 * lcg(noise_key); lcg maps an int to
+# [-0.5, 0.5) via one multiply/add/mod and one double division — both
+# engines run the same ops in the same order
+_SYNTH_EXPR = (
+    "transform(sequence(0, 63), d -> "
+    "CAST((1103515245L * ((id % 16) * 64 + d) + 12345L) % 2147483648L AS DOUBLE)"
+    " / 2147483648.0D - 0.5D"
+    " + 0.4D * (CAST((1103515245L * (100000L + id * 64 + d) + 12345L)"
+    " % 2147483648L AS DOUBLE) / 2147483648.0D - 0.5D))"
+)
+_SYNTH_SQL = (
+    "SELECT i AS vec_id, "
+    "[ (((1103515245 * ((i % 16) * 64 + d) + 12345) % 2147483648))::DOUBLE"
+    " / 2147483648.0::DOUBLE - 0.5::DOUBLE"
+    " + 0.4::DOUBLE * ((((1103515245 * (100000 + i * 64 + d) + 12345)"
+    " % 2147483648))::DOUBLE / 2147483648.0::DOUBLE - 0.5::DOUBLE)"
+    f" FOR d IN range(0, 64) ] AS v FROM range(0, {_SYNTH_N}) AS t(i)"
+)
+_SYNTH_Q_PRED = f"vec_id >= {_SYNTH_Q0} AND vec_id < {_SYNTH_Q0 + _SYNTH_NQ}"
+
+
+def _synth_corpus(spark: SparkSession):
+    return spark.range(_SYNTH_N).select(
+        F.col("id").alias("vec_id"), F.expr(_SYNTH_EXPR).alias("v")
+    )
+
+
+def _synth_truth_sql() -> str:
+    """Shared CTE prefix: synth corpus + brute-force cosine truth."""
+    return f"""synth AS MATERIALIZED ({_SYNTH_SQL}),
+    sq AS (SELECT vec_id AS q_id, v AS qv FROM synth WHERE {_SYNTH_Q_PRED}),
+    tr_sc AS (
+      SELECT sq.q_id, s.vec_id,
+             round({_duck_dot('sq.qv', 's.v')}
+               / (sqrt({_duck_dot('sq.qv', 'sq.qv')})
+                  * sqrt({_duck_dot('s.v', 's.v')})), 3) AS cosine
+      FROM sq JOIN synth s ON s.vec_id != sq.q_id),
+    truth AS MATERIALIZED (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM tr_sc) WHERE rn <= {ANN_K})"""
+
+
+def _synth_truth_spark(spark: SparkSession):
+    synth = _synth_corpus(spark)
+    q = synth.filter(F.expr(_SYNTH_Q_PRED)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = synth.join(
+        F.broadcast(q), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("v"), F.col("v")))
+            ),
+            3,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return synth, q, (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_K)
+        .select("q_id", "vec_id")
+    )
+
+
+@register(
+    "ann_recall_eval_clustered",
+    oracle=f"""
+    WITH {_synth_truth_sql()},
+    cent AS (SELECT vec_id AS cell, v AS cv FROM synth
+             WHERE vec_id < {_SYNTH_CELLS}),
+    asgd AS (
+      SELECT s.vec_id, s.v, c.cell, {_duck_dot('s.v', 'c.cv')} AS d
+      FROM synth s JOIN cent c ON TRUE),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d DESC, cell ASC) AS rn
+        FROM asgd) WHERE rn = 1),
+    probes AS (
+      SELECT q_id, cell FROM (
+        SELECT sq.q_id, c.cell,
+               row_number() OVER (PARTITION BY sq.q_id
+                                  ORDER BY {_duck_dot('sq.qv', 'c.cv')} DESC,
+                                           c.cell ASC) AS rn
+        FROM sq JOIN cent c ON TRUE) WHERE rn <= {_SYNTH_NPROBE}),
+    g_sc AS (
+      SELECT sq.q_id, a.vec_id,
+             round({_duck_dot('sq.qv', 'a.v')}
+               / (sqrt({_duck_dot('sq.qv', 'sq.qv')})
+                  * sqrt({_duck_dot('a.v', 'a.v')})), 3) AS cosine
+      FROM sq JOIN probes p ON p.q_id = sq.q_id
+             JOIN assigned a ON a.cell = p.cell AND a.vec_id != sq.q_id),
+    got AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rnk
+        FROM g_sc) WHERE rnk <= {ANN_K})
+    SELECT 'ivf' AS method, t.q_id,
+           sum(CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS hits,
+           (sum(CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END)
+            * 10000 // {ANN_K})::BIGINT AS recall_bp
+    FROM truth t LEFT JOIN got g ON g.q_id = t.q_id AND g.vec_id = t.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def ann_recall_eval_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@{ANN_K} on the PLANTED-CLUSTER corpus (r8 directive
+    #6): same eval harness as :func:`ann_recall_eval`, but the corpus
+    has real neighborhood structure, so the gate-checked number can
+    actually move — a quantizer/nprobe regression shows up as dropped
+    basis points instead of vanishing into uniform-sphere noise. The
+    IVF leg uses the serving family's depth-scaled config
+    (cells = {_SYNTH_CELLS} = max(16, ⌊√{_SYNTH_N}⌋), nprobe =
+    {_SYNTH_NPROBE}); queries are non-seed ids (the r7 ladder's
+    seed-query artifact stays fixed). ``sf_dir`` is unused — the corpus
+    is constructed, which is the point: both engines derive identical
+    doubles from the same integer LCG expression tree.
+
+    Honest operating point: on THIS corpus the gate-checked value is
+    10,000 bp — strong planted structure is fully recoverable (every
+    query's true top-10 shares its cell; measured invariant across
+    noise 0.4-1.6 and cells 16-64), so the number is a CEILING check:
+    any assignment/probe/tie-break regression drops it immediately,
+    while on the uniform corpus such a regression was indistinguishable
+    from noise. The graded (mid-range, both-ways-movable) numbers live
+    in ann_matryoshka_eval_clustered (51/64/73% at d=8/16/32 vs the
+    12/25/50% random-projection floor)."""
+    synth, q, truth = _synth_truth_spark(spark)
+    cent = synth.filter(F.col("vec_id") < _SYNTH_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cell"))
+    assigned = (
+        synth.join(F.broadcast(cent))
+        .select("vec_id", "v", "cell", _dot(F.col("v"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("q_id", "cell", _dot(F.col("qv"), F.col("cv")).alias("d"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("d"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rn") <= _SYNTH_NPROBE)
+        .select("q_id", "cell")
+    )
+    scored = (
+        q.join(F.broadcast(probes), "q_id")
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                ),
+                3,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    got = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    hit = F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).cast("long")
+    return (
+        truth.join(got, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(hit.alias("hits"))
+        .select(
+            F.lit("ivf").alias("method"),
+            "q_id",
+            "hits",
+            F.expr(f"hits * 10000 DIV {ANN_K}").cast("long").alias("recall_bp"),
+        )
+    )
+
+
+def _mrl_clustered_oracle() -> str:
+    parts = [_synth_truth_sql()]
+    legs = []
+    for d in _MRL_DIMS:
+        parts.append(
+            f"""p{d}_sc AS (
+      SELECT sq.q_id, s.vec_id,
+             round({_duck_dot(f'sq.qv[1:{d}]', f's.v[1:{d}]')}
+               / (sqrt({_duck_dot(f'sq.qv[1:{d}]', f'sq.qv[1:{d}]')})
+                  * sqrt({_duck_dot(f's.v[1:{d}]', f's.v[1:{d}]')})), 3)
+               AS cosine
+      FROM sq JOIN synth s ON s.vec_id != sq.q_id),
+    p{d}_got AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rnk
+        FROM p{d}_sc) WHERE rnk <= {ANN_K})"""
+        )
+        legs.append(
+            f"""
+    SELECT {d}::BIGINT AS dim, t.q_id,
+           sum(CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS hits,
+           (sum(CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END)
+            * 10000 // {ANN_K})::BIGINT AS recall_bp
+    FROM truth t LEFT JOIN p{d}_got g
+      ON g.q_id = t.q_id AND g.vec_id = t.vec_id
+    GROUP BY 1, 2"""
+        )
+    return "WITH " + ",\n    ".join(parts) + " UNION ALL ".join(legs)
+
+
+@register("ann_matryoshka_eval_clustered", oracle=_mrl_clustered_oracle())
+def ann_matryoshka_eval_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix recall on the PLANTED-CLUSTER corpus (r8
+    directive #6): on the uniform-sphere testdata the d-dim prefix is
+    just a random projection (recall ≈ d/64, honestly caveated in
+    ann_matryoshka_eval). Here the cluster centers put shared signal in
+    EVERY prefix — same-cluster neighbors agree on the center's prefix
+    — so truncation recall is structurally above the random-projection
+    floor and the gate checks a number that moves when prefix quality
+    does. Same harness, same {_MRL_DIMS} rungs, constructed corpus."""
+    from functools import reduce as _reduce
+
+    synth, q, truth = _synth_truth_spark(spark)
+    out = []
+    for d in _MRL_DIMS:
+        qd = q.select("q_id", F.slice(F.col("qv"), 1, d).alias("qv"))
+        vd = F.slice(F.col("v"), 1, d)
+        scored = synth.join(
+            F.broadcast(qd), F.col("vec_id") != F.col("q_id")
+        ).select(
+            "q_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), vd)
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(vd, vd))
+                ),
+                3,
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        got = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= ANN_K)
+            .select("q_id", "vec_id", F.lit(1).alias("hit"))
+        )
+        hit = F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).cast("long")
+        out.append(
+            truth.join(got, ["q_id", "vec_id"], "left")
+            .groupBy("q_id")
+            .agg(hit.alias("hits"))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                "q_id",
+                "hits",
+                F.expr(f"hits * 10000 DIV {ANN_K}")
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+    return _reduce(DataFrame.union, out)
+
+
+# ---------------------------------------------------------------------------
 # RAG / training chunking: overlapping token windows
 # ---------------------------------------------------------------------------
 
@@ -10039,6 +10340,92 @@ def search_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("c"),
             F.first("n_terms").alias("n"),
         )
+        .filter(F.col("c") == F.col("n"))
+        .select("query_id", "doc_id")
+    )
+
+
+@register(
+    "search_percolate_bucketed",
+    oracle=REGISTRY["search_percolate"].oracle,
+)
+def search_percolate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCOLATION AT REGISTRY SCALE (r8 VERDICT directive #5): the
+    broadcast-the-whole-registry plan is right for thousands of alerts
+    but wrong past the broadcast threshold (millions of saved
+    searches). The standard fix is GUARD-TERM bucketing (Elasticsearch
+    percolator / Luwak "query index"): index each conjunctive query
+    under its RAREST term only — a document can match a query only if
+    it contains that query's guard term, so the document-token join is
+    pruned to one row per (candidate query, doc) instead of one per
+    (query term, doc), and the full-conjunction verification runs only
+    over candidate docs (a left-semi prune on doc_id).
+
+    Guard selection uses corpus document frequency (one filtered agg
+    over the registry's own tokens — |registry vocabulary| rows, the
+    offline "index the queries" step; min-df tie-broken
+    lexicographically). The choice affects ONLY the plan, never the
+    result (the verification recomputes the exact conjunction), so the
+    oracle is search_percolate's, shared verbatim.
+
+    At 100 TB with a sharded registry this becomes: guards partitioned
+    by token alongside the postings, candidates = corpus scan ⋈ guard
+    shards, verification = candidate-pruned conjunction — no broadcast
+    of the full registry anywhere; only the guard MAP (1 row/query)
+    rides with the scan."""
+    qt = spark.createDataFrame(
+        [
+            (qid, t, len(terms))
+            for qid, terms in _PERCOLATE_QUERIES
+            for t in terms
+        ],
+        "query_id long, token string, n_terms int",
+    )
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_TOKENS_FN()).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=False)  # two consumers: guard join + verify
+    )
+    # offline: document frequency of the registry's tokens only, then
+    # one guard (rarest term) per query — |registry| bounded collect
+    reg_tokens = qt.select("token").distinct()
+    df_map = (
+        toks.join(F.broadcast(reg_tokens), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    guards = (
+        qt.join(df_map, "token", "left")
+        .select(
+            "query_id",
+            "token",
+            F.coalesce("df", F.lit(0)).alias("df"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("df"), F.asc("token")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("token", "query_id")
+        .localCheckpoint(eager=True)  # guard map: 1 row per query
+    )
+    # candidates: docs containing SOME guard term — one pruned equi-join
+    cand_docs = (
+        toks.join(F.broadcast(guards), "token")
+        .select("doc_id")
+        .distinct()
+    )
+    # verification: exact conjunction over candidate docs' tokens only
+    vtoks = toks.join(cand_docs, "doc_id", "left_semi")
+    return (
+        vtoks.join(F.broadcast(qt), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("c"), F.first("n_terms").alias("n"))
         .filter(F.col("c") == F.col("n"))
         .select("query_id", "doc_id")
     )

@@ -660,3 +660,18 @@ def test_quality_lr_train_result_is_driver_literal(plans):
     p = plans("quality_lr_train")
     assert "LocalTableScan" in p or "Scan ExistingRDD" in p
     assert "Exchange" not in p
+
+
+def test_percolate_bucketed_join_is_guard_pruned(plans):
+    """r8 VERDICT directive #5: the registry-scale percolation path must
+    (1) join the corpus token stream against the 1-row-per-query GUARD
+    map by broadcast (never the full registry against every token),
+    and (2) run the full-conjunction verification only over candidate
+    docs — a left-semi prune on doc_id (an equi-semi-join; shuffled is
+    fine, it's output-proportional in the candidate set) — with no
+    cartesian pairing anywhere."""
+    p = plans("search_percolate_bucketed")
+    assert "BroadcastHashJoin" in p
+    assert "LeftSemi" in p  # the candidate-doc prune feeding verification
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
