@@ -177,6 +177,11 @@ HEADLINE = [
     "ann_recall_eval",
     "ann_matryoshka_eval",
     "stream_kmeans_upkeep",
+    # round 9 additions
+    "stream_dedup_retractions_by_id",
+    "search_percolate_bucketed",
+    "ann_recall_eval_clustered",
+    "ann_matryoshka_eval_clustered",
 ]
 
 

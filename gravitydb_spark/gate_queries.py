@@ -938,6 +938,11 @@ _compound(
             {"a": "vec_id", "b": "cluster", "c": "sq_dist", "v": "outlier"},
         ),
         (
+            "kcenter",
+            "embed_kcenter_coreset",
+            {"a": "vec_id", "b": "rank", "c": "radius_ppm"},
+        ),
+        (
             "quantize",
             "embed_quantize_int8",
             {"a": "vec_id", "b": "code_sum", "v": "recon_err"},
@@ -970,6 +975,7 @@ _compound(
         ("wpagerank", "g_weighted_pagerank", {"id": "id", "dist": "rank_scaled"}),
         ("adamic_adar", "g_adamic_adar", {"id": "pair_id", "dist": "score_scaled"}),
         ("ppr", "g_personalized_pagerank", {"id": "id", "dist": "rank_scaled"}),
+        ("betweenness", "g_betweenness_sampled", {"id": "id", "dist": "bc_scaled"}),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
     " distances, weighted single-source shortest paths (frontier"
@@ -1377,6 +1383,11 @@ _compound(
             "kmeans_maintained",
             "stream_kmeans_upkeep",
             {"n1": "cl", "n2": "i", "n3": "cx", "n4": "n_members"},
+        ),
+        (
+            "percolate_stream",
+            "stream_percolate",
+            {"n1": "query_id", "n2": "doc_id"},
         ),
     ],
     "Gate family for Structured Streaming joins/aggs: watermarked hourly"

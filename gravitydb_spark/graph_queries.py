@@ -2209,6 +2209,108 @@ def g_kcore_onion(spark, sf_dir):
     return kcore_onion(und, k=n_edges // n_verts, max_rounds=_KCORE_ROUNDS)
 
 
+_BC_SOURCES = ["c1", "c2", "c3", "c4"]
+_BC_DEPTH = 6
+_BC_SCALE = 10**4
+
+
+def _betweenness_oracle_sql(
+    depth: int = _BC_DEPTH, scale: int = _BC_SCALE
+) -> str:
+    """k-source Brandes unrolled: forward BFS levels l0..l{depth} with
+    integer σ path counts (NOT EXISTS anti-join against the running
+    seen set), then the backward dependency recurrence d{depth}..d0 as
+    LEFT-JOIN sums of σ(v)·(scale + δ(w)) // σ(w) — the identical
+    integer chain betweenness_scaled runs."""
+    src_values = ", ".join(f"('{s}')" for s in _BC_SOURCES)
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)",
+        f"l0 AS (SELECT s, s AS v, 1::BIGINT AS sig"
+        f" FROM (VALUES {src_values}) AS t(s))",
+        "seen0 AS (SELECT s, v FROM l0)",
+    ]
+    for L in range(1, depth + 1):
+        parts.append(
+            f"""l{L} AS MATERIALIZED (
+      SELECT s, v, sum(sig)::BIGINT AS sig FROM (
+        SELECT l.s, u.b AS v, l.sig
+        FROM l{L - 1} l JOIN und u ON u.a = l.v) c
+      WHERE NOT EXISTS (SELECT 1 FROM seen{L - 1} p
+                        WHERE p.s = c.s AND p.v = c.v)
+      GROUP BY s, v)"""
+        )
+        parts.append(
+            f"seen{L} AS (SELECT s, v FROM seen{L - 1}"
+            f" UNION ALL SELECT s, v FROM l{L})"
+        )
+    parts.append(
+        f"d{depth} AS (SELECT s, v, 0::BIGINT AS delta FROM l{depth})"
+    )
+    for L in range(depth - 1, -1, -1):
+        parts.append(
+            f"""d{L} AS MATERIALIZED (
+      SELECT l.s, l.v,
+             coalesce(sum((l.sig * ({scale} + dn.delta)) // ln.sig),
+                      0)::BIGINT AS delta
+      FROM l{L} l
+      LEFT JOIN und u ON u.a = l.v
+      LEFT JOIN l{L + 1} ln ON ln.s = l.s AND ln.v = u.b
+      LEFT JOIN d{L + 1} dn ON dn.s = l.s AND dn.v = u.b
+      GROUP BY l.s, l.v)"""
+        )
+    alld = " UNION ALL ".join(
+        f"SELECT * FROM d{L}" for L in range(depth + 1)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    alld AS ({alld})
+    SELECT v AS id, sum(delta)::BIGINT AS bc_scaled
+    FROM alld WHERE v != s
+    GROUP BY v HAVING sum(delta) > 0
+    """
+
+
+@register("g_betweenness_sampled", oracle=_betweenness_oracle_sql())
+def g_betweenness_sampled(spark, sf_dir):
+    """k-SOURCE BRANDES BETWEENNESS over the customer–supplier trade
+    graph (the same cyclic graph g_kcore_onion peels — path
+    multiplicity is real there, unlike the tree-shaped property
+    graph): dependency mass accumulated from {_BC_SOURCES} through
+    {_BC_DEPTH} BFS levels, scaled-BIGINT truncating-division
+    recurrence (operators/iterative.py:betweenness_scaled), reported
+    in 1/{_BC_SCALE} units. Completes the centrality family (degrees,
+    PageRank ×3, HITS, k-core, CC, distances, Adamic-Adar) with the
+    shortest-path-flow member; the reference has no iterative
+    analytics at all (SURVEY.md §2.5), so like the rest of the family
+    this is beyond-reference surface with a full value-hash oracle
+    (forward σ levels + backward δ chain unrolled as CTEs)."""
+    from .operators.iterative import betweenness_scaled
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    sources = spark.createDataFrame(
+        [(s,) for s in _BC_SOURCES], "s string"
+    )
+    return betweenness_scaled(
+        und, sources, max_depth=_BC_DEPTH, scale=_BC_SCALE
+    )
+
+
 # ---------------------------------------------------------------------------
 # Weighted PageRank over the weighted SSSP edge set
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..graph import PropertyGraph
 
 __all__ = [
+    "betweenness_scaled",
     "bfs_distances",
     "cc_labels",
     "connected_components",
@@ -678,6 +679,104 @@ def truss_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
     for p in peeled:
         out = out.unionByName(p)
     return out
+
+
+def betweenness_scaled(
+    und: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+    scale: int = 10**4,
+) -> DataFrame:
+    """DF[id, bc_scaled: long] — k-SOURCE BRANDES betweenness (the
+    standard sampled approximation: exact dependency accumulation from
+    the given source set, the estimator production centrality jobs run
+    because all-pairs is O(nm)) over a symmetrized edge DF[a, b],
+    bounded at ``max_depth`` BFS levels (both engines unroll exactly
+    this many, so the truncation is part of the operator's contract,
+    not an engine artifact).
+
+    Forward pass: level-synchronous BFS per source with integer
+    shortest-path counts σ (one frontier⋈edges join + groupBy per
+    level, all sources ride one frame keyed by (s, v)). Backward pass:
+    Brandes' dependency recurrence δ(v) = Σ_w σ(v)·(scale + δ(w)) DIV
+    σ(w) over successor levels — scaled-BIGINT truncating division, so
+    the accumulation is fold-order independent and the DuckDB oracle
+    replays it bit-for-bit as an unrolled CTE chain (the same contract
+    as pagerank_scaled). bc(v) = Σ_s δ_s(v), v ≠ s, reported in
+    1/scale units; zero-centrality vertices are absent.
+
+    Scale posture: each of ≤ 2·max_depth rounds is one equi-join +
+    hash agg on (s, v); frontier frames are lineage-cut per level; σ
+    and scaled δ stay far inside BIGINT for scale = 10⁴ (σ ≤ deg^depth
+    path counts, term ≤ σ·(n+1)·scale)."""
+    lev = sources.select(
+        F.col("s"), F.col("s").alias("v"), F.lit(1).cast("long").alias("sig")
+    ).localCheckpoint()
+    levels = [lev]
+    seen = lev.select("s", "v").localCheckpoint()
+    for _ in range(max_depth):
+        cand = (
+            levels[-1]
+            .select("s", F.col("v").alias("a"), "sig")
+            .join(und, "a")
+            .select("s", F.col("b").alias("v"), "sig")
+        )
+        nxt = (
+            cand.groupBy("s", "v")
+            .agg(F.sum("sig").cast("long").alias("sig"))
+            .join(seen, ["s", "v"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        seen = seen.unionByName(nxt.select("s", "v")).localCheckpoint()
+    deltas = [None] * len(levels)
+    deltas[-1] = levels[-1].select(
+        "s", "v", F.lit(0).cast("long").alias("delta")
+    )
+    succ_edges = und.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    for L in range(len(levels) - 2, -1, -1):
+        wnext = levels[L + 1].join(deltas[L + 1], ["s", "v"]).select(
+            "s",
+            F.col("v").alias("w"),
+            F.col("sig").alias("sig_w"),
+            "delta",
+        )
+        contrib = (
+            levels[L]
+            .join(succ_edges, "v")
+            .join(wnext, ["s", "w"])
+            .select(
+                "s",
+                "v",
+                F.expr(f"sig * ({scale} + delta) DIV sig_w").alias("term"),
+            )
+        )
+        agg = contrib.groupBy("s", "v").agg(
+            F.sum("term").cast("long").alias("delta")
+        )
+        deltas[L] = (
+            levels[L]
+            .select("s", "v")
+            .join(agg, ["s", "v"], "left")
+            .select(
+                "s",
+                "v",
+                F.coalesce("delta", F.lit(0)).cast("long").alias("delta"),
+            )
+            .localCheckpoint()
+        )
+    from functools import reduce
+
+    alld = reduce(DataFrame.unionByName, deltas)
+    return (
+        alld.filter(F.col("v") != F.col("s"))
+        .groupBy("v")
+        .agg(F.sum("delta").cast("long").alias("bc_scaled"))
+        .filter(F.col("bc_scaled") > 0)
+        .select(F.col("v").alias("id"), "bc_scaled")
+    )
 
 
 def pagerank_weighted_scaled(

@@ -8028,6 +8028,106 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("k").cast("long").alias("k"), "proj")
 
 
+K_CENTER = 8  # coreset size; the oracle unrolls K_CENTER - 1 rounds
+
+
+def _kcenter_dist_sql(x: str, c: str) -> str:
+    """Scaled-integer cosine distance (1 − cos)·10⁶ — comparisons and
+    ties are integer-exact across engines; the cosine itself is the
+    shared left-fold dot (bit-identical IEEE)."""
+    return (
+        f"1000000 - CAST(round(({_duck_dot(x, c)}"
+        f" / (sqrt({_duck_dot(x, x)}) * sqrt({_duck_dot(c, c)})))"
+        " * 1000000) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle(k: int = K_CENTER) -> str:
+    """The greedy farthest-point chain unrolled: round r picks the max
+    min-distance point (ties: low vec_id), then folds its distance into
+    the running minimum."""
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+        "c1 AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0)",
+        f"""m1 AS (SELECT e.vec_id,
+               {_kcenter_dist_sql('e.embedding', 'c1.embedding')} AS d
+             FROM e, c1)""",
+    ]
+    sel = [
+        "SELECT 1::BIGINT AS rank, (SELECT vec_id FROM c1) AS vec_id,"
+        " NULL::BIGINT AS radius_ppm"
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"p{r} AS (SELECT vec_id, d FROM m{r - 1}"
+            " ORDER BY d DESC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT e.vec_id, e.embedding FROM e"
+            f" JOIN p{r} USING (vec_id))"
+        )
+        if r < k:
+            parts.append(
+                f"""m{r} AS (SELECT e.vec_id,
+               least(m{r - 1}.d,
+                     {_kcenter_dist_sql('e.embedding', f'c{r}.embedding')}) AS d
+             FROM e JOIN m{r - 1} USING (vec_id), c{r})"""
+            )
+        sel.append(
+            f"SELECT {r}::BIGINT, (SELECT vec_id FROM p{r}),"
+            f" (SELECT d FROM p{r})"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
+@register("embed_kcenter_coreset", oracle=_kcenter_oracle())
+def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY k-CENTER CORESET — farthest-point sampling (Gonzalez'
+    2-approximation), the diversity-selection step of training-data
+    curation: pick {K_CENTER} maximally-spread exemplars so a capped
+    training budget covers the embedding space instead of oversampling
+    its dense modes (coreset selection / active-learning seeding).
+    Returns (rank, vec_id, radius_ppm): radius_ppm is the selected
+    point's min scaled cosine distance to the prior set — the running
+    covering radius, so the output doubles as a coverage report.
+
+    Engine-exact: distances are (1 − cosine)·10⁶ BIGINTs (left-fold
+    dot, round on both sides), argmax ties break on vec_id; the oracle
+    unrolls the full greedy chain. Scale posture: each round is ONE
+    map-side projection over the corpus (distance to the newly picked
+    center folded into the running min via F.least — the center rides
+    as 64 literals, no join, no shuffle) plus a 1-row TakeOrdered
+    argmax; k rounds total, lineage cut per round. The selected-set
+    state never exceeds k × dim driver floats — the same bounded-model
+    contract as _lloyd_rows."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def dist_to(cv):
+        c = F.array(*[F.lit(float(x)) for x in cv])
+        cos = _dot(F.col("v"), c) / (
+            F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(c, c))
+        )
+        return F.lit(1000000).cast("long") - F.round(
+            cos * 1000000, 0
+        ).cast("long")
+
+    seed = emb.filter(F.col("vec_id") == 0).select("v").collect()[0].v
+    cur = emb.select("vec_id", "v", dist_to(seed).alias("d")).localCheckpoint()
+    selected = [(1, 0, None)]
+    for r in range(2, K_CENTER + 1):
+        pick = cur.orderBy(F.desc("d"), F.asc("vec_id")).limit(1).collect()[0]
+        selected.append((r, int(pick.vec_id), int(pick.d)))
+        if r < K_CENTER:
+            cur = cur.select(
+                "vec_id", "v", F.least(F.col("d"), dist_to(pick.v)).alias("d")
+            ).localCheckpoint()
+    return spark.createDataFrame(
+        selected, "rank bigint, vec_id bigint, radius_ppm bigint"
+    )
+
+
 SQ8_SHORTLIST = 50  # ADC shortlist depth before the exact re-rank
 
 
@@ -10429,6 +10529,70 @@ def search_percolate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") == F.col("n"))
         .select("query_id", "doc_id")
     )
+
+
+@register("stream_percolate", oracle=REGISTRY["search_percolate"].oracle)
+def stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PERCOLATION — the alerting loop run live, realizing
+    what search_percolate's docstring promises ("the same plan serves
+    streaming percolation"): documents arrive as a stream and every
+    micro-batch is matched against the standing registry with a PURE
+    PER-ROW conjunction check — the registry rides as a broadcast
+    literal array of (query_id, terms) structs and a doc matches query
+    q iff every term is in its token set (array_forall over the row's
+    own tokens). No streaming aggregation, no watermark, no state:
+    alerting stays viable at any stream rate because memory never
+    accumulates — the same bounded-memory property as
+    stream_incremental_dedup. Emits (query_id, doc_id) per match,
+    bit-identical to the batch percolation over the same corpus, so it
+    registers with search_percolate's oracle verbatim. At registry
+    scale the guard-term pruning of search_percolate_bucketed applies
+    unchanged per micro-batch (candidates first, conjunction second)."""
+    import uuid as _uuid
+
+    static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    reg = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.array(*[F.lit(t) for t in terms]).alias("terms"),
+            )
+            for qid, terms in _PERCOLATE_QUERIES
+        ]
+    )
+    toks = stream.select(
+        "doc_id", F.array_distinct(_TOKENS_FN()).alias("ts")
+    )
+    hits = toks.select(
+        F.explode(
+            F.filter(
+                reg,
+                lambda q: F.forall(
+                    q["terms"],
+                    lambda t: F.array_contains(F.col("ts"), t),
+                ),
+            )
+        ).alias("q"),
+        "doc_id",
+    ).select(F.col("q.query_id").alias("query_id"), "doc_id")
+
+    name = f"percolate_{_uuid.uuid4().hex[:8]}"
+    q = (
+        hits.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
 
 
 # documents forgotten by the BM25 retraction demo (restricted to indexed

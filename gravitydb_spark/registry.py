@@ -67,6 +67,7 @@ PLAN_EXEMPT: dict[str, str] = {
     "bpe_train_merges": "oracle-e2e (unrolled merge chain); result is a bounded driver literal like bpe_sampled_apply",
     "bpe_sampled_apply": "result is a driver literal: test_plans.py::test_bpe_sampled_apply_result_is_driver_literal",
     "embed_top_direction": "oracle-e2e (distributed Gram + unrolled power iteration, hash-checked); collect is 64x64",
+    "embed_kcenter_coreset": "oracle-e2e (unrolled greedy farthest-point chain); result is a k-row driver literal",
     # Structured Streaming demos (watermarked aggs / stream-static joins;
     # per-batch plans are bounded by construction, state by watermark)
     "stream_hourly_rollup": "oracle-e2e (streaming rollup ≡ batch GROUP BY, hash-checked); watermark state bounded by construction",
@@ -90,6 +91,7 @@ PLAN_EXEMPT: dict[str, str] = {
     "stream_join_retractions": "signed join-side folds: test_ivm_replay.py; bytes: test_store_compaction_bytes.py",
     "stream_kmeans_upkeep": "sufficient-stats store: test_store_compaction_bytes.py",
     "stream_audio_meta": "oracle-e2e; the WAV chunk-walk kernel itself: test_multimodal.py (batch path, same function)",
+    "stream_percolate": "oracle-e2e (stateless per-row conjunction ≡ batch percolation, SHARED oracle string)",
 }
 
 
