@@ -6924,7 +6924,9 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
             )
             admitted.write.mode("overwrite").parquet(bdir)
             store.compact(spark, min_deltas=3, transform=fold)
-            keymap.compact(spark, min_deltas=3)
+            # keymap rows are inert membership facts — fold once near
+            # the end of the demo window instead of per-batch
+            keymap.compact(spark, min_deltas=4)
 
         stream = (
             spark.readStream.schema(
