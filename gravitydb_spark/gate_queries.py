@@ -693,6 +693,17 @@ _compound(
             "sketch_countmin_heavyhitters",
             {"k": "token", "n1": "n_exact", "n2": "cm_estimate"},
         ),
+        (
+            "hll_distinct",
+            "sketch_hll_distinct",
+            {"k": "event_type", "n1": "n_exact", "n2": "hll_estimate"},
+        ),
+        (
+            "hll_rollup",
+            "sketch_hll_rollup",
+            # merged == direct by register-max associativity
+            {"k": "CAST(day AS STRING)", "n1": "n_exact", "n2": "hll_merged"},
+        ),
     ],
     "Gate family for corpus statistics: KMV distinct-count sketch vs exact,"
     " the corpus vocabulary top-k, BPE merge-candidate pair counting"

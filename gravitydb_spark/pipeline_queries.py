@@ -650,6 +650,231 @@ def sketch_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HyperLogLog with EXACT integer arithmetic — the register algebra
+# (index / rank extraction, per-register max, the harmonic-mean
+# estimator) is all BIGINT, so unlike library HLLs two engines agree
+# bit-for-bit. 64 registers (rsd ≈ 1.04/√64 = 13% — the n_exact column
+# exposes the realized error), 30 rank bits from a 60-bit md5 prefix,
+# α₆₄ as a fixed rational (any shared rational is engine-exact).
+HLL_M = 64
+HLL_W = 30
+HLL_A_NUM, HLL_A_DEN = 709340, 10**6  # α₆₄ = 0.7213/(1 + 1.079/64) @6dp
+_HLL_NUMER = HLL_A_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))  # < 2^63
+# small-range linear counting E = m·ln(m/V) (V = empty registers),
+# precomputed as a 64-entry INTEGER table at module load — ln() never
+# runs inside either engine, so the correction stays bit-portable
+_HLL_LC = [266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107, 102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53, 51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23, 21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0]
+_HLL_LC_THRESH = 160  # apply linear counting when raw E <= 5m/2
+_HLL_H60 = "('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT"
+_HLL_RHO = f"CASE WHEN w = 0 THEN {HLL_W + 1} ELSE {HLL_W + 1} - length(bin(w)) END"
+
+
+def _duck_hll_regs(group: str) -> str:
+    """Registers + integer denominator per ``group`` expression (the
+    CTEs expect an `hv` relation with columns (grp, h))."""
+    return f"""r AS (
+      SELECT grp, h % {HLL_M} AS j, (h // {HLL_M}) % {1 << HLL_W} AS w
+      FROM hv),
+    regs AS (
+      SELECT grp, j, max({_HLL_RHO}) AS m FROM r GROUP BY 1, 2),
+    den AS (
+      SELECT grp,
+             (sum(1::BIGINT << ({HLL_W + 1} - m))
+              + ({HLL_M} - count(*)) * {1 << (HLL_W + 1)})::BIGINT AS denom,
+             ({HLL_M} - count(*))::BIGINT AS zeros
+      FROM regs GROUP BY 1)"""
+
+
+def _duck_hll_est(denom: str, zeros: str) -> str:
+    raw = f"({_HLL_NUMER} // ({HLL_A_DEN} * {denom}))"
+    lc = "[" + ", ".join(str(x) for x in _HLL_LC) + "]"
+    return (
+        f"(CASE WHEN {raw} <= {_HLL_LC_THRESH} AND {zeros} > 0"
+        f" THEN ({lc})[{zeros}] ELSE {raw} END)::BIGINT"
+    )
+
+
+def _spark_hll_est(denom: str, zeros: str):
+    raw = f"{_HLL_NUMER}L DIV ({HLL_A_DEN}L * {denom})"
+    lc = ", ".join(str(x) + "L" for x in _HLL_LC)
+    return F.expr(
+        f"CASE WHEN ({raw}) <= {_HLL_LC_THRESH} AND {zeros} > 0"
+        f" THEN element_at(array({lc}), cast({zeros} as int))"
+        f" ELSE {raw} END"
+    ).cast("long")
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH hv AS (
+      SELECT event_type AS grp, {_HLL_H60} AS h FROM events),
+    {_duck_hll_regs("event_type")},
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events GROUP BY 1)
+    SELECT e.event_type, n_exact,
+           {_duck_hll_est('denom', 'zeros')} AS hll_estimate
+    FROM exact e JOIN den ON den.grp = e.event_type
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERLOGLOG distinct-count sketch with EXACT register arithmetic
+    — the other classic cardinality sketch beside KMV, here made
+    engine-portable: register index j = h % {HLL_M}, rank ρ =
+    {HLL_W + 1} − bitlen of the next {HLL_W} hash bits (``bin()``
+    string length — verified identical in Spark and DuckDB), register =
+    max(ρ), estimate = α·m²/Σ2^−M as one BIGINT division (empty
+    registers contribute 2^0 via the (m − present) term — no register
+    fill-in join needed). The practical contrast with KMV: HLL needs NO
+    DISTINCT and no per-group top-k window — registers are a plain
+    (group, j) max aggregation, fully map-side combinable, which is why
+    HLL is the streaming/sharded default at 100 TB (fixed 64·6 bits of
+    state per group vs KMV's k hashes). n_exact alongside exposes the
+    realized error (m = 64 → rsd ≈ 13%). The standard small-range
+    correction (linear counting E = m·ln(m/V) when raw E ≤ 5m/2 and
+    empty registers exist) IS applied — with ln() evaluated ONCE at
+    module load into a 64-entry integer table shared by both engines,
+    so the correction is bit-portable without trusting either engine's
+    libm."""
+    from .relational_queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    hv = ev.select(
+        F.col("event_type").alias("grp"),
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
+    )
+    regs = (
+        hv.select(
+            "grp",
+            F.expr(f"h % {HLL_M}").alias("j"),
+            F.expr(f"(h DIV {HLL_M}) % {1 << HLL_W}").alias("w"),
+        )
+        .select("grp", "j", F.expr(_HLL_RHO).alias("rho"))
+        .groupBy("grp", "j")
+        .agg(F.max("rho").alias("m"))
+    )
+    den = regs.groupBy("grp").agg(
+        (
+            F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - m)"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << (HLL_W + 1))
+        )
+        .cast("long")
+        .alias("denom"),
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("zeros"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(den, exact.event_type == den.grp).select(
+        "event_type",
+        "n_exact",
+        _spark_hll_est("denom", "zeros").alias("hll_estimate"),
+    )
+
+
+@register(
+    "sketch_hll_rollup",
+    oracle=f"""
+    WITH base AS (
+      SELECT epoch_ns(ts) // {10**9} // 86400 AS day,
+             (epoch_ns(ts) // {10**9} % 86400) // 3600 AS hour,
+             {_HLL_H60} AS h
+      FROM events),
+    hr AS (
+      SELECT day, hour, h % {HLL_M} AS j,
+             (h // {HLL_M}) % {1 << HLL_W} AS w
+      FROM base),
+    hourly AS (
+      SELECT day, hour, j, max({_HLL_RHO}) AS m FROM hr GROUP BY 1, 2, 3),
+    mregs AS (
+      SELECT day, j, max(m) AS m FROM hourly GROUP BY 1, 2),
+    dregs AS (
+      SELECT day, j, max({_HLL_RHO}) AS m FROM hr GROUP BY 1, 2),
+    mden AS (
+      SELECT day, (sum(1::BIGINT << ({HLL_W + 1} - m))
+                   + ({HLL_M} - count(*)) * {1 << (HLL_W + 1)})::BIGINT
+               AS denom,
+             ({HLL_M} - count(*))::BIGINT AS zeros
+      FROM mregs GROUP BY 1),
+    dden AS (
+      SELECT day, (sum(1::BIGINT << ({HLL_W + 1} - m))
+                   + ({HLL_M} - count(*)) * {1 << (HLL_W + 1)})::BIGINT
+               AS denom,
+             ({HLL_M} - count(*))::BIGINT AS zeros
+      FROM dregs GROUP BY 1),
+    exact AS (
+      SELECT epoch_ns(ts) // {10**9} // 86400 AS day,
+             count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events GROUP BY 1)
+    SELECT e.day::BIGINT AS day, n_exact,
+           {_duck_hll_est('d.denom', 'd.zeros')} AS hll_direct,
+           {_duck_hll_est('m.denom', 'm.zeros')} AS hll_merged
+    FROM exact e JOIN dden d USING (day) JOIN mden m USING (day)
+    """,
+)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SKETCH ROLLUP — register-level mergeability gate-checked the
+    same way sketch_kmv_rollup is: per-(day, hour) register vectors are
+    merged to daily by ELEMENT-WISE MAX, alongside the directly-built
+    daily registers, and the two are equal BY CONSTRUCTION (max is
+    associative/commutative — THE property that lets a hypertable keep
+    per-hour HLL columns and answer any coarser distinct-count by
+    merging 64-byte sketch rows, never rescanning events). Merge input
+    is ≤ 24·{HLL_M} rows/day; the oracle replays both paths and the
+    hash-match proves hll_direct == hll_merged end to end."""
+    from .relational_queries import load_events
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        F.expr(f"ts DIV {10**9} DIV 86400").alias("day"),
+        F.expr(f"(ts DIV {10**9} % 86400) DIV 3600").alias("hour"),
+        F.expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
+    ).select(
+        "day",
+        "hour",
+        F.expr(f"h % {HLL_M}").alias("j"),
+        F.expr(f"(h DIV {HLL_M}) % {1 << HLL_W}").alias("w"),
+    ).select("day", "hour", "j", F.expr(_HLL_RHO).alias("rho"))
+    hourly = base.groupBy("day", "hour", "j").agg(F.max("rho").alias("m"))
+    mregs = hourly.groupBy("day", "j").agg(F.max("m").alias("m"))
+    dregs = base.groupBy("day", "j").agg(F.max("rho").alias("m"))
+
+    def _den(df):
+        return df.groupBy("day").agg(
+            (
+                F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - m)"))
+                + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << (HLL_W + 1))
+            )
+            .cast("long")
+            .alias("denom"),
+            (F.lit(HLL_M) - F.count("*")).cast("long").alias("zeros"),
+        )
+
+    exact = ev.groupBy(
+        F.expr(f"ts DIV {10**9} DIV 86400").alias("day")
+    ).agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    est = lambda pfx: _spark_hll_est(  # noqa: E731
+        f"{pfx}.denom", f"{pfx}.zeros"
+    )
+    return (
+        exact.join(_den(dregs).alias("d"), "day")
+        .join(_den(mregs).alias("m"), "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_exact",
+            est("d").alias("hll_direct"),
+            est("m").alias("hll_merged"),
+        )
+    )
+
+
 QUANTILE_PCTS = (10, 50, 90, 99)
 
 
