@@ -182,6 +182,9 @@ HEADLINE = [
     "search_percolate_bucketed",
     "ann_recall_eval_clustered",
     "ann_matryoshka_eval_clustered",
+    "g_betweenness_sampled",
+    "embed_kcenter_coreset",
+    "sketch_hll_rollup",
 ]
 
 
