@@ -2704,12 +2704,42 @@ N_PLANES = 8
 # first-K sampled subvectors, argmin tie-break on code id, centroid
 # update floor(sum/count): every step engine-exact, so the DuckDB
 # oracle replays training as an unrolled CTE chain. Training runs on a
-# deterministic 1/PQ_TRAIN_MOD corpus sample (vec_id % MOD = 0) -- the
-# standard PQ practice (codebooks are trained on a sample, applied to
-# everything), mirrored identically in the oracle.
+# deterministic strided corpus sample (vec_id % tmod = 0, tmod derived
+# from the corpus count — see below) -- the standard PQ practice
+# (codebooks are trained on a sample, applied to everything), mirrored
+# identically in the oracle via the tprm CTE.
 PQ_M, PQ_SUB, PQ_CODES, PQ_ITERS = 8, 8, 16, 2
-PQ_TRAIN_MOD = 4
+# Training-sample stride: DERIVED from the corpus at train time (r9 —
+# the same depth-scaling discipline as _ivf_params' cell count): a
+# FIXED stride trains on a constant fraction of the corpus, which at
+# 100 TB means running Lloyd over billions of vectors; the scale-safe
+# shape is a CAPPED sample, tmod = max(4, n // 16384) -> sample size
+# ~ min(n/4, ~16k vectors) (FAISS-style per-centroid training budget:
+# 16k points for <= a few hundred centroids). At every test SF the
+# derived stride equals the old fixed 4, so results are unchanged.
+PQ_TRAIN_MOD_MIN = 4
+PQ_TRAIN_CAP = 16_384
 PQ_SCALE_INT = 100_000  # float -> scaled BIGINT (same trick as KMEANS_SCALE)
+
+
+def _pq_train_mod_n(n: int) -> int:
+    return max(PQ_TRAIN_MOD_MIN, n // PQ_TRAIN_CAP)
+
+
+_emb_count_memo: dict = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _emb_count_memo:
+        _emb_count_memo[key] = load(spark, sf_dir, "embeddings").count()
+    return _emb_count_memo[key]
+
+
+_DUCK_TPRM = (
+    f"tprm AS (SELECT GREATEST({PQ_TRAIN_MOD_MIN}, "
+    f"count(*) // {PQ_TRAIN_CAP}) AS tmod FROM embeddings)"
+)
 
 
 def _duck_pq_ctes() -> str:
@@ -2720,13 +2750,15 @@ def _duck_pq_ctes() -> str:
     is the FULL exploded corpus (assignment + LUT read it); ``pct`` is
     the sampled training subset."""
     parts = [
-        f"""pex AS MATERIALIZED (
+        f"""{_DUCK_TPRM},
+    pex AS MATERIALIZED (
       SELECT vec_id, (u.i - 1) // {PQ_SUB} AS m, ((u.i - 1) % {PQ_SUB}) + 1 AS i,
              CAST(round(embedding[u.i]::DOUBLE * {PQ_SCALE_INT}) AS BIGINT) AS x
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
-    pct AS MATERIALIZED (SELECT * FROM pex WHERE vec_id % {PQ_TRAIN_MOD} = 0),
+    pct AS MATERIALIZED (
+      SELECT * FROM pex WHERE vec_id % (SELECT tmod FROM tprm) = 0),
     pc0 AS (SELECT m, vec_id AS cl, i, x AS cx FROM pct
-            WHERE vec_id < {PQ_CODES * PQ_TRAIN_MOD})"""
+            WHERE vec_id < {PQ_CODES} * (SELECT tmod FROM tprm))"""
     ]
     prev = "pc0"
     for it in range(PQ_ITERS):
@@ -2810,7 +2842,7 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict:
     ints: ``{m: [(cl, {i: cx}), ...sorted by cl]}`` -- M*K*SUB <= 1024
     scaled BIGINTs, the same bounded-collect pattern as
     embed_quantize_int8's min/max. This is the OFFLINE step of PQ: it
-    trains on the deterministic 1/{PQ_TRAIN_MOD} sample (at 100 TB a
+    trains on the deterministic capped strided sample (at 100 TB a
     sample is how codebooks are always trained) and its output is a
     broadcast-sized artifact, memoized per (session, sf_dir) like
     tpch_graph. The per-row assignment and scoring it feeds stay pure
@@ -2820,7 +2852,9 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict:
         return _pq_book_memo[key]
     ex = (
         load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+        .filter(
+            F.col("vec_id") % _pq_train_mod_n(_emb_count(spark, sf_dir)) == 0
+        )
         .select("vec_id", F.posexplode(F.col("embedding")).alias("p", "xf"))
         .select(
             "vec_id",
@@ -2834,7 +2868,10 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict:
     )
     try:
         rows = _lloyd_rows(
-            ex, PQ_CODES * PQ_TRAIN_MOD, PQ_ITERS, per_subspace=True
+            ex,
+            PQ_CODES * _pq_train_mod_n(_emb_count(spark, sf_dir)),
+            PQ_ITERS,
+            per_subspace=True,
         )
     finally:
         ex.unpersist()
@@ -3699,7 +3736,8 @@ def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantizes them finer than raw vectors (measured ADC-only recall probe
 # in SCALE.md §4h).
 IVF_ITERS = 2  # coarse Lloyd iterations (engine-exact, oracle-unrolled)
-IVF_TRAIN_MOD = PQ_TRAIN_MOD  # one deterministic sample for both stages
+# IVF coarse training and residual-PQ training share the derived
+# sample stride (_pq_train_mod_n) — one deterministic sample, capped
 
 _ivfpq_model_memo: dict = {}
 
@@ -3711,7 +3749,7 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
     - ``cents``: the TRAINED coarse quantizer — cells = max(16,
       floor(sqrt(n))) full-vector centroids (depth-scaled via
       _ivf_params) from {IVF_ITERS} scaled-BIGINT Lloyd iterations over the
-      deterministic 1/{IVF_TRAIN_MOD} sample (init = first-K sample
+      deterministic capped strided sample (init = first-K sample
       vectors), as ``[(cl, {(m, i): cx})...]`` sorted by cl;
     - ``book``: the residual-PQ codebook — the SAME per-subspace Lloyd
       as :func:`_pq_codebook`, but trained on x − centroid(cell(x)) of
@@ -3725,7 +3763,9 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
         return _ivfpq_model_memo[key]
     ex = (
         load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % IVF_TRAIN_MOD == 0)
+        .filter(
+            F.col("vec_id") % _pq_train_mod_n(_emb_count(spark, sf_dir)) == 0
+        )
         .select("vec_id", F.posexplode(F.col("embedding")).alias("p", "xf"))
         .select(
             "vec_id",
@@ -3739,8 +3779,9 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
     )
     try:
         cells, _, _ = _ivf_params(spark, sf_dir)
+        tmod = _pq_train_mod_n(_emb_count(spark, sf_dir))
         crows = _lloyd_rows(
-            ex, cells * IVF_TRAIN_MOD, IVF_ITERS, per_subspace=False
+            ex, cells * tmod, IVF_ITERS, per_subspace=False
         )
         centdf = spark.createDataFrame(
             [(r["m"], r["cl"], r["i"], r["cx"]) for r in crows],
@@ -3782,7 +3823,7 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
         )
         try:
             rrows = _lloyd_rows(
-                rex, PQ_CODES * PQ_TRAIN_MOD, PQ_ITERS, per_subspace=True
+                rex, PQ_CODES * tmod, PQ_ITERS, per_subspace=True
             )
         finally:
             rex.unpersist()
@@ -3906,13 +3947,15 @@ def _duck_ivfpq_ctes() -> str:
     with the dot(q, centroid) term."""
     parts = [
         f"""{_DUCK_IVF_PRM},
+    {_DUCK_TPRM},
     pex AS MATERIALIZED (
       SELECT vec_id, (u.i - 1) // {PQ_SUB} AS m, ((u.i - 1) % {PQ_SUB}) + 1 AS i,
              CAST(round(embedding[u.i]::DOUBLE * {PQ_SCALE_INT}) AS BIGINT) AS x
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
-    pct AS MATERIALIZED (SELECT * FROM pex WHERE vec_id % {IVF_TRAIN_MOD} = 0),
+    pct AS MATERIALIZED (
+      SELECT * FROM pex WHERE vec_id % (SELECT tmod FROM tprm) = 0),
     ic0 AS (SELECT vec_id AS cl, m, i, x AS cx FROM pct
-            WHERE vec_id < (SELECT cells FROM iprm) * {IVF_TRAIN_MOD})"""
+            WHERE vec_id < (SELECT cells FROM iprm) * (SELECT tmod FROM tprm))"""
     ]
     prev = "ic0"
     for it in range(IVF_ITERS):
@@ -3945,9 +3988,10 @@ def _duck_ivfpq_ctes() -> str:
       FROM pex p
       JOIN iassign a ON a.vec_id = p.vec_id
       JOIN ivcb c ON c.cl = a.cell AND c.m = p.m AND c.i = p.i),
-    rct AS MATERIALIZED (SELECT * FROM rex WHERE vec_id % {PQ_TRAIN_MOD} = 0),
+    rct AS MATERIALIZED (
+      SELECT * FROM rex WHERE vec_id % (SELECT tmod FROM tprm) = 0),
     rc0 AS (SELECT m, vec_id AS cl, i, x AS cx FROM rct
-            WHERE vec_id < {PQ_CODES * PQ_TRAIN_MOD})"""
+            WHERE vec_id < {PQ_CODES} * (SELECT tmod FROM tprm))"""
     )
     prev = "rc0"
     for it in range(PQ_ITERS):
