@@ -6572,7 +6572,32 @@ _UPKEEP_BATCHES = 3
 # hash-bucket fanout of the band-key index's partition layout: small
 # enough that tiny probes still enumerate ≤32 partition values, large
 # enough that a trigger-sized batch prunes most of a corpus-sized index
-_UPKEEP_BKB = 32
+_UPKEEP_BKB = 32  # fanout FLOOR; actual fanout derived per corpus
+
+
+_docs_count_memo: dict = {}
+
+
+def _docs_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _docs_count_memo:
+        _docs_count_memo[key] = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        )
+    return _docs_count_memo[key]
+
+
+def _state_fanout(n_keys: int, base: int) -> int:
+    """Partition fanout for the per-invocation DatasetStores, DERIVED
+    from the indexed key population instead of fixed (r9 — the layout
+    sibling of _ivf_cells: a fixed fanout caps partition pruning at
+    base× and lets per-partition bytes grow linearly with the corpus).
+    Targets ~1M keys per partition, floored at ``base`` (so every test
+    SF keeps its current layout) and capped at 64k directories. Probes
+    are unaffected structurally: they enumerate the BATCH's bucket ids
+    (batch-sized collect) at any fanout, and writer + prober derive the
+    same number within an invocation."""
+    return max(base, min(65536, n_keys // 1_000_000))
 
 
 def _upkeep_oracle() -> str:
@@ -6700,7 +6725,10 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ", ".join(f"{b}, bk{b}" for b in range(LSH_BANDS))
             + ") AS (band, bk)"
         )
-        bkb = F.pmod(F.xxhash64("bk"), F.lit(_UPKEEP_BKB)).alias("bkb")
+        nbkb = _state_fanout(
+            _docs_count(spark, sf_dir) * LSH_BANDS, _UPKEEP_BKB
+        )
+        bkb = F.pmod(F.xxhash64("bk"), F.lit(nbkb)).alias("bkb")
         store = DatasetStore(os.path.join(work, "index"), partition_cols=("bkb",))
         store.append(
             _row_band_keys(docs.filter("doc_id % 2 = 0"))
@@ -6904,7 +6932,10 @@ def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ", ".join(f"{b}, bk{b}" for b in range(LSH_BANDS))
             + ") AS (band, bk)"
         )
-        bkb = F.pmod(F.xxhash64("bk"), F.lit(_UPKEEP_BKB)).alias("bkb")
+        nbkb = _state_fanout(
+            _docs_count(spark, sf_dir) * LSH_BANDS, _UPKEEP_BKB
+        )
+        bkb = F.pmod(F.xxhash64("bk"), F.lit(nbkb)).alias("bkb")
         store = DatasetStore(
             os.path.join(work, "index"), partition_cols=("bkb",)
         )
@@ -7087,8 +7118,14 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
             + ", ".join(f"{b}, bk{b}" for b in range(LSH_BANDS))
             + ") AS (band, bk)"
         )
-        bkb = F.pmod(F.xxhash64("bk"), F.lit(_UPKEEP_BKB)).alias("bkb")
-        kb = F.pmod(F.xxhash64("doc_id"), F.lit(_KEYMAP_KB)).alias("kb")
+        nbkb = _state_fanout(
+            _docs_count(spark, sf_dir) * LSH_BANDS, _UPKEEP_BKB
+        )
+        bkb = F.pmod(F.xxhash64("bk"), F.lit(nbkb)).alias("bkb")
+        kb = F.pmod(
+            F.xxhash64("doc_id"),
+            F.lit(_state_fanout(_docs_count(spark, sf_dir), _KEYMAP_KB)),
+        ).alias("kb")
         store = DatasetStore(
             os.path.join(work, "index"), partition_cols=("bkb",)
         )
@@ -10542,7 +10579,13 @@ def stream_bm25_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cstats = DatasetStore(os.path.join(work, "cstats"))
 
         def tbucket(col):
-            return F.pmod(F.xxhash64(col), F.lit(_BM25_IDX_BUCKETS)).cast("int")
+            return F.pmod(
+                F.xxhash64(col),
+                # postings keys ~ docs x ~100 tokens (nominal)
+                F.lit(_state_fanout(
+                    _docs_count(spark, sf_dir) * 100, _BM25_IDX_BUCKETS
+                )),
+            ).cast("int")
 
         def fold_stats(df):
             return df.groupBy().agg(
@@ -10933,7 +10976,13 @@ def stream_bm25_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         cstats = DatasetStore(os.path.join(work, "cstats"))
 
         def tbucket(col):
-            return F.pmod(F.xxhash64(col), F.lit(_BM25_IDX_BUCKETS)).cast("int")
+            return F.pmod(
+                F.xxhash64(col),
+                # postings keys ~ docs x ~100 tokens (nominal)
+                F.lit(_state_fanout(
+                    _docs_count(spark, sf_dir) * 100, _BM25_IDX_BUCKETS
+                )),
+            ).cast("int")
 
         def fold_posts(df):
             return (
