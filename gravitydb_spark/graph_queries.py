@@ -1650,8 +1650,10 @@ def g_cc_retractions(spark, sf_dir):
     import tempfile
     import uuid as _uuid
 
-    nb = _CC_MERGE_BUCKETS
     g = tpch_graph(spark, sf_dir)
+    # label/edge-log/forest fanout derived from graph size (floored at
+    # the demo constant — the same layout-scaling rule as _state_fanout)
+    nb = max(_CC_MERGE_BUCKETS, min(65536, g.edges.count() // 1_000_000))
     work = tempfile.mkdtemp(prefix="gravityspark_gccr_")
     try:
         stage = os.path.join(work, "stage")
@@ -2790,7 +2792,13 @@ def g_triangles_retractions(spark, sf_dir):
             shutil.rmtree(tmp)
         staged_schema = batches[0].schema
 
-        vb = F.pmod(F.xxhash64(F.col("v")), F.lit(_TRI_KB)).cast("int")
+        n_cust = customer.count()
+        vb = F.pmod(
+            # adjacency keys ~ 2x customer-region/nation edges; floor
+            # keeps the demo layout, depth derives more buckets
+            F.xxhash64(F.col("v")),
+            F.lit(max(_TRI_KB, min(65536, n_cust // 500_000))),
+        ).cast("int")
         adj = DatasetStore(os.path.join(work, "adj"), partition_cols=("vb",))
         view = DatasetStore(os.path.join(work, "view"))
 

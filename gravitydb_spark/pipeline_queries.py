@@ -10045,7 +10045,7 @@ def stream_rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-_SJM_KB = 16  # join-key hash buckets for the two state stores
+_SJM_KB = 16  # join-key fanout FLOOR (actual derived via _state_fanout)
 
 
 @register(
@@ -10131,7 +10131,11 @@ def stream_join_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
         staged_schema = batches[0].schema
 
-        kb = F.pmod(F.xxhash64(F.col("okey")), F.lit(_SJM_KB)).cast("int")
+        n_orders = load(spark, sf_dir, "orders").count()
+        kb = F.pmod(
+            F.xxhash64(F.col("okey")),
+            F.lit(_state_fanout(n_orders, _SJM_KB)),
+        ).cast("int")
         o_store = DatasetStore(os.path.join(work, "o"), partition_cols=("kb",))
         l_store = DatasetStore(os.path.join(work, "l"), partition_cols=("kb",))
         view = DatasetStore(os.path.join(work, "view"))
@@ -10309,7 +10313,11 @@ def stream_join_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
         staged_schema = batches[0].schema
 
-        kb = F.pmod(F.xxhash64(F.col("okey")), F.lit(_SJM_KB)).cast("int")
+        n_orders = load(spark, sf_dir, "orders").count()
+        kb = F.pmod(
+            F.xxhash64(F.col("okey")),
+            F.lit(_state_fanout(n_orders, _SJM_KB)),
+        ).cast("int")
         o_store = DatasetStore(os.path.join(work, "o"), partition_cols=("kb",))
         l_store = DatasetStore(os.path.join(work, "l"), partition_cols=("kb",))
         view = DatasetStore(os.path.join(work, "view"))
