@@ -43,9 +43,11 @@ block constructs a full Lua host runs: numeric ``for`` (inclusive
 bounds, ±step), ``for i,x in ipairs(t)``, ``while``, ``if/elseif/
 else``, ``function``/``return``/``break``, bare ``do`` blocks, the
 one-line ``… do BODY end`` / ``… then BODY end`` sugar, ``~=``, the
-``#x`` length operator, and ``repeat/until`` (post-tested, body scope
-visible to the condition). ``goto`` is rejected with a porting
-pointer, as is any block statement outside those forms. The
+``#x`` length operator, ``repeat/until`` (post-tested, body scope
+visible to the condition), and ``goto`` in its structured continue
+idiom (::label:: ending a for/while body). Arbitrary ``goto`` is
+rejected with a porting pointer, as is any block statement outside
+those forms. The
 line-at-a-time REPL keeps the expression subset only (blocks belong in
 scripts).
 
@@ -200,9 +202,111 @@ def transliterate(code: str) -> str:
     return "".join(seg for _, seg in _rewrite_braces(rewritten))
 
 
-# block-structured Lua constructs transliterate_program CAN handle;
-# goto stays rejected (no structured Python analog — port by hand)
-_PROGRAM_FORBIDDEN = ("goto",)
+# block-structured Lua constructs transliterate_program CAN handle.
+# ``goto`` is supported in its one structured idiom — the Lua
+# "continue" pattern (a ::label:: as the LAST statement of a for/while
+# body, jumped to from inside that same body) — and rejected otherwise
+# (arbitrary goto has no structured Python analog; repeat/until is
+# excluded because the translation's exit test lives after the body, so
+# a bare `continue` would skip it).
+_PROGRAM_FORBIDDEN = ()
+
+_LABEL = re.compile(r"^::(\w+)::$")
+_GOTO = re.compile(r"^goto\s+(\w+)$")
+_LOOP_OPEN = re.compile(r"^(?:for\b.+\bdo|while\b.+\bdo|repeat)$")
+_BLOCK_OPEN = re.compile(
+    r"^(?:if\b.+\bthen|do|(?:local\s+)?function\b.*)$"
+)
+
+
+def _resolve_gotos(lines: list) -> list:
+    """Convert the goto-as-continue idiom to ``continue`` statements and
+    drop the labels; reject every other goto/label shape with a porting
+    pointer. Walks the (already inline-expanded) Lua line list with a
+    block stack: each goto registers on its nearest enclosing LOOP; when
+    a loop closes, a ::label:: immediately before its `end` resolves the
+    loop's registered gotos of that name."""
+    stack: list = []  # (kind, gotos: list[(name, line_idx)])
+    pending_label = None  # (name, line_idx) seen, awaiting the loop close
+    drop: set = set()
+    make_continue: set = set()
+    for idx, line in enumerate(lines):
+        if pending_label is not None and not (
+            line == "end" or _UNTIL.match(line)
+        ):
+            raise LuaShimError(
+                f"Lua label '::{pending_label[0]}::' is not the last"
+                " statement of a loop body; only the goto-as-continue"
+                " idiom is in the shim subset — port other gotos by hand"
+            )
+        m = _LABEL.match(line)
+        if m:
+            if not any(k in ("for", "while", "repeat") for k, _ in stack):
+                raise LuaShimError(
+                    "Lua label outside any loop is outside the shim"
+                    " subset (goto-as-continue only)"
+                )
+            pending_label = (m.group(1), idx)
+            drop.add(idx)
+            continue
+        m = _GOTO.match(line)
+        if m:
+            loop = next(
+                (fr for fr in reversed(stack) if fr[0] in ("for", "while", "repeat")),
+                None,
+            )
+            if loop is None:
+                raise LuaShimError(
+                    "'goto' outside a loop is outside the shim subset"
+                    " (goto-as-continue only) — port this script by hand"
+                )
+            if loop[0] == "repeat":
+                raise LuaShimError(
+                    "'goto' inside repeat/until is outside the shim"
+                    " subset (the until test runs after the body; a"
+                    " continue would skip it) — restructure with while"
+                )
+            loop[1].append((m.group(1), idx))
+            continue
+        if _LOOP_OPEN.match(line):
+            kind = "repeat" if line == "repeat" else line.split(None, 1)[0]
+            stack.append((kind, []))
+            continue
+        if _BLOCK_OPEN.match(line) or line == "else" or _ELSEIF.match(line):
+            if line != "else" and not _ELSEIF.match(line):
+                stack.append(("block", []))
+            continue
+        if line == "end" or _UNTIL.match(line):
+            if not stack:
+                break  # unbalanced — the structuring pass reports it
+            kind, gotos = stack.pop()
+            label = pending_label
+            pending_label = None
+            if label is not None and kind not in ("for", "while"):
+                raise LuaShimError(
+                    "loop-end Lua label on a repeat/non-loop block is"
+                    " outside the shim subset (goto-as-continue only)"
+                )
+            if label is not None:
+                for name, gidx in gotos:
+                    if name != label[0]:
+                        raise LuaShimError(
+                            f"'goto {name}' does not target its loop's"
+                            " end label — outside the shim subset"
+                        )
+                    make_continue.add(gidx)
+            elif gotos:
+                names = sorted({n for n, _ in gotos})
+                raise LuaShimError(
+                    f"'goto {names[0]}' targets a label that is not at"
+                    " the end of its enclosing loop — outside the shim"
+                    " subset (goto-as-continue only)"
+                )
+    return [
+        ("continue" if i in make_continue else ln)
+        for i, ln in enumerate(lines)
+        if i not in drop
+    ]
 
 _FOR_NUM = re.compile(r"^for\s+(\w+)\s*=\s*(.+?)\s+do$")
 _FOR_IPAIRS = re.compile(
@@ -279,7 +383,8 @@ def transliterate_program(code: str) -> str:
     ``..``, ``nil/true/false``, ``~=``, ``#x`` length). ``repeat BODY
     until C`` transliterates to ``while True: BODY; if C: break`` (the
     do-while shape, exit test after the body — r5 VERDICT directive #6);
-    only ``goto`` stays rejected. Statements must be line-structured
+    ``goto`` is supported in its structured continue idiom (a ::label::
+    ending a for/while body) and rejected otherwise. Statements must be line-structured
     (continuations only inside parens/brackets, where Python also allows
     them) — the shape every reference-style script has."""
     # 1. lex: protect string literals behind placeholders, drop comments
@@ -344,6 +449,7 @@ def transliterate_program(code: str) -> str:
         stripped = raw.strip()
         if stripped:
             lines.extend(_expand_inline(stripped))
+    lines = _resolve_gotos(lines)
 
     for line in lines:
         if line in ("end", "end)"):

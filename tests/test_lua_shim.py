@@ -474,3 +474,71 @@ class TestLuaReplCompletion:
         r = self._repl(spark)
         assert r.completions("nosuch:me") == []
         assert r.completions("1+") == []
+
+
+class TestGotoContinueIdiom:
+    """r9: goto in its structured continue idiom — the one reason real
+    Lua scripts use goto (Lua has no continue). A ::label:: ending a
+    for/while body + `goto label` inside it become `continue`; every
+    other goto/label shape keeps the porting-pointer rejection."""
+
+    def test_numeric_for_goto_continue(self):
+        from gravitydb_spark.lua_shim import transliterate_program
+
+        ns = {}
+        exec(
+            transliterate_program(
+                "total = 0\n"
+                "for i = 1, 10 do\n"
+                "  if i % 2 == 0 then goto continue end\n"
+                "  total = total + i\n"
+                "  ::continue::\n"
+                "end\n"
+            ),
+            ns,
+        )
+        assert ns["total"] == 25  # odd numbers 1..9
+
+    def test_while_goto_from_nested_if(self):
+        from gravitydb_spark.lua_shim import transliterate_program
+
+        ns = {}
+        exec(
+            transliterate_program(
+                "n = 0\ni = 0\n"
+                "while i < 10 do\n"
+                "  i = i + 1\n"
+                "  if i > 5 then\n"
+                "    goto skip\n"
+                "  end\n"
+                "  n = n + i\n"
+                "  ::skip::\n"
+                "end\n"
+            ),
+            ns,
+        )
+        assert ns["n"] == 15  # 1+2+3+4+5
+
+    def test_goto_shapes_outside_idiom_rejected(self):
+        import pytest
+
+        from gravitydb_spark.lua_shim import (
+            LuaShimError,
+            transliterate_program,
+        )
+
+        for bad, msg in [
+            # repeat/until: the post-test would be skipped by continue
+            ("repeat\n  goto x\n  ::x::\nuntil true", "repeat"),
+            # label not at the loop end
+            ("for i = 1, 3 do\n  ::early::\n  x = 1\nend", "not the last"),
+            # goto naming some other label
+            (
+                "for i = 1, 3 do\n  goto other\n  ::continue::\nend",
+                "does not target",
+            ),
+            # label with no loop anywhere
+            ("::lonely::", "outside any loop"),
+        ]:
+            with pytest.raises(LuaShimError, match=msg):
+                transliterate_program(bad)
