@@ -618,6 +618,15 @@ _compound(
             },
         ),
         (
+            "url_canonical",
+            "dedup_url_canonical",
+            {
+                "doc_id": "keep_doc_id",
+                "n1": "n_copies",
+                "sig": "canonical_url",
+            },
+        ),
+        (
             "chunk_windows",
             "text_chunk_windows",
             {
@@ -987,6 +996,7 @@ _compound(
         ("adamic_adar", "g_adamic_adar", {"id": "pair_id", "dist": "score_scaled"}),
         ("ppr", "g_personalized_pagerank", {"id": "id", "dist": "rank_scaled"}),
         ("betweenness", "g_betweenness_sampled", {"id": "id", "dist": "bc_scaled"}),
+        ("jaccard", "g_jaccard_linkpred", {"id": "pair_id", "dist": "jaccard_bp"}),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
     " distances, weighted single-source shortest paths (frontier"

@@ -2511,6 +2511,114 @@ def g_adamic_adar(spark, sf_dir):
     )
 
 
+@register(
+    "g_jaccard_linkpred",
+    oracle=f"""
+    WITH spend AS MATERIALIZED (
+      SELECT o_custkey AS c, l_suppkey AS s,
+             round(sum(l_extendedprice * (1 - l_discount))::DOUBLE, 2)
+               AS spend
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    top5 AS MATERIALIZED (
+      SELECT c, s FROM (
+        SELECT c, s,
+               row_number() OVER (PARTITION BY c
+                                  ORDER BY spend DESC, s) AS rn
+        FROM spend) _r WHERE rn <= {_AA_TOP_SUPPLIERS}),
+    sz AS (SELECT c, count(*) AS n FROM top5 GROUP BY c),
+    common AS (
+      SELECT a.c AS c1, b.c AS c2, count(*) AS m
+      FROM top5 a JOIN top5 b ON a.s = b.s AND a.c < b.c
+      GROUP BY 1, 2)
+    SELECT 'c' || c1 || '~c' || c2 AS pair_id,
+           m::BIGINT AS common,
+           (s1.n + s2.n - m)::BIGINT AS union_n,
+           (m * 10000 // (s1.n + s2.n - m))::BIGINT AS jaccard_bp
+    FROM common JOIN sz s1 ON s1.c = common.c1
+                JOIN sz s2 ON s2.c = common.c2
+    ORDER BY jaccard_bp DESC, c1, c2
+    LIMIT {_AA_TOPK}
+    """,
+)
+def g_jaccard_linkpred(spark, sf_dir):
+    """Jaccard-similarity link prediction — g_adamic_adar's unweighted
+    sibling, completing the common-neighbor pair (AA damps hubs by
+    1/ln(deg); Jaccard normalizes by the union size): score(c1, c2) =
+    |N∩| / |N∪| over the SAME bounded candidate sets (each customer's
+    top-{_AA_TOP_SUPPLIERS} suppliers by spend — the memoized cache is
+    shared with g_adamic_adar, one window pass per session). All
+    arithmetic is INTEGER (counts and one basis-point division), so the
+    score column is engine-exact with no rounding convention at all.
+
+    Scale posture identical to g_adamic_adar: bounded candidates before
+    the pair join (never the raw supplier self-join — sum(d²) blows up
+    on dense bipartite graphs), union sizes from a customer-sized
+    aggregate, TakeOrderedAndProject top-{_AA_TOPK} on the integer
+    score with (c1, c2) tie-break."""
+    from pyspark.sql import Window
+
+    from .relational_queries import _memo_cache
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    spend = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("spend")
+        )
+    )
+    w = Window.partitionBy("c").orderBy(F.desc("spend"), F.asc("s"))
+    top5 = _memo_cache(
+        spark,
+        sf_dir,
+        "aa_top5",  # SHARED with g_adamic_adar — same candidate sets
+        lambda: spend.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _AA_TOP_SUPPLIERS)
+        .select("c", "s"),
+    )
+    sz = top5.groupBy("c").agg(F.count("*").alias("n"))
+    a = top5.select(F.col("c").alias("c1"), "s")
+    b = top5.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    common = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("c1") < F.col("c2")))
+        .groupBy("c1", "c2")
+        .agg(F.count("*").alias("m"))
+    )
+    return (
+        common.join(
+            F.broadcast(sz.select(F.col("c").alias("c1"), F.col("n").alias("n1"))),
+            "c1",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("c").alias("c2"), F.col("n").alias("n2"))),
+            "c2",
+        )
+        .select(
+            F.concat(
+                F.lit("c"), F.col("c1"), F.lit("~c"), F.col("c2")
+            ).alias("pair_id"),
+            F.col("m").cast("long").alias("common"),
+            (F.col("n1") + F.col("n2") - F.col("m"))
+            .cast("long")
+            .alias("union_n"),
+            F.expr("m * 10000 DIV (n1 + n2 - m)")
+            .cast("long")
+            .alias("jaccard_bp"),
+            "c1",
+            "c2",
+        )
+        .orderBy(F.desc("jaccard_bp"), F.asc("c1"), F.asc("c2"))
+        .limit(_AA_TOPK)
+        .select("pair_id", "common", "union_n", "jaccard_bp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Personalized PageRank from a seed set (recommendation primitive)
 # ---------------------------------------------------------------------------

@@ -1265,6 +1265,96 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic messy-URL construction for the URL-dedup operator: the
+# testdata has no URL column, so (like the planted-cluster eval corpus)
+# the input is CONSTRUCTED IN-ENGINE with the identical expression on
+# both engines — four per-doc variants of the same logical page
+# (scheme case, www., tracking query, trailing slash), so groups of 4
+# consecutive doc_ids canonicalize to one URL.
+_URL_VARIANTS = [
+    "'https://www.site' || ((doc_id {D} 4) % 20) || '.example.com/doc/'"
+    " || (doc_id {D} 4)",
+    "'http://site' || ((doc_id {D} 4) % 20) || '.example.com/doc/'"
+    " || (doc_id {D} 4) || '?utm_source=feed'",
+    "'HTTPS://site' || ((doc_id {D} 4) % 20) || '.example.com/doc/'"
+    " || (doc_id {D} 4) || '#frag'",
+    "'https://site' || ((doc_id {D} 4) % 20) || '.example.com/doc/'"
+    " || (doc_id {D} 4) || '/'",
+]
+
+
+def _url_case(div: str) -> str:
+    """The variant CASE with the engine's integer-division spelling
+    (DuckDB `//`, Spark `DIV`) substituted."""
+    return (
+        "CASE doc_id % 4 "
+        + " ".join(
+            f"WHEN {i} THEN {v.format(D=div)}"
+            for i, v in enumerate(_URL_VARIANTS)
+        )
+        + " END"
+    )
+# canonicalization chain: lowercase, strip scheme, strip www., strip
+# query and fragment, strip ONE trailing slash — the standard CC-index
+# URL normalization (identical regexes, RE2/Java-compatible)
+_URL_CANON_STEPS = [
+    ("^https?://", ""),
+    ("^www\\.", ""),
+    ("[?#].*$", ""),
+    ("/$", ""),
+]
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, {_url_case('//')} AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '^https?://', ''),
+                   '^www\\.', ''),
+                 '[?#].*$', ''),
+               '/$', '') AS canonical_url
+      FROM urls)
+    SELECT canonical_url,
+           min(doc_id)::BIGINT AS keep_doc_id,
+           count(*)::BIGINT AS n_copies
+    FROM canon GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-CANONICALIZATION DEDUP — the stage a web-crawl pipeline runs
+    BEFORE content dedup (CC-style: the same page is fetched under
+    scheme/case/www./tracking-query/trailing-slash variants; URL-level
+    dedup removes refetch duplicates for free, no tokenization needed):
+    lowercase → strip scheme → strip www. → strip query+fragment →
+    strip the trailing slash, then an exact hash-groupBy on the
+    canonical form — dedup_exact's plan shape, one shuffle on the
+    canonical key, embarrassingly scalable. The testdata has no URL
+    column, so the input is constructed in-engine (4 messy variants per
+    logical page, identical expression both engines — the
+    planted-cluster-corpus pattern); the CANONICALIZER is the operator
+    under test and runs as pure codegen regexp projections."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    canon = F.lower(F.expr(_url_case("DIV")))
+    for pat, repl in _URL_CANON_STEPS:
+        canon = F.regexp_replace(canon, pat, repl)
+    return (
+        docs.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 # Exploded distinct-shingle relation as MATERIALIZED CTEs. The previous
 # form (unnest of a per-row list_transform shingle array straight off
 # `documents`, inlined into both self-join sides) re-evaluated the
@@ -1998,7 +2088,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered-doc set and a codegen hash projection + small groupBy —
     the same shape as the plain split plus one equi-join."""
     clusters = dedup_minhash_cluster(spark, sf_dir).select("doc_id", "cluster")
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
     rep = F.coalesce(F.col("cluster"), F.col("doc_id"))
     t_train = _H32_SPACE * _SPLIT_BP["train"] // 10000
     t_val = _H32_SPACE * (_SPLIT_BP["train"] + _SPLIT_BP["val"]) // 10000
@@ -9675,7 +9765,7 @@ def _register_sample_quality_pareto() -> None:
         partitioned NTILE window; the keep decision is a per-row hash
         predicate. Nothing quadratic, no collect."""
         lm = text_lm_score(spark, sf_dir).select("doc_id", "lm_score")
-        docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+        docs = load(spark, sf_dir, "documents").select("doc_id")
         w = Window.partitionBy("source").orderBy(
             F.col("lm_score").desc(), F.col("doc_id")
         )
