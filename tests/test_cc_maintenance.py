@@ -265,3 +265,46 @@ def test_ccivm_forest_rebuild_thins_batch_cycles(spark, tmp_path):
     assert ivm.last_delete_stats == {"deleted": 1, "tree": 0, "recomputed": False}
     lab = _labels_map(ivm)
     assert len({lab.get(v, v) for v in "xyz"}) == 1
+
+
+def test_ccivm_deep_component_fallback_keeps_forest_spanning(spark, tmp_path):
+    """The BFS-tree rebuild is capped at _CC_BFS_ROUNDS; a repaired
+    component DEEPER than the cap must fall back to the fat-but-
+    spanning forest (every live edge touching the unreached tail), or
+    absence-from-forest would stop proving redundancy and a later
+    bridge delete could be silently skipped. Build a path longer than
+    the cap, split it (repair engages the fallback), then delete a
+    TAIL edge — it must classify as a forest member (recompute), and
+    the labels must stay correct through both splits."""
+    from gravitydb_spark.graph_queries import _CC_BFS_ROUNDS, CCIvm
+
+    n = _CC_BFS_ROUNDS + 40  # path deeper than the rebuild cap
+    ivm = CCIvm(spark, str(tmp_path / "ccdeep"))
+    path = [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(n)]
+    ivm.insert_batch(
+        spark.createDataFrame(path, "src string, dst string"), 0
+    )
+    # split near the head: the surviving tail component (~n nodes) is
+    # deeper than the cap from its new root, so the fallback must admit
+    # the unreached tail's edges into the forest
+    ivm.delete_batch(
+        spark.createDataFrame([("v005", "v006")], "src string, dst string"), 1
+    )
+    assert ivm.last_delete_stats["recomputed"] is True
+    lab = _labels_map(ivm)
+    head = {lab.get(f"v{i:03d}", f"v{i:03d}") for i in range(6)}
+    tail = {lab.get(f"v{i:03d}", f"v{i:03d}") for i in range(6, n + 1)}
+    assert len(head) == 1 and len(tail) == 1 and head != tail
+
+    # a deep-tail edge: under an eagerly-capped (non-spanning) forest it
+    # would be absent -> wrongly "redundant"; the fallback keeps it a
+    # member, so this delete takes the recompute path and splits again
+    deep = (f"v{n - 10:03d}", f"v{n - 9:03d}")
+    ivm.delete_batch(
+        spark.createDataFrame([deep], "src string, dst string"), 2
+    )
+    assert ivm.last_delete_stats["recomputed"] is True
+    lab2 = _labels_map(ivm)
+    mid = {lab2.get(f"v{i:03d}", f"v{i:03d}") for i in range(6, n - 10 + 1)}
+    end = {lab2.get(f"v{i:03d}", f"v{i:03d}") for i in range(n - 9, n + 1)}
+    assert len(mid) == 1 and len(end) == 1 and mid != end
