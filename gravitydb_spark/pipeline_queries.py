@@ -2088,7 +2088,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered-doc set and a codegen hash projection + small groupBy —
     the same shape as the plain split plus one equi-join."""
     clusters = dedup_minhash_cluster(spark, sf_dir).select("doc_id", "cluster")
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     rep = F.coalesce(F.col("cluster"), F.col("doc_id"))
     t_train = _H32_SPACE * _SPLIT_BP["train"] // 10000
     t_val = _H32_SPACE * (_SPLIT_BP["train"] + _SPLIT_BP["val"]) // 10000
@@ -9765,7 +9765,7 @@ def _register_sample_quality_pareto() -> None:
         partitioned NTILE window; the keep decision is a per-row hash
         predicate. Nothing quadratic, no collect."""
         lm = text_lm_score(spark, sf_dir).select("doc_id", "lm_score")
-        docs = load(spark, sf_dir, "documents").select("doc_id")
+        docs = load(spark, sf_dir, "documents").select("doc_id", "source")
         w = Window.partitionBy("source").orderBy(
             F.col("lm_score").desc(), F.col("doc_id")
         )
