@@ -185,6 +185,9 @@ HEADLINE = [
     "g_betweenness_sampled",
     "embed_kcenter_coreset",
     "sketch_hll_rollup",
+    "sketch_hll_distinct",
+    "g_jaccard_linkpred",
+    "dedup_url_canonical",
 ]
 
 
