@@ -1592,20 +1592,62 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_MINHASH = 16
-LSH_BANDS = 4
-# rows (signature components) per band — interpolated into BOTH engines'
-# band-key expressions so changing N_MINHASH/LSH_BANDS can't desync them
-LSH_ROWS = N_MINHASH // LSH_BANDS
+# --- threshold-derived LSH banding (r9 VERDICT #1) ------------------------
+# The banding config is DERIVED from a target Jaccard threshold and a
+# miss-rate budget instead of fixed (the old 16-perm/4-band config had an
+# unmeasured (1-0.8^4)^4 ≈ 12% silent false-negative rate at the classic
+# J = 0.8 near-dup target — banding misses are unrepairable downstream:
+# verification only removes false POSITIVES). Candidate-efficiency is the
+# second constraint: a junk pair at J_JUNK must expect ≤ JUNK_BUDGET band
+# collisions, or low-J pairs flood the bucket join at corpus scale.
+DEDUP_J_TARGET = 0.8  # near-dup Jaccard the index must catch
+DEDUP_MISS_BUDGET = 0.02  # max P(no band collides) at J_TARGET
+DEDUP_J_JUNK = 0.25  # a sub-threshold J whose collisions are pure waste
+DEDUP_JUNK_BUDGET = 0.1  # max expected junk band collisions per pair
+
+
+def _derive_lsh_config(
+    j_target: float = DEDUP_J_TARGET,
+    miss_budget: float = DEDUP_MISS_BUDGET,
+    j_junk: float = DEDUP_J_JUNK,
+    junk_budget: float = DEDUP_JUNK_BUDGET,
+) -> tuple:
+    """(rows, bands, n_perm) minimizing signature width r·b subject to
+    (1 − j_target^r)^b ≤ miss_budget (recall at the target threshold)
+    and b · j_junk^r ≤ junk_budget (candidate efficiency below it);
+    ties break toward larger r (sharper S-curve). Pure arithmetic on
+    the four module targets — computed once at import, interpolated
+    into BOTH engines' band-key expressions exactly like the old
+    constants, so the two sides can never desync. For the defaults
+    this yields (3, 6, 18): miss 1.35% at J=0.8 (vs 12% before),
+    0.04% at J=0.9, and 0.094 expected junk collisions at J=0.25."""
+    import math
+
+    best = None
+    for r in range(2, 9):
+        p = j_target**r
+        if p >= 1.0:
+            continue
+        b = math.ceil(math.log(miss_budget) / math.log(1.0 - p))
+        if b < 1 or b * (j_junk**r) > junk_budget:
+            continue
+        cand = (r * b, -r, r, b)
+        if best is None or cand < best:
+            best = cand
+    assert best is not None, "infeasible LSH budget"
+    return best[2], best[3], best[2] * best[3]
+
+
+LSH_ROWS, LSH_BANDS, N_MINHASH = _derive_lsh_config()
 
 
 def _minhash_sigs(sh: DataFrame) -> DataFrame:
-    """16-component minhash signatures over the exploded shingle relation
-    (DF[doc_id, shingle, ...]): component i = lexicographic min over
-    shingles of md5(i || ':' || shingle). Hex-string min is a valid
+    """N_MINHASH-component minhash signatures over the exploded shingle
+    relation (DF[doc_id, shingle, ...]): component i = lexicographic min
+    over shingles of md5(i || ':' || shingle). Hex-string min is a valid
     uniform minhash and engine-portable (md5 identical everywhere).
 
-    16 codegen'd min-aggregates in one shuffle on doc_id — never nested
+    N_MINHASH codegen'd min-aggregates in one shuffle on doc_id — never nested
     higher-order array lambdas (Spark HOFs run in the expression
     interpreter, not whole-stage codegen, and were the dominant cost of
     this operator, ~2x the whole query)."""
@@ -1623,7 +1665,7 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
     )
 
 
-# 16 plain min-aggregates over the exploded shingle relation — the same
+# N_MINHASH plain min-aggregates over the exploded shingle relation — the same
 # shape as the Spark side (_minhash_sigs) and ~10x faster in DuckDB than
 # the nested list_transform-over-list_transform form it replaces.
 _DUCK_SIG = (
@@ -1758,9 +1800,14 @@ def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection, the scale path for dedup:
-    shingle → 16-component minhash signature → 4 LSH bands → bucket
-    equi-join on (band, band-key) → candidate pairs → signature-estimated
-    Jaccard ≥ 0.5. Join cost is proportional to bucket collisions, not n²."""
+    shingle → N_MINHASH-component minhash signature → LSH_BANDS bands of
+    LSH_ROWS rows → bucket equi-join on (band, band-key) → candidate pairs
+    → signature-estimated Jaccard ≥ 0.5. Join cost is proportional to
+    bucket collisions, not n². The (rows, bands) config is DERIVED from a
+    target threshold + miss budget (_derive_lsh_config: ≤2% banding miss
+    at J=0.8, measured on a planted corpus in tools/dedup_recall_probe.py)
+    instead of fixed — banding misses are the one dedup error class
+    verification can't repair."""
     return _minhash_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.round(F.col("est"), 4).alias("est_jaccard")
     )
@@ -6677,6 +6724,43 @@ def _docs_count(spark: SparkSession, sf_dir: str) -> int:
     return _docs_count_memo[key]
 
 
+_seed_keys_cache: dict = {}
+
+
+def _seed_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF[doc_id, band, bk] — the even-doc_id seed corpus half's distinct
+    LSH band keys, MEMOIZED per (session, sf_dir) (r9 VERDICT #3: the
+    three dedup-IVM demos each rebuilt this same frame from scratch —
+    ~51s of the r9 bench was seed scaffolding). Built from the CACHED
+    codegen signature frame (_doc_sigs: exploded shingles + N_MINHASH
+    min-aggregates, whole-stage codegen) instead of the per-row
+    interpreted-HOF path (_row_band_keys), which stays stream-side-only.
+    The two paths produce identical keys (min over a shingle multiset ==
+    min over the distinct set; same slice/md5/',' band-key recipe —
+    the stream_incremental_dedup oracle already pins the equivalence).
+    Only this FRAME is shared: each demo's DatasetStores stay
+    per-invocation for replay-semantics isolation."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _seed_keys_cache:
+        sigs = _doc_sigs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+        _seed_keys_cache[key] = sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(
+                            F.array_join(
+                                F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS), ","
+                            )
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("band", "bk"),
+        ).cache()
+    return _seed_keys_cache[key]
+
+
 def _state_fanout(n_keys: int, base: int) -> int:
     """Partition fanout for the per-invocation DatasetStores, DERIVED
     from the indexed key population instead of fixed (r9 — the layout
@@ -6821,8 +6905,8 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         bkb = F.pmod(F.xxhash64("bk"), F.lit(nbkb)).alias("bkb")
         store = DatasetStore(os.path.join(work, "index"), partition_cols=("bkb",))
         store.append(
-            _row_band_keys(docs.filter("doc_id % 2 = 0"))
-            .select(unpivot)
+            _seed_band_keys(spark, sf_dir)
+            .select("band", "bk")
             .distinct()
             .select("band", "bk", F.lit(-1).cast("long").alias("bid"), bkb)
         )
@@ -7029,12 +7113,10 @@ def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = DatasetStore(
             os.path.join(work, "index"), partition_cols=("bkb",)
         )
-        # seed: +1 per (live-even doc, distinct band key)
+        # seed: +1 per (live-even doc, distinct band key) — the memoized
+        # codegen seed frame (r9 #3), not a per-invocation rebuild
         store.append(
-            _row_band_keys(docs.filter("doc_id % 2 = 0"))
-            .select("doc_id", unpivot)
-            .distinct()
-            .select(
+            _seed_band_keys(spark, sf_dir).select(
                 "band",
                 "bk",
                 F.lit(1).cast("long").alias("op_m"),
@@ -7223,13 +7305,9 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
             os.path.join(work, "keymap"), partition_cols=("kb",)
         )
         # seed: +1 per (live-even doc, distinct band key) — and the
-        # SAME rows into the keymap (two consumers → barrier once)
-        seed_keys = (
-            _row_band_keys(docs.filter("doc_id % 2 = 0"))
-            .select("doc_id", unpivot)
-            .distinct()
-            .localCheckpoint()
-        )
+        # SAME rows into the keymap (two consumers; the memoized cached
+        # seed frame (r9 #3) is the barrier)
+        seed_keys = _seed_band_keys(spark, sf_dir)
         store.append(
             seed_keys.select(
                 "band",
