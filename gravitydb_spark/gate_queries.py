@@ -546,6 +546,11 @@ _compound(
             "search_percolate_bucketed",
             {"doc_id": "doc_id", "m1": "query_id"},
         ),
+        (
+            "percolate_reguard",
+            "search_percolate_reguard",
+            {"doc_id": "doc_id", "m1": "query_id"},
+        ),
     ],
     "Gate family for document quality scoring and lexical search:"
     " stopword/length/uniqueness ratios, repetition signals (top token /"

@@ -1107,6 +1107,21 @@ _CC_RETRACT_ORACLE = """
 # deeper components fall back to a fat-but-spanning forest (every live
 # edge touching the unreached tail), trading the O(1)-delete win there
 # for unconditional correctness of the redundancy proof.
+#
+# Measured boundary (r9 directive #4, tools/cc_deep_probe.py, path
+# components n = 5k/20k — diameter = n, the worst case): the capped
+# repair wall stays FLAT (~31s at both sizes: 64 rounds + one fat
+# append, not O(diameter) rounds), the fat forest approaches the full
+# live edge set (fraction 1.00 on a pure path), deletes in the fat
+# tail degrade to the component-scoped recompute (the pre-forest
+# behavior, ~29s), while non-tree deletes in the BFS-reached region
+# KEEP the O(batch) path (~3s) — the fat rows never misclassify, they
+# only widen the member set. The cap is deliberately NOT derived from
+# component size: each BFS round is a full Spark job, so an uncapped
+# rebuild of a diameter-d component costs d sequential jobs (hours at
+# d ~ 10^5) versus bounded-fat bytes + per-delete recompute; real
+# 100 TB graph components are small-world (diameter << 64), and a
+# genuinely path-shaped workload should raise the cap knob instead.
 _CC_BFS_ROUNDS = 64
 
 
