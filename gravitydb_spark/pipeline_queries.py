@@ -458,7 +458,24 @@ def _duck_h32(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 
 
-KMV_K = 64
+# shared cardinality-sketch precision budget (r9 VERDICT #6): BOTH
+# deterministic sketches (KMV here, HyperLogLog below) derive their
+# state size from this one target relative standard deviation
+HLL_RSD_BUDGET = 0.13
+
+
+def _derive_kmv_k(rsd: float = HLL_RSD_BUDGET) -> int:
+    """KMV sketch size from the rsd budget: rsd ≈ 1/√(k−2), so k = the
+    next power of two ≥ 2 + 1/rsd² (power of two keeps the partial-merge
+    state aligned with HLL's register count; at the 0.13 budget this
+    derives the old fixed 64 exactly, so gate values are unchanged by
+    construction)."""
+    import math
+
+    return 1 << math.ceil(math.log2(2.0 + 1.0 / (rsd * rsd)))
+
+
+KMV_K = _derive_kmv_k()
 _H32_SPACE = 1 << 32
 _HLL_RSD = 0.02  # HyperLogLog++ relative standard deviation (exact=False)
 _APPROX_PCT_ACC = 10_000  # approx_percentile accuracy (exact=False)
@@ -653,18 +670,46 @@ def sketch_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HyperLogLog with EXACT integer arithmetic — the register algebra
 # (index / rank extraction, per-register max, the harmonic-mean
 # estimator) is all BIGINT, so unlike library HLLs two engines agree
-# bit-for-bit. 64 registers (rsd ≈ 1.04/√64 = 13% — the n_exact column
-# exposes the realized error), 30 rank bits from a 60-bit md5 prefix,
-# α₆₄ as a fixed rational (any shared rational is engine-exact).
-HLL_M = 64
-HLL_W = 30
-HLL_A_NUM, HLL_A_DEN = 709340, 10**6  # α₆₄ = 0.7213/(1 + 1.079/64) @6dp
+# bit-for-bit. The precision is DERIVED from a target relative standard
+# deviation (r9 VERDICT #6) instead of a fixed register count, with the
+# rank width and α following; every derived value interpolates into
+# both engines' expressions at import (the LSH/iprm no-desync contract).
+# HLL_RSD_BUDGET (0.13, defined with the KMV sketch above) is the shared
+# target: 1.04/√m ≤ budget.
+
+
+def _derive_hll(rsd: float = HLL_RSD_BUDGET) -> tuple:
+    """(m, w, α_num): registers m = smallest power of two with
+    1.04/√m ≤ rsd (power of two so index extraction is h % m on both
+    engines); α_num = the standard HLL bias constant 0.7213/(1+1.079/m)
+    at 6dp (any shared rational is engine-exact); rank width w = the
+    LARGEST keeping the whole integer estimator numerator
+    α_num·m²·2^(w+1) inside BIGINT — deeper ranks mean the sketch
+    saturates later, so w takes every bit the arithmetic leaves. The
+    60-bit md5 hash budget (log₂m index + w rank bits ≤ 60) is
+    asserted below. At the 0.13 default this derives exactly the old
+    fixed (64, 30, 709340) triple, so gate values are unchanged by
+    construction."""
+    import math
+
+    m = 1 << max(4, math.ceil(math.log2((1.04 / rsd) ** 2)))
+    a_num = int(0.7213 / (1 + 1.079 / m) * 10**6)  # truncated @6dp
+    w = 62 - a_num.bit_length() - 2 * round(math.log2(m))
+    assert round(math.log2(m)) + w <= 60, "md5 hash budget exceeded"
+    return m, w, a_num
+
+
+HLL_M, HLL_W, HLL_A_NUM = _derive_hll()
+HLL_A_DEN = 10**6
 _HLL_NUMER = HLL_A_NUM * HLL_M * HLL_M * (1 << (HLL_W + 1))  # < 2^63
 # small-range linear counting E = m·ln(m/V) (V = empty registers),
-# precomputed as a 64-entry INTEGER table at module load — ln() never
+# precomputed as an m-entry INTEGER table at module load — ln() never
 # runs inside either engine, so the correction stays bit-portable
-_HLL_LC = [266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107, 102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53, 51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23, 21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0]
-_HLL_LC_THRESH = 160  # apply linear counting when raw E <= 5m/2
+_HLL_LC = [
+    int(HLL_M * __import__("math").log(HLL_M / v) + 0.5)
+    for v in range(1, HLL_M + 1)
+]
+_HLL_LC_THRESH = 5 * HLL_M // 2  # apply linear counting when raw E <= 5m/2
 _HLL_H60 = "('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT"
 _HLL_RHO = f"CASE WHEN w = 0 THEN {HLL_W + 1} ELSE {HLL_W + 1} - length(bin(w)) END"
 
