@@ -188,6 +188,12 @@ HEADLINE = [
     "sketch_hll_distinct",
     "g_jaccard_linkpred",
     "dedup_url_canonical",
+    # round 10 additions
+    "g_label_propagation",
+    "g_random_walks",
+    "sketch_bloom_membership",
+    "sketch_theta_intersect",
+    "search_percolate_reguard",
 ]
 
 

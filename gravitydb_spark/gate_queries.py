@@ -718,6 +718,12 @@ _compound(
             # merged == direct by register-max associativity
             {"k": "CAST(day AS STRING)", "n1": "n_exact", "n2": "hll_merged"},
         ),
+        # round 10: Bloom membership confusion summary (false_neg row is
+        # structurally 0 — the filter's defining guarantee, gate-pinned)
+        ("bloom", "sketch_bloom_membership", {"k": "stat", "n1": "v"}),
+        # round 10: theta-sketch set expressions (intersection/union
+        # estimates next to their exact counts)
+        ("theta", "sketch_theta_intersect", {"k": "stat", "n1": "v"}),
     ],
     "Gate family for corpus statistics: KMV distinct-count sketch vs exact,"
     " the corpus vocabulary top-k, BPE merge-candidate pair counting"
@@ -726,7 +732,9 @@ _compound(
     " mergeable equi-width histogram quantile sketch (the no-sort scale"
     " path next to the exact quantiles) and the count-min frequency"
     " sketch (min-over-rows estimates for the exact top-30, the"
-    " overestimate law visible per row).",
+    " overestimate law visible per row); round 10 adds the Bloom-filter"
+    " membership sketch (derived m/k from an fpp budget, zero false"
+    " negatives pinned) and theta-sketch intersection/union estimates.",
 )
 
 _compound(
@@ -1002,6 +1010,23 @@ _compound(
         ("ppr", "g_personalized_pagerank", {"id": "id", "dist": "rank_scaled"}),
         ("betweenness", "g_betweenness_sampled", {"id": "id", "dist": "bc_scaled"}),
         ("jaccard", "g_jaccard_linkpred", {"id": "pair_id", "dist": "jaccard_bp"}),
+        # round 10: synchronous LPA communities (id>label packed; dist =
+        # community size) and LCG-driven random-walk corpus rows (id packs
+        # walk#step>vertex; dist = step)
+        (
+            "lpa",
+            "g_label_propagation",
+            {"id": "id || '>' || community", "dist": "csize"},
+        ),
+        (
+            "walks",
+            "g_random_walks",
+            {
+                "id": "CAST(walk_id AS STRING) || '#' || CAST(step AS STRING)"
+                " || '>' || v",
+                "dist": "step",
+            },
+        ),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
     " distances, weighted single-source shortest paths (frontier"
@@ -1011,7 +1036,9 @@ _compound(
     " graph (iterative peel, k = floor(avg degree)), Adamic-Adar"
     " link prediction over the same trade graph (bounded candidates,"
     " scaled-integer score), and personalized PageRank seeded at one"
-    " nation's customers (teleport+dangling mass to the seed set).",
+    " nation's customers (teleport+dangling mass to the seed set);"
+    " round 10 adds synchronous label-propagation communities and"
+    " DeepWalk-style LCG-deterministic random-walk corpus generation.",
 )
 
 _compound(

@@ -3138,3 +3138,258 @@ def g_triangles_retractions(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation over the trade graph
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4  # contract constant, same status as _PR_ITERS/_HITS_ITERS:
+# synchronous LPA is defined BY its round count (it has no engine-independent
+# fixpoint — bipartite graphs oscillate under pure synchronous updates), so
+# the round count is part of the operator's semantics and is mirrored in the
+# oracle's unrolled chain. 4 ≥ the measured BFS frontier exhaustion of this
+# graph at every probed SF (3/4/4 at sf0.001/0.01/0.1,
+# tools/betweenness_probe.py), so every vertex's vote has seen label flow
+# from the whole component before the last round.
+
+
+def _lpa_edges_sql() -> str:
+    return """e AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)"""
+
+
+def _lpa_oracle_sql(rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled synchronous LPA: l0 = own id; each round every vertex
+    adopts the most frequent label among its neighbours PLUS its own
+    current label (the self-vote damps two-cycle oscillation on this
+    bipartite graph), ties broken (count DESC, label ASC) — the identical
+    deterministic argmax both engines run."""
+    parts = [
+        _lpa_edges_sql(),
+        "l0 AS (SELECT DISTINCT a AS v, a AS lab FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""l{r} AS MATERIALIZED (
+      SELECT v, lab FROM (
+        SELECT v, lab,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY c DESC, lab ASC) AS rn
+        FROM (SELECT v, lab, count(*) AS c FROM (
+                SELECT u.a AS v, l.lab FROM und u JOIN l{r - 1} l ON l.v = u.b
+                UNION ALL SELECT v, lab FROM l{r - 1}) _vt
+              GROUP BY v, lab) _c) _r
+      WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    sz AS (SELECT lab, count(*) AS csize FROM l{rounds} GROUP BY lab)
+    SELECT v AS id, lab AS community, csize
+    FROM l{rounds} JOIN sz USING (lab)"""
+    )
+
+
+@register("g_label_propagation", oracle=_lpa_oracle_sql())
+def g_label_propagation(spark, sf_dir):
+    """Community detection on the customer–supplier trade graph by
+    synchronous label propagation (Raghavan et al. 2007), made
+    deterministic and oracle-matchable: every vertex starts as its own
+    label; each of the 4 rounds (_LPA_ROUNDS) it adopts the most frequent
+    label among its neighbours plus its own current label (self-vote —
+    damps the two-cycle oscillation synchronous updates suffer on
+    bipartite graphs), ties broken (count DESC, label ASC). The reference
+    has no community/clustering op at all (SURVEY.md §2.5 — its analytics
+    stop at per-group counts), so like PageRank/CC/HITS this extends the
+    surface with the standard large-graph formulation.
+
+    Scale posture: each round is ONE edges⋈labels equi-join (shuffle keyed
+    by vertex id — the natural graph partitioning, reused every round) +
+    a map-side-combinable (v, lab) count + a per-vertex window argmax on
+    the counted (small) relation; rounds are lineage-cut with an eager
+    localCheckpoint so the plan stays flat at any round count. No
+    collect, no global window, no cartesian anywhere. At 100 TB the round
+    count stays the contract 4 — LPA cost is rounds × one-hop exchange,
+    independent of diameter."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)  # reused every round
+    labels = und.select(F.col("a").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            und.join(labels, und.b == labels.v)
+            .select(und.a.alias("v"), "lab")
+            .unionByName(labels.select("v", "lab"))
+        )
+        labels = (
+            votes.groupBy("v", "lab")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+            .localCheckpoint(eager=True)
+        )
+    sz = labels.groupBy("lab").agg(F.count("*").alias("csize"))
+    return labels.join(sz, "lab").select(
+        F.col("v").alias("id"), F.col("lab").alias("community"), "csize"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-walk corpus generation (DeepWalk/node2vec input) over the trade graph
+# ---------------------------------------------------------------------------
+
+_WALK_LEN = 8  # contract constant (the DeepWalk window-bearing walk length);
+# mirrored as the oracle's unrolled step chain
+_WALK_MIN = 8  # floor for the derived walk count
+
+
+def _rw_num_walks(n_verts: int) -> int:
+    """Walk count derived from the graph: nw = max(8, 2·⌊log₂ n⌋) — the
+    same Brandes–Pich-style log scaling as _bc_num_sources, mirrored
+    bit-exactly in the oracle's kk CTE (greatest/floor/log2 are
+    integer-identical for counts far from 2^53)."""
+    import math
+
+    return max(_WALK_MIN, 2 * int(math.log2(max(2, n_verts))))
+
+
+def _rw_oracle_sql(steps: int = _WALK_LEN) -> str:
+    """Unrolled LCG-driven random walk: nbr numbers each vertex's
+    neighbours 1..deg (ORDER BY neighbour id — ASCII ids, identical
+    binary collation both engines); the walk carries a 31-bit LCG state
+    (state' = (1103515245·state + 12345) mod 2³¹ — the engine-portable
+    generator of the planted-cluster corpus, pipeline_queries._SYNTH_SQL)
+    and steps to neighbour rank (state mod deg) + 1."""
+    parts = [
+        _lpa_edges_sql(),
+        """nbr AS MATERIALIZED (
+      SELECT a, b,
+             row_number() OVER (PARTITION BY a ORDER BY b) AS rn,
+             count(*) OVER (PARTITION BY a) AS deg
+      FROM (SELECT DISTINCT a, b FROM und) _d)""",
+        """kk AS (SELECT greatest(8, 2 * floor(log2(count(*)))::BIGINT) AS nw
+      FROM (SELECT DISTINCT a FROM und))""",
+        """starts AS (SELECT o_custkey AS wid FROM (
+        SELECT DISTINCT o_custkey
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      ORDER BY o_custkey LIMIT (SELECT nw FROM kk))""",
+        """w0 AS (SELECT wid, 0::BIGINT AS step, 'c' || wid AS v,
+             (1103515245 * wid + 12345) % 2147483648 AS st FROM starts)""",
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f"""w{k} AS (
+      SELECT w.wid, {k}::BIGINT AS step, n.b AS v,
+             (1103515245 * w.st + 12345) % 2147483648 AS st
+      FROM w{k - 1} w JOIN nbr n
+        ON n.a = w.v AND n.rn = (w.st % n.deg) + 1)"""
+        )
+    allw = " UNION ALL ".join(f"SELECT * FROM w{k}" for k in range(steps + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    allw AS ({allw})
+    SELECT wid AS walk_id, step, v FROM allw"""
+    )
+
+
+@register("g_random_walks", oracle=_rw_oracle_sql())
+def g_random_walks(spark, sf_dir):
+    """Random-walk corpus generation — the DeepWalk/node2vec input stage
+    (Perozzi et al. 2014): fixed-length walks over the customer–supplier
+    trade graph whose step sequence a downstream skip-gram model consumes
+    as sentences. The walk count derives from the graph
+    (max(8, 2⌊log₂ n⌋) — _rw_num_walks, mirrored in the oracle's kk CTE)
+    and each walk is driven by the engine-portable 31-bit LCG already
+    used for the planted-cluster corpora, so the 'random' walks are
+    bit-identical in both engines: at vertex v with out-degree d the walk
+    moves to the (state mod d + 1)-th neighbour in id order and advances
+    state ← (1103515245·state + 12345) mod 2³¹.
+
+    Scale posture: the neighbour table is built once (per-vertex window
+    rank + degree — shuffle keyed by vertex id) and reused by all
+    8 (_WALK_LEN) steps; each step is one equi-join of the (tiny) frontier
+    against it — the frontier side broadcasts, so a step is a map-only
+    stage. At 100 TB scale with millions of walks the same plan holds
+    with the frontier shuffling instead of broadcasting; walk state is
+    one BIGINT per walk, never driver-side. The modulo choice is biased
+    for non-power-of-two degrees — acceptable and standard for corpus
+    generation, and determinism is the contract here."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    w = Window.partitionBy("a").orderBy("b")
+    nbr = (
+        und.select("a", "b")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("deg", F.count("*").over(Window.partitionBy("a")))
+        .localCheckpoint(eager=True)  # reused by every step's join
+    )
+    n_verts = nbr.select("a").distinct().count()  # bounded scalar, one job
+    nw = _rw_num_walks(n_verts)
+    starts = (
+        e.select(F.col("a").alias("cid"))
+        .distinct()
+        .select(F.substring("cid", 2, 100).cast("long").alias("wid"))
+        .orderBy("wid")
+        .limit(nw)
+    )
+    frontier = starts.select(
+        "wid",
+        F.lit(0).cast("long").alias("step"),
+        F.concat(F.lit("c"), F.col("wid").cast("string")).alias("v"),
+        ((F.lit(1103515245) * F.col("wid") + 12345) % 2147483648).alias("st"),
+    )
+    out = [frontier]
+    for k in range(1, _WALK_LEN + 1):
+        f = out[-1]
+        step = (
+            nbr.join(
+                F.broadcast(f),
+                (nbr.a == f.v) & (nbr.rn == (f.st % nbr.deg) + 1),
+            )
+            .select(
+                "wid",
+                F.lit(k).cast("long").alias("step"),
+                F.col("b").alias("v"),
+                ((F.lit(1103515245) * F.col("st") + 12345) % 2147483648).alias(
+                    "st"
+                ),
+            )
+        )
+        out.append(step)
+    from functools import reduce as _reduce
+
+    allw = _reduce(lambda x, y: x.unionByName(y), out)
+    return allw.select(F.col("wid").alias("walk_id"), "step", "v")

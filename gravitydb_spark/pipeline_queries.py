@@ -11610,3 +11610,333 @@ def search_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"), F.col("rnk").alias("vec_rnk"))
     )
     return _rrf_fuse(lex, vec)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch (round 10): the mergeable set-membership
+# structure a 100 TB pipeline uses to probe "seen before?" without a join
+# against the full key set — broadcast the filter, not the table.
+# ---------------------------------------------------------------------------
+
+# fpp budget as a power of two, so the optimal hash count is EXACTLY
+# k = log2(1/fpp) (integer — no float rounding to mirror) and the bit
+# budget m = ceil(k·n/ln 2) needs only one fixed-point constant:
+# 1/ln 2 ≈ 1.4427 at 4 dp, applied as integer (·14427 + 9999) // 10000 on
+# both engines. Same derived-config discipline as _ivf_params/_derive_kmv_k.
+BLOOM_FPP_LOG2 = 7  # fpp = 2^-7 ≈ 0.78%
+_BLOOM_K = BLOOM_FPP_LOG2
+_BLOOM_MIN_M = 64
+
+
+def _bloom_m_expr(n: str, duck: bool = True) -> str:
+    """m = max(64, ceil(k·n/ln2)) in pure integers — the same arithmetic
+    on both engines; only the integer-division spelling differs
+    (DuckDB ``//`` vs Spark SQL ``DIV``)."""
+    div = "//" if duck else "DIV"
+    return f"greatest({_BLOOM_MIN_M}, ({_BLOOM_K} * {n} * 14427 + 9999) {div} 10000)"
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH mem AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'),
+    prm AS (SELECT count(*) AS n, {_bloom_m_expr('count(*)')} AS m FROM mem),
+    mpos AS MATERIALIZED (
+      SELECT DISTINCT (h1 + i * h2 + i * i) % m AS pos
+      FROM (SELECT {_duck_h32("'b1' || key::VARCHAR")} AS h1,
+                   {_duck_h32("'b2' || key::VARCHAR")} AS h2
+            FROM mem) _h, prm, range(0, {_BLOOM_K}) t(i)),
+    ppos AS (
+      SELECT key, ismem, (h1 + i * h2 + i * i) % m AS pos
+      FROM (SELECT c_custkey AS key,
+                   CASE WHEN c_custkey IN (SELECT key FROM mem)
+                        THEN 1 ELSE 0 END AS ismem,
+                   {_duck_h32("'b1' || c_custkey::VARCHAR")} AS h1,
+                   {_duck_h32("'b2' || c_custkey::VARCHAR")} AS h2
+            FROM customer) _p, prm, range(0, {_BLOOM_K}) t(i)),
+    pagg AS (
+      SELECT key, ismem,
+             count(DISTINCT p.pos) AS np,
+             count(DISTINCT CASE WHEN f.pos IS NOT NULL THEN p.pos END) AS nm
+      FROM ppos p LEFT JOIN mpos f ON f.pos = p.pos
+      GROUP BY key, ismem),
+    cls AS (
+      SELECT ismem, CASE WHEN nm = np THEN 1 ELSE 0 END AS maybe FROM pagg)
+    SELECT 'n_members' AS stat, (SELECT n FROM prm)::BIGINT AS v
+    UNION ALL SELECT 'm_bits', (SELECT m FROM prm)::BIGINT
+    UNION ALL SELECT 'k_hashes', {_BLOOM_K}::BIGINT
+    UNION ALL SELECT 'true_pos',
+      (SELECT count(*) FROM cls WHERE ismem = 1 AND maybe = 1)::BIGINT
+    UNION ALL SELECT 'false_neg',
+      (SELECT count(*) FROM cls WHERE ismem = 1 AND maybe = 0)::BIGINT
+    UNION ALL SELECT 'false_pos',
+      (SELECT count(*) FROM cls WHERE ismem = 0 AND maybe = 1)::BIGINT
+    UNION ALL SELECT 'true_neg',
+      (SELECT count(*) FROM cls WHERE ismem = 0 AND maybe = 0)::BIGINT
+    UNION ALL SELECT 'fpp_bp',
+      ((SELECT count(*) FROM cls WHERE ismem = 0 AND maybe = 1) * 10000
+       // greatest(1, (SELECT count(*) FROM cls WHERE ismem = 0)))::BIGINT
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch, engine-exact and config-derived:
+    build a filter over the customers who ordered in 1994, probe EVERY
+    customer against it, and report the confusion summary plus the
+    derived configuration. fpp budget 2^-7 makes the optimal hash count
+    exactly k = 7 (integer, nothing to mirror); the bit budget
+    m = ceil(k·n/ln2) is derived from the member count IN-PLAN with one
+    fixed-point 1/ln2 constant (·14427//10000), the same
+    derive-from-the-data discipline as _ivf_params/_derive_kmv_k. Bit
+    positions are Kirsch–Mitzenmacher double hashing
+    (h1 + i·h2 + i²) mod m over the md5-based engine-portable hash family
+    (_h32), so both engines build bit-identical filters; 'false_neg' is
+    structurally 0 (a Bloom filter's defining guarantee — gate-checked),
+    and fpp_bp lands near the 78 bp budget.
+
+    Scale posture: the filter is represented relationally as its set of
+    set bit POSITIONS (≤ k·n rows, distinct — map-side combinable; at
+    serving time the positions pack into an m-bit bitmap via a bit_or
+    fold on pos//64 words and broadcast at m/8 bytes ≈ 1.8 MB per
+    billion keys at this budget). The build is one scan + distinct; the
+    probe is an equi-join keyed on position — never a join against the
+    member table itself. No window, no collect, no UDF."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    mem = (
+        o.filter(
+            (F.col("o_orderdate") >= "1994-01-01")
+            & (F.col("o_orderdate") < "1995-01-01")
+        )
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    prm = mem.agg(
+        F.count("*").alias("n"),
+        F.expr(_bloom_m_expr("count(*)", duck=False)).alias("m"),
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i")
+
+    def positions(df, key_col):
+        h = df.select(
+            F.col(key_col).alias("key"),
+            _h32(F.concat(F.lit("b1"), F.col(key_col).cast("string"))).alias("h1"),
+            _h32(F.concat(F.lit("b2"), F.col(key_col).cast("string"))).alias("h2"),
+        )
+        return (
+            h.crossJoin(F.broadcast(prm))
+            .select("key", "h1", "h2", "m", idx)
+            .select(
+                "key",
+                ((F.col("h1") + F.col("i") * F.col("h2") + F.col("i") * F.col("i"))
+                 % F.col("m")).alias("pos"),
+            )
+        )
+
+    mpos = positions(mem, "key").select("pos").distinct()
+    probe = c.join(
+        mem.select(F.col("key").alias("c_custkey"), F.lit(1).alias("ismem")),
+        "c_custkey",
+        "left",
+    ).select("c_custkey", F.coalesce("ismem", F.lit(0)).alias("ismem"))
+    ppos = positions(probe, "c_custkey").join(
+        probe.select(F.col("c_custkey").alias("key"), "ismem"), "key"
+    )
+    pagg = (
+        ppos.join(mpos.select(F.col("pos").alias("fpos")),
+                  F.col("pos") == F.col("fpos"), "left")
+        .groupBy("key", "ismem")
+        .agg(
+            F.countDistinct("pos").alias("np"),
+            F.countDistinct(
+                F.when(F.col("fpos").isNotNull(), F.col("pos"))
+            ).alias("nm"),
+        )
+    )
+    cls = pagg.select(
+        "ismem", F.when(F.col("nm") == F.col("np"), 1).otherwise(0).alias("maybe")
+    ).localCheckpoint(eager=True)  # small (one row per probed key), reused 5x
+
+    def cnt(cond):
+        return cls.filter(cond).agg(F.count("*").alias("v"))
+
+    tp = cnt((F.col("ismem") == 1) & (F.col("maybe") == 1))
+    fn_ = cnt((F.col("ismem") == 1) & (F.col("maybe") == 0))
+    fp = cnt((F.col("ismem") == 0) & (F.col("maybe") == 1))
+    tn = cnt((F.col("ismem") == 0) & (F.col("maybe") == 0))
+    neg = cnt(F.col("ismem") == 0)
+
+    def row(stat, df):
+        return df.select(F.lit(stat).alias("stat"), F.col("v").cast("long").alias("v"))
+
+    fpp = (
+        fp.select(F.col("v").alias("fp"))
+        .crossJoin(F.broadcast(neg.select(F.col("v").alias("ng"))))
+        .select(F.expr("fp * 10000 DIV greatest(1, ng)").alias("v"))
+    )
+    out = (
+        row("n_members", prm.select(F.col("n").alias("v")))
+        .unionByName(row("m_bits", prm.select(F.col("m").alias("v"))))
+        .unionByName(
+            prm.limit(1).select(
+                F.lit("k_hashes").alias("stat"),
+                F.lit(_BLOOM_K).cast("long").alias("v"),
+            )
+        )
+        .unionByName(row("true_pos", tp))
+        .unionByName(row("false_neg", fn_))
+        .unionByName(row("false_pos", fp))
+        .unionByName(row("true_neg", tn))
+        .unionByName(row("fpp_bp", fpp))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set expressions (round 10): KMV sketches support UNION
+# natively (k smallest of the union); the theta extension answers
+# INTERSECTION cardinality from the same two sketches — the set-expression
+# algebra (Dasgupta et al., the DataSketches theta sketch) that lets a
+# 100 TB pipeline answer "how many users did BOTH X and Y" from two
+# kilobyte summaries instead of a join of two scans.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_sketch_sql(src: str, alias: str) -> str:
+    """CTE fragment: the KMV_K smallest distinct hashes of src's key col."""
+    return f"""{alias} AS MATERIALIZED (
+      SELECT hv FROM (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT {_duck_h32("'t' || key::VARCHAR")} AS hv
+              FROM {src} _k) _h) _r
+      WHERE rn <= {KMV_K}),
+    th_{alias} AS (SELECT CASE WHEN count(*) < {KMV_K}
+                        THEN {_H32_SPACE}::BIGINT ELSE max(hv) END AS th,
+                   count(*) AS nmin FROM {alias})"""
+
+
+@register(
+    "sketch_theta_intersect",
+    oracle=f"""
+    WITH a AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'),
+    b AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+    {_kmv_sketch_sql('a', 'ska')},
+    {_kmv_sketch_sql('b', 'skb')},
+    theta AS (SELECT least(ta.th, tb.th) AS th
+              FROM th_ska ta, th_skb tb),
+    inter AS (SELECT count(*) AS c FROM ska JOIN skb USING (hv), theta
+              WHERE hv < th),
+    uni AS (
+      SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)
+                  ELSE ({KMV_K - 1} * {_H32_SPACE}::BIGINT) // max(hv)
+             END AS est FROM (
+        SELECT hv FROM (
+          SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+          FROM (SELECT DISTINCT hv FROM
+                  (SELECT hv FROM ska UNION ALL SELECT hv FROM skb) _u) _d) _r
+        WHERE rn <= {KMV_K}) _ku)
+    SELECT 'n_a_exact' AS stat, (SELECT count(*) FROM a)::BIGINT AS v
+    UNION ALL SELECT 'n_b_exact', (SELECT count(*) FROM b)::BIGINT
+    UNION ALL SELECT 'inter_exact',
+      (SELECT count(*) FROM a JOIN b USING (key))::BIGINT
+    UNION ALL SELECT 'inter_est',
+      (SELECT c * {_H32_SPACE}::BIGINT // th FROM inter, theta)::BIGINT
+    UNION ALL SELECT 'union_est', (SELECT est FROM uni)::BIGINT
+    """,
+)
+def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set-expression cardinality (the DataSketches theta /
+    KMV extension): estimate |A ∩ B| and |A ∪ B| from two KMV sketches —
+    A = customers ordering in 1994, B = in 1995 — never joining the full
+    sets. theta = min of the two kth-minimum hashes; every sketch hash
+    below theta is a uniform sample of the union at rate theta/2³², so
+    |A∩B| ≈ |{h ∈ skA ∩ skB : h < theta}|·2³²/theta — pure BIGINT
+    arithmetic over the engine-portable md5 hash family, bit-identical in
+    both engines (KMV_K = 64 derives from the shared rsd budget,
+    _derive_kmv_k). Exact counts are returned alongside to expose the
+    sketch error, same honesty contract as sketch_kmv_distinct.
+
+    Scale posture: each sketch is a per-scan top-k (TakeOrdered — k rows
+    cross the wire per partition, no global window); the intersection is
+    a {KMV_K}-row broadcast join of two sketches. At 100 TB the sketches
+    are built per-partition and merged (KMV closure), and any boolean
+    set expression over N scans costs N kilobyte-sized summaries."""
+    o = load(spark, sf_dir, "orders")
+
+    def keyset(lo, hi):
+        return (
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .select(F.col("o_custkey").alias("key"))
+            .distinct()
+        )
+
+    a, b = keyset("1994-01-01", "1995-01-01"), keyset("1995-01-01", "1996-01-01")
+
+    def sketch(df):
+        return (
+            df.select(
+                _h32(F.concat(F.lit("t"), F.col("key").cast("string"))).alias("hv")
+            )
+            .distinct()
+            .orderBy("hv")
+            .limit(KMV_K)
+            .localCheckpoint(eager=True)  # ≤ KMV_K rows, reused thrice
+        )
+
+    ska, skb = sketch(a), sketch(b)
+
+    def th(sk):
+        return sk.agg(
+            F.when(F.count("*") < KMV_K, F.lit(_H32_SPACE).cast("long"))
+            .otherwise(F.max("hv"))
+            .alias("th")
+        )
+
+    theta = (
+        th(ska)
+        .select(F.col("th").alias("ta"))
+        .crossJoin(F.broadcast(th(skb).select(F.col("th").alias("tb"))))
+        .select(F.least("ta", "tb").alias("th"))
+    )
+    inter_c = (
+        ska.join(skb, "hv")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("hv") < F.col("th"))
+        .agg(F.count("*").alias("c"))
+    )
+    inter_est = (
+        inter_c.crossJoin(F.broadcast(theta))
+        .select(F.expr(f"c * {_H32_SPACE}L DIV th").alias("v"))
+    )
+    uni_est = (
+        ska.unionByName(skb)
+        .distinct()
+        .orderBy("hv")
+        .limit(KMV_K)
+        .agg(
+            F.when(F.count("*") < KMV_K, F.count("*"))
+            .otherwise(F.expr(f"({KMV_K - 1} * {_H32_SPACE}L) DIV max(hv)"))
+            .alias("v")
+        )
+    )
+
+    def row(stat, df):
+        return df.select(
+            F.lit(stat).alias("stat"), F.col("v").cast("long").alias("v")
+        )
+
+    return (
+        row("n_a_exact", a.agg(F.count("*").alias("v")))
+        .unionByName(row("n_b_exact", b.agg(F.count("*").alias("v"))))
+        .unionByName(row("inter_exact", a.join(b, "key").agg(F.count("*").alias("v"))))
+        .unionByName(row("inter_est", inter_est))
+        .unionByName(row("union_est", uni_est))
+    )

@@ -40,6 +40,10 @@ OPS = [
     "g_pagerank",
     "g_sssp_weighted",
     "g_kcore_onion",
+    # round 10: LPA communities + random-walk corpus (both on the
+    # customer–supplier trade graph, so rep10/skew stress them directly)
+    "g_label_propagation",
+    "g_random_walks",
 ]
 
 
