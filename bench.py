@@ -194,6 +194,7 @@ HEADLINE = [
     "sketch_bloom_membership",
     "sketch_theta_intersect",
     "search_percolate_reguard",
+    "stream_hll_upkeep",
 ]
 
 

@@ -1355,6 +1355,13 @@ _compound(
             "stream_rollup_maintained",
             {"k": "event_type", "n1": "hour_epoch_s", "n2": "n", "n3": "v_cents"},
         ),
+        # round 10: incrementally maintained per-day HLL registers
+        # (maintained ≡ direct daily HLL by register-max idempotence)
+        (
+            "hll_upkeep",
+            "stream_hll_upkeep",
+            {"n1": "day", "n2": "n_exact", "n3": "hll_view"},
+        ),
         (
             "rollup_retractions",
             "stream_rollup_retractions",

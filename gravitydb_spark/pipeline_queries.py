@@ -11940,3 +11940,157 @@ def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("inter_est", inter_est))
         .unionByName(row("union_est", uni_est))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL register upkeep (round 10): the sketch-IVM composition —
+# incremental maintenance machinery (DatasetStore deltas + compaction)
+# applied to HyperLogLog register state.
+# ---------------------------------------------------------------------------
+
+_HLL_UPKEEP_BATCHES = 2  # merge across ≥2 batches is what's being proven;
+# max-fold state makes the batch count invisible in the result (oracle =
+# plain daily registers over all events, no per-batch structure needed)
+
+
+@register(
+    "stream_hll_upkeep",
+    oracle=f"""
+    WITH base AS (
+      SELECT epoch_ns(ts) // {10**9} // 86400 AS day, {_HLL_H60} AS h
+      FROM events),
+    r AS (
+      SELECT day, h % {HLL_M} AS j, (h // {HLL_M}) % {1 << HLL_W} AS w
+      FROM base),
+    dregs AS (SELECT day, j, max({_HLL_RHO}) AS m FROM r GROUP BY 1, 2),
+    dden AS (
+      SELECT day, (sum(1::BIGINT << ({HLL_W + 1} - m))
+                   + ({HLL_M} - count(*)) * {1 << (HLL_W + 1)})::BIGINT
+               AS denom,
+             ({HLL_M} - count(*))::BIGINT AS zeros
+      FROM dregs GROUP BY 1),
+    exact AS (
+      SELECT epoch_ns(ts) // {10**9} // 86400 AS day,
+             count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events GROUP BY 1)
+    SELECT e.day::BIGINT AS day, n_exact,
+           {_duck_hll_est('d.denom', 'd.zeros')} AS hll_view
+    FROM exact e JOIN dden d USING (day)
+    """,
+)
+def stream_hll_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED per-day HLL registers — the sketch-IVM
+    composition: events arrive in micro-batches, each foreachBatch
+    appends its PARTIAL register vector (day, j → max rank, ≤ HLL_M rows
+    per day per batch) to a :class:`DatasetStore` delta, compaction folds
+    deltas by (day, j) max, and the served distinct-count estimate reads
+    the folded registers — never the event history. The oracle is the
+    direct daily HLL over all events: the hash match proves maintained ≡
+    rebuilt, the same end-to-end contract as stream_rollup_maintained.
+
+    Why this state is the STREAMING-FRIENDLIEST in the IVM family:
+    register max is idempotent AND commutative, so unlike the sum
+    partials of stream_rollup_maintained (where a replayed batch would
+    double-count — hence append_once's bid high-water mark) a replayed
+    HLL delta folds to the SAME registers: correctness here survives
+    at-least-once delivery even without the replay guard. append_once is
+    kept anyway so stored bytes stay batch-proportional under replay —
+    the guard is a storage optimization here, not a correctness
+    requirement (the inverse of the rollup's contract, documented so the
+    distinction isn't lost).
+
+    Scale posture: per-batch state is a map-side-combinable (day, j) max
+    agg — HLL_M·6 bits per day of TRUE state regardless of event volume;
+    the view read is register-count-sized. Deletions are the known HLL
+    limitation (not invertible — a retraction stream needs KMV-with-
+    history or exact recount; documented boundary, same class as
+    min/max in stream_rollup_retractions's docstring)."""
+    import shutil
+    import tempfile
+
+    from .relational_queries import normalize_events_ts
+    from .transaction import DatasetStore
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="gravityspark_hllivm_")
+    try:
+        stage = os.path.join(work, "stage")
+        os.makedirs(stage)
+        base = 1_700_000_000
+        for b in range(_HLL_UPKEEP_BATCHES):
+            tmp = os.path.join(work, f"tmp{b}")
+            static.filter(
+                F.expr(f"event_id % {_HLL_UPKEEP_BATCHES} = {b}")
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + 60 * b, base + 60 * b))
+            shutil.rmtree(tmp)
+
+        store = DatasetStore(os.path.join(work, "regs"))
+
+        def fold(df: DataFrame) -> DataFrame:
+            return df.groupBy("day", "j").agg(F.max("m").alias("m"))
+
+        def handle(batch_df, batch_id) -> None:
+            part = (
+                normalize_events_ts(batch_df)
+                .select(
+                    F.expr(f"ts DIV {10**9} DIV 86400").alias("day"),
+                    F.expr(
+                        "cast(conv(substring(md5(cast(user_id as string))"
+                        ", 1, 15), 16, 10) as bigint)"
+                    ).alias("h"),
+                )
+                .select(
+                    "day",
+                    F.expr(f"h % {HLL_M}").alias("j"),
+                    F.expr(f"(h DIV {HLL_M}) % {1 << HLL_W}").alias("w"),
+                )
+                .select("day", "j", F.expr(_HLL_RHO).alias("rho"))
+                .groupBy("day", "j")
+                .agg(F.max("rho").alias("m"))
+            )
+            if store.append_once(part, batch_id) is None:
+                return  # replayed batch — registers already folded in
+            store.compact(spark, min_deltas=2, transform=fold)
+
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = stream.writeStream.foreachBatch(handle).option(
+            "checkpointLocation", os.path.join(work, "ckpt")
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        regs = fold(store.load(spark))
+        den = regs.groupBy("day").agg(
+            (
+                F.sum(F.expr(f"shiftleft(1L, {HLL_W + 1} - m)"))
+                + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << (HLL_W + 1))
+            )
+            .cast("long")
+            .alias("denom"),
+            (F.lit(HLL_M) - F.count("*")).cast("long").alias("zeros"),
+        )
+        from .relational_queries import load_events
+
+        exact = (
+            load_events(spark, sf_dir)
+            .groupBy(F.expr(f"ts DIV {10**9} DIV 86400").alias("day"))
+            .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+        )
+        view = exact.join(den, "day").select(
+            F.col("day").cast("long").alias("day"),
+            "n_exact",
+            _spark_hll_est("denom", "zeros").alias("hll_view"),
+        )
+        return view.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -90,6 +90,7 @@ PLAN_EXEMPT: dict[str, str] = {
     "stream_join_maintained": "two-sided join state: test_ivm_replay.py",
     "stream_join_retractions": "signed join-side folds: test_ivm_replay.py; bytes: test_store_compaction_bytes.py",
     "stream_kmeans_upkeep": "sufficient-stats store: test_store_compaction_bytes.py",
+    "stream_hll_upkeep": "oracle-e2e (maintained registers ≡ direct daily HLL, hash-checked; register max is replay-idempotent)",
     "stream_audio_meta": "oracle-e2e; the WAV chunk-walk kernel itself: test_multimodal.py (batch path, same function)",
     "stream_percolate": "oracle-e2e (stateless per-row conjunction ≡ batch percolation, SHARED oracle string)",
 }
