@@ -195,6 +195,7 @@ HEADLINE = [
     "sketch_theta_intersect",
     "search_percolate_reguard",
     "stream_hll_upkeep",
+    "dedup_recall_eval",
 ]
 
 

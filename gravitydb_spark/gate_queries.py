@@ -839,6 +839,13 @@ _compound(
             "dedup_ngram_containment",
             {"a": "doc_a", "b": "doc_b", "v": "containment"},
         ),
+        # round 10: planted-corpus banding recall (measured vs closed-form
+        # expectation per Jaccard level, both sides as basis points)
+        (
+            "recall_eval",
+            "dedup_recall_eval",
+            {"a": "j_bp", "b": "caught", "v": "recall_bp - expected_bp"},
+        ),
     ],
     "Gate family for MinHash near-dup dedup: banded-LSH candidate pairs"
     " with estimated Jaccard, connected-component clustering with"
@@ -846,7 +853,10 @@ _compound(
     " graph, exact-Jaccard plus Levenshtein relative-edit-distance"
     " verification of the candidates (the two-stage production shape,"
     " two verifier lenses), and asymmetric n-gram containment pairs"
-    " (quote-inclusion dedup symmetric Jaccard misses).",
+    " (quote-inclusion dedup symmetric Jaccard misses); round 10 adds"
+    " the planted-corpus banding recall eval (measured pair-recall per"
+    " Jaccard level vs the closed-form expectation, in-engine on both"
+    " sides — the recall half of the ANN-eval honesty contract).",
 )
 
 _compound(

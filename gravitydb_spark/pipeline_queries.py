@@ -12094,3 +12094,188 @@ def stream_hll_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         return view.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Gate-checked dedup banding recall (round 10): the planted-corpus recall
+# measurement of tools/dedup_recall_probe.py promoted into the correctness
+# gate — the same move that took the ANN recall evals in-engine in r9
+# (uniform testdata can't measure banding recall; a constructed corpus with
+# KNOWN pair Jaccard can, and both engines can construct it bit-identically).
+# ---------------------------------------------------------------------------
+
+_DRE_PAIRS = 200  # planted pairs per Jaccard level
+_DRE_M = 62  # tokens per doc → 60 shingles
+_DRE_LEVELS = (0.25, 0.7, 0.8, 0.9)  # nominal planted Jaccard ladder
+
+
+def _dre_level_rows() -> list:
+    """Per-level derived constants, computed ONCE in Python at import and
+    interpolated as literals into BOTH engines (the closed-form expected
+    recall involves pow() — libm results are not bit-portable across
+    engines, so neither engine ever evaluates it):
+    [(lvl, shared_prefix_len s, j_bp, expected_recall_bp)]."""
+    sh = _DRE_M - 2
+    rows = []
+    for lvl, j in enumerate(_DRE_LEVELS):
+        i = round(2 * j * sh / (1 + j))
+        s = i + 2
+        j_act = i / (2 * sh - i)
+        exp = 1.0 - (1.0 - j_act**LSH_ROWS) ** LSH_BANDS
+        rows.append((lvl, s, round(j_act * 10**4), round(exp * 10**4)))
+    return rows
+
+
+_DRE_ROWS = _dre_level_rows()
+_DRE_S_CASE = (
+    "CASE lvl "
+    + " ".join(f"WHEN {lvl} THEN {s}" for lvl, s, _, _ in _DRE_ROWS)
+    + " END"
+)
+
+
+def _dre_tok(j: str) -> str:
+    """Token j of a doc — valid in BOTH Spark SQL and DuckDB: the base doc
+    (side 0) uses t-tokens everywhere; the variant shares the first s
+    tokens and diverges to x-tokens after (per-pair disjoint vocabulary,
+    so the shingle-set Jaccard is exactly the planted value)."""
+    return (
+        f"(CASE WHEN side = 0 OR ({j}) < s"
+        f" THEN 'l' || lvl || 'p' || p || 't' || ({j})"
+        f" ELSE 'l' || lvl || 'p' || p || 'x' || (({j}) - s) END)"
+    )
+
+
+_DRE_SHINGLE = (
+    f"{_dre_tok('k-1')} || ' ' || {_dre_tok('k')} || ' ' || {_dre_tok('k+1')}"
+)
+_DRE_LVL_VALUES = ", ".join(
+    f"({lvl}, {jbp}, {ebp})" for lvl, _, jbp, ebp in _DRE_ROWS
+)
+
+
+@register(
+    "dedup_recall_eval",
+    oracle=f"""
+    WITH docs AS (
+      SELECT did, did // {2 * _DRE_PAIRS} AS lvl,
+             (did // 2) % {_DRE_PAIRS} AS p, did % 2 AS side,
+             {_DRE_S_CASE.replace('lvl', '(did // ' + str(2 * _DRE_PAIRS) + ')')} AS s
+      FROM range(0, {len(_DRE_LEVELS) * 2 * _DRE_PAIRS}) t(did)),
+    sh AS (
+      SELECT did AS doc_id, {_DRE_SHINGLE} AS shingle
+      FROM docs, range(1, {_DRE_M - 1}) g(k)),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_SIG} AS sig FROM sh GROUP BY doc_id),
+    keyed AS (
+      SELECT doc_id, band,
+             md5(array_to_string(
+               sig[band*{LSH_ROWS}+1 : band*{LSH_ROWS}+{LSH_ROWS}], ','))
+               AS band_key
+      FROM sigs, unnest(generate_series(0, {LSH_BANDS - 1})) AS u(band)),
+    coll AS (
+      SELECT DISTINCT a.doc_id AS da
+      FROM keyed a JOIN keyed b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0),
+    per_lvl AS (
+      SELECT da // {2 * _DRE_PAIRS} AS lvl, count(*) AS caught
+      FROM coll GROUP BY 1),
+    lv(lvl, j_bp, expected_bp) AS (VALUES {_DRE_LVL_VALUES})
+    SELECT lv.lvl::BIGINT AS lvl, lv.j_bp::BIGINT AS j_bp,
+           {_DRE_PAIRS}::BIGINT AS planted,
+           coalesce(per_lvl.caught, 0)::BIGINT AS caught,
+           (coalesce(per_lvl.caught, 0) * 10000 // {_DRE_PAIRS})::BIGINT
+             AS recall_bp,
+           lv.expected_bp::BIGINT AS expected_bp
+    FROM lv LEFT JOIN per_lvl ON per_lvl.lvl = lv.lvl
+    """,
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATE-CHECKED banding recall on a planted near-dup corpus — the
+    measurement behind the r10 derived LSH config, runnable (and
+    hash-verified) by both engines every round instead of living only in
+    tools/dedup_recall_probe.py. Pairs are planted with exact shingle-set
+    Jaccard (per-pair disjoint vocabulary, shared token prefix), the REAL
+    signature machinery (_minhash_sigs — the same md5-min aggregates the
+    production dedup path codegens) signs them under the derived
+    (rows, bands, n_perm) config, and the fraction colliding in ≥1 band
+    is reported per level next to the closed-form expectation
+    1−(1−J^r)^b (evaluated once in Python at import — pow() is not
+    bit-portable across libms — and interpolated as literals into both
+    engines). The J=0.25 junk row doubles as the candidate-efficiency
+    check. Banding misses are the one dedup error class verification
+    cannot repair, so this is the recall half of the honesty contract
+    that ann_recall_eval* established for ANN serving.
+
+    Scale posture: corpus is constant-sized (the measurement, not the
+    data path); the collision check is the production band-bucket
+    equi-join shape (keyed a ⋈ keyed b on (band, band_key)), never an
+    all-pairs signature comparison."""
+    n_docs = len(_DRE_LEVELS) * 2 * _DRE_PAIRS
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("did"),
+            (F.col("id") / (2 * _DRE_PAIRS)).cast("long").alias("lvl"),
+            ((F.col("id") / 2).cast("long") % _DRE_PAIRS).alias("p"),
+            (F.col("id") % 2).alias("side"),
+        )
+        .withColumn("s", F.expr(_DRE_S_CASE))
+    )
+    sh = (
+        docs.select(
+            F.col("did").alias("doc_id"),
+            "lvl",
+            "p",
+            "side",
+            "s",
+            F.explode(F.sequence(F.lit(1), F.lit(_DRE_M - 2))).alias("k"),
+        )
+        .select("doc_id", F.expr(_DRE_SHINGLE).alias("shingle"))
+    )
+    sigs = _minhash_sigs(sh)
+    keyed = sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.expr(
+            f"md5(array_join(slice(sig, band*{LSH_ROWS}+1, {LSH_ROWS}), ','))"
+        ).alias("band_key"),
+    )
+    a = keyed.filter(F.col("doc_id") % 2 == 0).alias("a")
+    b = keyed.alias("b")
+    coll = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.doc_id") == F.col("a.doc_id") + 1),
+        )
+        .select(F.col("a.doc_id").alias("da"))
+        .distinct()
+    )
+    per_lvl = coll.groupBy(
+        (F.col("da") / (2 * _DRE_PAIRS)).cast("long").alias("lvl")
+    ).agg(F.count("*").alias("caught"))
+    lv = spark.createDataFrame(
+        [(lvl, jbp, ebp) for lvl, _, jbp, ebp in _DRE_ROWS],
+        "lvl long, j_bp long, expected_bp long",
+    )
+    return (
+        lv.join(per_lvl, "lvl", "left")
+        .select(
+            "lvl",
+            "j_bp",
+            F.lit(_DRE_PAIRS).cast("long").alias("planted"),
+            F.coalesce("caught", F.lit(0)).cast("long").alias("caught"),
+            F.expr(f"coalesce(caught, 0) * 10000 DIV {_DRE_PAIRS}")
+            .cast("long")
+            .alias("recall_bp"),
+            "expected_bp",
+        )
+    )

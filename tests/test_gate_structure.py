@@ -73,3 +73,22 @@ def test_compound_is_tagged_union(spark, comp):
         REGISTRY[m].fn(spark, SF_DIR).count() for m in members
     )
     assert sorted(comp_counts.values()) == member_counts
+
+
+def test_coverage_md_compound_table_current():
+    """COVERAGE.md's compound→members table is regenerated from
+    gate_queries.COMPOUND_MEMBERS (the single source); a new compound
+    member that isn't reflected there fails here instead of shipping a
+    stale operator inventory (r10: the table had drifted two rounds)."""
+    import pathlib
+
+    text = (
+        pathlib.Path(__file__).parent.parent / "COVERAGE.md"
+    ).read_text()
+    missing = [
+        f"{comp}:{m}"
+        for comp, members in COMPOUND_MEMBERS.items()
+        for m in members
+        if f"| `{comp}` |" not in text or m not in text
+    ]
+    assert not missing, f"COVERAGE.md compound table stale: {missing[:10]}"
