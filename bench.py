@@ -196,6 +196,7 @@ HEADLINE = [
     "search_percolate_reguard",
     "stream_hll_upkeep",
     "dedup_recall_eval",
+    "g_node2vec_walks",
 ]
 
 

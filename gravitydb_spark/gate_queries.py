@@ -1037,6 +1037,15 @@ _compound(
                 "dist": "step",
             },
         ),
+        (
+            "n2v",
+            "g_node2vec_walks",
+            {
+                "id": "CAST(walk_id AS STRING) || '#' || CAST(step AS STRING)"
+                " || '>' || v",
+                "dist": "step",
+            },
+        ),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
     " distances, weighted single-source shortest paths (frontier"

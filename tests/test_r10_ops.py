@@ -105,3 +105,43 @@ def test_theta_estimates_within_sketch_error(spark, sf_dir):
         abs(stats["inter_est"] - stats["inter_exact"])
         <= 3 * rsd * exact_u + 2
     )
+
+
+def test_node2vec_walks_follow_edges_and_bias_differs(spark, sf_dir):
+    from gravitydb_spark.graph_queries import _WALK_LEN, _rw_num_walks
+    from gravitydb_spark.registry import load
+
+    df = REGISTRY["g_node2vec_walks"].fn(spark, sf_dir).localCheckpoint()
+    rows = df.collect()
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e = {
+        (r["a"], r["b"])
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+        .collect()
+    }
+    und = e | {(b, a) for a, b in e}
+    n_verts = len({a for a, _ in und})
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["v"]
+    assert len(walks) == _rw_num_walks(n_verts)
+    for wid, steps in walks.items():
+        assert sorted(steps) == list(range(_WALK_LEN + 1))
+        assert steps[0] == f"c{wid}"
+        for k in range(_WALK_LEN):
+            assert (steps[k], steps[k + 1]) in und, (wid, k)
+    # the p/q bias must actually change trajectories vs the uniform walk
+    # (same LCG, same starts — only the selection rule differs)
+    uni = {}
+    for r in REGISTRY["g_random_walks"].fn(spark, sf_dir).collect():
+        uni.setdefault(r["walk_id"], {})[r["step"]] = r["v"]
+    diverged = sum(
+        1 for wid in walks if walks[wid] != uni.get(wid, {})
+    )
+    assert diverged > 0

@@ -41,9 +41,12 @@ OPS = [
     "g_sssp_weighted",
     "g_kcore_onion",
     # round 10: LPA communities + random-walk corpus (both on the
-    # customer–supplier trade graph, so rep10/skew stress them directly)
+    # customer–supplier trade graph, so rep10/skew stress them directly),
+    # plus the two new sketches (rep10 gives 10x the member/probe keys)
     "g_label_propagation",
     "g_random_walks",
+    "sketch_bloom_membership",
+    "sketch_theta_intersect",
 ]
 
 
@@ -137,7 +140,9 @@ def build_skew(spark, base: str, out: str) -> None:
 def run(spark, sf_dir: str, label: str) -> None:
     from gravitydb_spark import graph_queries
     from gravitydb_spark.operators.iterative import triangle_counts
-    from gravitydb_spark.registry import REGISTRY
+    from gravitydb_spark.registry import REGISTRY, queries
+
+    queries()  # load ALL query modules (the sketch ops live in pipeline)
 
     g = graph_queries.tpch_graph(spark, sf_dir)
     g.vertices.count(), g.edges.count()  # warm the ingest+cache
