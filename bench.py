@@ -197,6 +197,7 @@ HEADLINE = [
     "stream_hll_upkeep",
     "dedup_recall_eval",
     "g_node2vec_walks",
+    "g_harmonic_closeness",
 ]
 
 

@@ -1046,6 +1046,7 @@ _compound(
                 "dist": "step",
             },
         ),
+        ("harmonic", "g_harmonic_closeness", {"id": "id", "dist": "hc_scaled"}),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
     " distances, weighted single-source shortest paths (frontier"

@@ -3586,3 +3586,117 @@ def g_node2vec_walks(spark, sf_dir):
 
     allw = _reduce(lambda x, y: x.unionByName(y), out)
     return allw.select(F.col("wid").alias("walk_id"), "step", "v")
+
+
+# ---------------------------------------------------------------------------
+# Sampled harmonic closeness centrality (round 10)
+# ---------------------------------------------------------------------------
+
+_HC_SCALE = 10**4
+
+
+def _hc_oracle_sql(depth: int = _BC_UNROLL) -> str:
+    """Harmonic closeness from the SAME derived source set and BFS level
+    chain as the betweenness oracle (kk → srcs → l0..l{depth}, minus the
+    σ path counts): H(v) = Σ_s scale // d(s, v) — truncating integer
+    division, so the sum is fold-order independent and engine-exact;
+    unreachable (s, v) pairs contribute 0 naturally (the harmonic
+    centrality advantage on disconnected graphs). Levels past frontier
+    exhaustion are provably empty, so the static unroll replays
+    run-to-exhaustion exactly (the betweenness contract)."""
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)",
+        """kk AS (SELECT greatest(4, floor(log2(count(*)))::BIGINT // 4) AS k
+      FROM (SELECT DISTINCT a FROM und))""",
+        """srcs AS (SELECT 'c' || o_custkey AS s FROM (
+        SELECT DISTINCT o_custkey
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      ORDER BY o_custkey LIMIT (SELECT k FROM kk))""",
+        "l0 AS (SELECT s, s AS v FROM srcs)",
+        "seen0 AS (SELECT s, v FROM l0)",
+    ]
+    for L in range(1, depth + 1):
+        parts.append(
+            f"""l{L} AS MATERIALIZED (
+      SELECT DISTINCT c.s, c.v FROM (
+        SELECT l.s, u.b AS v FROM l{L - 1} l JOIN und u ON u.a = l.v) c
+      WHERE NOT EXISTS (SELECT 1 FROM seen{L - 1} p
+                        WHERE p.s = c.s AND p.v = c.v))"""
+        )
+        parts.append(
+            f"seen{L} AS (SELECT s, v FROM seen{L - 1}"
+            f" UNION ALL SELECT s, v FROM l{L})"
+        )
+    alll = " UNION ALL ".join(
+        f"SELECT s, v, {L} AS lvl FROM l{L}" for L in range(1, depth + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    alll AS ({alll})
+    SELECT v AS id, sum({_HC_SCALE} // lvl)::BIGINT AS hc_scaled
+    FROM alll GROUP BY v"""
+    )
+
+
+@register("g_harmonic_closeness", oracle=_hc_oracle_sql())
+def g_harmonic_closeness(spark, sf_dir):
+    """Sampled HARMONIC CLOSENESS centrality (Boldi–Vigna's preferred
+    closeness variant; Eppstein–Wang-style source sampling): H(v) =
+    Σ over the derived source set of scale // d(s, v) — high for
+    vertices a short hop from many sources, naturally 0-contribution
+    for unreachable pairs (no disconnected-graph infinity, the reason
+    harmonic beats classic closeness at scale). Sources and BFS depth
+    reuse the betweenness derivations (k = max(4, ⌊log₂ n⌋ // 4)
+    smallest custkeys, run-to-exhaustion under the derived cap);
+    truncating integer division makes the per-vertex sum fold-order
+    independent, hence the full value-hash oracle (the same
+    scaled-BIGINT contract as the rest of the centrality family).
+
+    Scale posture: the forward pass is the betweenness BFS without the
+    σ bookkeeping — per level ONE (s, v)-keyed equi-join + distinct +
+    an anti-join against the seen set, lineage-cut per level; the final
+    score is one map-side-combinable sum keyed by vertex. State is
+    (k · vertices) pairs at worst — the sampling keeps k logarithmic
+    in n (Brandes–Pich / Eppstein–Wang)."""
+    und = _trade_und(spark, sf_dir)
+    n_verts, m_und = und.agg(
+        F.countDistinct("a").alias("n"), F.count("*").alias("m")
+    ).collect()[0]
+    k = _bc_num_sources(n_verts)
+    srcs = (
+        und.filter(F.col("a").startswith("c"))
+        .select(F.substring("a", 2, 100).cast("long").alias("ck"))
+        .distinct()
+        .orderBy("ck")
+        .limit(k)
+        .select(F.concat(F.lit("c"), F.col("ck").cast("string")).alias("s"))
+    )
+    frontier = srcs.select("s", F.col("s").alias("v")).localCheckpoint(
+        eager=True
+    )
+    seen = frontier
+    levels = []
+    for L in range(1, _bc_depth_cap(n_verts, m_und) + 1):
+        nxt = (
+            frontier.join(und, und.a == frontier.v)
+            .select("s", F.col("b").alias("v"))
+            .distinct()
+            .join(seen, ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break  # frontier exhausted (cap is only the runaway guard)
+        levels.append(nxt.withColumn("lvl", F.lit(L).cast("long")))
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    from functools import reduce as _reduce
+
+    alll = _reduce(lambda x, y: x.unionByName(y), levels)
+    return alll.groupBy(F.col("v").alias("id")).agg(
+        F.sum(F.expr(f"{_HC_SCALE} DIV lvl")).cast("long").alias("hc_scaled")
+    )

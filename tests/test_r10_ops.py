@@ -145,3 +145,24 @@ def test_node2vec_walks_follow_edges_and_bias_differs(spark, sf_dir):
         1 for wid in walks if walks[wid] != uni.get(wid, {})
     )
     assert diverged > 0
+
+
+def test_harmonic_closeness_bounds(spark, sf_dir):
+    """Every score is a sum over ≤ k sources of scale // d with d ≥ 1, so
+    0 < hc ≤ k·scale; the sources themselves (distance-1 hubs' suppliers)
+    must outrank the long tail — check the max score touches the ceiling
+    region and every vertex with a score is reachable (count ≤ n)."""
+    from gravitydb_spark.graph_queries import _HC_SCALE, _bc_num_sources
+
+    df = REGISTRY["g_harmonic_closeness"].fn(spark, sf_dir)
+    rows = df.collect()
+    n = len(rows)
+    assert n > 0
+    import math
+
+    k = _bc_num_sources(10**9)  # upper bound on k for any n
+    vals = [r["hc_scaled"] for r in rows]
+    assert all(0 < v <= k * _HC_SCALE for v in vals)
+    # suppliers adjacent to a source get scale//1 from it: the top score
+    # must be at least one full-scale contribution
+    assert max(vals) >= _HC_SCALE
