@@ -198,6 +198,7 @@ HEADLINE = [
     "dedup_recall_eval",
     "g_node2vec_walks",
     "g_harmonic_closeness",
+    "dedup_bbit_minhash",
 ]
 
 

@@ -846,6 +846,12 @@ _compound(
             "dedup_recall_eval",
             {"a": "j_bp", "b": "caught", "v": "recall_bp - expected_bp"},
         ),
+        # round 10: b-bit signature-compression estimate vs full-component
+        (
+            "bbit",
+            "dedup_bbit_minhash",
+            {"a": "doc_a", "b": "doc_b", "v": "est_bbit_bp - est_full_bp"},
+        ),
     ],
     "Gate family for MinHash near-dup dedup: banded-LSH candidate pairs"
     " with estimated Jaccard, connected-component clustering with"

@@ -12279,3 +12279,92 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_bp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# b-bit minhash (round 10): signature compression (Li & König 2010) — store
+# only the lowest bit of each minhash component and correct the estimator.
+# The 100 TB trade: a 1-bit signature is 32× smaller than the hex-component
+# signature, so the signature TABLE (the thing a petabyte dedup pipeline
+# actually persists and shuffles) shrinks by that factor at a known,
+# measured accuracy cost — which this query exposes per pair.
+# ---------------------------------------------------------------------------
+
+
+def _bbit_terms(fn) -> str:
+    """Sum of per-component comparison CASEs (engine-shared SQL: both
+    Spark and DuckDB use 1-based element access here via element_at /
+    [])."""
+    return " + ".join(fn(i) for i in range(1, N_MINHASH + 1))
+
+
+_BBIT_FULL_SPARK = _bbit_terms(
+    lambda i: f"(CASE WHEN element_at(sig_a, {i}) = element_at(sig_b, {i})"
+    " THEN 1 ELSE 0 END)"
+)
+_BBIT_FULL_DUCK = _bbit_terms(
+    lambda i: f"(CASE WHEN sig_a[{i}] = sig_b[{i}] THEN 1 ELSE 0 END)"
+)
+# lowest bit of the minimizing hash = parity of the last hex digit
+_BBIT_BIT_SPARK = _bbit_terms(
+    lambda i: f"(CASE WHEN conv(substring(element_at(sig_a, {i}), 32, 1), 16, 10) % 2"
+    f" = conv(substring(element_at(sig_b, {i}), 32, 1), 16, 10) % 2"
+    " THEN 1 ELSE 0 END)"
+)
+_BBIT_BIT_DUCK = _bbit_terms(
+    lambda i: f"(CASE WHEN ('0x' || substr(sig_a[{i}], 32, 1))::BIGINT % 2"
+    f" = ('0x' || substr(sig_b[{i}], 32, 1))::BIGINT % 2 THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "dedup_bbit_minhash",
+    oracle=f"""
+    WITH {_DUCK_PAIR_CTES}
+    SELECT p.doc_a, p.doc_b,
+           (({_BBIT_FULL_DUCK}) * 10000 // {N_MINHASH})::BIGINT
+             AS est_full_bp,
+           greatest(0, 2 * (({_BBIT_BIT_DUCK}) * 10000 // {N_MINHASH})
+                        - 10000)::BIGINT AS est_bbit_bp
+    FROM pairs p JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    """,
+)
+def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-BIT MINHASH estimation (b = 1; Li & König 2010) next to the
+    full-component estimate, per LSH candidate pair: the stored
+    signature keeps only the LOWEST BIT of each minimizing hash (parity
+    of the last hex digit), and the unbiased estimator corrects for the
+    1/2 random-collision floor: Ĵ = 2·m̂ − 1 (clamped at 0), where m̂ is
+    the matching-bit fraction. est_full_bp (component match fraction)
+    and est_bbit_bp are both pure integer basis points from the SAME
+    cached signatures, so every value hash-matches across engines and
+    the accuracy cost of the 32× signature compression is visible per
+    pair in the gate — the same honesty contract as the recall evals.
+
+    Scale posture: no new shuffle anywhere — candidates and signatures
+    are the cached frames the dedup family already shares; the bit
+    extraction is a projection. At 100 TB the compressed signature table
+    is what ships between stages (18 bits/doc vs 72 hex chars), with
+    this query quantifying exactly what that buys and costs."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sigs = _doc_sigs(spark, sf_dir)
+    j = pairs.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+        "doc_b",
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.expr(f"({_BBIT_FULL_SPARK}) * 10000 DIV {N_MINHASH}")
+        .cast("long")
+        .alias("est_full_bp"),
+        F.expr(
+            f"greatest(0L, 2 * (({_BBIT_BIT_SPARK}) * 10000 DIV {N_MINHASH})"
+            " - 10000)"
+        )
+        .cast("long")
+        .alias("est_bbit_bp"),
+    )
