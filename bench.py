@@ -199,6 +199,7 @@ HEADLINE = [
     "g_node2vec_walks",
     "g_harmonic_closeness",
     "dedup_bbit_minhash",
+    "g_lpa_modularity",
 ]
 
 

@@ -1053,6 +1053,9 @@ _compound(
             },
         ),
         ("harmonic", "g_harmonic_closeness", {"id": "id", "dist": "hc_scaled"}),
+        # round 10: per-community modularity contribution of the LPA
+        # partition (the community-quality eval; Σ dist = Q in bp)
+        ("modularity", "g_lpa_modularity", {"id": "community", "dist": "q_bp"}),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
     " distances, weighted single-source shortest paths (frontier"

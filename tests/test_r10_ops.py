@@ -166,3 +166,17 @@ def test_harmonic_closeness_bounds(spark, sf_dir):
     # suppliers adjacent to a source get scale//1 from it: the top score
     # must be at least one full-scale contribution
     assert max(vals) >= _HC_SCALE
+
+
+def test_lpa_modularity_invariants(spark, sf_dir):
+    """Σ members = vertex count of the sparsified graph; Σ deg_sum = U
+    (every und row counted once via its 'a' endpoint's community);
+    in_edges ≤ deg_sum; every contribution within (-1, 1) in bp."""
+    mod = REGISTRY["g_lpa_modularity"].fn(spark, sf_dir).collect()
+    lpa = REGISTRY["g_label_propagation"].fn(spark, sf_dir).collect()
+    assert sum(r["members"] for r in mod) == len(lpa)
+    U = sum(r["deg_sum"] for r in mod)
+    assert U > 0 and U % 2 == 0  # symmetrized edge rows
+    for r in mod:
+        assert 0 <= r["in_edges"] <= r["deg_sum"]
+        assert -10000 <= r["q_bp"] <= 10000
