@@ -1725,6 +1725,7 @@ def clear_memo_cache(spark: SparkSession | None = None) -> int:
         pipeline_queries._pq_book_memo,
         pipeline_queries._pq_shortlist_memo,
         graph_queries._graph_cache,
+        graph_queries._scalar_memo,
     ]
     sk = _session_key(spark) if spark is not None else None
     removed = 0

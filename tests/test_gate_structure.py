@@ -85,10 +85,19 @@ def test_coverage_md_compound_table_current():
     text = (
         pathlib.Path(__file__).parent.parent / "COVERAGE.md"
     ).read_text()
+    # scope the member check to the compound's OWN table row (r10 ADVICE:
+    # a member mentioned anywhere in the file used to pass the check even
+    # when its compound's row was stale)
+    rows = {
+        comp: "\n".join(
+            ln for ln in text.splitlines() if f"| `{comp}` |" in ln
+        )
+        for comp in COMPOUND_MEMBERS
+    }
     missing = [
         f"{comp}:{m}"
         for comp, members in COMPOUND_MEMBERS.items()
         for m in members
-        if f"| `{comp}` |" not in text or m not in text
+        if not rows[comp] or m not in rows[comp]
     ]
     assert not missing, f"COVERAGE.md compound table stale: {missing[:10]}"
