@@ -198,6 +198,8 @@ HEADLINE = [
     "dedup_recall_eval",
     "g_node2vec_walks",
     "g_harmonic_closeness",
+    "g_skipgram_embed",
+    "g_skipgram_eval",
     "dedup_bbit_minhash",
     "g_lpa_modularity",
 ]

@@ -1056,6 +1056,26 @@ _compound(
         # round 10: per-community modularity contribution of the LPA
         # partition (the community-quality eval; Σ dist = Q in bp)
         ("modularity", "g_lpa_modularity", {"id": "community", "dist": "q_bp"}),
+        # round 11: skip-gram (SGNS) embeddings trained on the walk
+        # corpus (id packs vertex#dim; dist = the micro-unit coordinate)
+        # and the objective-moved eval (id packs phase#label; dist = the
+        # weighted scaled dot-product sum)
+        (
+            "skipgram",
+            "g_skipgram_embed",
+            {
+                "id": "id || '#' || CAST(dim AS STRING)",
+                "dist": "emb_scaled",
+            },
+        ),
+        (
+            "sgeval",
+            "g_skipgram_eval",
+            {
+                "id": "phase || '#' || CAST(y AS STRING)",
+                "dist": "dot_sum_scaled",
+            },
+        ),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
     " distances, weighted single-source shortest paths (frontier"
@@ -1067,7 +1087,9 @@ _compound(
     " scaled-integer score), and personalized PageRank seeded at one"
     " nation's customers (teleport+dangling mass to the seed set);"
     " round 10 adds synchronous label-propagation communities and"
-    " DeepWalk-style LCG-deterministic random-walk corpus generation.",
+    " DeepWalk-style LCG-deterministic random-walk corpus generation;"
+    " round 11 adds exact integer skip-gram (SGNS) embedding training"
+    " over that walk corpus plus its objective-separation eval.",
 )
 
 _compound(

@@ -3480,13 +3480,17 @@ def _rw_num_walks(n_verts: int) -> int:
     return max(_WALK_MIN, 2 * int(math.log2(max(2, n_verts))))
 
 
-def _rw_oracle_sql(steps: int = _WALK_LEN) -> str:
-    """Unrolled LCG-driven random walk: nbr numbers each vertex's
-    neighbours 1..deg (ORDER BY neighbour id — ASCII ids, identical
-    binary collation both engines); the walk carries a 31-bit LCG state
-    (state' = (1103515245·state + 12345) mod 2³¹ — the engine-portable
-    generator of the planted-cluster corpus, pipeline_queries._SYNTH_SQL)
-    and steps to neighbour rank (state mod deg) + 1."""
+def _rw_corpus_parts(steps: int = _WALK_LEN) -> list[str]:
+    """CTE parts ending in ``allw(wid, step, v, st)`` — the unrolled
+    LCG-driven walk corpus, SHARED by the g_random_walks oracle and the
+    skip-gram training/eval oracles (the corpus can never drift between
+    the walk generator and its training consumer): nbr numbers each
+    vertex's neighbours 1..deg (ORDER BY neighbour id — ASCII ids,
+    identical binary collation both engines); the walk carries a 31-bit
+    LCG state (state' = (1103515245·state + 12345) mod 2³¹ — the
+    engine-portable generator of the planted-cluster corpus,
+    pipeline_queries._SYNTH_SQL) and steps to neighbour rank
+    (state mod deg) + 1."""
     parts = [
         _trade_edges_sql(),
         """nbr AS MATERIALIZED (
@@ -3512,12 +3516,15 @@ def _rw_oracle_sql(steps: int = _WALK_LEN) -> str:
         ON n.a = w.v AND n.rn = (w.st % n.deg) + 1)"""
         )
     allw = " UNION ALL ".join(f"SELECT * FROM w{k}" for k in range(steps + 1))
+    parts.append(f"allw AS ({allw})")
+    return parts
+
+
+def _rw_oracle_sql(steps: int = _WALK_LEN) -> str:
     return (
         "WITH "
-        + ",\n    ".join(parts)
-        + f""",
-    allw AS ({allw})
-    SELECT wid AS walk_id, step, v FROM allw"""
+        + ",\n    ".join(_rw_corpus_parts(steps))
+        + "\n    SELECT wid AS walk_id, step, v FROM allw"
     )
 
 
@@ -3543,50 +3550,67 @@ def g_random_walks(spark, sf_dir):
     one BIGINT per walk, never driver-side. The modulo choice is biased
     for non-power-of-two degrees — acceptable and standard for corpus
     generation, and determinism is the contract here."""
-    nbr = _trade_nbr(spark, sf_dir)
-    n_verts = nbr.select("a").distinct().count()  # bounded scalar, one job
-    nw = _rw_num_walks(n_verts)
-    # start set derives from the (already materialized) neighbour table —
-    # never re-runs the orders⋈lineitem edge build
-    starts = (
-        nbr.filter(F.col("a").startswith("c"))
-        .select(F.substring("a", 2, 100).cast("long").alias("wid"))
-        .distinct()
-        .orderBy("wid")
-        .limit(nw)
+    return _rw_corpus(spark, sf_dir).select(
+        F.col("wid").alias("walk_id"), "step", "v"
     )
-    frontier = starts.select(
-        "wid",
-        F.lit(0).cast("long").alias("step"),
-        F.concat(F.lit("c"), F.col("wid").cast("string")).alias("v"),
-        ((F.lit(1103515245) * F.col("wid") + 12345) % 2147483648).alias("st"),
-    ).localCheckpoint(eager=True)
-    out = [frontier]
-    for k in range(1, _WALK_LEN + 1):
-        f = out[-1]
-        # each frontier is lineage-cut (nw rows): without this, step k's
-        # plan inlines steps 0..k-1, so the 9-branch union re-executes
-        # O(L²) joins (the shared-subtree lesson, memory/spark-perf)
-        step = (
-            nbr.join(
-                F.broadcast(f),
-                (nbr.a == f.v) & (nbr.rn == (f.st % nbr.deg) + 1),
-            )
-            .select(
-                "wid",
-                F.lit(k).cast("long").alias("step"),
-                F.col("b").alias("v"),
-                ((F.lit(1103515245) * F.col("st") + 12345) % 2147483648).alias(
-                    "st"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        out.append(step)
-    from functools import reduce as _reduce
 
-    allw = _reduce(lambda x, y: x.unionByName(y), out)
-    return allw.select(F.col("wid").alias("walk_id"), "step", "v")
+
+def _rw_corpus(spark, sf_dir):
+    """DF[wid, step, v] — the memoized LCG-deterministic walk corpus
+    (exactly g_random_walks' rows), shared by the walk query and the
+    skip-gram training/eval consumers; memoized per (session, sf_dir)
+    so the L-step frontier loop runs once."""
+    from .relational_queries import _memo_cache
+
+    def build():
+        nbr = _trade_nbr(spark, sf_dir)
+        n_verts = nbr.select("a").distinct().count()  # bounded scalar
+        nw = _rw_num_walks(n_verts)
+        # start set derives from the (already materialized) neighbour
+        # table — never re-runs the orders⋈lineitem edge build
+        starts = (
+            nbr.filter(F.col("a").startswith("c"))
+            .select(F.substring("a", 2, 100).cast("long").alias("wid"))
+            .distinct()
+            .orderBy("wid")
+            .limit(nw)
+        )
+        frontier = starts.select(
+            "wid",
+            F.lit(0).cast("long").alias("step"),
+            F.concat(F.lit("c"), F.col("wid").cast("string")).alias("v"),
+            ((F.lit(1103515245) * F.col("wid") + 12345) % 2147483648).alias(
+                "st"
+            ),
+        ).localCheckpoint(eager=True)
+        out = [frontier]
+        for k in range(1, _WALK_LEN + 1):
+            f = out[-1]
+            # each frontier is lineage-cut (nw rows): without this, step
+            # k's plan inlines steps 0..k-1, so the 9-branch union
+            # re-executes O(L²) joins (memory/spark-perf lesson)
+            step = (
+                nbr.join(
+                    F.broadcast(f),
+                    (nbr.a == f.v) & (nbr.rn == (f.st % nbr.deg) + 1),
+                )
+                .select(
+                    "wid",
+                    F.lit(k).cast("long").alias("step"),
+                    F.col("b").alias("v"),
+                    (
+                        (F.lit(1103515245) * F.col("st") + 12345) % 2147483648
+                    ).alias("st"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            out.append(step)
+        from functools import reduce as _reduce
+
+        allw = _reduce(lambda x, y: x.unionByName(y), out)
+        return allw.select("wid", "step", "v")
+
+    return _memo_cache(spark, sf_dir, "rw_corpus", build)
 
 
 # ---------------------------------------------------------------------------
@@ -3762,6 +3786,429 @@ def g_node2vec_walks(spark, sf_dir):
 
     allw = _reduce(lambda x, y: x.unionByName(y), out)
     return allw.select(F.col("wid").alias("walk_id"), "step", "v")
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram embedding training over the walk corpus (round 11): the
+# DeepWalk pipeline's last mile — walks → window pairs (+ corpus-unigram
+# negative sampling) → engine-exact integer full-batch SGNS → node
+# embeddings in the ANN-servable (id, dim, value) layout.
+# ---------------------------------------------------------------------------
+
+_SG_DIM = 4  # embedding width; the plan is long-format, any D works
+_SG_WINDOW = 2  # skip-gram context window (±2 steps within a walk)
+_SG_U = 1_000_000  # micro-unit scale (the quality_lr_train contract)
+_SG_HALF = _SG_U // 2
+_SG_INIT_A = 100_000  # init amplitude: e0 values uniform in [-A, A]
+_SG_LRDIV = 4  # lr = 1/4 per epoch in per-vertex-normalized GD units
+_SG_EPOCHS = 3  # contract constant, same status as _LRT_STEPS
+
+
+def _sg_chain_parts(epochs: int = _SG_EPOCHS) -> list[str]:
+    """Unrolled CTE chain for skip-gram-with-negative-sampling training,
+    shared by the embedding and eval oracles (they can never drift):
+
+    - ``pos``: window pairs from the walk corpus (|Δstep| ≤ W within a
+      walk), multiplicity-counted.
+    - ``neg``: one negative per positive pair, drawn from the corpus
+      UNIGRAM distribution (the standard SGNS noise model) by decoding
+      h32(a>b) into a (walk, step) corpus position — dense walk index
+      via a row_number over the LIMIT-bounded ``starts`` (nw rows,
+      logarithmic in n — the bounded-window exception).
+    - ``e0``: deterministic init, val = h32(v:d) mod (2A+1) − A.
+    - per epoch: scaled dot z (integer sum per pair), the RATIONAL
+      sigmoid p_u = U/2 + (z·U/2)//(U+|z|) in micro-units (NOT ONE
+      double anywhere — the quality_lr_train lesson), err = p_u − y·U,
+      then the per-(v,d) gradient Σ err·w·val_other with a PER-VERTEX
+      normalizer cw = Σ w (degree-adaptive step so hub tokens don't
+      blow past the init scale), update val −= gg // (U·cw·LRDIV).
+      Truncating division on both engines (Spark DIV ≡ DuckDB //)."""
+    from .pipeline_queries import _duck_h32
+
+    U, H, A = _SG_U, _SG_HALF, _SG_INIT_A
+    parts = _rw_corpus_parts()
+    parts.append(
+        """widx AS (SELECT wid, row_number() OVER (ORDER BY wid) - 1 AS wix
+      FROM starts)"""
+    )
+    parts.append("nwc AS (SELECT count(*)::BIGINT AS nw FROM starts)")
+    parts.append(
+        f"""pos AS MATERIALIZED (
+      SELECT p1.v AS a, p2.v AS b, count(*)::BIGINT AS w
+      FROM allw p1 JOIN allw p2 ON p1.wid = p2.wid
+       AND p2.step BETWEEN p1.step - {_SG_WINDOW} AND p1.step + {_SG_WINDOW}
+       AND p2.step <> p1.step
+      GROUP BY 1, 2)"""
+    )
+    h = _duck_h32("p.a || '>' || p.b")
+    parts.append(
+        f"""neg AS MATERIALIZED (
+      SELECT n.a, n.ob, aw.v AS b, n.w
+      FROM (SELECT p.a, p.b AS ob, p.w,
+                   {h} % (SELECT nw FROM nwc) AS wix,
+                   ({h} // (SELECT nw FROM nwc)) % {_WALK_LEN + 1} AS nstep
+            FROM pos p) n
+      JOIN widx x ON x.wix = n.wix
+      JOIN allw aw ON aw.wid = x.wid AND aw.step = n.nstep)"""
+    )
+    parts.append(
+        """prs AS MATERIALIZED (
+      SELECT a || '>' || b || '+' AS pid, a, b, 1::BIGINT AS y, w FROM pos
+      UNION ALL
+      SELECT a || '>' || ob || '-' AS pid, a, b, 0::BIGINT AS y, w
+      FROM neg)"""
+    )
+    ih = _duck_h32("vv.v || ':' || t.i")
+    parts.append(
+        f"""e0 AS MATERIALIZED (
+      SELECT vv.v, t.i::BIGINT AS d,
+             ({ih} % {2 * A + 1} - {A})::BIGINT AS val
+      FROM (SELECT DISTINCT v FROM allw) vv, range(0, {_SG_DIM}) t(i))"""
+    )
+    for k in range(1, epochs + 1):
+        parts.append(
+            f"""z{k} AS MATERIALIZED (
+      SELECT p.pid, p.a, p.b, p.y, p.w, sum(ea.val * eb.val)::BIGINT AS zz
+      FROM prs p JOIN e{k - 1} ea ON ea.v = p.a
+                 JOIN e{k - 1} eb ON eb.v = p.b AND eb.d = ea.d
+      GROUP BY 1, 2, 3, 4, 5)"""
+        )
+        parts.append(
+            f"""er{k} AS (
+      SELECT pid, a, b, w,
+             ({H} + ((zz // {U}) * {H}) // ({U} + abs(zz // {U}))
+              - y * {U})::BIGINT AS err
+      FROM z{k})"""
+        )
+        parts.append(
+            f"""g{k} AS (
+      SELECT v, d, sum(gv)::BIGINT AS gg, sum(wv)::BIGINT AS cw FROM (
+        SELECT e.a AS v, eb.d AS d, e.err * e.w * eb.val AS gv, e.w AS wv
+        FROM er{k} e JOIN e{k - 1} eb ON eb.v = e.b
+        UNION ALL
+        SELECT e.b AS v, ea.d AS d, e.err * e.w * ea.val AS gv, e.w AS wv
+        FROM er{k} e JOIN e{k - 1} ea ON ea.v = e.a) _g
+      GROUP BY v, d)"""
+        )
+        parts.append(
+            f"""e{k} AS MATERIALIZED (
+      SELECT e.v, e.d,
+             (e.val
+              - coalesce(g.gg // ({U} * g.cw * {_SG_LRDIV}), 0))::BIGINT
+               AS val
+      FROM e{k - 1} e LEFT JOIN g{k} g ON g.v = e.v AND g.d = e.d)"""
+        )
+    return parts
+
+
+def _sg_oracle_sql(epochs: int = _SG_EPOCHS) -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_sg_chain_parts(epochs))
+        + f"\n    SELECT v AS id, d AS dim, val AS emb_scaled FROM e{epochs}"
+    )
+
+
+def _sg_eval_oracle_sql(epochs: int = _SG_EPOCHS) -> str:
+    parts = _sg_chain_parts(epochs)
+    parts.append(
+        f"""zf AS (
+      SELECT p.pid, p.y, p.w, sum(ea.val * eb.val)::BIGINT AS zz
+      FROM prs p JOIN e{epochs} ea ON ea.v = p.a
+                 JOIN e{epochs} eb ON eb.v = p.b AND eb.d = ea.d
+      GROUP BY 1, 2, 3)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT 'init' AS phase, y, sum(w)::BIGINT AS pairs_w,
+           sum(w * (zz // {_SG_U}))::BIGINT AS dot_sum_scaled
+    FROM z1 GROUP BY y
+    UNION ALL
+    SELECT 'trained' AS phase, y, sum(w)::BIGINT AS pairs_w,
+           sum(w * (zz // {_SG_U}))::BIGINT AS dot_sum_scaled
+    FROM zf GROUP BY y"""
+    )
+
+
+def _sg_pairs(spark, sf_dir):
+    """DF[pid, a, b, y, w] — the SGNS training pairs (positives:
+    window pairs with multiplicity; negatives: one corpus-unigram draw
+    per positive), memoized per (session, sf_dir). The dense walk index
+    the negative decode needs is a BOUNDED driver literal: nw =
+    max(8, 2⌊log₂ n⌋) walk ids (logarithmic in the vertex count — the
+    same bounded-collect class as the bucket-id lists), which keeps the
+    Spark plan entirely window-free."""
+    from .pipeline_queries import _h32
+    from .relational_queries import _memo_cache
+
+    def build():
+        corp = _rw_corpus(spark, sf_dir)  # cached (wid, step, v)
+        c1 = corp.select(
+            "wid", F.col("step").alias("s1"), F.col("v").alias("a")
+        )
+        c2 = corp.select(
+            "wid", F.col("step").alias("s2"), F.col("v").alias("b")
+        )
+        pos = (
+            c1.join(c2, "wid")
+            .filter(
+                (F.col("s2") >= F.col("s1") - _SG_WINDOW)
+                & (F.col("s2") <= F.col("s1") + _SG_WINDOW)
+                & (F.col("s2") != F.col("s1"))
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("w"))
+        )
+        # bounded driver literal: the nw walk ids, rank = list position
+        wids = sorted(
+            r[0] for r in corp.select("wid").distinct().collect()
+        )
+        nw = len(wids)
+        widx = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(wids)], "wix long, nwid long"
+        )
+        withhx = pos.select(
+            "a",
+            F.col("b").alias("ob"),
+            "w",
+            _h32(F.concat(F.col("a"), F.lit(">"), F.col("b"))).alias("hx"),
+        )
+        negidx = withhx.select(
+            "a",
+            "ob",
+            "w",
+            (F.col("hx") % nw).alias("wix"),
+            F.expr(f"(hx DIV {nw}) % {_WALK_LEN + 1}").alias("nstep"),
+        )
+        ct = corp.select(
+            F.col("wid").alias("cwid"),
+            F.col("step").alias("cstep"),
+            F.col("v").alias("nb"),
+        )
+        neg = (
+            negidx.join(F.broadcast(widx), "wix")  # nw rows — log-sized
+            .join(
+                ct,
+                (F.col("cwid") == F.col("nwid"))
+                & (F.col("cstep") == F.col("nstep")),
+            )
+            .select("a", "ob", F.col("nb").alias("b"), "w")
+        )
+        prs = pos.select(
+            F.concat(F.col("a"), F.lit(">"), F.col("b"), F.lit("+")).alias(
+                "pid"
+            ),
+            "a",
+            "b",
+            F.lit(1).cast("long").alias("y"),
+            "w",
+        ).unionByName(
+            neg.select(
+                F.concat(
+                    F.col("a"), F.lit(">"), F.col("ob"), F.lit("-")
+                ).alias("pid"),
+                "a",
+                "b",
+                F.lit(0).cast("long").alias("y"),
+                "w",
+            )
+        )
+        return prs
+
+    return _memo_cache(spark, sf_dir, "sg_pairs", build)
+
+
+def _sg_e0(spark, sf_dir):
+    """DF[v, d, val] — the deterministic h32 embedding init, memoized."""
+    from .pipeline_queries import _h32
+    from .relational_queries import _memo_cache
+
+    def build():
+        voc = _rw_corpus(spark, sf_dir).select("v").distinct()
+        return voc.select(
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(_SG_DIM - 1))).alias("d0"),
+        ).select(
+            "v",
+            F.col("d0").cast("long").alias("d"),
+            (
+                _h32(
+                    F.concat(F.col("v"), F.lit(":"), F.col("d0").cast("string"))
+                )
+                % (2 * _SG_INIT_A + 1)
+                - _SG_INIT_A
+            )
+            .cast("long")
+            .alias("val"),
+        )
+
+    return _memo_cache(spark, sf_dir, "sg_e0", build)
+
+
+def _sg_nvd(spark, sf_dir) -> int:
+    """|vocab|·D — the embedding-table row bound for _maybe_broadcast."""
+    return _memo_scalar(
+        spark, sf_dir, "sg_nvd", lambda: _sg_e0(spark, sf_dir).count()
+    )
+
+
+def _sg_zdots(prs, e, nvd: int):
+    """DF[pid, a, b, y, w, zz] — per-pair integer dot products of the
+    long-format embedding table against both pair endpoints (the shared
+    forward pass of training and eval)."""
+    ea = e.select(F.col("v").alias("a"), "d", F.col("val").alias("va"))
+    eb = e.select(F.col("v").alias("b"), "d", F.col("val").alias("vb"))
+    return (
+        prs.join(_maybe_broadcast(ea, nvd), "a")
+        .join(_maybe_broadcast(eb, nvd), ["b", "d"])
+        .groupBy("pid", "a", "b", "y", "w")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("zz"))
+    )
+
+
+def _sg_embeddings(spark, sf_dir):
+    """DF[v, d, val] — the TRAINED embeddings after _SG_EPOCHS exact
+    integer full-batch SGNS epochs, memoized per (session, sf_dir)."""
+    from .relational_queries import _memo_cache
+
+    def build():
+        prs = _sg_pairs(spark, sf_dir)
+        nvd = _sg_nvd(spark, sf_dir)
+        e = _sg_e0(spark, sf_dir)
+        for _ in range(_SG_EPOCHS):
+            z = _sg_zdots(prs, e, nvd)
+            p_u = F.expr(
+                f"{_SG_HALF} + ((zz DIV {_SG_U}) * {_SG_HALF})"
+                f" DIV ({_SG_U} + abs(zz DIV {_SG_U}))"
+            )
+            er = z.select(
+                "pid",
+                "a",
+                "b",
+                "w",
+                (p_u - F.col("y") * _SG_U).cast("long").alias("err"),
+            )
+            ea = e.select(
+                F.col("v").alias("a"), "d", F.col("val").alias("va")
+            )
+            eb = e.select(
+                F.col("v").alias("b"), "d", F.col("val").alias("vb")
+            )
+            ga = er.join(_maybe_broadcast(eb, nvd), "b").select(
+                F.col("a").alias("v"),
+                "d",
+                (F.col("err") * F.col("w") * F.col("vb")).alias("gv"),
+                F.col("w").alias("wv"),
+            )
+            gb = er.join(_maybe_broadcast(ea, nvd), "a").select(
+                F.col("b").alias("v"),
+                "d",
+                (F.col("err") * F.col("w") * F.col("va")).alias("gv"),
+                F.col("w").alias("wv"),
+            )
+            g = (
+                ga.unionByName(gb)
+                .groupBy("v", "d")
+                .agg(F.sum("gv").alias("gg"), F.sum("wv").alias("cw"))
+            )
+            # per-epoch lineage cut (the O(L²) inlining lesson); the
+            # update division truncates on both engines (DIV ≡ //)
+            e = (
+                e.join(_maybe_broadcast(g, nvd), ["v", "d"], "left")
+                .select(
+                    "v",
+                    "d",
+                    (
+                        F.col("val")
+                        - F.coalesce(
+                            F.expr(
+                                f"gg DIV ({_SG_U} * cw * {_SG_LRDIV})"
+                            ),
+                            F.lit(0),
+                        )
+                    )
+                    .cast("long")
+                    .alias("val"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return e
+
+    return _memo_cache(spark, sf_dir, "sg_emb", build)
+
+
+@register("g_skipgram_embed", oracle=_sg_oracle_sql())
+def g_skipgram_embed(spark, sf_dir):
+    """SKIP-GRAM EMBEDDING TRAINING over the random-walk corpus — the
+    DeepWalk pipeline's last mile (Perozzi et al. 2014; Mikolov et al.
+    2013 SGNS): g_random_walks' sentences → window pairs (±2 steps,
+    multiplicity-counted) + one corpus-unigram negative per positive
+    (position-decoded from h32, the standard SGNS noise distribution) →
+    3 exact full-batch gradient epochs on the logistic objective →
+    node embeddings in the ANN-servable long (id, dim, value) layout
+    (assemble array<float> for the IVF/PQ servers with a sorted
+    collect_list — the embed_* family's input contract). The reference
+    has no trainable op at all; this completes walks → skip-gram →
+    embeddings as a measured, hash-verified pipeline.
+
+    Why it hash-matches (the quality_lr_train contract): not one double
+    anywhere — embeddings/probabilities in micro-units (BIGINT), the
+    RATIONAL sigmoid σ̃(z) = U/2 + (z·U/2)//(U+|z|), truncating division
+    on both engines (Spark DIV ≡ DuckDB //), integer gradient sums that
+    commute, and a deterministic h32 init — so the oracle replays the
+    whole trainer as an unrolled CTE chain (_sg_chain_parts, shared with
+    the eval so the two can never drift). The per-vertex normalizer
+    cw = Σ pair-weight makes the update degree-adaptive (hub tokens
+    don't blow past the init scale) and is itself an integer aggregate.
+
+    Scale posture: everything is equi-joins keyed by vertex or pair id
+    over a long-format (v, d, val) table — per epoch: two embedding
+    joins + a pair-keyed agg (forward), two joins + a (v, d)-keyed agg
+    (gradient), one left-join update, lineage-cut; all map-side
+    combinable, nothing quadratic, no global window (the nw-row walk
+    index is a bounded driver literal). At 100 TB the same plan holds
+    with pair and embedding frames shuffling on their keys — the hints
+    are _maybe_broadcast-gated on the vocab·D count."""
+    return _sg_embeddings(spark, sf_dir).select(
+        F.col("v").alias("id"),
+        F.col("d").alias("dim"),
+        F.col("val").alias("emb_scaled"),
+    )
+
+
+@register("g_skipgram_eval", oracle=_sg_eval_oracle_sql())
+def g_skipgram_eval(spark, sf_dir):
+    """TRAINING EVAL for g_skipgram_embed — the measured-not-claimed
+    check (the lpa_modularity / dedup_recall_eval discipline): the
+    weighted sum of scaled pair dot products per (phase, label) — at
+    init (e0) and after training — so the gate itself verifies the
+    objective moved the right way: trained positive-pair dots must rise
+    above the init level while negative-pair dots fall (σ(e_a·e_b) → 1
+    for window pairs, → 0 for noise pairs). Integer sums of truncated
+    per-pair dots — fold-order independent, hash-exact.
+
+    Scale posture: two forward passes (the training epoch's own join
+    shape) + a 4-row aggregate; shares every memoized frame with the
+    trainer."""
+    prs = _sg_pairs(spark, sf_dir)
+    nvd = _sg_nvd(spark, sf_dir)
+
+    def dots(e, phase):
+        z = _sg_zdots(prs, e, nvd)
+        return z.groupBy("y").agg(
+            F.sum("w").cast("long").alias("pairs_w"),
+            F.sum(F.col("w") * F.expr(f"zz DIV {_SG_U}"))
+            .cast("long")
+            .alias("dot_sum_scaled"),
+        ).select(
+            F.lit(phase).alias("phase"), "y", "pairs_w", "dot_sum_scaled"
+        )
+
+    return dots(_sg_e0(spark, sf_dir), "init").unionByName(
+        dots(_sg_embeddings(spark, sf_dir), "trained")
+    )
 
 
 # ---------------------------------------------------------------------------
