@@ -4219,14 +4219,24 @@ _HC_SCALE = 10**4
 
 
 def _hc_oracle_sql(depth: int = _BC_UNROLL) -> str:
-    """Harmonic closeness from the SAME derived source set and BFS level
-    chain as the betweenness oracle (kk → srcs → l0..l{depth}, minus the
-    σ path counts): H(v) = Σ_s scale // d(s, v) — truncating integer
-    division, so the sum is fold-order independent and engine-exact;
-    unreachable (s, v) pairs contribute 0 naturally (the harmonic
-    centrality advantage on disconnected graphs). Levels past frontier
-    exhaustion are provably empty, so the static unroll replays
-    run-to-exhaustion exactly (the betweenness contract)."""
+    """Harmonic closeness from the CC-STRATIFIED derived source set and
+    the betweenness BFS level chain (kk → ccl → srcs → l0..l{depth},
+    minus the σ path counts): H(v) = Σ_s scale // d(s, v) — truncating
+    integer division, so the sum is fold-order independent and
+    engine-exact; unreachable (s, v) pairs contribute 0 naturally (the
+    harmonic centrality advantage on disconnected graphs). Levels past
+    frontier exhaustion are provably empty, so the static unroll replays
+    run-to-exhaustion exactly (the betweenness contract).
+
+    Source stratification (r10 VERDICT #4): sources are derived PER
+    CONNECTED COMPONENT — min-label propagation (ccl chain, the same
+    static {depth}-round unroll contract as the BFS levels) labels each
+    vertex with its component's smallest vertex id; each component then
+    contributes its max(1, k·n_c // n) smallest customers. On a
+    connected graph this is exactly the old k-smallest-custkeys set
+    (k_c = k for the single component); on a disconnected graph every
+    component gets sampled, closing the 10×-disjoint-corpus caveat of
+    SCALE.md §4l."""
     parts = [
         """e AS MATERIALIZED (
       SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
@@ -4234,13 +4244,31 @@ def _hc_oracle_sql(depth: int = _BC_UNROLL) -> str:
         "und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)",
         """kk AS (SELECT greatest(4, floor(log2(count(*)))::BIGINT // 4) AS k
       FROM (SELECT DISTINCT a FROM und))""",
-        """srcs AS (SELECT 'c' || o_custkey AS s FROM (
-        SELECT DISTINCT o_custkey
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
-      ORDER BY o_custkey LIMIT (SELECT k FROM kk))""",
-        "l0 AS (SELECT s, s AS v FROM srcs)",
-        "seen0 AS (SELECT s, v FROM l0)",
+        "ccl0 AS (SELECT a AS v, a AS comp FROM (SELECT DISTINCT a FROM und) _v)",
     ]
+    for r in range(1, depth + 1):
+        parts.append(
+            f"""ccl{r} AS MATERIALIZED (
+      SELECT v, min(comp) AS comp FROM (
+        SELECT u.a AS v, l.comp FROM und u JOIN ccl{r - 1} l ON l.v = u.b
+        UNION ALL SELECT v, comp FROM ccl{r - 1}) _m GROUP BY v)"""
+        )
+    parts.extend(
+        [
+            f"""csz AS (SELECT comp, count(*)::BIGINT AS nc
+      FROM ccl{depth} GROUP BY comp)""",
+            f"nn AS (SELECT count(*)::BIGINT AS n FROM ccl{depth})",
+            f"""srcs AS (SELECT r.v AS s FROM (
+        SELECT l.v, l.comp,
+               row_number() OVER (PARTITION BY l.comp
+                                  ORDER BY substr(l.v, 2)::BIGINT) AS rn
+        FROM ccl{depth} l WHERE l.v LIKE 'c%') r
+      JOIN csz ON csz.comp = r.comp, kk, nn
+      WHERE r.rn <= greatest(1, (kk.k * csz.nc) // nn.n))""",
+            "l0 AS (SELECT s, s AS v FROM srcs)",
+            "seen0 AS (SELECT s, v FROM l0)",
+        ]
+    )
     for L in range(1, depth + 1):
         parts.append(
             f"""l{L} AS MATERIALIZED (
@@ -4266,6 +4294,47 @@ def _hc_oracle_sql(depth: int = _BC_UNROLL) -> str:
     )
 
 
+def _trade_cc(spark, sf_dir, rounds: int = _BC_UNROLL):
+    """DF[v, comp] — min-label connected components of the trade graph
+    (comp = the component's lexicographically smallest vertex id),
+    memoized per (session, sf_dir). Rounds are capped at the same
+    static unroll depth the centrality oracles use (label distance from
+    the min-id vertex ≤ the measured BFS exhaustion 3/4/4 ≤ cap 6 at
+    every probed SF — the _BC_UNROLL contract) with an early exit at
+    the fixed point, so the fixed-depth oracle chain replays the
+    run-to-convergence result exactly. One edges⋈labels equi-join +
+    a min agg per round, lineage-cut — the LPA plan shape."""
+    from .relational_queries import _memo_cache
+
+    def build():
+        und = _trade_und(spark, sf_dir)
+        nv = und.select("a").distinct().count()
+        labels = (
+            und.select(F.col("a").alias("v"))
+            .distinct()
+            .select("v", F.col("v").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(rounds):
+            nxt = (
+                und.join(_maybe_broadcast(labels, nv), und.b == labels.v)
+                .select(und.a.alias("v"), "comp")
+                .unionByName(labels.select("v", "comp"))
+                .groupBy("v")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            # fixed point → every later round is a no-op; the oracle's
+            # full static unroll lands on the same labels
+            if nxt.join(labels, ["v", "comp"], "left_anti").isEmpty():
+                labels = nxt
+                break
+            labels = nxt
+        return labels
+
+    return _memo_cache(spark, sf_dir, "trade_cc", build)
+
+
 @register("g_harmonic_closeness", oracle=_hc_oracle_sql())
 def g_harmonic_closeness(spark, sf_dir):
     """Sampled HARMONIC CLOSENESS centrality (Boldi–Vigna's preferred
@@ -4273,31 +4342,52 @@ def g_harmonic_closeness(spark, sf_dir):
     Σ over the derived source set of scale // d(s, v) — high for
     vertices a short hop from many sources, naturally 0-contribution
     for unreachable pairs (no disconnected-graph infinity, the reason
-    harmonic beats classic closeness at scale). Sources and BFS depth
-    reuse the betweenness derivations (k = max(4, ⌊log₂ n⌋ // 4)
-    smallest custkeys, run-to-exhaustion under the derived cap);
+    harmonic beats classic closeness at scale). BFS depth reuses the
+    betweenness derivations (run-to-exhaustion under the derived cap);
     truncating integer division makes the per-vertex sum fold-order
     independent, hence the full value-hash oracle (the same
     scaled-BIGINT contract as the rest of the centrality family).
+
+    Sources are CC-STRATIFIED (r10 VERDICT #4): the k =
+    max(4, ⌊log₂ n⌋ // 4) sample is apportioned per connected
+    component — each component contributes its max(1, k·n_c // n)
+    smallest customers (component labels from the memoized _trade_cc
+    min-label propagation, mirrored as the oracle's ccl chain). On a
+    connected graph this reduces to exactly the old k smallest
+    custkeys; on a disconnected one every component is reached, so
+    sampled closeness covers disjoint replicas (SCALE.md §4l caveat
+    closed, probe in §4m).
 
     Scale posture: the forward pass is the betweenness BFS without the
     σ bookkeeping — per level ONE (s, v)-keyed equi-join + distinct +
     an anti-join against the seen set, lineage-cut per level; the final
     score is one map-side-combinable sum keyed by vertex. State is
     (k · vertices) pairs at worst — the sampling keeps k logarithmic
-    in n (Brandes–Pich / Eppstein–Wang)."""
+    in n (Brandes–Pich / Eppstein–Wang). The stratification adds the
+    CC labels (shared memo, LPA-shaped rounds) and one
+    component-partitioned rank — both vertex-keyed, nothing global."""
+    from pyspark.sql import Window
+
     und = _trade_und(spark, sf_dir)
     n_verts, m_und = und.agg(
         F.countDistinct("a").alias("n"), F.count("*").alias("m")
     ).collect()[0]
     k = _bc_num_sources(n_verts)
+    cc = _trade_cc(spark, sf_dir)
+    csz = cc.groupBy("comp").agg(F.count("*").alias("nc"))
+    wcomp = Window.partitionBy("comp").orderBy("ck")
     srcs = (
-        und.filter(F.col("a").startswith("c"))
-        .select(F.substring("a", 2, 100).cast("long").alias("ck"))
-        .distinct()
-        .orderBy("ck")
-        .limit(k)
-        .select(F.concat(F.lit("c"), F.col("ck").cast("string")).alias("s"))
+        cc.filter(F.col("v").startswith("c"))
+        .select(
+            "v", "comp", F.substring("v", 2, 100).cast("long").alias("ck")
+        )
+        .withColumn("rn", F.row_number().over(wcomp))
+        .join(_maybe_broadcast(csz, n_verts), "comp")
+        .filter(
+            F.col("rn")
+            <= F.greatest(F.lit(1), F.expr(f"({k} * nc) DIV {n_verts}"))
+        )
+        .select(F.col("v").alias("s"))
     )
     frontier = srcs.select("s", F.col("s").alias("v")).localCheckpoint(
         eager=True
