@@ -143,6 +143,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "layout_zorder_zonemap",
     "g_cc_maintained",
+    "g_lpa_maintained",
     "stream_ann_index_upkeep",
     "mix_token_budget",
     "ann_lsh_multiprobe_topk",

@@ -1446,6 +1446,14 @@ _compound(
             {"k": "id || '>' || component"},
         ),
         (
+            # round 11: ball-scoped incrementally maintained LPA — the
+            # community IVM; maintained view == batch LPA on the final
+            # LocatedIn graph
+            "lpa_maintained",
+            "g_lpa_maintained",
+            {"k": "id || '>' || community", "n1": "csize"},
+        ),
+        (
             "triangles_retractions",
             "g_triangles_retractions",
             {"k": "id", "n1": "triangles"},

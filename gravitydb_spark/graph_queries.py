@@ -3259,16 +3259,20 @@ def _lpa_top5_edges_sql() -> str:
     und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)"""
 
 
-def _lpa_chain_parts(rounds: int = _LPA_ROUNDS) -> list:
+def _lpa_chain_parts(
+    rounds: int = _LPA_ROUNDS, edges_sql: str | None = None
+) -> list:
     """The unrolled synchronous-LPA CTE chain (l0 = own id; each round
     every vertex adopts the most frequent label among its neighbours
     PLUS its own current label — the self-vote damps two-cycle
     oscillation on this bipartite graph — ties broken (count DESC,
-    label ASC)) over the top-5-sparsified trade graph. Shared by the
+    label ASC)) over the ``und`` edge CTE supplied by ``edges_sql``
+    (default: the top-5-sparsified trade graph). Shared by the
     g_label_propagation and g_lpa_modularity oracles so the partition
-    semantics can never drift between them."""
+    semantics can never drift between them; g_lpa_maintained reuses the
+    same chain over the LocatedIn graph."""
     parts = [
-        _lpa_top5_edges_sql(),
+        edges_sql if edges_sql is not None else _lpa_top5_edges_sql(),
         "l0 AS (SELECT DISTINCT a AS v, a AS lab FROM und)",
     ]
     for r in range(1, rounds + 1):
@@ -4530,3 +4534,259 @@ def g_lpa_modularity(spark, sf_dir):
             .alias("q_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally maintained label propagation (round 11): IVM for the
+# community operator — ball-scoped exact rebuild under edge inserts.
+# ---------------------------------------------------------------------------
+
+_LPAM_BUCKETS = 8
+
+# test/probe hook: when {"enabled": True}, g_lpa_maintained records per
+# edge-batch (bid -> {"ball": support-region rows, "merge": R-ball rows})
+# so tests can observe the ball-scoped rebuild's actual region sizes
+_lpam_probe: dict = {}
+
+# the LocatedIn graph, symmetrized — the changefeed's graph (tpch_graph:
+# c→n, s→n, n→r LocatedIn/PartOf edges), as the oracle's und CTE
+_LPAM_EDGES_SQL = """und AS MATERIALIZED (
+      SELECT 'c' || c_custkey AS a, 'n' || c_nationkey AS b FROM customer
+      UNION ALL SELECT 'n' || c_nationkey, 'c' || c_custkey FROM customer
+      UNION ALL SELECT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+      UNION ALL SELECT 'n' || s_nationkey, 's' || s_suppkey FROM supplier
+      UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+      UNION ALL SELECT 'r' || n_regionkey, 'n' || n_nationkey FROM nation)"""
+
+
+def _lpam_oracle_sql(rounds: int = _LPA_ROUNDS) -> str:
+    """Batch LPA on the FINAL LocatedIn graph — the maintained view's
+    contract: the same unrolled chain as g_label_propagation
+    (_lpa_chain_parts), parameterized with the changefeed's edge set."""
+    parts = _lpa_chain_parts(rounds, edges_sql=_LPAM_EDGES_SQL)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    sz AS (SELECT lab, count(*) AS csize FROM l{rounds} GROUP BY lab)
+    SELECT v AS id, lab AS community, csize
+    FROM l{rounds} JOIN sz USING (lab)"""
+    )
+
+
+@register("g_lpa_maintained", oracle=_lpam_oracle_sql())
+def g_lpa_maintained(spark, sf_dir):
+    """INCREMENTALLY MAINTAINED label-propagation communities — IVM for
+    the last big graph operator (r10 VERDICT #5), same changefeed +
+    :class:`DatasetStore` composition as g_cc_maintained, extended from
+    monotone min-label folds to the round-synchronized LPA recurrence.
+
+    The key fact making synchronous LPA maintainable EXACTLY: with
+    deterministic own-id init, a vertex's round-R label is a function of
+    its R-hop neighborhood only. An inserted edge can therefore change
+    final labels only inside the R-ball around its endpoints, and those
+    labels can be recomputed from scratch using supports on expanding
+    balls: BFS the 2R-ball S around the batch's endpoints (distances in
+    the post-insert graph), then run round r = 1..R computing labels for
+    S_r = {ds ≤ 2R − r} — every vote consumer's neighbours lie in
+    S_(r−1) (computed last round; round 0 = own id on all of S), so by
+    induction each round is EXACT, and the round-R labels on the R-ball
+    (= S_R) are the true batch-final labels. The published delta is that
+    ball's labels tagged with the batch id; the view folds max-bid per
+    vertex (idempotent under at-least-once replay — no bid_hwm needed,
+    a replayed delta rewrites the same values), and vertices outside
+    every ball keep their prior (still-exact) labels. Final view ==
+    batch LPA of the full graph — exactly what the oracle computes
+    (shared _lpa_chain_parts over the LocatedIn edge set).
+
+    Scale posture: per batch, work is BALL-sized, not graph-sized — the
+    BFS and every vote round scan the edge store PARTITION-PRUNED to
+    the frontier's hash buckets (pb = hash(src) % 8, the
+    g_cc_maintained probe pattern), the vote aggregate is the batch-LPA
+    plan shape (two-level map-side-combinable argmax), and the label
+    write is the R-ball delta. On a graph whose 2R-balls are small
+    relative to the graph (the regime where IVM pays — probed on the
+    10×-disjoint corpus where a batch's ball stays inside one replica)
+    maintenance cost is O(ball · rounds) per batch vs O(graph · rounds)
+    for recompute. Deletions are out of scope by the same argument as
+    g_cc_maintained (a delete's influence is also ball-bounded, but the
+    demo keeps insert-only semantics; the retraction story lives in
+    g_cc_retractions' component-scoped rebuild)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from .streaming.changefeed import stream_edges, stream_vertices
+    from .transaction import DatasetStore
+
+    nb = _LPAM_BUCKETS
+    R = _LPA_ROUNDS
+    g = tpch_graph(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="gravityspark_glpam_")
+    try:
+        gp = os.path.join(work, "graph")
+        _land_graph_batches(work, gp, g)
+
+        memb = DatasetStore(os.path.join(work, "memb"))
+        edges = DatasetStore(
+            os.path.join(work, "edges"), partition_cols=("pb",)
+        )
+        labels = DatasetStore(os.path.join(work, "labels"))
+
+        def bucket(col):
+            return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
+
+        def on_vertices(batch_df, _bid) -> None:
+            memb.append(batch_df.select("id").distinct())
+            memb.compact(
+                spark, min_deltas=3, transform=lambda d: d.distinct()
+            )
+
+        def edges_from(frontier) -> "DataFrame | None":
+            """Distinct und rows whose source is in the frontier's hash
+            buckets — a PartitionFilter on every delta scan (bucket list
+            bounded by the fanout; the distinct guards against replayed
+            edge deltas double-counting votes)."""
+            bks = [
+                r.pb
+                for r in frontier.select(bucket(F.col("v")).alias("pb"))
+                .distinct()
+                .collect()
+            ]
+            e = edges.load(spark, where=F.col("pb").isin(bks))
+            return None if e is None else e.select("a", "b").distinct()
+
+        def on_edges(batch_df, bid) -> None:
+            und_new = (
+                batch_df.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+                .unionByName(
+                    batch_df.select(
+                        F.col("dst").alias("a"), F.col("src").alias("b")
+                    )
+                )
+                .distinct()
+                .withColumn("pb", bucket(F.col("a")))
+                .localCheckpoint(eager=True)
+            )
+            edges.append(und_new)
+            # support region: BFS the 2R-ball around the batch endpoints
+            # over the post-insert edge store (pruned scans, lineage-cut)
+            ball = (
+                und_new.select(F.col("a").alias("v"))
+                .distinct()
+                .withColumn("ds", F.lit(0))
+                .localCheckpoint(eager=True)
+            )
+            frontier = ball.select("v")
+            for depth in range(1, 2 * R + 1):
+                e = edges_from(frontier)
+                if e is None:
+                    break
+                nxt = (
+                    e.join(frontier, e.a == frontier.v)
+                    .select(F.col("b").alias("v"))
+                    .distinct()
+                    .join(ball.select("v"), "v", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.isEmpty():
+                    break
+                ball = ball.unionByName(
+                    nxt.withColumn("ds", F.lit(depth))
+                ).localCheckpoint(eager=True)
+                frontier = nxt
+            # exact scratch rounds on shrinking balls: round r covers
+            # S_r = {ds <= 2R - r}; neighbours of S_r lie in S_{r-1}
+            labf = ball.select("v", F.col("v").alias("lab"))
+            for r in range(1, R + 1):
+                tgt = (
+                    ball.filter(F.col("ds") <= 2 * R - r)
+                    .select("v")
+                    .localCheckpoint(eager=True)
+                )
+                e = edges_from(tgt)
+                lv = labf.select(F.col("v").alias("b"), "lab")
+                votes = (
+                    e.join(tgt, e.a == tgt.v)
+                    .select(tgt.v.alias("v"), "b")
+                    .join(lv, "b")
+                    .select("v", "lab")
+                    .unionByName(
+                        labf.join(tgt, "v", "left_semi").select("v", "lab")
+                    )
+                )
+                labf = (
+                    votes.groupBy("v", "lab")
+                    .agg(F.count("*").alias("c"))
+                    .groupBy("v")
+                    .agg(
+                        F.min(
+                            F.struct((-F.col("c")).alias("nc"), F.col("lab"))
+                        ).alias("top")
+                    )
+                    .select("v", F.col("top.lab").alias("lab"))
+                    .localCheckpoint(eager=True)
+                )
+            if _lpam_probe.get("enabled"):
+                _lpam_probe[int(bid)] = {
+                    "ball": ball.count(),
+                    "merge": labf.count(),
+                }
+            # publish the R-ball's batch-final labels as a max-bid delta
+            labels.append(
+                labf.select(
+                    "v", "lab", F.lit(int(bid)).cast("long").alias("bid")
+                )
+            )
+            labels.compact(
+                spark,
+                min_deltas=6,
+                transform=lambda d: (
+                    d.groupBy("v")
+                    .agg(F.max(F.struct("bid", "lab")).alias("m"))
+                    .select("v", F.col("m.lab").alias("lab"), F.col("m.bid").alias("bid"))
+                ),
+            )
+
+        for feed, handler, tag in (
+            (
+                stream_vertices(spark, gp, max_files_per_trigger=1),
+                on_vertices,
+                "v",
+            ),
+            (stream_edges(spark, gp, max_files_per_trigger=1), on_edges, "e"),
+        ):
+            q = (
+                feed.writeStream.foreachBatch(handler)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(work, f"ckpt_{tag}_{_uuid.uuid4().hex[:8]}"),
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        ids = memb.load(spark).select("id").distinct()
+        ldf = labels.load(spark)
+        if ldf is None:
+            out = ids.select("id", F.col("id").alias("community"))
+        else:
+            fold = (
+                ldf.groupBy("v")
+                .agg(F.max(F.struct("bid", "lab")).alias("m"))
+                .select("v", F.col("m.lab").alias("lab"))
+            )
+            out = ids.join(fold, ids.id == fold.v, "left").select(
+                "id", F.coalesce("lab", "id").alias("community")
+            )
+        sz = out.groupBy("community").agg(F.count("*").alias("csize"))
+        return (
+            out.join(sz, "community")
+            .select("id", "community", "csize")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
