@@ -6801,6 +6801,38 @@ _UPKEEP_BATCHES = 3
 # enough that a trigger-sized batch prunes most of a corpus-sized index
 _UPKEEP_BKB = 32  # fanout FLOOR; actual fanout derived per corpus
 
+# test/probe hook: when {"enabled": True}, stream_dedup_index_upkeep
+# records per batch {"keys", "maybe", "bkbs_all", "bkbs_pruned"} — the
+# Bloom pre-filter's measured store-read pruning (r10 VERDICT #7)
+_upkeep_probe: dict = {}
+
+
+def _bloom_key_positions(keys: DataFrame, m: int) -> DataFrame:
+    """DF[band, bk, pos] — the _BLOOM_K Kirsch–Mitzenmacher double-hash
+    Bloom positions of each (band, bk) key over an m-bit domain: pos_i =
+    (h1 + i·h2 + i²) mod m with h1/h2 from the md5 hash family — the
+    exact sketch_bloom_membership recipe, reused as the dedup index's
+    serving pre-filter."""
+    h = keys.select(
+        "band",
+        "bk",
+        _h32(
+            F.concat(F.lit("b1"), F.col("band").cast("string"), F.lit(":"), F.col("bk"))
+        ).alias("h1"),
+        _h32(
+            F.concat(F.lit("b2"), F.col("band").cast("string"), F.lit(":"), F.col("bk"))
+        ).alias("h2"),
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i")
+    return h.select("band", "bk", "h1", "h2", idx).select(
+        "band",
+        "bk",
+        (
+            (F.col("h1") + F.col("i") * F.col("h2") + F.col("i") * F.col("i"))
+            % F.lit(m)
+        ).alias("pos"),
+    )
+
 
 _docs_count_memo: dict = {}
 
@@ -6990,11 +7022,30 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bkb = F.pmod(F.xxhash64("bk"), F.lit(nbkb)).alias("bkb")
         store = DatasetStore(os.path.join(work, "index"), partition_cols=("bkb",))
+        seed_keys = (
+            _seed_band_keys(spark, sf_dir).select("band", "bk").distinct()
+        )
         store.append(
-            _seed_band_keys(spark, sf_dir)
-            .select("band", "bk")
-            .distinct()
-            .select("band", "bk", F.lit(-1).cast("long").alias("bid"), bkb)
+            seed_keys.select(
+                "band", "bk", F.lit(-1).cast("long").alias("bid"), bkb
+            )
+        )
+        # Bloom pre-filter over the index keys (r10 VERDICT #7): m derives
+        # from the corpus key bound — the same fpp-budget arithmetic
+        # sketch_bloom_membership derives in-plan. A batch key that misses
+        # ANY of its _BLOOM_K positions is definitely absent from the
+        # index and skips the store probe entirely; no false negatives
+        # because the bloom append always PRECEDES the index append, so
+        # bloom ⊇ index keys at every probe. At serving scale the position
+        # set packs into an m-bit broadcast bitmap (~1.8 MB per billion
+        # keys, SCALE.md §4l); here it is a position store folded distinct.
+        n_bound = _docs_count(spark, sf_dir) * LSH_BANDS
+        bloom_m = max(
+            _BLOOM_MIN_M, (_BLOOM_K * n_bound * 14427 + 9999) // 10000
+        )
+        bloom = DatasetStore(os.path.join(work, "bloom"))
+        bloom.append(
+            _bloom_key_positions(seed_keys, bloom_m).select("pos").distinct()
         )
         out_dir = os.path.join(work, "admitted")
 
@@ -7009,22 +7060,49 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             bdir = os.path.join(out_dir, f"b={int(batch_id)}")
             if os.path.exists(os.path.join(bdir, "_SUCCESS")):
                 return  # replayed, already fully processed
-            keyed = _batch_band_keys(batch_df)  # codegen path (r11)
-            # the probe's bucket set: bounded by _UPKEEP_BKB regardless of
-            # batch size, so the collect is a constant-size driver list
+            keyed = _batch_band_keys(batch_df).localCheckpoint(
+                eager=True
+            )  # codegen path (r11); barrier: feeds probe + admit + append
+            # Bloom pre-filter (r10 VERDICT #7): a key missing any of its
+            # _BLOOM_K positions is DEFINITELY absent from the index —
+            # only the surviving "maybe" keys drive the store probe, so
+            # most novel content skips the index read entirely
+            kdist = keyed.select("band", "bk").distinct()
+            bpos = bloom.load(spark).select("pos").distinct()
+            maybe = (
+                _bloom_key_positions(kdist, bloom_m)
+                .join(bpos, "pos", "left_semi")
+                .groupBy("band", "bk")
+                .agg(F.count("*").alias("kh"))
+                .filter(F.col("kh") == _BLOOM_K)
+                .select("band", "bk")
+            )
+            keyed_maybe = keyed.join(
+                maybe, ["band", "bk"], "left_semi"
+            ).localCheckpoint(eager=True)
+            # the probe's bucket set: bounded by the fanout regardless of
+            # batch size (constant-size driver list), and now further
+            # SHRUNK to the Bloom survivors' buckets
             bkbs = [
-                r[0]
-                for r in keyed.select(bkb).distinct().collect()
+                r[0] for r in keyed_maybe.select(bkb).distinct().collect()
             ]
+            if _upkeep_probe.get("enabled"):
+                _upkeep_probe[int(batch_id)] = {
+                    "keys": kdist.count(),
+                    "maybe": maybe.count(),
+                    "bkbs_all": keyed.select(bkb).distinct().count(),
+                    "bkbs_pruned": len(bkbs),
+                }
             # partition-pruned index read: the bucket predicate lands in
             # every delta scan's PartitionFilters (only matching bkb=
             # directories are touched); same-batch deltas excluded for
-            # replay determinism
+            # replay determinism. Hits from keyed_maybe == hits from keyed
+            # (Bloom-absent keys cannot be in the index).
             idx = store.load(spark, where=F.col("bkb").isin(bkbs)).filter(
                 F.col("bid") != int(batch_id)
             )
             hits = (
-                keyed.join(idx, ["band", "bk"], "left_semi")
+                keyed_maybe.join(idx, ["band", "bk"], "left_semi")
                 .select("doc_id")
                 .distinct()
             )
@@ -7036,11 +7114,22 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(hits, "doc_id", "left_anti")
                 .localCheckpoint()  # the index append below must not re-race the probe
             )
-            store.append(
+            adm_keys = (
                 keyed.join(admitted, "doc_id", "left_semi")
                 .select("band", "bk")
                 .distinct()
-                .select(
+                .localCheckpoint(eager=True)
+            )
+            # bloom append FIRST: the index may never contain a key whose
+            # positions the bloom lacks (a crash between the two appends
+            # leaves a superset bloom — harmless false-positive margin)
+            bloom.append(
+                _bloom_key_positions(adm_keys, bloom_m)
+                .select("pos")
+                .distinct()
+            )
+            store.append(
+                adm_keys.select(
                     "band",
                     "bk",
                     F.lit(int(batch_id)).cast("long").alias("bid"),
@@ -7050,6 +7139,9 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             admitted.write.mode("overwrite").parquet(bdir)
             # periodic compaction: fold deltas once the log grows
             store.compact(spark, min_deltas=3)
+            bloom.compact(
+                spark, min_deltas=4, transform=lambda d: d.distinct()
+            )
 
         stream = (
             spark.readStream.schema(docs.schema)

@@ -240,3 +240,63 @@ def test_dataset_store_compact_transform_folds_by_key(spark, tmp_path):
     store.append(spark.createDataFrame([("a", 100)], "k string, n long"))
     rows = {r["k"]: r["n"] for r in merge(store.load(spark)).collect()}
     assert rows == {"a": 111, "b": 2, "c": 5}
+
+
+def test_upkeep_bloom_prefilter_prunes_store_reads(spark, tmp_path):
+    """r10 VERDICT #7: the Bloom membership sketch serves as the dedup
+    index's probe pre-filter — a batch key missing any Bloom position is
+    definitely absent and skips the store read. On a batch of mostly
+    NOVEL content the surviving 'maybe' set (true dups + the 2^-7-budget
+    false positives) must be far smaller than the key set, and the
+    pruned bucket list no larger than the unfiltered one — while the
+    admission decisions stay exactly the no-Bloom ones (the oracle
+    pins that; here the known-answer fixture does)."""
+    from gravitydb_spark import pipeline_queries as pq
+
+    text_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    text_b = "completely different words about spark shuffles and parquet files here"
+    filler = [
+        (
+            100 + 2 * i + 1,  # odd ids -> stream side, batch (id%6)//2
+            f"novel document number {i} with plenty of distinct filler "
+            f"words alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}",
+            "en",
+            "web",
+            60,
+        )
+        for i in range(30)
+    ]
+    seed = "unrelated seed corpus document talking about cocktails gin and vermouth"
+    rows = [
+        (2, seed, "en", "seed", len(seed)),
+        (1, text_a, "en", "web", len(text_a)),
+        (3, text_a, "en", "web", len(text_a)),  # dup of doc 1: rejected
+        (5, text_b, "en", "web", len(text_b)),
+    ] + filler
+    sf = str(tmp_path / "sf_bloom_upkeep")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    pq._upkeep_probe.clear()
+    pq._upkeep_probe["enabled"] = True
+    try:
+        got = {
+            (r["doc_id"], r["batch"])
+            for r in pq.stream_dedup_index_upkeep(spark, sf).collect()
+        }
+    finally:
+        pq._upkeep_probe.pop("enabled", None)
+
+    # admissions unchanged by the pre-filter: doc 3 still rejected
+    assert (1, 0) in got and (5, 2) in got
+    assert not any(d == 3 for d, _ in got)
+    batches = {k: v for k, v in pq._upkeep_probe.items() if isinstance(k, int)}
+    assert len(batches) == 3
+    for bid, d in batches.items():
+        # pruning is real: maybe << keys on mostly-novel batches, and the
+        # probed bucket list never exceeds the unfiltered one
+        assert d["maybe"] < d["keys"], (bid, d)
+        assert d["bkbs_pruned"] <= d["bkbs_all"], (bid, d)
+    # the duplicate's batch must keep its true-positive maybe keys
+    assert batches[1]["maybe"] >= 1
