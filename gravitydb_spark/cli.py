@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from .graph import PropertyGraph
@@ -318,6 +319,7 @@ def cmd_repl(args) -> int:
         # prompts only on a tty: piped sessions keep stdout clean for
         # the echoed results (input() writes its prompt to stdout)
         tty = sys.stdin.isatty()
+        hist_path = None
         if tty:
             try:  # tab completion (rustyline analog) — tty sessions only
                 import readline
@@ -332,6 +334,17 @@ def cmd_repl(args) -> int:
 
                 readline.set_completer(_complete)
                 readline.parse_and_bind("tab: complete")
+                # cross-session history (rustyline persists its history
+                # file across repl sessions, lua.rs:368-449 — r10 VERDICT
+                # residue #3): load on entry, save bounded on exit
+                hist_path = os.path.expanduser(
+                    "~/.gravitydb_spark_lua_history"
+                )
+                readline.set_history_length(1000)
+                try:
+                    readline.read_history_file(hist_path)
+                except OSError:
+                    pass  # first session — no history yet
             except ImportError:
                 pass
         prompt, cont = "lua> ", "  .. "
@@ -353,6 +366,13 @@ def cmd_repl(args) -> int:
             else:
                 if not needs_more and val is not None:
                     print(json.dumps(val, indent=2, default=str))
+        if hist_path is not None:
+            try:
+                import readline
+
+                readline.write_history_file(hist_path)
+            except (ImportError, OSError):
+                pass  # history persistence is best-effort
         if repl.graph is not db:
             _save_over(spark, repl.graph, args.db)
             print(f"persisted mutations to {args.db}", file=sys.stderr)
