@@ -201,6 +201,7 @@ HEADLINE = [
     "g_harmonic_closeness",
     "g_skipgram_embed",
     "g_skipgram_eval",
+    "g_skipgram_knn",
     "dedup_bbit_minhash",
     "g_lpa_modularity",
 ]

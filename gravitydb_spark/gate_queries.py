@@ -1076,6 +1076,11 @@ _compound(
                 "dist": "dot_sum_scaled",
             },
         ),
+        (
+            "sgknn",
+            "g_skipgram_knn",
+            {"id": "src || '>' || nbr", "dist": "dot_scaled"},
+        ),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
     " distances, weighted single-source shortest paths (frontier"

@@ -4215,6 +4215,76 @@ def g_skipgram_eval(spark, sf_dir):
     )
 
 
+_SG_KNN_K = 3
+
+
+def _sg_knn_oracle_sql(epochs: int = _SG_EPOCHS) -> str:
+    parts = _sg_chain_parts(epochs)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    dots AS (
+      SELECT ea.v AS src, eb.v AS nbr,
+             (sum(ea.val * eb.val) // {_SG_U})::BIGINT AS dot_scaled
+      FROM e{epochs} ea JOIN e{epochs} eb
+        ON ea.d = eb.d AND ea.v <> eb.v
+      GROUP BY 1, 2)
+    SELECT src, nbr, dot_scaled, rnk FROM (
+      SELECT src, nbr, dot_scaled,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dot_scaled DESC, nbr ASC) AS rnk
+      FROM dots) _r
+    WHERE rnk <= {_SG_KNN_K}"""
+    )
+
+
+@register("g_skipgram_knn", oracle=_sg_knn_oracle_sql())
+def g_skipgram_knn(spark, sf_dir):
+    """EMBEDDING-SIMILARITY nearest neighbours from the TRAINED
+    skip-gram embeddings — the serving step that completes the pipeline
+    walks → skip-gram training → vector retrieval: per corpus vertex,
+    the top-3 other vertices by scaled integer dot product of trained
+    embeddings (dot in micro-units — division after the full sum, so
+    fold-order independent and engine-exact), ties broken by neighbour
+    id. This is the embedding-based sibling of g_adamic_adar /
+    g_jaccard_linkpred: common-neighbour scores see only 2-hop
+    structure, while walk embeddings encode multi-hop co-occurrence.
+
+    Scale posture: the pair join here is all-pairs BY CONSTRUCTION ONLY
+    because the vocabulary is the walk corpus's token set — bounded at
+    nw·(L+1) = O(log n) rows by the derived walk count, so the pair
+    relation is O(log² n). At full-graph vocabulary (production
+    DeepWalk) this exact long-format table feeds the existing IVF/PQ
+    serving path (ann_ivf_topk / ann_ivfpq_topk — cell-pruned, never
+    all-pairs); the brute-force form is the recall baseline, same as
+    ann_topk_brute. The top-k window partitions by source — never
+    global."""
+    from pyspark.sql import Window
+
+    emb = _sg_embeddings(spark, sf_dir)
+    ea = emb.select(F.col("v").alias("src"), "d", F.col("val").alias("va"))
+    eb = emb.select(F.col("v").alias("nbr"), "d", F.col("val").alias("vb"))
+    dots = (
+        ea.join(eb, "d")
+        .filter(F.col("src") != F.col("nbr"))
+        .groupBy("src", "nbr")
+        .agg(
+            F.expr(f"sum(va * vb) DIV {_SG_U}")
+            .cast("long")
+            .alias("dot_scaled")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("dot_scaled"), F.asc("nbr")
+    )
+    return (
+        dots.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SG_KNN_K)
+        .select("src", "nbr", "dot_scaled", F.col("rnk").cast("long"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sampled harmonic closeness centrality (round 10)
 # ---------------------------------------------------------------------------
@@ -4696,7 +4766,13 @@ def g_lpa_maintained(spark, sf_dir):
                 ).localCheckpoint(eager=True)
                 frontier = nxt
             # exact scratch rounds on shrinking balls: round r covers
-            # S_r = {ds <= 2R - r}; neighbours of S_r lie in S_{r-1}
+            # S_r = {ds <= 2R - r}; neighbours of S_r lie in S_{r-1}.
+            # The ball's edge set is loaded ONCE (every round's target is
+            # a subset of the ball, so one pruned store read serves all
+            # R rounds — 1 bucket-collect + scan instead of R)
+            e_ball = edges_from(ball.select("v")).localCheckpoint(
+                eager=True
+            )
             labf = ball.select("v", F.col("v").alias("lab"))
             for r in range(1, R + 1):
                 tgt = (
@@ -4704,7 +4780,7 @@ def g_lpa_maintained(spark, sf_dir):
                     .select("v")
                     .localCheckpoint(eager=True)
                 )
-                e = edges_from(tgt)
+                e = e_ball
                 lv = labf.select(F.col("v").alias("b"), "lab")
                 votes = (
                     e.join(tgt, e.a == tgt.v)
