@@ -2328,6 +2328,45 @@ def _bc_depth_cap(n_verts: int, und_edges: int) -> int:
     )
 
 
+def _strat_src_parts(depth: int = _BC_UNROLL) -> list:
+    """CC-STRATIFIED source-derivation CTEs [kk, ccl0..ccl{depth}, csz,
+    nn, srcs] over an already-defined ``und`` — SHARED by the
+    betweenness and harmonic oracles (r10 VERDICT #4): min-label
+    propagation labels each vertex with its component's smallest vertex
+    id (the same static unroll contract as the BFS level chains), then
+    each component contributes its max(1, k·n_c // n) smallest
+    customers. On a connected graph this is exactly the k smallest
+    custkeys (the pre-r11 source set); on a disconnected one every
+    component is sampled (tools/cc_stratify_probe.py)."""
+    parts = [
+        """kk AS (SELECT greatest(4, floor(log2(count(*)))::BIGINT // 4) AS k
+      FROM (SELECT DISTINCT a FROM und))""",
+        "ccl0 AS (SELECT a AS v, a AS comp FROM (SELECT DISTINCT a FROM und) _v)",
+    ]
+    for r in range(1, depth + 1):
+        parts.append(
+            f"""ccl{r} AS MATERIALIZED (
+      SELECT v, min(comp) AS comp FROM (
+        SELECT u.a AS v, l.comp FROM und u JOIN ccl{r - 1} l ON l.v = u.b
+        UNION ALL SELECT v, comp FROM ccl{r - 1}) _m GROUP BY v)"""
+        )
+    parts.extend(
+        [
+            f"""csz AS (SELECT comp, count(*)::BIGINT AS nc
+      FROM ccl{depth} GROUP BY comp)""",
+            f"nn AS (SELECT count(*)::BIGINT AS n FROM ccl{depth})",
+            f"""srcs AS (SELECT r.v AS s FROM (
+        SELECT l.v, l.comp,
+               row_number() OVER (PARTITION BY l.comp
+                                  ORDER BY substr(l.v, 2)::BIGINT) AS rn
+        FROM ccl{depth} l WHERE l.v LIKE 'c%') r
+      JOIN csz ON csz.comp = r.comp, kk, nn
+      WHERE r.rn <= greatest(1, (kk.k * csz.nc) // nn.n))""",
+        ]
+    )
+    return parts
+
+
 def _betweenness_oracle_sql(
     depth: int = _BC_UNROLL, scale: int = _BC_SCALE
 ) -> str:
@@ -2344,12 +2383,7 @@ def _betweenness_oracle_sql(
       SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
         "und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)",
-        """kk AS (SELECT greatest(4, floor(log2(count(*)))::BIGINT // 4) AS k
-      FROM (SELECT DISTINCT a FROM und))""",
-        """srcs AS (SELECT 'c' || o_custkey AS s FROM (
-        SELECT DISTINCT o_custkey
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
-      ORDER BY o_custkey LIMIT (SELECT k FROM kk))""",
+        *_strat_src_parts(depth),
         "l0 AS (SELECT s, s AS v, 1::BIGINT AS sig FROM srcs)",
         "seen0 AS (SELECT s, v FROM l0)",
     ]
@@ -2425,17 +2459,11 @@ def g_betweenness_sampled(spark, sf_dir):
         F.countDistinct("a").alias("n"), F.count("*").alias("m")
     ).collect()[0]
     k = _bc_num_sources(n_verts)
-    # the k smallest custkeys in the edge set — derived from the cached
-    # frame (same set as DISTINCT o_custkey of the join, which the
-    # oracle's srcs CTE selects)
-    sources = (
-        und.filter(F.col("a").startswith("c"))
-        .select(F.substring("a", 2, 100).cast("long").alias("ck"))
-        .distinct()
-        .orderBy("ck")
-        .limit(k)
-        .select(F.concat(F.lit("c"), F.col("ck").cast("string")).alias("s"))
-    )
+    # CC-stratified sources (r10 VERDICT #4, shared with harmonic): on
+    # this connected graph the derivation reduces to the k smallest
+    # custkeys, the exact pre-r11 set; on a disconnected graph every
+    # component gets sampled
+    sources = _stratified_sources(spark, sf_dir, n_verts, k)
     return betweenness_scaled(
         und,
         sources,
@@ -4316,33 +4344,10 @@ def _hc_oracle_sql(depth: int = _BC_UNROLL) -> str:
       SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
         "und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)",
-        """kk AS (SELECT greatest(4, floor(log2(count(*)))::BIGINT // 4) AS k
-      FROM (SELECT DISTINCT a FROM und))""",
-        "ccl0 AS (SELECT a AS v, a AS comp FROM (SELECT DISTINCT a FROM und) _v)",
+        *_strat_src_parts(depth),
+        "l0 AS (SELECT s, s AS v FROM srcs)",
+        "seen0 AS (SELECT s, v FROM l0)",
     ]
-    for r in range(1, depth + 1):
-        parts.append(
-            f"""ccl{r} AS MATERIALIZED (
-      SELECT v, min(comp) AS comp FROM (
-        SELECT u.a AS v, l.comp FROM und u JOIN ccl{r - 1} l ON l.v = u.b
-        UNION ALL SELECT v, comp FROM ccl{r - 1}) _m GROUP BY v)"""
-        )
-    parts.extend(
-        [
-            f"""csz AS (SELECT comp, count(*)::BIGINT AS nc
-      FROM ccl{depth} GROUP BY comp)""",
-            f"nn AS (SELECT count(*)::BIGINT AS n FROM ccl{depth})",
-            f"""srcs AS (SELECT r.v AS s FROM (
-        SELECT l.v, l.comp,
-               row_number() OVER (PARTITION BY l.comp
-                                  ORDER BY substr(l.v, 2)::BIGINT) AS rn
-        FROM ccl{depth} l WHERE l.v LIKE 'c%') r
-      JOIN csz ON csz.comp = r.comp, kk, nn
-      WHERE r.rn <= greatest(1, (kk.k * csz.nc) // nn.n))""",
-            "l0 AS (SELECT s, s AS v FROM srcs)",
-            "seen0 AS (SELECT s, v FROM l0)",
-        ]
-    )
     for L in range(1, depth + 1):
         parts.append(
             f"""l{L} AS MATERIALIZED (
@@ -4409,6 +4414,34 @@ def _trade_cc(spark, sf_dir, rounds: int = _BC_UNROLL):
     return _memo_cache(spark, sf_dir, "trade_cc", build)
 
 
+def _stratified_sources(spark, sf_dir, n_verts: int, k: int):
+    """DF[s] — the CC-stratified centrality source sample (r10 VERDICT
+    #4), SHARED by betweenness and harmonic: each component of the
+    memoized _trade_cc labeling contributes its max(1, k·n_c // n)
+    smallest customers — exactly the k smallest custkeys on a connected
+    graph, one source per replica minimum on a disconnected one. The
+    within-component rank is a comp-partitioned window; csz is
+    vertex-bounded and count-gated for broadcast."""
+    from pyspark.sql import Window
+
+    cc = _trade_cc(spark, sf_dir)
+    csz = cc.groupBy("comp").agg(F.count("*").alias("nc"))
+    wcomp = Window.partitionBy("comp").orderBy("ck")
+    return (
+        cc.filter(F.col("v").startswith("c"))
+        .select(
+            "v", "comp", F.substring("v", 2, 100).cast("long").alias("ck")
+        )
+        .withColumn("rn", F.row_number().over(wcomp))
+        .join(_maybe_broadcast(csz, n_verts), "comp")
+        .filter(
+            F.col("rn")
+            <= F.greatest(F.lit(1), F.expr(f"({k} * nc) DIV {n_verts}"))
+        )
+        .select(F.col("v").alias("s"))
+    )
+
+
 @register("g_harmonic_closeness", oracle=_hc_oracle_sql())
 def g_harmonic_closeness(spark, sf_dir):
     """Sampled HARMONIC CLOSENESS centrality (Boldi–Vigna's preferred
@@ -4440,29 +4473,12 @@ def g_harmonic_closeness(spark, sf_dir):
     in n (Brandes–Pich / Eppstein–Wang). The stratification adds the
     CC labels (shared memo, LPA-shaped rounds) and one
     component-partitioned rank — both vertex-keyed, nothing global."""
-    from pyspark.sql import Window
-
     und = _trade_und(spark, sf_dir)
     n_verts, m_und = und.agg(
         F.countDistinct("a").alias("n"), F.count("*").alias("m")
     ).collect()[0]
     k = _bc_num_sources(n_verts)
-    cc = _trade_cc(spark, sf_dir)
-    csz = cc.groupBy("comp").agg(F.count("*").alias("nc"))
-    wcomp = Window.partitionBy("comp").orderBy("ck")
-    srcs = (
-        cc.filter(F.col("v").startswith("c"))
-        .select(
-            "v", "comp", F.substring("v", 2, 100).cast("long").alias("ck")
-        )
-        .withColumn("rn", F.row_number().over(wcomp))
-        .join(_maybe_broadcast(csz, n_verts), "comp")
-        .filter(
-            F.col("rn")
-            <= F.greatest(F.lit(1), F.expr(f"({k} * nc) DIV {n_verts}"))
-        )
-        .select(F.col("v").alias("s"))
-    )
+    srcs = _stratified_sources(spark, sf_dir, n_verts, k)
     frontier = srcs.select("s", F.col("s").alias("v")).localCheckpoint(
         eager=True
     )
