@@ -45,6 +45,10 @@ OPS = [
     # plus the two new sketches (rep10 gives 10x the member/probe keys)
     "g_label_propagation",
     "g_random_walks",
+    # round 11: skip-gram training + serving over the walk corpus
+    # (log-derived walk count — expect flat walls at 10x)
+    "g_skipgram_embed",
+    "g_skipgram_knn",
     "sketch_bloom_membership",
     "sketch_theta_intersect",
 ]
