@@ -144,6 +144,7 @@ HEADLINE = [
     "layout_zorder_zonemap",
     "g_cc_maintained",
     "g_lpa_maintained",
+    "shuffle_epoch_shards",
     "stream_ann_index_upkeep",
     "mix_token_budget",
     "ann_lsh_multiprobe_topk",

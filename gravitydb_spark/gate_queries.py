@@ -758,6 +758,12 @@ _compound(
              "r2": "weight_bp"},
         ),
         (
+            # round 11: deterministic sharded epoch shuffle
+            "epoch_shuffle",
+            "shuffle_epoch_shards",
+            {"doc_id": "doc_id", "r": "shard", "r2": "pos"},
+        ),
+        (
             "tvt_split",
             "split_train_val_test",
             # split packed into the source slot; count in the id slot

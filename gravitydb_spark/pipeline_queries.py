@@ -1051,6 +1051,76 @@ def sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUF_EPOCH = 2  # contract constant: the epoch baked into the shuffle seed
+_SHUF_DOCS_PER_SHARD = 2048  # target shard size the fanout derives from
+_SHUF_MIN_SHARDS = 8
+
+
+@register(
+    "shuffle_epoch_shards",
+    oracle=f"""
+    WITH ns AS (SELECT greatest({_SHUF_MIN_SHARDS},
+                  (count(*) + {_SHUF_DOCS_PER_SHARD - 1})
+                    // {_SHUF_DOCS_PER_SHARD})::BIGINT AS n
+                FROM documents),
+    h AS (SELECT doc_id,
+                 {_duck_h32(f"'ep{_SHUF_EPOCH}:' || doc_id")} AS hv
+          FROM documents)
+    SELECT doc_id, (hv % (SELECT n FROM ns))::BIGINT AS shard,
+           row_number() OVER (PARTITION BY hv % (SELECT n FROM ns)
+                              ORDER BY hv, doc_id)::BIGINT AS pos
+    FROM h
+    """,
+)
+def shuffle_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC EPOCH SHUFFLE, sharded — the reproducible global
+    permutation every training run needs, in its scale-honest form: a
+    total order over 100 TB is an anti-pattern (one task sorts the
+    world), so production shuffles assign each document to a SHARD by an
+    epoch-seeded hash and order only WITHIN the shard — readers stream
+    shards in any order and the concatenation is the epoch's
+    permutation. Same seed ⇒ same permutation on any cluster at any
+    parallelism; a different epoch constant reshuffles everything.
+
+    Derivations: shard count is IN-PLAN from the corpus size
+    (max({_SHUF_MIN_SHARDS}, ⌈n/{_SHUF_DOCS_PER_SHARD}⌉) — the ns CTE,
+    mirrored on both engines, same contract as the Bloom m / IVF cells);
+    the per-doc sort key is h32('ep{_SHUF_EPOCH}:' || doc_id) — the
+    engine-portable md5 family, doc_id tiebreak. The within-shard rank
+    is a shard-PARTITIONED window (never global); the only exchange is
+    the hash partitioning by shard, which is exactly the write layout a
+    sharded shuffle materializes anyway."""
+    docs = load(spark, sf_dir, "documents")
+    nsdf = docs.agg(
+        F.greatest(
+            F.lit(_SHUF_MIN_SHARDS),
+            F.expr(
+                f"(count(*) + {_SHUF_DOCS_PER_SHARD - 1})"
+                f" DIV {_SHUF_DOCS_PER_SHARD}"
+            ),
+        )
+        .cast("long")
+        .alias("ns")
+    )
+    h = docs.select(
+        "doc_id",
+        _h32(
+            F.concat(F.lit(f"ep{_SHUF_EPOCH}:"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        h.crossJoin(F.broadcast(nsdf))  # 1-row derived-config aggregate
+        .select(
+            "doc_id",
+            "hv",
+            (F.col("hv") % F.col("ns")).cast("long").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 # train/val/test split in basis points (sums to 10000)
 _SPLIT_BP = {"train": 9000, "val": 500, "test": 500}
 
