@@ -7106,17 +7106,33 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ANY of its _BLOOM_K positions is definitely absent from the
         # index and skips the store probe entirely; no false negatives
         # because the bloom append always PRECEDES the index append, so
-        # bloom ⊇ index keys at every probe. At serving scale the position
-        # set packs into an m-bit broadcast bitmap (~1.8 MB per billion
-        # keys, SCALE.md §4l); here it is a position store folded distinct.
+        # bloom ⊇ index keys at every probe. The store holds the bitmap
+        # in its PACKED form — (word = pos DIV 64, bits) with bit_or as
+        # the fold — so stored rows are bounded by m/64 REGARDLESS of key
+        # count (m/8 bytes ≈ 1.3 MB per million indexed keys at the 2⁻⁷
+        # budget), the fold is replay-idempotent (OR), and the probe
+        # joins batch positions against the broadcast word table.
         n_bound = _docs_count(spark, sf_dir) * LSH_BANDS
         bloom_m = max(
             _BLOOM_MIN_M, (_BLOOM_K * n_bound * 14427 + 9999) // 10000
         )
         bloom = DatasetStore(os.path.join(work, "bloom"))
-        bloom.append(
-            _bloom_key_positions(seed_keys, bloom_m).select("pos").distinct()
-        )
+
+        def bloom_words(keys: DataFrame) -> DataFrame:
+            """(w, bits) word-partials of the keys' Bloom positions."""
+            return (
+                _bloom_key_positions(keys, bloom_m)
+                .select(
+                    F.expr("pos DIV 64").cast("long").alias("w"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+                    ).alias("b"),
+                )
+                .groupBy("w")
+                .agg(F.bit_or("b").alias("bits"))
+            )
+
+        bloom.append(bloom_words(seed_keys))
         out_dir = os.path.join(work, "admitted")
 
         def handle(batch_df, batch_id) -> None:
@@ -7138,12 +7154,27 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             # only the surviving "maybe" keys drive the store probe, so
             # most novel content skips the index read entirely
             kdist = keyed.select("band", "bk").distinct()
-            bpos = bloom.load(spark).select("pos").distinct()
+            # fold the word-partials (OR — replay-idempotent) and probe
+            # by joining batch positions against the broadcast bitmap
+            words = (
+                bloom.load(spark).groupBy("w").agg(F.bit_or("bits").alias("bits"))
+            )
             maybe = (
                 _bloom_key_positions(kdist, bloom_m)
-                .join(bpos, "pos", "left_semi")
+                .withColumn("w", F.expr("pos DIV 64").cast("long"))
+                .join(F.broadcast(words), "w", "left")
+                .withColumn(
+                    "hit",
+                    F.when(
+                        F.expr(
+                            "shiftright(bits, CAST(pos % 64 AS INT)) & 1"
+                        )
+                        == 1,
+                        1,
+                    ).otherwise(0),
+                )
                 .groupBy("band", "bk")
-                .agg(F.count("*").alias("kh"))
+                .agg(F.sum("hit").alias("kh"))
                 .filter(F.col("kh") == _BLOOM_K)
                 .select("band", "bk")
             )
@@ -7193,11 +7224,7 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             # bloom append FIRST: the index may never contain a key whose
             # positions the bloom lacks (a crash between the two appends
             # leaves a superset bloom — harmless false-positive margin)
-            bloom.append(
-                _bloom_key_positions(adm_keys, bloom_m)
-                .select("pos")
-                .distinct()
-            )
+            bloom.append(bloom_words(adm_keys))
             store.append(
                 adm_keys.select(
                     "band",
@@ -7210,7 +7237,11 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             # periodic compaction: fold deltas once the log grows
             store.compact(spark, min_deltas=3)
             bloom.compact(
-                spark, min_deltas=4, transform=lambda d: d.distinct()
+                spark,
+                min_deltas=4,
+                transform=lambda d: d.groupBy("w").agg(
+                    F.bit_or("bits").alias("bits")
+                ),
             )
 
         stream = (
