@@ -4721,6 +4721,25 @@ def g_lpa_maintained(spark, sf_dir):
     g_cc_retractions' component-scoped rebuild)."""
     import shutil
     import tempfile
+
+    g = tpch_graph(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="gravityspark_glpam_")
+    try:
+        gp = os.path.join(work, "graph")
+        _land_graph_batches(work, gp, g)
+        return _lpa_maintain_run(spark, work, gp)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _lpa_maintain_run(spark, work: str, gp: str):
+    """The ball-scoped LPA maintenance protocol over an already-landed
+    changefeed graph at ``gp`` (vertices/edges batch files) — factored
+    from g_lpa_maintained so probes can drive it on arbitrary graphs
+    (tools/lpa_ball_probe.py runs it on a high-diameter ring with
+    LOCALIZED batches, where the recompute balls are a vanishing
+    fraction of the graph). Returns the maintained (id, community,
+    csize) DataFrame."""
     import uuid as _uuid
 
     from .streaming.changefeed import stream_edges, stream_vertices
@@ -4728,12 +4747,7 @@ def g_lpa_maintained(spark, sf_dir):
 
     nb = _LPAM_BUCKETS
     R = _LPA_ROUNDS
-    g = tpch_graph(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="gravityspark_glpam_")
     try:
-        gp = os.path.join(work, "graph")
-        _land_graph_batches(work, gp, g)
-
         memb = DatasetStore(os.path.join(work, "memb"))
         edges = DatasetStore(
             os.path.join(work, "edges"), partition_cols=("pb",)
@@ -4902,4 +4916,4 @@ def g_lpa_maintained(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        pass  # caller owns the workdir lifecycle (probes keep it)
