@@ -88,3 +88,41 @@ def test_skipgram_pairs_well_formed(spark, sf_dir):
     assert sum(r["w"] for r in pos) == sum(r["w"] for r in neg)
     # pids unique (the z-aggregation groups by pid)
     assert len({r["pid"] for r in rows}) == len(rows)
+
+
+def test_epoch_shuffle_is_balanced_permutation(spark, sf_dir):
+    """shuffle_epoch_shards semantics the hash match alone wouldn't
+    explain: the output is a permutation (every doc exactly once),
+    positions are dense 1..|shard| within each shard, shards are
+    roughly balanced (hash-uniform), and changing the epoch constant
+    produces a genuinely different permutation (the reshuffle
+    property)."""
+    from collections import Counter
+
+    from gravitydb_spark import pipeline_queries as pq
+
+    rows = REGISTRY["shuffle_epoch_shards"].fn(spark, sf_dir).collect()
+    docs = {r["doc_id"] for r in rows}
+    n = len(rows)
+    assert len(docs) == n  # every doc exactly once
+    per_shard = Counter(r["shard"] for r in rows)
+    # dense positions within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for sh, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, per_shard[sh] + 1)), sh
+    # hash-uniform balance: no shard more than 3x the fair share
+    fair = n / len(per_shard)
+    assert max(per_shard.values()) <= 3 * fair
+    # a different epoch reshuffles: recompute with the epoch bumped and
+    # require most (shard, pos) assignments to move
+    old = pq._SHUF_EPOCH
+    pq._SHUF_EPOCH = old + 1
+    try:
+        rows2 = pq.shuffle_epoch_shards(spark, sf_dir).collect()
+    finally:
+        pq._SHUF_EPOCH = old
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in rows2}
+    assert len(a & b) < n // 4  # >75% of assignments moved

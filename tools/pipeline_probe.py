@@ -38,6 +38,8 @@ TEXT_OPS = [
     # histogram sketch, both documents-driven
     "multimodal_phash_dedup",
     "sketch_histogram_quantiles",
+    # round 11: the sharded epoch shuffle rides the documents corpus
+    "shuffle_epoch_shards",
 ]
 EMB_OPS = ["embed_quantize_int8", "embed_random_projection"]
 TS_OPS = [
