@@ -203,6 +203,7 @@ HEADLINE = [
     "g_skipgram_embed",
     "g_skipgram_eval",
     "g_skipgram_knn",
+    "g_skipgram_linkpred_eval",
     "dedup_bbit_minhash",
     "g_lpa_modularity",
 ]

