@@ -245,9 +245,35 @@ def compact_line(timings: dict[str, float], sf: float) -> str:
     return line
 
 
+def _loadavg() -> list[float]:
+    """Host 1/5/15-min load averages — stamped into BENCH_DETAIL.json so
+    cross-round per-query comparisons can discount hypervisor-steal runs
+    (r11 VERDICT #8: identical-code queries swung 3-4.5x between runs;
+    the committed bench should be recorded at load < ~4 or readers must
+    know it wasn't)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:  # pragma: no cover - non-Linux fallback
+        return []
+
+
+def _storage_bytes(spark) -> int:
+    """Total bytes of cached RDD/DataFrame blocks currently in storage
+    memory — the memo-population gauge for the ANN cache-eviction audit
+    (r11 VERDICT weak item): if this approaches the unified-memory cap
+    mid-bench, later cached families are being evicted and re-computed."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return int(sum(i.memSize() for i in infos))
+    except Exception:  # pragma: no cover - py4j surface drift
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = _loadavg()
 
     from gravitydb_spark.registry import queries
     from gravitydb_spark.session import get_spark
@@ -265,12 +291,14 @@ def main() -> None:
     tpch_graph(spark, sf_dir).db_info()
 
     timings: dict[str, float] = {}
+    storage: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        storage[name] = _storage_bytes(spark)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -280,6 +308,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
+        "storage_bytes_after": storage,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
