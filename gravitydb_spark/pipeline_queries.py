@@ -6904,6 +6904,28 @@ def _bloom_key_positions(keys: DataFrame, m: int) -> DataFrame:
     )
 
 
+def _bloom_id_positions(ids: DataFrame, m: int) -> DataFrame:
+    """DF[doc_id, pos] — the _BLOOM_K Kirsch–Mitzenmacher double-hash
+    Bloom positions of each doc_id over an m-bit domain: the id-keyed
+    sibling of :func:`_bloom_key_positions`, used as the KEYMAP's
+    pre-filter in stream_dedup_retractions_by_id (r11 VERDICT #4 — a
+    forget id missing any position was never seeded or admitted, so its
+    keymap probe is skipped entirely)."""
+    h = ids.select(
+        "doc_id",
+        _h32(F.concat(F.lit("i1:"), F.col("doc_id").cast("string"))).alias("h1"),
+        _h32(F.concat(F.lit("i2:"), F.col("doc_id").cast("string"))).alias("h2"),
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i")
+    return h.select("doc_id", "h1", "h2", idx).select(
+        "doc_id",
+        (
+            (F.col("h1") + F.col("i") * F.col("h2") + F.col("i") * F.col("i"))
+            % F.lit(m)
+        ).alias("pos"),
+    )
+
+
 _docs_count_memo: dict = {}
 
 
@@ -7497,6 +7519,11 @@ def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KEYMAP_KB = 32  # hash-bucket fanout of the doc_id → band-key map
 
+# test/probe hook: when {"enabled": True}, stream_dedup_retractions_by_id
+# records per retraction batch {"ids": forget-batch ids, "maybe": bloom
+# survivors, "kbs_all": unpruned bucket count, "kbs_pruned": after}
+_retractid_probe: dict = {}
+
 
 @register("stream_dedup_retractions_by_id", oracle=_dedup_retract_oracle())
 def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7542,9 +7569,17 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
         ]
         feeds = [
             docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 < 2")),
-            # the forget feed: doc_ids ONLY — content is gone by now
-            docs.filter(F.expr("doc_id % 2 = 0 AND doc_id % 10 = 0")).select(
-                "doc_id", *null_cols
+            # the forget feed: doc_ids ONLY — content is gone by now.
+            # Realistically it also carries ids this store NEVER saw
+            # (GDPR requests fan out across systems): the negative
+            # mirror ids below exist in no table, produce no −1 rows on
+            # either engine (oracle untouched), and are exactly what the
+            # keymap's Bloom pre-filter exists to skip.
+            docs.filter(F.expr("doc_id % 2 = 0 AND doc_id % 10 = 0"))
+            .select("doc_id", *null_cols)
+            .unionByName(
+                docs.filter(F.expr("doc_id % 2 = 0 AND doc_id % 10 = 0"))
+                .select((-F.col("doc_id") - 1).alias("doc_id"), *null_cols)
             ),
             docs.filter(F.expr("doc_id % 2 = 1 AND (doc_id % 6) DIV 2 = 2")),
         ]
@@ -7573,9 +7608,38 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
         keymap = DatasetStore(
             os.path.join(work, "keymap"), partition_cols=("kb",)
         )
+        # id-keyed Bloom pre-filter over the KEYMAP's doc_id population
+        # (r11 VERDICT #4 — the packed-word store of
+        # stream_dedup_index_upkeep reused for the family's top wall): a
+        # forget id missing any of its _BLOOM_K positions was never
+        # seeded or admitted, so it skips the keymap probe entirely and
+        # shrinks the kb bucket list. m derives from the doc population
+        # bound (every doc could eventually be admitted).
+        id_bloom_m = max(
+            _BLOOM_MIN_M,
+            (_BLOOM_K * _docs_count(spark, sf_dir) * 14427 + 9999) // 10000,
+        )
+        id_bloom = DatasetStore(os.path.join(work, "idbloom"))
+
+        def id_bloom_words(ids: DataFrame) -> DataFrame:
+            """(w, bits) word-partials of the ids' Bloom positions."""
+            return (
+                _bloom_id_positions(ids, id_bloom_m)
+                .select(
+                    F.expr("pos DIV 64").cast("long").alias("w"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+                    ).alias("b"),
+                )
+                .groupBy("w")
+                .agg(F.bit_or("b").alias("bits"))
+            )
+
         # seed: +1 per (live-even doc, distinct band key) — and the
         # SAME rows into the keymap (two consumers; the memoized cached
-        # seed frame (r9 #3) is the barrier)
+        # seed frame (r9 #3) is the barrier). Bloom append PRECEDES the
+        # keymap append (bloom ⊇ keymap ids ⇒ no false negatives, the
+        # same crash-replay ordering invariant as the index-side bloom).
         seed_keys = _seed_band_keys(spark, sf_dir)
         store.append(
             seed_keys.select(
@@ -7586,6 +7650,7 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
                 bkb,
             )
         )
+        id_bloom.append(id_bloom_words(seed_keys.select("doc_id").distinct()))
         keymap.append(seed_keys.select("doc_id", "band", "bk", kb))
         out_dir = os.path.join(work, "admitted")
 
@@ -7611,15 +7676,58 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
             # codegen band-key path (r11); unique per (doc_id, band)
             ins_keyed = _batch_band_keys(batch_df.filter(F.col("op") == "i"))
             del_ids = batch_df.filter(F.col("op") == "d").select("doc_id")
-            # id-only retraction: band keys come from the persisted
-            # keymap (pruned to the batch ids' kb buckets), not content
-            del_kbs = [r[0] for r in del_ids.select(kb).distinct().collect()]
-            del_keyed = (
-                keymap.load(spark, where=F.col("kb").isin(del_kbs))
-                .join(del_ids, "doc_id", "left_semi")
-                .select("doc_id", "band", "bk")
-                .distinct()
+            # Bloom pre-filter (r11 VERDICT #4): fold the packed word
+            # table (OR — replay-idempotent), probe the forget ids'
+            # positions against the broadcast bitmap, and keep only the
+            # "maybe present" ids — an id missing ANY position has no
+            # keymap rows, so dropping it cannot lose a −1.
+            bwords = (
+                id_bloom.load(spark)
+                .groupBy("w")
+                .agg(F.bit_or("bits").alias("bits"))
             )
+            del_maybe = (
+                _bloom_id_positions(del_ids.distinct(), id_bloom_m)
+                .withColumn("w", F.expr("pos DIV 64").cast("long"))
+                .join(F.broadcast(bwords), "w", "left")
+                .withColumn(
+                    "hit",
+                    F.when(
+                        F.expr(
+                            "shiftright(bits, CAST(pos % 64 AS INT)) & 1"
+                        )
+                        == 1,
+                        1,
+                    ).otherwise(0),
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("hit").alias("kh"))
+                .filter(F.col("kh") == _BLOOM_K)
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            # id-only retraction: band keys come from the persisted
+            # keymap (pruned to the SURVIVING ids' kb buckets), not
+            # content
+            del_kbs = [
+                r[0] for r in del_maybe.select(kb).distinct().collect()
+            ]
+            if _retractid_probe.get("enabled"):
+                _retractid_probe[bid] = {
+                    "ids": del_ids.distinct().count(),
+                    "maybe": del_maybe.count(),
+                    "kbs_all": del_ids.select(kb).distinct().count(),
+                    "kbs_pruned": len(del_kbs),
+                }
+            if del_kbs:
+                del_keyed = (
+                    keymap.load(spark, where=F.col("kb").isin(del_kbs))
+                    .join(del_maybe, "doc_id", "left_semi")
+                    .select("doc_id", "band", "bk")
+                    .distinct()
+                )
+            else:  # every forget id bloom-missed: no keymap read at all
+                del_keyed = ins_keyed.select("doc_id", "band", "bk").limit(0)
             bkbs = [r[0] for r in ins_keyed.select(bkb).distinct().collect()]
             idx = store.load(spark, where=F.col("bkb").isin(bkbs)).filter(
                 F.col("bid") != bid
@@ -7658,7 +7766,12 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
                 )
             )
             store.append_once(deltas, bid)
-            # admitted docs become future-forgettable: persist their keys
+            # admitted docs become future-forgettable: persist their
+            # keys — bloom append FIRST (bloom ⊇ keymap ids even if a
+            # crash splits the two; OR-fold makes the replay inert)
+            id_bloom.append(
+                id_bloom_words(adm_keys.select("doc_id").distinct())
+            )
             keymap.append_once(
                 adm_keys.select("doc_id", "band", "bk", kb), bid
             )
@@ -7667,6 +7780,13 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
             # keymap rows are inert membership facts — fold once near
             # the end of the demo window instead of per-batch
             keymap.compact(spark, min_deltas=4)
+            id_bloom.compact(
+                spark,
+                min_deltas=4,
+                transform=lambda d: d.groupBy("w").agg(
+                    F.bit_or("bits").alias("bits")
+                ),
+            )
 
         stream = (
             spark.readStream.schema(
