@@ -206,6 +206,8 @@ HEADLINE = [
     "g_skipgram_linkpred_eval",
     "dedup_bbit_minhash",
     "g_lpa_modularity",
+    # round 12 additions
+    "g_lpa_retractions",
 ]
 
 

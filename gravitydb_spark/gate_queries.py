@@ -1470,6 +1470,13 @@ _compound(
             {"k": "id || '>' || community", "n1": "csize"},
         ),
         (
+            # round 12: the delete symmetry — ball-scoped LPA repair
+            # over a signed edge store, mixed insert/delete schedule
+            "lpa_retractions",
+            "g_lpa_retractions",
+            {"k": "id || '>' || community", "n1": "csize"},
+        ),
+        (
             "triangles_retractions",
             "g_triangles_retractions",
             {"k": "id", "n1": "triangles"},

@@ -61,6 +61,7 @@ PLAN_EXEMPT: dict[str, str] = {
     "g_degrees_retractions": "oracle-e2e (signed fold ≡ batch degrees of the surviving graph)",
     "g_cc_maintained": "maintained-CC repair rounds: test_cc_maintenance.py",
     "g_lpa_maintained": "oracle-e2e (maintained ≡ batch LPA on the final graph, hash-checked); ball-scoped rebuild locality: test_lpa_maintenance.py",
+    "g_lpa_retractions": "oracle-e2e (mixed insert/delete feed ≡ batch LPA on the surviving graph, hash-checked); signed-store delete repair: test_r12_ops.py",
     "g_cc_retractions": "delete-repair machinery: test_cc_maintenance.py (cc_labels/repair rounds); oracle-e2e",
     "g_triangles_retractions": "trilinear delta probes pruned: test_cc_maintenance.py; adjacency bytes: test_store_compaction_bytes.py",
     # driver-literal results (bounded collect assembles the frame)

@@ -47,6 +47,99 @@ def test_retractions_by_id_bloom_prunes_unknown_ids(spark, sf_dir):
     assert d["kbs_pruned"] < d["kbs_all"]
 
 
+def _land(df, ddir, b, base=1_700_000_000):
+    import os
+    import shutil
+
+    tmp = ddir + f".tmp{b}"
+    df.coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.makedirs(ddir, exist_ok=True)
+    dst = os.path.join(ddir, f"batch-{b}.parquet")
+    os.replace(os.path.join(tmp, part), dst)
+    os.utime(dst, (base + 60 * b, base + 60 * b))
+    shutil.rmtree(tmp)
+
+
+def test_lpa_maintain_delete_repair_undoes_published_state(spark):
+    """The delete-repair contract that the e2e oracle hash can't isolate:
+    a bridge edge inserted in batch 0 merges two chains' communities and
+    those labels are PUBLISHED; batch 1 deletes the bridge (mixed with
+    fresh inserts), and the maintained view must equal batch LPA on the
+    final bridge-free graph — i.e. the protocol must republish a ball
+    that undoes state it already wrote, via the signed edge store."""
+    import os
+    import shutil
+    import tempfile
+
+    from gravitydb_spark import graph_queries as gq
+
+    n = 10
+    work = tempfile.mkdtemp(prefix="lpa_del_test_")
+    try:
+        gp = os.path.join(work, "graph")
+        ids = spark.createDataFrame(
+            [(f"{s}{i:02d}", "p") for s in ("a", "b") for i in range(n)],
+            "id string, prop_hash string",
+        )
+        _land(ids, os.path.join(gp, "vertices"), 0)
+
+        def chain(s):
+            return [
+                (f"e{s}{i}", f"{s}{i:02d}", f"{s}{i + 1:02d}", "p", "i")
+                for i in range(n - 1)
+            ]
+
+        sch = "edge_id string, src string, dst string, prop_hash string, op string"
+        bridge = ("ebr", "a00", "b00", "p")
+        b0 = spark.createDataFrame(chain("a") + [bridge + ("i",)], sch)
+        b1 = spark.createDataFrame(chain("b") + [bridge + ("d",)], sch)
+        _land(b0, os.path.join(gp, "edges"), 0)
+        _land(b1, os.path.join(gp, "edges"), 1)
+
+        out = gq._lpa_maintain_run(spark, work, gp, edge_ops=True)
+        got = {(r["id"], r["community"]) for r in out.collect()}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # batch LPA (same recurrence) on the final graph: two DISJOINT chains
+    und = spark.createDataFrame(
+        [
+            (f"{s}{i:02d}", f"{s}{i + 1:02d}")
+            for s in ("a", "b")
+            for i in range(n - 1)
+        ],
+        "a string, b string",
+    )
+    und = und.unionByName(und.selectExpr("b AS a", "a AS b")).localCheckpoint()
+    labels = und.selectExpr("a AS v").distinct().selectExpr("v", "v AS lab")
+    for _ in range(gq._LPA_ROUNDS):
+        votes = (
+            und.join(F.broadcast(labels), und.b == labels.v)
+            .select(und.a.alias("v"), "lab")
+            .unionByName(labels.select("v", "lab"))
+        )
+        labels = (
+            votes.groupBy("v", "lab")
+            .agg(F.count("*").alias("c"))
+            .groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lab"))
+                ).alias("top")
+            )
+            .select("v", F.col("top.lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    want = {(r["v"], r["lab"]) for r in labels.collect()}
+    assert got == want
+    # the bridge really is gone: no community spans the two chains
+    comm_of = dict(got)
+    a_comms = {comm_of[f"a{i:02d}"] for i in range(n)}
+    b_comms = {comm_of[f"b{i:02d}"] for i in range(n)}
+    assert not (a_comms & b_comms)
+
+
 def test_maybe_broadcast_debug_guard(spark):
     from gravitydb_spark import graph_queries as gq
 
