@@ -208,6 +208,8 @@ HEADLINE = [
     "g_lpa_modularity",
     # round 12 additions
     "g_lpa_retractions",
+    "g_harmonic_sample_eval",
+    "pack_epoch_shards",
 ]
 
 

@@ -784,6 +784,15 @@ _compound(
              "r": "n_docs", "r2": "padding_tokens"},
         ),
         (
+            # round 12: epoch-shuffle → packing integration (shard#pos
+            # packed in the source slot; seq id/offset in r/r2)
+            "epoch_pack",
+            "pack_epoch_shards",
+            {"doc_id": "doc_id",
+             "source": "CAST(shard AS STRING) || '#' || CAST(pos AS STRING)",
+             "r": "seq_id", "r2": "seq_offset"},
+        ),
+        (
             "token_budget",
             "mix_token_budget",
             # per-source rollup in the generic slots: kept docs + rate
@@ -1059,6 +1068,13 @@ _compound(
             },
         ),
         ("harmonic", "g_harmonic_closeness", {"id": "id", "dist": "hc_scaled"}),
+        (
+            # round 12: sampled-centrality accuracy eval (exact-vs-sampled
+            # harmonic on the bounded slice; metric@t packed in id)
+            "harmonic_eval",
+            "g_harmonic_sample_eval",
+            {"id": "metric || '@' || CAST(t AS STRING)", "dist": "value"},
+        ),
         # round 10: per-community modularity contribution of the LPA
         # partition (the community-quality eval; Σ dist = Q in bp)
         ("modularity", "g_lpa_modularity", {"id": "community", "dist": "q_bp"}),

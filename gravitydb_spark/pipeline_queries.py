@@ -6033,6 +6033,115 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_epoch_shards",
+    oracle=f"""
+    WITH ns AS (SELECT greatest({_SHUF_MIN_SHARDS},
+                  (count(*) + {_SHUF_DOCS_PER_SHARD - 1})
+                    // {_SHUF_DOCS_PER_SHARD})::BIGINT AS n
+                FROM documents),
+    h AS (SELECT doc_id,
+                 CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                      ELSE len({_DUCK_TOKENS}) END::BIGINT AS n_tok,
+                 {_duck_h32(f"'ep{_SHUF_EPOCH}:' || doc_id")} AS hv
+          FROM documents),
+    s AS (SELECT doc_id, n_tok, hv,
+                 (hv % (SELECT n FROM ns))::BIGINT AS shard
+          FROM h),
+    c AS (SELECT doc_id, shard, n_tok,
+                 row_number() OVER (PARTITION BY shard
+                                    ORDER BY hv, doc_id)::BIGINT AS pos,
+                 COALESCE(SUM(n_tok) OVER (
+                     PARTITION BY shard ORDER BY hv, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS tok_start
+          FROM s)
+    SELECT doc_id, shard, pos, n_tok,
+           (tok_start // {SEQ_BUDGET})::BIGINT AS seq_id,
+           (tok_start % {SEQ_BUDGET})::BIGINT AS seq_offset,
+           CASE WHEN n_tok = 0 THEN tok_start // {SEQ_BUDGET}
+                ELSE (tok_start + n_tok - 1) // {SEQ_BUDGET}
+           END::BIGINT AS seq_id_end
+    FROM c
+    """,
+)
+def pack_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-SHUFFLE → PACKING integration (r11 VERDICT #7) — the last
+    mile of the data-loader story: consume the deterministic sharded
+    epoch permutation (:func:`shuffle_epoch_shards` — same ns/hv/shard
+    derivation, same epoch seed) and pack each shard's documents into
+    fixed SEQ_BUDGET-token training sequences IN EPOCH ORDER, the
+    pack_sequences concat-and-chunk machinery keyed by shard instead of
+    source. A reader streaming shard s's sequences in seq_id order
+    replays exactly the epoch permutation's shard-s segment — the
+    shard-local order invariant the oracle pins: tok_start is the
+    running sum over the SAME (hv, doc_id) window that defines pos, so
+    a doc's (seq_id, seq_offset) is monotone in its epoch position and
+    any reordering would shift every downstream offset and break the
+    value hash.
+
+    Scale posture: identical to its two parents — the only exchange is
+    the hash partition by shard (the write layout a sharded corpus
+    materializes anyway), the windows are shard-partitioned (never
+    global), the shard count derives in-plan from the corpus size, and
+    the running sum is integer-exact on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    nsdf = docs.agg(
+        F.greatest(
+            F.lit(_SHUF_MIN_SHARDS),
+            F.expr(
+                f"(count(*) + {_SHUF_DOCS_PER_SHARD - 1})"
+                f" DIV {_SHUF_DOCS_PER_SHARD}"
+            ),
+        )
+        .cast("long")
+        .alias("ns")
+    )
+    n_tok = (
+        F.when(
+            F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+        )
+        .otherwise(F.size(_TOKENS_FN()))
+        .cast("long")
+    )
+    h = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        _h32(
+            F.concat(F.lit(f"ep{_SHUF_EPOCH}:"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    wo = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    wsum = wo.rowsBetween(Window.unboundedPreceding, -1)
+    c = (
+        h.crossJoin(F.broadcast(nsdf))  # 1-row derived-config aggregate
+        .select(
+            "doc_id",
+            "n_tok",
+            "hv",
+            (F.col("hv") % F.col("ns")).cast("long").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(wo).cast("long"))
+        .withColumn(
+            "tok_start",
+            F.coalesce(F.sum("n_tok").over(wsum), F.lit(0)).cast("long"),
+        )
+    )
+    seq_end = F.when(
+        F.col("n_tok") == 0, F.expr(f"tok_start DIV {SEQ_BUDGET}")
+    ).otherwise(F.expr(f"(tok_start + n_tok - 1) DIV {SEQ_BUDGET}"))
+    return c.select(
+        "doc_id",
+        "shard",
+        "pos",
+        "n_tok",
+        F.expr(f"tok_start DIV {SEQ_BUDGET}").cast("long").alias("seq_id"),
+        (F.col("tok_start") % SEQ_BUDGET).cast("long").alias("seq_offset"),
+        seq_end.cast("long").alias("seq_id_end"),
+    )
+
+
+
+@register(
     "mix_domains",
     oracle=f"""
     WITH d AS (

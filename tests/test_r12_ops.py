@@ -140,6 +140,55 @@ def test_lpa_maintain_delete_repair_undoes_published_state(spark):
     assert not (a_comms & b_comms)
 
 
+def test_pack_epoch_shards_replays_epoch_order(spark, sf_dir):
+    """The data-loader contract (r11 VERDICT #7): reading shard s's
+    packed sequences in (seq_id, seq_offset) order replays exactly the
+    epoch permutation's shard-s segment, with contiguous token offsets
+    (concat-and-chunk leaves no gaps)."""
+    shuf = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in REGISTRY["shuffle_epoch_shards"].fn(spark, sf_dir).collect()
+    }
+    rows = REGISTRY["pack_epoch_shards"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(shuf)
+    by_shard = {}
+    for r in rows:
+        # shard/pos agree with the shuffle operator (same derivation)
+        assert shuf[r["doc_id"]] == (r["shard"], r["pos"])
+        by_shard.setdefault(r["shard"], []).append(r)
+    from gravitydb_spark.pipeline_queries import SEQ_BUDGET
+
+    for sh, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        run = 0
+        for r in rs:
+            # packed offset = running token count in EPOCH order
+            assert (r["seq_id"], r["seq_offset"]) == (
+                run // SEQ_BUDGET,
+                run % SEQ_BUDGET,
+            ), (sh, r)
+            end = run + max(r["n_tok"] - 1, 0)
+            assert r["seq_id_end"] == end // SEQ_BUDGET
+            run += r["n_tok"]
+
+
+def test_harmonic_sample_eval_invariants(spark, sf_dir):
+    """The eval's internal consistency: sampled top-T overlap ≤ T,
+    reached counts ≤ n_eval, k matches the production derivation."""
+    from gravitydb_spark.graph_queries import _bc_num_sources
+
+    rows = {
+        (r["metric"], r["t"]): r["value"]
+        for r in REGISTRY["g_harmonic_sample_eval"].fn(spark, sf_dir).collect()
+    }
+    n = rows[("n_eval", 0)]
+    assert rows[("k_sources", 0)] == _bc_num_sources(n)
+    assert rows[("reached_exact", 0)] <= n
+    assert rows[("reached_sampled", 0)] <= rows[("reached_exact", 0)]
+    for t in (5, 10, 20):
+        assert 0 <= rows[("top_overlap", t)] <= t
+
+
 def test_maybe_broadcast_debug_guard(spark):
     from gravitydb_spark import graph_queries as gq
 
