@@ -210,6 +210,9 @@ HEADLINE = [
     "g_lpa_retractions",
     "g_harmonic_sample_eval",
     "pack_epoch_shards",
+    "g_skipgram_full_embed",
+    "g_skipgram_full_eval",
+    "g_skipgram_ivf_knn",
 ]
 
 

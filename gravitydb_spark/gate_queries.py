@@ -1075,6 +1075,25 @@ _compound(
             "g_harmonic_sample_eval",
             {"id": "metric || '@' || CAST(t AS STRING)", "dist": "value"},
         ),
+        (
+            # round 12: full-vocabulary skip-gram family — training,
+            # linkpred+coverage eval, IVF-pruned serving
+            "sgf_embed",
+            "g_skipgram_full_embed",
+            {"id": "id || '@' || CAST(dim AS STRING)", "dist": "emb_scaled"},
+        ),
+        (
+            "sgf_eval",
+            "g_skipgram_full_eval",
+            {"id": "grp || '@' || CAST(n_pairs AS STRING)",
+             "dist": "dot_sum_scaled"},
+        ),
+        (
+            "sgf_ivf_knn",
+            "g_skipgram_ivf_knn",
+            {"id": "src || '>' || nbr || '@' || CAST(rnk AS STRING)",
+             "dist": "dot_scaled"},
+        ),
         # round 10: per-community modularity contribution of the LPA
         # partition (the community-quality eval; Σ dist = Q in bp)
         ("modularity", "g_lpa_modularity", {"id": "community", "dist": "q_bp"}),
