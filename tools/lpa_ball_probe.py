@@ -75,11 +75,24 @@ def main() -> None:
         land(body, os.path.join(gp, "edges"), 0)
         land(arc1, os.path.join(gp, "edges"), 1)
         land(arc2, os.path.join(gp, "edges"), 2)
+        # batch 3 (r12): a LOCALIZED DELETE — retract two adjacent body
+        # edges near n/2 (op='d'; earlier batches land op-less and read
+        # as inserts under the edge_ops schema). The repair ball must
+        # stay 2R-local around the deleted edges' endpoints, and the
+        # final view must equal batch LPA on the ring MINUS these edges.
+        deleted = ring.filter(
+            (F.col("src") >= F.format_string("v%05d", F.lit(n // 2)))
+            & (F.col("src") < F.format_string("v%05d", F.lit(n // 2 + 2)))
+        )
+        land(deleted.withColumn("op", F.lit("d")), os.path.join(gp, "edges"), 3)
 
         gq._lpam_probe.clear()
         gq._lpam_probe["enabled"] = True
-        out = gq._lpa_maintain_run(spark, work, gp)
+        out = gq._lpa_maintain_run(spark, work, gp, edge_ops=True)
         rows = {(r["id"], r["community"]) for r in out.collect()}
+        ring = ring.join(
+            deleted.select("edge_id"), "edge_id", "left_anti"
+        ).localCheckpoint()  # the SURVIVING graph drives the batch oracle
         for bid in sorted(k for k in gq._lpam_probe if isinstance(k, int)):
             d = gq._lpam_probe[bid]
             print(
@@ -117,6 +130,14 @@ def main() -> None:
                 .localCheckpoint(eager=True)
             )
         want = {(r["v"], r["lab"]) for r in labels.collect()}
+        # isolated-vertex convention (_lpa_maintain_run docstring): the
+        # maintained view emits community = own id for vertices with no
+        # surviving edges (the delete batch isolates one ring vertex);
+        # the edge-derived batch recurrence above never sees them, so
+        # add them to the oracle as singletons
+        edge_touching = {v for v, _ in want}
+        all_ids = {r["id"] for r in ids.collect()}
+        want |= {(v, v) for v in all_ids - edge_touching}
         mism = len(rows ^ want)
         print(f"PROBE ring n={n} maintained_vs_batch_mismatches: {mism}")
         print(f"PROBE ring n={n} exact: {mism == 0}")
