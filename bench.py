@@ -213,6 +213,7 @@ HEADLINE = [
     "g_skipgram_full_embed",
     "g_skipgram_full_eval",
     "g_skipgram_ivf_knn",
+    "g_skipgram_ivf_recall",
 ]
 
 

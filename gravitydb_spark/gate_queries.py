@@ -1094,6 +1094,12 @@ _compound(
             {"id": "src || '>' || nbr || '@' || CAST(rnk AS STRING)",
              "dist": "dot_scaled"},
         ),
+        (
+            # round 12: IVF-vs-brute serving recall (hits/possible rows)
+            "sgf_ivf_recall",
+            "g_skipgram_ivf_recall",
+            {"id": "metric", "dist": "value"},
+        ),
         # round 10: per-community modularity contribution of the LPA
         # partition (the community-quality eval; Σ dist = Q in bp)
         ("modularity", "g_lpa_modularity", {"id": "community", "dist": "q_bp"}),
