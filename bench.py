@@ -209,6 +209,7 @@ HEADLINE = [
     # round 12 additions
     "g_lpa_retractions",
     "g_harmonic_sample_eval",
+    "g_betweenness_sample_eval",
     "pack_epoch_shards",
     "g_skipgram_full_embed",
     "g_skipgram_full_eval",

@@ -1076,6 +1076,13 @@ _compound(
             {"id": "metric || '@' || CAST(t AS STRING)", "dist": "value"},
         ),
         (
+            # round 12: the betweenness sibling (shared slice + one
+            # Brandes chain folded twice)
+            "betweenness_eval",
+            "g_betweenness_sample_eval",
+            {"id": "metric || '@' || CAST(t AS STRING)", "dist": "value"},
+        ),
+        (
             # round 12: full-vocabulary skip-gram family — training,
             # linkpred+coverage eval, IVF-pruned serving
             "sgf_embed",

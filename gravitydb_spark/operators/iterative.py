@@ -686,6 +686,7 @@ def betweenness_scaled(
     sources: DataFrame,
     max_depth: int = 6,
     scale: int = 10**4,
+    per_source: bool = False,
 ) -> DataFrame:
     """DF[id, bc_scaled: long] — k-SOURCE BRANDES betweenness (the
     standard sampled approximation: exact dependency accumulation from
@@ -770,6 +771,12 @@ def betweenness_scaled(
     from functools import reduce
 
     alld = reduce(DataFrame.unionByName, deltas)
+    if per_source:
+        # (s, v, delta) before the source fold — the sample-accuracy
+        # eval (g_betweenness_sample_eval, r12) aggregates it twice
+        # (all sources = exact; restricted to srcs = sampled) so both
+        # sides share every dependency value
+        return alld
     return (
         alld.filter(F.col("v") != F.col("s"))
         .groupBy("v")

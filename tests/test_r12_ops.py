@@ -189,6 +189,25 @@ def test_harmonic_sample_eval_invariants(spark, sf_dir):
         assert 0 <= rows[("top_overlap", t)] <= t
 
 
+def test_betweenness_sample_eval_invariants(spark, sf_dir):
+    """Betweenness sibling: same structural invariants, and the shared
+    single-chain construction implies sampled scores ⊆ exact scores'
+    vertex set (a vertex with sampled mass has exact mass)."""
+    from gravitydb_spark.graph_queries import _bc_num_sources
+
+    rows = {
+        (r["metric"], r["t"]): r["value"]
+        for r in REGISTRY["g_betweenness_sample_eval"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    n = rows[("n_eval", 0)]
+    assert rows[("k_sources", 0)] == _bc_num_sources(n)
+    assert rows[("scored_sampled", 0)] <= rows[("scored_exact", 0)] <= n
+    for t in (5, 10, 20):
+        assert 0 <= rows[("top_overlap", t)] <= t
+
+
 def test_skipgram_full_vocab_and_coverage(spark, sf_dir):
     """The full-vocab family's three contracts (r11 VERDICT #2): the
     vocabulary IS the full vertex set; edges-trained fraction is
