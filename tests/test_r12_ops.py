@@ -231,6 +231,21 @@ def test_skipgram_full_vocab_and_coverage(spark, sf_dir):
     assert e_mean > ne_mean  # trained edges score higher
 
 
+def test_skipgram_full_negative_coverage(spark, sf_dir):
+    """Rendezvous negatives: nearly every positive drew a negative
+    (only pairs hashing to an empty bucket miss — measured 0.22% at
+    sf0.001, 0.02% at sf0.01), and negatives never exceed positives."""
+    from gravitydb_spark import graph_queries as gq
+
+    prs = gq._sgf_pairs(spark, sf_dir)
+    d = {
+        r["y"]: r["n"]
+        for r in prs.groupBy("y").agg(F.count("*").alias("n")).collect()
+    }
+    assert d[0] <= d[1]
+    assert d[0] >= 0.99 * d[1]
+
+
 def test_skipgram_ivf_knn_matches_brute_force_mostly(spark, sf_dir):
     """IVF serving sanity: per query, the pruned top-k comes from the
     probed cells only, ranks are 1..k, and the top-1 pruned neighbour's
