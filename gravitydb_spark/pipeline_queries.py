@@ -3040,53 +3040,114 @@ def _lloyd_rows(ex, init_max: int, iters: int, per_subspace: bool):
     the IVFPQ coarse quantizer, and the residual-PQ codebook. ``ex`` is
     an exploded (vec_id, m, i, x) training frame (cached by the caller);
     init = the first ``init_max`` sample vectors (cl = vec_id); returns
-    the collected (m, cl, i, cx) centroid rows after ``iters``
-    iterations. ``per_subspace=True`` clusters each m independently
-    (product quantization); ``False`` clusters the full vector (coarse
+    (m, cl, i, cx) centroid dict-rows after ``iters`` iterations.
+    ``per_subspace=True`` clusters each m independently (product
+    quantization); ``False`` clusters the full vector (coarse
     quantizer), with (m, i) kept purely as the dimension key. Every
     step is engine-exact (argmin tie on cl ASC, floor(sum/count)
-    update), so DuckDB oracles replay it as an unrolled CTE chain."""
-    sub = ["m"] if per_subspace else []
-    cent = ex.filter(F.col("vec_id") < init_max).select(
-        "m", F.col("vec_id").alias("cl"), "i", F.col("x").alias("cx")
+    update), so DuckDB oracles replay it as an unrolled CTE chain.
+
+    Execution (r12, the ANN-family wall fix): the training frame is
+    BOUNDED BY DERIVATION (the _pq_train_mod_n capped stride ⇒ ≤
+    ~16,384 vectors regardless of corpus size — FAISS's training-budget
+    practice), so it is collected ONCE via Arrow and the iterations run
+    driver-side in numpy instead of as 4·iters tiny distributed stages
+    (which cost 6-13s of pure stage-scheduling latency on a 32-thread
+    local master and were the family's measured bench wall, SCALE.md
+    §4n). Distance/update arithmetic stays EXACT: all intermediates
+    (Σ(x−cx)² ≤ 2.6e12, member sums ≤ 2e9) are far below 2⁵³, so
+    float64 matmuls are integer-exact, argmin ties break on lowest cl
+    via ascending column order, and the recenter floor matches both
+    engines' floor(sum::DOUBLE / count). Encoding/assignment/serving —
+    the corpus-sized work — stays distributed."""
+    pdf = ex.toPandas()  # bounded: sample_vectors × dims rows
+    X, vids, ms, n_sub = _dense_sample(pdf)
+    if per_subspace:
+        import numpy as np
+
+        # independent k-means per subspace m over (n, n_sub) slices
+        out = []
+        for jm, m in enumerate(ms):
+            cls, C = _lloyd_np(X[:, jm, :], vids, init_max, iters)
+            for cl, cv in zip(cls, C):
+                for i in range(n_sub):
+                    out.append(
+                        {"m": int(m), "cl": int(cl), "i": i + 1,
+                         "cx": int(cv[i])}
+                    )
+        return out
+    # full-vector clustering: flatten (m, i) into one dim axis
+    cls, C = _lloyd_np(X.reshape(len(vids), -1), vids, init_max, iters)
+    return _cent_rows(cls, C, ms, n_sub)
+
+
+def _dense_sample(pdf):
+    """(X, vids, ms, n_sub): dense float64 arrays (integer-valued,
+    exact — all magnitudes far below 2⁵³) from an exploded
+    (vec_id, m, i, x) pandas sample; rows ordered by ascending vec_id
+    so argmin ties break on the lowest cl for free."""
+    import numpy as np
+
+    vids = np.sort(pdf["vec_id"].unique())
+    ms = np.sort(pdf["m"].unique())
+    n_sub = int(pdf["i"].max())
+    vix = {v: j for j, v in enumerate(vids)}
+    mix = {m: j for j, m in enumerate(ms)}
+    X = np.zeros((len(vids), len(ms), n_sub), dtype=np.float64)
+    X[
+        pdf["vec_id"].map(vix).to_numpy(),
+        pdf["m"].map(mix).to_numpy(),
+        pdf["i"].to_numpy() - 1,
+    ] = pdf["x"].to_numpy()
+    return X, vids, ms, n_sub
+
+
+def _sqdist(Xf, C):
+    """Exact integer squared L2 distances as float64 (x²+c²−2xc —
+    every term an exact integer below 2⁵³)."""
+    return (
+        (Xf * Xf).sum(1)[:, None]
+        + (C * C).sum(1)[None, :]
+        - 2.0 * (Xf @ C.T)
     )
-    cached_cents = []
+
+
+def _lloyd_np(Xm, vids, init_max: int, iters: int):
+    """(cls, C) after ``iters`` exact Lloyd iterations on one dense
+    slice: init = rows with vec_id < init_max, assignment = argmin
+    squared-L2 with ties to the lowest cl (C stays cl-ascending),
+    recenter = floor(sum/count), empty clusters dropped — the same
+    recurrence the unrolled DuckDB chains replay."""
+    import numpy as np
+
+    init_mask = vids < init_max
+    cls, C = vids[init_mask], Xm[init_mask]
     for _ in range(iters):
-        d = (
-            ex.join(F.broadcast(cent), ["m", "i"])
-            .groupBy("vec_id", *sub, "cl")
-            .agg(
-                F.sum(
-                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
-                ).alias("d")
-            )
+        a = _sqdist(Xm, C).argmin(1)  # first min = lowest cl
+        keep = np.unique(a)
+        C = np.stack(
+            [np.floor(Xm[a == j].sum(0) / (a == j).sum()) for j in keep]
         )
-        w = Window.partitionBy("vec_id", *sub).orderBy(
-            F.asc("d"), F.asc("cl")
-        )
-        members = (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", *sub, "cl")
-        )
-        cent = (
-            ex.join(members, ["vec_id", *sub])
-            .groupBy("m", "cl", "i")
-            .agg(
-                F.floor(F.sum("x").cast("double") / F.count("*"))
-                .cast("long")
-                .alias("cx")
-            )
-        ).cache()  # tiny (K*dim rows); cuts the per-iteration lineage
-        cached_cents.append(cent)
-    try:
-        rows = cent.collect()  # bounded: <= K * dim ints
-    finally:
-        # never leave cache entries behind (r4 ADVICE class) — on the
-        # failure path too
-        for c in cached_cents:
-            c.unpersist()
-    return rows
+        cls = cls[keep]
+    return cls, C
+
+
+def _cent_rows(cls, C, ms, n_sub: int):
+    """Flatten (cls, C) full-vector centroids back to (m, cl, i, cx)
+    dict-rows (the _lloyd_rows output contract)."""
+    out = []
+    for cl, cv in zip(cls, C):
+        for jm, m in enumerate(ms):
+            for i in range(n_sub):
+                out.append(
+                    {
+                        "m": int(m),
+                        "cl": int(cl),
+                        "i": i + 1,
+                        "cx": int(cv[jm * n_sub + i]),
+                    }
+                )
+    return out
 
 
 def _pq_codebook(spark: SparkSession, sf_dir: str) -> dict:
@@ -4009,7 +4070,14 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
 
     Everything downstream (assignment, encoding, LUT, probes) is pure
     integer arithmetic on these constants, so the DuckDB oracle replays
-    the full chain bit-exactly."""
+    the full chain bit-exactly.
+
+    Execution (r12): one Arrow collect of the derivation-bounded sample
+    (≤ ~16k vectors), then coarse Lloyd + sample assignment + residual
+    computation + residual Lloyd all run driver-side in exact numpy —
+    the sample-sized chain used to cost ~8s of tiny-stage scheduling
+    on local[32] (the ANN-family bench wall, SCALE.md §4n); the
+    corpus-sized encode/probe/ADC stays distributed."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _ivfpq_model_memo:
         return _ivfpq_model_memo[key]
@@ -4027,60 +4095,27 @@ def _ivfpq_model(spark: SparkSession, sf_dir: str):
             .cast("long")
             .alias("x"),
         )
-        .cache()
     )
-    try:
-        cells, _, _ = _ivf_params(spark, sf_dir)
-        tmod = _pq_train_mod_n(_emb_count(spark, sf_dir))
-        crows = _lloyd_rows(
-            ex, cells * tmod, IVF_ITERS, per_subspace=False
-        )
-        centdf = spark.createDataFrame(
-            [(r["m"], r["cl"], r["i"], r["cx"]) for r in crows],
-            "m int, cl bigint, i int, cx bigint",
-        )
-        # assign each sample vector to its nearest trained cell (L2,
-        # tie cl ASC), then train the per-subspace codebook on residuals
-        d = (
-            ex.join(F.broadcast(centdf), ["m", "i"])
-            .groupBy("vec_id", "cl")
-            .agg(
-                F.sum(
-                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
-                ).alias("d")
-            )
-        )
-        asg = (
-            d.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(
-                        F.asc("d"), F.asc("cl")
-                    )
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cl")
-        )
-        rex = (
-            ex.join(asg, "vec_id")
-            .join(
-                F.broadcast(centdf.withColumnRenamed("cx", "ccx")),
-                ["m", "cl", "i"],
-            )
-            .select(
-                "vec_id", "m", "i", (F.col("x") - F.col("ccx")).alias("x")
-            )
-            .cache()
-        )
-        try:
-            rrows = _lloyd_rows(
-                rex, PQ_CODES * tmod, PQ_ITERS, per_subspace=True
-            )
-        finally:
-            rex.unpersist()
-    finally:
-        ex.unpersist()
+    cells, _, _ = _ivf_params(spark, sf_dir)
+    tmod = _pq_train_mod_n(_emb_count(spark, sf_dir))
+    X, vids, ms, n_sub = _dense_sample(ex.toPandas())
+    Xf = X.reshape(len(vids), -1)
+    cls_c, C = _lloyd_np(Xf, vids, cells * tmod, IVF_ITERS)
+    crows = _cent_rows(cls_c, C, ms, n_sub)
+    # assign each sample vector to its nearest trained cell (argmin,
+    # tie lowest cl — C is cl-ascending), then train the per-subspace
+    # codebook on the residuals x − centroid(cell(x)) (all exact ints)
+    a = _sqdist(Xf, C).argmin(1)
+    R = (Xf - C[a]).reshape(len(vids), len(ms), n_sub)
+    rrows = []
+    for jm, m in enumerate(ms):
+        cls_r, Cr = _lloyd_np(R[:, jm, :], vids, PQ_CODES * tmod, PQ_ITERS)
+        for cl, cv in zip(cls_r, Cr):
+            for i in range(n_sub):
+                rrows.append(
+                    {"m": int(m), "cl": int(cl), "i": i + 1,
+                     "cx": int(cv[i])}
+                )
     cents_map: dict = {}
     for r in crows:
         cents_map.setdefault(r["cl"], {})[(r["m"], r["i"])] = r["cx"]
