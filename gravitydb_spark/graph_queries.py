@@ -5240,9 +5240,10 @@ def g_skipgram_ivf_recall(spark, sf_dir):
     embeddings: over the same demo queries, count how many of the
     brute-force top-k neighbours (by scaled dot, same tie rule) the
     cell-pruned server returned. 'hits'/'possible' IS recall@k,
-    hash-pinned (measured: 22/24 at sf0.001, 24/24 at sf0.01 — the
-    pruning is near-lossless at gate scale; production recall tuning
-    moves nprobe, which the derivation scales with cells).
+    hash-pinned (measured: 22/24 at sf0.001, 24/24 at sf0.01, 22/24 at
+    sf0.1 — pruning stays near-lossless across the SF ladder;
+    production recall tuning moves nprobe, which the derivation scales
+    with cells).
 
     Scale posture: brute force is restricted to the NQ demo queries —
     NQ·n dots, linear in the corpus — never all-pairs; at 100 TB this
