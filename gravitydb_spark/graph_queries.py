@@ -76,10 +76,14 @@ def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
     bounds it — cheap at test SFs, never on in production paths."""
     if os.environ.get("GRAVITYSPARK_DEBUG_BCAST") == "1":
         actual = df.count()
-        assert actual <= n_rows, (
-            f"_maybe_broadcast bound violated: caller claimed <= {n_rows}"
-            f" rows but the frame has {actual} — stale/wrong provenance"
-        )
+        if actual > n_rows:
+            # explicit raise, not `assert` — the guard must survive
+            # `python -O` (r12 ADVICE)
+            raise AssertionError(
+                f"_maybe_broadcast bound violated: caller claimed <="
+                f" {n_rows} rows but the frame has {actual} —"
+                f" stale/wrong provenance"
+            )
     return F.broadcast(df) if n_rows <= _BCAST_ROW_LIMIT else df
 
 
@@ -2299,7 +2303,14 @@ def g_kcore_onion(spark, sf_dir):
     return kcore_onion(und, k=n_edges // n_verts, max_rounds=_KCORE_ROUNDS)
 
 
-_BC_SCALE = 10**4
+_BC_SCALE = 10**6  # r12 VERDICT #6 (with _HC_SCALE): raised 10⁴→10⁶ to
+# shrink truncation tie bands in the sampled estimator. int64 headroom,
+# measured not guessed: the backward-pass term is σ(v)·(scale + δ(w))
+# with δ ≤ n·scale (δ/scale is a dependency count ≤ n), so term ≤
+# σ_max·(n+1)·scale — at sf0.1 σ_max = 116,615 (probed level-4 path
+# count) and n = 16,384 ⇒ ≈ 2·10⁹·scale = 2·10¹⁵ at 10⁶, 4600× inside
+# int64. σ grows with graph density, so a 100× corpus re-derives this
+# bound before raising scale further (10⁸ would NOT clear it there).
 _BC_MIN_SOURCES = 4  # floor: every test SF derives exactly this (r10)
 # static oracle unroll depth — equals _bc_depth_cap() at every probed SF
 # (tools/betweenness_probe.py: measured frontier exhaustion 3/4/4 at
@@ -4445,6 +4456,12 @@ _SGF_NEG_DIV = 8  # rendezvous-bucket divisor: nb = max(16, ntok // 8) —
 #                  coverage 99.78% (sf0.001) / 99.98% (sf0.01), test-pinned
 #                  >= 99% in test_r12_ops
 _SGF_NQ = 8  # IVF serving demo queries: the first 8 vocab ids
+_SGF_EVAL_K = 32  # non-edge eval draws per customer vertex (r12 VERDICT
+#                   #1): the linkpred eval hash-samples nonedges — K
+#                   deterministic partner draws per c-vertex, decoded
+#                   from h32 into supplier-id space — so the pair set is
+#                   (edges exhaustive) + (Θ(n_c·K) sampled nonedges),
+#                   linear in entity counts instead of n_c·n_s quadratic
 
 
 def _sgf_chain_parts(epochs: int = _SG_EPOCHS) -> list[str]:
@@ -4880,20 +4897,38 @@ def g_skipgram_full_embed(spark, sf_dir):
 
 
 def _sgf_eval_oracle_sql(epochs: int = _SG_EPOCHS) -> str:
+    from .pipeline_queries import _duck_h32
+
     parts = _sgf_chain_parts(epochs)
     parts.append(
         "vedges AS MATERIALIZED (SELECT DISTINCT a, b FROM und WHERE a < b)"
     )
     parts.append(
+        "fnsup AS (SELECT count(*)::BIGINT AS n FROM fverts"
+        " WHERE v LIKE 's%')"
+    )
+    dh = _duck_h32("ca.v || '#' || CAST(t.i AS VARCHAR)")
+    parts.append(
+        f"""fdraws AS (
+      SELECT ca.v AS a,
+             's' || CAST(1 + {dh} % (SELECT n FROM fnsup) AS VARCHAR) AS b
+      FROM fverts ca, range({_SGF_EVAL_K}) t(i)
+      WHERE ca.v LIKE 'c%')"""
+    )
+    parts.append(
+        """fsamp AS (
+      SELECT DISTINCT d.a, d.b
+      FROM fdraws d JOIN fverts sv ON sv.v = d.b
+      WHERE NOT EXISTS (SELECT 1 FROM vedges e
+                        WHERE e.a = d.a AND e.b = d.b))"""
+    )
+    parts.append(
         f"""fpd AS MATERIALIZED (
       SELECT p.a, p.b, p.grp,
              (sum(ea.val * eb.val) // {_SG_U})::BIGINT AS dot
-      FROM (SELECT ca.v AS a, sb.v AS b,
-                   CASE WHEN e.a IS NOT NULL THEN 'edge'
-                        ELSE 'nonedge' END AS grp
-            FROM fverts ca
-            JOIN fverts sb ON ca.v LIKE 'c%' AND sb.v LIKE 's%'
-            LEFT JOIN vedges e ON e.a = ca.v AND e.b = sb.v) p
+      FROM (SELECT a, b, 'edge' AS grp FROM vedges
+            UNION ALL
+            SELECT a, b, 'nonedge' AS grp FROM fsamp) p
       JOIN fe{epochs} ea ON ea.v = p.a
       JOIN fe{epochs} eb ON eb.v = p.b AND eb.d = ea.d
       GROUP BY 1, 2, 3)"""
@@ -4931,45 +4966,89 @@ def g_skipgram_full_eval(spark, sf_dir):
     is the edges-trained fraction, exactly 1.0 by the edge-sentence
     construction (counted, not claimed — the oracle joins the und edge
     set against the training positives); the edge/nonedge rows are the
-    g_skipgram_linkpred_eval separation test over ALL bipartite-
-    feasible pairs of the FULL vocabulary (no vocab² caveat left — the
-    vocab is the vertex set). Measured: edges_trained/edges_total =
-    1444/1444 (sf0.001), 48518/48518 (sf0.01), 586871/586871 (sf0.1) —
-    exactly 1.0 everywhere; edge-vs-nonedge mean separation +69 vs
-    +2.5 µu at sf0.01, +58 vs −0.9 µu at sf0.1.
+    g_skipgram_linkpred_eval separation test with edges EXHAUSTIVE and
+    nonedges HASH-SAMPLED (r12 VERDICT #1 — the standard linkpred
+    methodology at scale): every customer vertex draws _SGF_EVAL_K
+    deterministic partners by decoding h32(a‖'#'‖t) into supplier-id
+    space ('s'‖(1 + h mod n_s)), draws are inner-joined against the
+    vocab (missing ids drop identically on both engines) and
+    anti-joined against the edge set — so the nonedge group is a
+    reproducible Θ(n_c·K) uniform-with-replacement sample instead of
+    the r12 n_c·n_s enumeration (15M pairs / 42s at sf0.1, quadratic
+    at 100×). tests/test_r13_ops.py pins sampled-vs-exhaustive nonedge
+    mean agreement at sf0.001.
 
-    Scale posture: the c×s pair enumeration is the one super-linear
-    stage (n_c·n_s pairs; 15M at sf0.1 — fine; at 100 TB a linkpred
-    eval hash-samples nonedges, the standard methodology, while edges
-    stay exhaustive); everything else is keyed joins + two-level
-    aggregates."""
+    Scale posture: every stage is now linear in entity counts — the
+    draw fan-out is K rows per c-vertex, partner decode is a codegen
+    hash, membership/anti joins are keyed equi-joins, and the dot join
+    touches |edges| + Θ(n_c·K) pairs instead of n_c·n_s; the only
+    crossJoin left is the 1-row scalar mean."""
+    from .relational_queries import _memo_cache
+
     emb = _sgf_embeddings(spark, sf_dir)
     nvd = _sgf_nvd(spark, sf_dir)
-    und = _trade_und(spark, sf_dir)
-    vedges = (
-        und.filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-        .localCheckpoint(eager=True)
+
+    def build_vedges():
+        return (
+            _trade_und(spark, sf_dir)
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    # memoized: the gate compound, bench, and tests all re-invoke this
+    # query in one session — share one checkpointed edge frame
+    vedges = _memo_cache(spark, sf_dir, "sgf_vedges", build_vedges)
+    # exact count of the memoized checkpointed frame (cheap scan)
+    n_edges = _memo_scalar(
+        spark, sf_dir, "sgf_vedges_n", lambda: vedges.count()
     )
+    from .pipeline_queries import _h32
+
     voc = emb.select("v").distinct()
-    allp = (
+    svoc = voc.filter(F.col("v").startswith("s")).select(
+        F.col("v").alias("b")
+    )
+    nsup = svoc.agg(F.count("*").cast("long").alias("n"))
+    draws = (
         voc.filter(F.col("v").startswith("c"))
         .select(F.col("v").alias("a"))
-        .crossJoin(
-            voc.filter(F.col("v").startswith("s")).select(
-                F.col("v").alias("b")
-            )
-        )
-        .join(vedges.withColumn("ise", F.lit(1)), ["a", "b"], "left")
+        .crossJoin(F.broadcast(nsup))  # 1-row scalar — always safe
         .select(
             "a",
-            "b",
-            F.when(F.col("ise").isNotNull(), "edge")
-            .otherwise("nonedge")
-            .alias("grp"),
+            F.explode(F.sequence(F.lit(0), F.lit(_SGF_EVAL_K - 1))).alias(
+                "i"
+            ),
+            "n",
+        )
+        .select(
+            "a",
+            F.concat(
+                F.lit("s"),
+                (
+                    _h32(
+                        F.concat(
+                            F.col("a"), F.lit("#"), F.col("i").cast("string")
+                        )
+                    )
+                    % F.col("n")
+                    + 1
+                ).cast("string"),
+            ).alias("b"),
         )
     )
+    samp = (
+        # bound: nvd = |vocab|·D ≥ n_suppliers (memoized derived count)
+        draws.join(_maybe_broadcast(svoc, nvd), "b")
+        .select("a", "b")
+        .distinct()
+        # bound: the memoized exact vedges count above
+        .join(_maybe_broadcast(vedges, n_edges), ["a", "b"], "left_anti")
+    )
+    allp = vedges.select(
+        "a", "b", F.lit("edge").alias("grp")
+    ).unionByName(samp.select("a", "b", F.lit("nonedge").alias("grp")))
     ea = emb.select(F.col("v").alias("a"), "d", F.col("val").alias("va"))
     eb = emb.select(F.col("v").alias("b"), "d", F.col("val").alias("vb"))
     pd_ = (
@@ -5123,11 +5202,29 @@ def _sgf_ivf_serve(spark, sf_dir):
     Scores are scaled integer dots (division after the full sum,
     fold-order independent), ties by neighbour id.
 
+    The served frame is MEMOIZED per (session, sf_dir) — r12 ADVICE:
+    g_skipgram_ivf_knn and g_skipgram_ivf_recall consume the identical
+    result, so the n·cells assignment pass and its localCheckpoints run
+    once per session, not once per consumer (the _trade_nbr /
+    _sg_embeddings shared-frame discipline).
+
     Scale posture: assignment is n·cells dots = n^1.5 work once at
     index-build time (the IVF contract — at 100 TB the coarse quantizer
     is trained on a sample and assignment streams); probing scans
     nprobe/cells ≈ 1/8 of the corpus per query regardless of n; every
     window partitions by vector or query id."""
+    from .relational_queries import _memo_cache
+
+    return _memo_cache(
+        spark, sf_dir, "sgf_ivf_serve", lambda: _sgf_ivf_build(spark, sf_dir)
+    )
+
+
+def _sgf_ivf_build(spark, sf_dir, nprobe_override: int | None = None):
+    """``nprobe_override`` is TEST-ONLY (r12 VERDICT #5): the recall
+    floor test rebuilds the serve with nprobe=1 — bypassing the memo so
+    the registered queries keep the derived config — to prove the floor
+    assertion actually goes red when probing shrinks."""
     from pyspark.sql import Window
 
     emb = _sgf_embeddings(spark, sf_dir)
@@ -5136,6 +5233,8 @@ def _sgf_ivf_serve(spark, sf_dir):
     from .pipeline_queries import _ivf_cells, _ivf_nprobe
 
     cells, nprobe = _ivf_cells(n_voc), _ivf_nprobe(_ivf_cells(n_voc))
+    if nprobe_override is not None:
+        nprobe = nprobe_override
     cent = (
         emb.select("v").distinct().orderBy("v").limit(cells)
         .select(F.col("v").alias("cell"))
@@ -5299,7 +5398,12 @@ def g_skipgram_ivf_recall(spark, sf_dir):
 # Sampled harmonic closeness centrality (round 10)
 # ---------------------------------------------------------------------------
 
-_HC_SCALE = 10**4
+_HC_SCALE = 10**8  # r12 VERDICT #6: 10⁴ put distinct distance profiles
+# into the same truncated score (10⁴ DIV d loses up to 1 part in ~1.7k
+# per source), freezing the k-growth probe's top-T overlap on tie
+# bands; at 10⁸ only near-equal rational profiles collide. Headroom:
+# score ≤ n_sources·scale — 512·10⁸ ≈ 5·10¹⁰ on the eval slice,
+# k·10⁸ ≈ 10⁹ for the production stratified-k query; int64 is 9.2·10¹⁸.
 
 
 def _hc_oracle_sql(depth: int = _BC_UNROLL) -> str:
@@ -6206,6 +6310,17 @@ def _land_lpa_retraction_batches(spark, sf_dir, work, gp, g) -> None:
             b,
         )
 
+    # cross-wire each nation to the NEXT region, modulo the actual
+    # region count (r12 ADVICE: a hard-coded 5 would silently point
+    # cross-wires at nonexistent vertices on non-TPC-H region counts,
+    # weakening the rewire-then-undo scenario; the retraction cancels
+    # the insert, so the oracle never sees these edges either way)
+    n_regions = _memo_scalar(
+        spark,
+        sf_dir,
+        "lpar_n_regions",
+        lambda: load(spark, sf_dir, "region").count(),
+    )
     xwire = load(spark, sf_dir, "nation").select(
         F.concat(F.lit("xw"), F.col("n_nationkey").cast("string")).alias(
             "edge_id"
@@ -6214,7 +6329,8 @@ def _land_lpa_retraction_batches(spark, sf_dir, work, gp, g) -> None:
             "src"
         ),
         F.concat(
-            F.lit("r"), ((F.col("n_regionkey") + 1) % 5).cast("string")
+            F.lit("r"),
+            ((F.col("n_regionkey") + 1) % n_regions).cast("string"),
         ).alias("dst"),
         F.lit("xw").alias("prop_hash"),
     )
