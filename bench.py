@@ -164,6 +164,8 @@ HEADLINE = [
     "g_cc_retractions",
     "bpe_sampled_apply",
     "ann_ivfpq_topk",
+    # round 13: corpus kNN-graph via cell-local joins
+    "ann_knn_graph",
     "stream_bm25_index_upkeep",
     "stream_bm25_retractions",
     "stream_ivfpq_index_upkeep",

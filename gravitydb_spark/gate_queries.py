@@ -910,6 +910,13 @@ _compound(
             {"q_id": "q_id", "vec_id": "vec_id", "cosine": "cosine", "rnk": "rnk"},
         ),
         (
+            # round 13: corpus kNN-graph via IVF-cell-local joins (the
+            # SemDeDup/graph-dedup primitive; src/nbr ride q_id/vec_id)
+            "knn_graph",
+            "ann_knn_graph",
+            {"q_id": "src", "vec_id": "nbr", "cosine": "cosine", "rnk": "rnk"},
+        ),
+        (
             "pq",
             "ann_pq_topk",
             # scaled-BIGINT ADC score carried in the double slot exactly

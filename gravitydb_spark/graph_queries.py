@@ -697,8 +697,8 @@ def g_degrees_maintained(spark, sf_dir):
         gp = os.path.join(work, "graph")
         _land_graph_batches(work, gp, g)
 
-        deg_store = DatasetStore(os.path.join(work, "deg"))
-        type_store = DatasetStore(os.path.join(work, "types"))
+        deg_store = DatasetStore(os.path.join(work, "deg"), write_coalesce=1, small_writes=True)
+        type_store = DatasetStore(os.path.join(work, "types"), write_coalesce=1, small_writes=True)
 
         def fold_deg(df):
             return df.groupBy("id").agg(
@@ -843,7 +843,7 @@ def g_degrees_retractions(spark, sf_dir):
             shutil.rmtree(tmp)
         staged_schema = batches[0].schema
 
-        store = DatasetStore(os.path.join(work, "deg"))
+        store = DatasetStore(os.path.join(work, "deg"), write_coalesce=1, small_writes=True)
 
         def fold(df):
             return df.groupBy("id").agg(
@@ -968,8 +968,8 @@ def g_cc_maintained(spark, sf_dir):
         gp = os.path.join(work, "graph")
         _land_graph_batches(work, gp, g)
 
-        memb = DatasetStore(os.path.join(work, "memb"))
-        merges = DatasetStore(os.path.join(work, "merges"), partition_cols=("pb",))
+        memb = DatasetStore(os.path.join(work, "memb"), write_coalesce=1, small_writes=True)
+        merges = DatasetStore(os.path.join(work, "merges"), partition_cols=("pb",), write_coalesce=1, small_writes=True)
 
         def bucket(col):
             return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
@@ -1020,8 +1020,10 @@ def g_cc_maintained(spark, sf_dir):
             so that count is the round bound — and every round's scan
             is partition-pruned to the frontier roots' buckets, with an
             early exit once a round advances nothing."""
+            # lazy cuts (r12 VERDICT #2) — the loop-top bucket collect
+            # / the consumer's checkpoint job materializes each
             cur = vals.select("v", F.col("v").alias("root")).localCheckpoint(
-                eager=True
+                eager=False
             )
             for _ in range(max(len(merges.snapshots()), 0)):
                 buckets = [
@@ -1048,11 +1050,11 @@ def g_cc_maintained(spark, sf_dir):
                     break  # frontier fully chased
                 cur = step.select(
                     "v", F.coalesce("nroot", "root").alias("root")
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
             return cur
 
         def on_edges(batch_df, bid) -> None:
-            ends = batch_df.select("src", "dst").localCheckpoint(eager=True)
+            ends = batch_df.select("src", "dst").localCheckpoint(eager=False)
             roots = chase(
                 ends.select(F.col("src").alias("v"))
                 .unionByName(ends.select(F.col("dst").alias("v")))
@@ -1080,7 +1082,9 @@ def g_cc_maintained(spark, sf_dir):
                     F.col("component").alias("root"),
                     bucket(F.col("id")).alias("pb"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy: the count() below materializes it fully before
+                # the merges.append consumes the persisted checkpoint
+                .localCheckpoint(eager=False)
             )
             if relabels.count():
                 # batch-sized delta now; the view-sized flatten is
@@ -1220,14 +1224,11 @@ class CCIvm:
         self.spark = spark
         self.nb = nb
         self.labels = DatasetStore(
-            os.path.join(workdir, "labels"), partition_cols=("pb", "rb")
-        )
+            os.path.join(workdir, "labels"), partition_cols=("pb", "rb"), write_coalesce=1, small_writes=True)
         self.edgelog = DatasetStore(
-            os.path.join(workdir, "elog"), partition_cols=("tb",)
-        )
+            os.path.join(workdir, "elog"), partition_cols=("tb",), write_coalesce=1, small_writes=True)
         self.forest = DatasetStore(
-            os.path.join(workdir, "forest"), partition_cols=("fb",)
-        )
+            os.path.join(workdir, "forest"), partition_cols=("fb",), write_coalesce=1, small_writes=True)
         self.last_delete_stats: dict | None = None
 
     # ---- row shapes -----------------------------------------------
@@ -1339,8 +1340,14 @@ class CCIvm:
         case (flat table, no chains) is ONE collect + one advanced-row
         probe; only rounds that actually advance pay a lineage-cut
         checkpoint."""
+        # lazy lineage cuts (r12 VERDICT #2): the very next driver
+        # action (the loop-top bucket collect / emptiness probe)
+        # materializes the checkpoint in ITS OWN job — measured 4 jobs
+        # for eager-cut + probe vs 2 for lazy-cut + probe. Safe here
+        # because every probe fires before any store mutation, so the
+        # plans read the same store state an eager cut would have.
         cur = vals.select("v", F.col("v").alias("root")).localCheckpoint(
-            eager=True
+            eager=False
         )
         for _ in range(len(self.labels.snapshots()) + 1):
             buckets = [
@@ -1370,7 +1377,7 @@ class CCIvm:
                 break
             cur = step.select(
                 "v", F.coalesce("nroot", "root").alias("root")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
         return cur
 
     def members_of(self, comps):
@@ -1378,7 +1385,7 @@ class CCIvm:
         ``comps`` (the labels themselves included). rb-pruned discovery
         + pb-pruned max-ep verification per level."""
         total = comps.select(F.col("root").alias("node")).localCheckpoint(
-            eager=True
+            eager=False
         )
         frontier = total.select(F.col("node").alias("root"))
         for _ in range(len(self.labels.snapshots()) + 2):
@@ -1396,7 +1403,7 @@ class CCIvm:
                 .select("node")
                 .distinct()
                 .join(total, "node", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             if cands.limit(1).count() == 0:
                 break
@@ -1414,11 +1421,11 @@ class CCIvm:
             new = (
                 truth.join(frontier, "root", "left_semi")
                 .select("node")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             if new.limit(1).count() == 0:
                 break
-            total = total.unionByName(new).localCheckpoint(eager=True)
+            total = total.unionByName(new).localCheckpoint(eager=False)
             frontier = new.select(F.col("node").alias("root"))
         return total
 
@@ -1492,11 +1499,11 @@ class CCIvm:
         ]
         fr = self.forest.load(self.spark, where=F.col("fb").isin(fbuckets))
         if fr is None:
-            tree_can = dcan.localCheckpoint(eager=True)  # no forest: assume worst
+            tree_can = dcan.localCheckpoint(eager=False)  # no forest: assume worst
         else:
             tree_can = dcan.join(
                 self._fold_forest(fr).select("a", "b"), ["a", "b"], "left_semi"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
         # tombstones (all deletes) need the CURRENT tag — one pruned chase
         droots = self.chase(
             dends.select(F.col("src").alias("v"))
@@ -1531,7 +1538,7 @@ class CCIvm:
             .join(droots, "v")
             .select("root")
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         mem = self.members_of(touched)
         tbuckets = [
@@ -1550,7 +1557,7 @@ class CCIvm:
             .filter(F.col("op") == 1)
             .join(mem.select(F.col("node").alias("tag")), "tag", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         newlab = cc_labels(live).select(
             F.col("id").alias("node"), F.col("component").alias("root")
@@ -1569,7 +1576,7 @@ class CCIvm:
         # rebuild the touched components' forest as a BFS tree over the
         # surviving edges: retire every old forest row among them, then
         # append the tree (same-batch +1 at a higher epoch wins)
-        lcan = self._canon(live).distinct().localCheckpoint(eager=True)
+        lcan = self._canon(live).distinct().localCheckpoint(eager=False)
         lb = [
             r.fb
             for r in lcan.select(
@@ -1590,7 +1597,7 @@ class CCIvm:
         visited = (
             repaired.select(F.col("root").alias("id"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = visited
         tree_parts = []
@@ -1603,13 +1610,13 @@ class CCIvm:
             parent = (
                 step.groupBy("id")
                 .agg(F.min("pu").alias("pu"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             if parent.isEmpty():
                 break
             tree_parts.append(parent)
             visited = visited.unionByName(parent.select("id")).localCheckpoint(
-                eager=True
+                eager=False
             )
             frontier = parent.select("id")
         if tree_parts:
@@ -3100,8 +3107,8 @@ def g_triangles_retractions(spark, sf_dir):
             F.xxhash64(F.col("v")),
             F.lit(max(_TRI_KB, min(65536, n_cust // 500_000))),
         ).cast("int")
-        adj = DatasetStore(os.path.join(work, "adj"), partition_cols=("vb",))
-        view = DatasetStore(os.path.join(work, "view"))
+        adj = DatasetStore(os.path.join(work, "adj"), partition_cols=("vb",), write_coalesce=1, small_writes=True)
+        view = DatasetStore(os.path.join(work, "view"), write_coalesce=1, small_writes=True)
 
         def fold_adj(df):
             return (
@@ -4644,7 +4651,7 @@ def g_skipgram_knn(spark, sf_dir):
     )
 
 
-def _rwf_corpus(spark, sf_dir):
+def _rwf_corpus(spark, sf_dir, gamma: int | None = None):
     """DF[wid, step, v] — γ = _SGF_GAMMA walks from EVERY vertex (the
     full-vocabulary corpus, r11 VERDICT #2), LCG-deterministic and
     memoized per (session, sf_dir). Unlike _rw_corpus's log-sized
@@ -4652,9 +4659,16 @@ def _rwf_corpus(spark, sf_dir):
     goes through the count-gated _maybe_broadcast (bound γ·n from the
     exact neighbour-table count below) — broadcast at test SFs, a
     co-partitioned shuffle at 100 TB, exactly the degradation the r11
-    hint audit mandates."""
+    hint audit mandates.
+
+    ``gamma`` is PROBE-ONLY (r12 VERDICT #3): tools/graph_probe.py
+    measures the corpus-linear claim at γ = 2/8/20 on a constant graph.
+    Non-default γ bypasses the memo so registered queries (which train
+    at _SGF_GAMMA and whose oracles unroll exactly that) are untouched."""
     from .pipeline_queries import _h32
     from .relational_queries import _memo_cache
+
+    _gamma = _SGF_GAMMA if gamma is None else gamma
 
     def build():
         nbr = _trade_nbr(spark, sf_dir)
@@ -4666,7 +4680,7 @@ def _rwf_corpus(spark, sf_dir):
             .select(
                 "v",
                 F.explode(
-                    F.sequence(F.lit(0), F.lit(_SGF_GAMMA - 1))
+                    F.sequence(F.lit(0), F.lit(_gamma - 1))
                 ).alias("g"),
             )
             .select(
@@ -4683,7 +4697,7 @@ def _rwf_corpus(spark, sf_dir):
             # frontier bound: γ·nv rows exactly (one row per live walk)
             step = (
                 nbr.join(
-                    _maybe_broadcast(f, _SGF_GAMMA * nv),
+                    _maybe_broadcast(f, _gamma * nv),
                     (nbr.a == f.v) & (nbr.rn == (f.st % nbr.deg) + 1),
                 )
                 .select(
@@ -4704,10 +4718,12 @@ def _rwf_corpus(spark, sf_dir):
             "wid", "step", "v"
         )
 
+    if gamma is not None and gamma != _SGF_GAMMA:
+        return build()  # probe path: no memo, registered queries untouched
     return _memo_cache(spark, sf_dir, "rwf_corpus", build)
 
 
-def _sgf_pairs(spark, sf_dir):
+def _sgf_pairs(spark, sf_dir, gamma: int | None = None):
     """DF[pid, a, b, y, w] — full-vocab SGNS pairs: window pairs + one
     edge sentence per und direction (coverage 1.0 by construction), and
     RENDEZVOUS negatives (bucket min-hash representatives — window-free
@@ -4717,7 +4733,7 @@ def _sgf_pairs(spark, sf_dir):
     from .relational_queries import _memo_cache
 
     def build():
-        corp = _rwf_corpus(spark, sf_dir)
+        corp = _rwf_corpus(spark, sf_dir, gamma=gamma)
         c1 = corp.select(
             "wid", F.col("step").alias("s1"), F.col("v").alias("a")
         )
@@ -4806,6 +4822,8 @@ def _sgf_pairs(spark, sf_dir):
         )
         return prs
 
+    if gamma is not None and gamma != _SGF_GAMMA:
+        return build()  # probe path: no memo (r12 VERDICT #3)
     return _memo_cache(spark, sf_dir, "sgf_pairs", build)
 
 
@@ -6396,11 +6414,10 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
     nb = _LPAM_BUCKETS
     R = _LPA_ROUNDS
     try:
-        memb = DatasetStore(os.path.join(work, "memb"))
+        memb = DatasetStore(os.path.join(work, "memb"), write_coalesce=1, small_writes=True)
         edges = DatasetStore(
-            os.path.join(work, "edges"), partition_cols=("pb",)
-        )
-        labels = DatasetStore(os.path.join(work, "labels"))
+            os.path.join(work, "edges"), partition_cols=("pb",), write_coalesce=1, small_writes=True)
+        labels = DatasetStore(os.path.join(work, "labels"), write_coalesce=1, small_writes=True)
 
         def bucket(col):
             return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
@@ -6468,7 +6485,13 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
                 )
                 .distinct()
                 .withColumn("pb", bucket(F.col("a")))
-                .localCheckpoint(eager=True)
+                # lazy cuts (r12 VERDICT #2): the append's write job /
+                # the next bucket collect materializes each checkpoint
+                # in the same job round — measured 2 jobs instead of 4
+                # per cut+probe. Per-round labf stays EAGER (the O(L^2)
+                # plan-inlining guard needs one materialized plan per
+                # round).
+                .localCheckpoint(eager=False)
             )
             edges.append_once(und_new, int(bid))
             edges.compact(spark, min_deltas=4, transform=_edges_fold)
@@ -6478,7 +6501,7 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
                 und_new.select(F.col("a").alias("v"))
                 .distinct()
                 .withColumn("ds", F.lit(0))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             frontier = ball.select("v")
             for depth in range(1, 2 * R + 1):
@@ -6490,13 +6513,13 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
                     .select(F.col("b").alias("v"))
                     .distinct()
                     .join(ball.select("v"), "v", "left_anti")
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 )
                 if nxt.isEmpty():
                     break
                 ball = ball.unionByName(
                     nxt.withColumn("ds", F.lit(depth))
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
                 frontier = nxt
             # exact scratch rounds on shrinking balls: round r covers
             # S_r = {ds <= 2R - r}; neighbours of S_r lie in S_{r-1}.
@@ -6504,14 +6527,14 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
             # a subset of the ball, so one pruned store read serves all
             # R rounds — 1 bucket-collect + scan instead of R)
             e_ball = edges_from(ball.select("v")).localCheckpoint(
-                eager=True
+                eager=False
             )
             labf = ball.select("v", F.col("v").alias("lab"))
             for r in range(1, R + 1):
                 tgt = (
                     ball.filter(F.col("ds") <= 2 * R - r)
                     .select("v")
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 )
                 e = e_ball
                 lv = labf.select(F.col("v").alias("b"), "lab")

@@ -118,7 +118,10 @@ def _star_contraction(edges: DataFrame, max_iters: int) -> DataFrame:
             F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
         )
         .distinct()
-        .localCheckpoint()
+        # lazy cut (r12 VERDICT #2): the round-1 signature agg below is
+        # a full scan, so it materializes the checkpoint in its own job
+        # (eager cut + agg was 2 jobs per round)
+        .localCheckpoint(eager=False)
     )
 
     prev_sig = None
@@ -147,7 +150,9 @@ def _star_contraction(edges: DataFrame, max_iters: int) -> DataFrame:
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
             .unionByName(smins.select(F.col("hi"), F.col("m").alias("lo")))
             .distinct()
-            .localCheckpoint()  # truncate lineage: O(1) plan per round
+            # lazy: the signature agg materializes it (O(1) plan per
+            # round either way — the cut still truncates lineage)
+            .localCheckpoint(eager=False)
         )
 
         # converged when the edge set is stable (count + order-free hash sum;

@@ -3878,6 +3878,98 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_knn_graph",
+    oracle=f"""
+    WITH {_DUCK_IVF_PRM},
+    cent AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      WHERE vec_id < (SELECT cells FROM iprm)),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_duck_dot('e.embedding', 'c.cv')} DESC,
+                                           c.cell ASC) AS rn
+        FROM embeddings e JOIN cent c ON TRUE) WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr,
+             round({_duck_dot('a.embedding', 'b.embedding')}
+               / (sqrt({_duck_dot('a.embedding', 'a.embedding')})
+                  * sqrt({_duck_dot('b.embedding', 'b.embedding')})), 3) AS cosine
+      FROM assigned a JOIN assigned b
+        ON b.cell = a.cell AND b.vec_id != a.vec_id),
+    ranked AS (
+      SELECT src, nbr, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, nbr ASC) AS rnk
+      FROM pairs)
+    SELECT src, nbr, cosine, rnk FROM ranked WHERE rnk <= {ANN_K}
+    """,
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-SCALE kNN-GRAPH CONSTRUCTION (r12 VERDICT #7) — the batch
+    build of the k-nearest-neighbour graph over ALL corpus embeddings
+    that SemDeDup-style clustering and graph-based dedup consume: every
+    vector joins only the vectors of its OWN IVF cell (the same derived
+    coarse quantizer as ann_ivf_topk — cells = max(16, ⌊√n⌋) first-id
+    centroids, argmax-dot assignment, identical tie-breaks), then a
+    per-source top-{ANN_K} by (cosine DESC, nbr ASC). Directed edges
+    (src, nbr, cosine, rnk); a cell with one vector emits none.
+
+    Scale posture: the pair space is bounded PER CELL — Σ_cells
+    |cell|² ≈ n·√n expected pairs (never all-pairs n²), and the join is
+    a cell-keyed equi-join, so each cell's pairs co-locate in one task
+    (tests/test_plans.py pins no cartesian + the cell equi-join).
+    Boundary loss (true neighbours in adjacent cells) is the standard
+    single-probe trade-off: production raises effective recall by
+    probing nprobe cells per source with PQ-compressed candidate
+    scoring (the ann_ivfpq machinery) — candidate count n·nprobe·√n
+    makes UNCOMPRESSED probing quadratic-ish, which is exactly why the
+    compressed route exists; recall of the cell-pruned route vs brute
+    force is already gate-audited by ann_recall_eval."""
+    cells, _, _ = _ivf_params(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    cent = emb.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cell"))
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "v", "cell", _dot(F.col("v"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    a = assigned.select("cell", F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = assigned.select("cell", F.col("vec_id").alias("nbr"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cell")  # cell-local: pairs bounded per cell
+        .filter(F.col("src") != F.col("nbr"))
+        .select(
+            "src",
+            "nbr",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(_dot(F.col("va"), F.col("va")))
+                    * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+                ),
+                3,
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("nbr"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("src", "nbr", "cosine", "rnk")
+    )
+
+
+
 _ANN_UPKEEP_BATCHES = 3
 
 
@@ -3952,7 +4044,7 @@ def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        store = DatasetStore(os.path.join(work, "index"), partition_cols=("cell",))
+        store = DatasetStore(os.path.join(work, "index"), partition_cols=("cell",), write_coalesce=1, small_writes=True)
 
         def handle(batch_df, _bid) -> None:
             v = batch_df.select(
@@ -4534,7 +4626,7 @@ def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             + [T.StructField(f"pos{m}", T.IntegerType()) for m in range(PQ_M)]
         )
-        store = DatasetStore(os.path.join(work, "codes"), partition_cols=("cell",))
+        store = DatasetStore(os.path.join(work, "codes"), partition_cols=("cell",), write_coalesce=1, small_writes=True)
 
         def handle(batch_df, _bid) -> None:
             # assignment + residual encoding fuse into the one Arrow
@@ -4726,8 +4818,7 @@ def stream_ivfpq_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             + [T.StructField(f"pos{m}", T.IntegerType()) for m in range(PQ_M)]
         )
         store = DatasetStore(
-            os.path.join(work, "codes"), partition_cols=("cell",)
-        )
+            os.path.join(work, "codes"), partition_cols=("cell",), write_coalesce=1, small_writes=True)
 
         def fold(d: DataFrame) -> DataFrame:
             # forget = physically drop the deleted vectors' code bytes;
@@ -5899,7 +5990,7 @@ def stream_kmeans_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("x"),
             )
 
-        store = DatasetStore(os.path.join(work, "cents"), partition_cols=("cl",))
+        store = DatasetStore(os.path.join(work, "cents"), partition_cols=("cl",), write_coalesce=1, small_writes=True)
         # seed partials: the first-K vectors found their own clusters
         store.append(
             scaled_explode(emb.filter(F.col("vec_id") < KMEANS_K)).select(
@@ -7257,7 +7348,7 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             _docs_count(spark, sf_dir) * LSH_BANDS, _UPKEEP_BKB
         )
         bkb = F.pmod(F.xxhash64("bk"), F.lit(nbkb)).alias("bkb")
-        store = DatasetStore(os.path.join(work, "index"), partition_cols=("bkb",))
+        store = DatasetStore(os.path.join(work, "index"), partition_cols=("bkb",), write_coalesce=1, small_writes=True)
         seed_keys = (
             _seed_band_keys(spark, sf_dir).select("band", "bk").distinct()
         )
@@ -7277,7 +7368,7 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_m = max(
             _BLOOM_MIN_M, (_BLOOM_K * n_bound * 14427 + 9999) // 10000
         )
-        bloom = DatasetStore(os.path.join(work, "bloom"))
+        bloom = DatasetStore(os.path.join(work, "bloom"), write_coalesce=1, small_writes=True)
 
         def bloom_words(keys: DataFrame) -> DataFrame:
             """(w, bits) word-partials of the keys' Bloom positions."""
@@ -7403,7 +7494,9 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bkb,
                 )
             )
-            admitted.write.mode("overwrite").parquet(bdir)
+            admitted.coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(bdir)  # checkpointed batch-sized frame: 1 write task
             # periodic compaction: fold deltas once the log grows
             store.compact(spark, min_deltas=3)
             bloom.compact(
@@ -7556,8 +7649,7 @@ def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bkb = F.pmod(F.xxhash64("bk"), F.lit(nbkb)).alias("bkb")
         store = DatasetStore(
-            os.path.join(work, "index"), partition_cols=("bkb",)
-        )
+            os.path.join(work, "index"), partition_cols=("bkb",), write_coalesce=1, small_writes=True)
         # seed: +1 per (live-even doc, distinct band key) — the memoized
         # codegen seed frame (r9 #3), not a per-invocation rebuild
         store.append(
@@ -7630,7 +7722,9 @@ def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             store.append_once(deltas, bid)
-            admitted.write.mode("overwrite").parquet(bdir)
+            admitted.coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(bdir)  # checkpointed batch-sized frame: 1 write task
             store.compact(spark, min_deltas=3, transform=fold)
 
         stream = (
@@ -7747,11 +7841,9 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit(_state_fanout(_docs_count(spark, sf_dir), _KEYMAP_KB)),
         ).alias("kb")
         store = DatasetStore(
-            os.path.join(work, "index"), partition_cols=("bkb",)
-        )
+            os.path.join(work, "index"), partition_cols=("bkb",), write_coalesce=1, small_writes=True)
         keymap = DatasetStore(
-            os.path.join(work, "keymap"), partition_cols=("kb",)
-        )
+            os.path.join(work, "keymap"), partition_cols=("kb",), write_coalesce=1, small_writes=True)
         # id-keyed Bloom pre-filter over the KEYMAP's doc_id population
         # (r11 VERDICT #4 — the packed-word store of
         # stream_dedup_index_upkeep reused for the family's top wall): a
@@ -7763,7 +7855,7 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
             _BLOOM_MIN_M,
             (_BLOOM_K * _docs_count(spark, sf_dir) * 14427 + 9999) // 10000,
         )
-        id_bloom = DatasetStore(os.path.join(work, "idbloom"))
+        id_bloom = DatasetStore(os.path.join(work, "idbloom"), write_coalesce=1, small_writes=True)
 
         def id_bloom_words(ids: DataFrame) -> DataFrame:
             """(w, bits) word-partials of the ids' Bloom positions."""
@@ -7919,7 +8011,9 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
             keymap.append_once(
                 adm_keys.select("doc_id", "band", "bk", kb), bid
             )
-            admitted.write.mode("overwrite").parquet(bdir)
+            admitted.coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(bdir)  # checkpointed batch-sized frame: 1 write task
             store.compact(spark, min_deltas=3, transform=fold)
             # keymap rows are inert membership facts — fold once near
             # the end of the demo window instead of per-batch
@@ -10451,7 +10545,7 @@ def stream_rollup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (base + 60 * b, base + 60 * b))
             shutil.rmtree(tmp)
 
-        store = DatasetStore(os.path.join(work, "view"))
+        store = DatasetStore(os.path.join(work, "view"), write_coalesce=1, small_writes=True)
 
         def merge(df: DataFrame) -> DataFrame:
             return df.groupBy("event_type", "h").agg(
@@ -10563,7 +10657,7 @@ def stream_rollup_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (base + 60 * b, base + 60 * b))
             shutil.rmtree(tmp)
 
-        store = DatasetStore(os.path.join(work, "deltas"))
+        store = DatasetStore(os.path.join(work, "deltas"), write_coalesce=1, small_writes=True)
         versions = VersionedViewStore(os.path.join(work, "versions"))
 
         def merge(df: DataFrame) -> DataFrame:
@@ -10686,7 +10780,7 @@ def stream_rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
         staged_schema = batches[0].schema
 
-        store = DatasetStore(os.path.join(work, "view"))
+        store = DatasetStore(os.path.join(work, "view"), write_coalesce=1, small_writes=True)
 
         def merge(df: DataFrame) -> DataFrame:
             return df.groupBy("event_type", "h").agg(
@@ -10834,9 +10928,9 @@ def stream_join_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64(F.col("okey")),
             F.lit(_state_fanout(n_orders, _SJM_KB)),
         ).cast("int")
-        o_store = DatasetStore(os.path.join(work, "o"), partition_cols=("kb",))
-        l_store = DatasetStore(os.path.join(work, "l"), partition_cols=("kb",))
-        view = DatasetStore(os.path.join(work, "view"))
+        o_store = DatasetStore(os.path.join(work, "o"), partition_cols=("kb",), write_coalesce=1, small_writes=True)
+        l_store = DatasetStore(os.path.join(work, "l"), partition_cols=("kb",), write_coalesce=1, small_writes=True)
+        view = DatasetStore(os.path.join(work, "view"), write_coalesce=1, small_writes=True)
 
         def fold_view(df):
             return df.groupBy("o_custkey").agg(
@@ -11016,9 +11110,9 @@ def stream_join_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64(F.col("okey")),
             F.lit(_state_fanout(n_orders, _SJM_KB)),
         ).cast("int")
-        o_store = DatasetStore(os.path.join(work, "o"), partition_cols=("kb",))
-        l_store = DatasetStore(os.path.join(work, "l"), partition_cols=("kb",))
-        view = DatasetStore(os.path.join(work, "view"))
+        o_store = DatasetStore(os.path.join(work, "o"), partition_cols=("kb",), write_coalesce=1, small_writes=True)
+        l_store = DatasetStore(os.path.join(work, "l"), partition_cols=("kb",), write_coalesce=1, small_writes=True)
+        view = DatasetStore(os.path.join(work, "view"), write_coalesce=1, small_writes=True)
 
         def fold_view(df):
             return df.groupBy("o_custkey").agg(
@@ -11280,9 +11374,8 @@ def stream_bm25_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
 
         postings = DatasetStore(
-            os.path.join(work, "postings"), partition_cols=("tb",)
-        )
-        cstats = DatasetStore(os.path.join(work, "cstats"))
+            os.path.join(work, "postings"), partition_cols=("tb",), write_coalesce=1, small_writes=True)
+        cstats = DatasetStore(os.path.join(work, "cstats"), write_coalesce=1, small_writes=True)
 
         def tbucket(col):
             return F.pmod(
@@ -11799,9 +11892,8 @@ def stream_bm25_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
 
         postings = DatasetStore(
-            os.path.join(work, "postings"), partition_cols=("tb",)
-        )
-        cstats = DatasetStore(os.path.join(work, "cstats"))
+            os.path.join(work, "postings"), partition_cols=("tb",), write_coalesce=1, small_writes=True)
+        cstats = DatasetStore(os.path.join(work, "cstats"), write_coalesce=1, small_writes=True)
 
         def tbucket(col):
             return F.pmod(
@@ -12514,7 +12606,7 @@ def stream_hll_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (base + 60 * b, base + 60 * b))
             shutil.rmtree(tmp)
 
-        store = DatasetStore(os.path.join(work, "regs"))
+        store = DatasetStore(os.path.join(work, "regs"), write_coalesce=1, small_writes=True)
 
         def fold(df: DataFrame) -> DataFrame:
             return df.groupBy("day", "j").agg(F.max("m").alias("m"))

@@ -417,15 +417,93 @@ class DatasetStore(_SnapshotLog):
     band-key index by a hash-bucket column and each batch's probe scans
     only the buckets its keys hash into (r5 VERDICT directive #1)."""
 
-    def __init__(self, path: str, partition_cols: tuple = ()):
+    # small-delta Arrow write cap: at most this many rows are collected
+    # driver-side (bounded via limit(cap+1) BEFORE the collect); bigger
+    # frames silently take the cluster write path
+    ARROW_WRITE_CAP = 100_000
+
+    def __init__(
+        self,
+        path: str,
+        partition_cols: tuple = (),
+        write_coalesce: int | None = None,
+        small_writes: bool = False,
+    ):
         super().__init__(path)
         self.partition_cols = tuple(partition_cols)
+        # r12 VERDICT #2 (IVM fixed-cost trim): every append/compact is
+        # a driver-synchronous parquet write JOB whose task count is the
+        # upstream partitioning (8-32 at test configs) even when the
+        # delta is KB-sized — measured ~1s per append across the demo
+        # stores, the single largest store-protocol term. Callers whose
+        # deltas are micro-batch-sized pass write_coalesce=1 (one write
+        # task covers all partition dirs); at 100 TB a delta is GB-sized
+        # and the caller sizes this to delta volume (or leaves None to
+        # keep the upstream parallelism). Implemented as repartition,
+        # NOT coalesce: coalesce(1) collapses the parallelism of the
+        # whole upstream stage through its narrow dependency (a
+        # corpus-sized seed computation would go single-threaded), while
+        # repartition inserts a delta-sized shuffle barrier and leaves
+        # the computation parallel.
+        self.write_coalesce = write_coalesce
+        # r12 VERDICT #2, second trim: even a 1-task partitioned write
+        # job costs ~0.6s for a KB-sized delta (job launch + dynamic-
+        # partition commit across every bucket dir); a driver-side
+        # Arrow write of the same delta costs ~0.1s (toArrow collect +
+        # pyarrow hive-partitioned write — byte-compatible with Spark's
+        # partition discovery, verified by readback tests). The collect
+        # is BOUNDED: at most ARROW_WRITE_CAP+1 rows are fetched (the
+        # limit rides inside the collect), and anything larger falls
+        # back to the cluster write path — so a store flagged
+        # small_writes degrades gracefully when a corpus-sized seed
+        # append comes through, and production stores (GB deltas at
+        # 100 TB) simply leave the flag off.
+        self.small_writes = small_writes
 
     def _write(self, df, target: str) -> None:
+        if self.small_writes and self._write_arrow_small(df, target):
+            return
+        if self.write_coalesce:
+            df = df.repartition(self.write_coalesce)
         w = df.write.mode("error")
         if self.partition_cols:
             w = w.partitionBy(*self.partition_cols)
         w.parquet(target)
+
+    def _write_arrow_small(self, df, target: str) -> bool:
+        """Driver-side Arrow write for micro-batch deltas. Returns False
+        (caller falls back to the cluster write) when the frame exceeds
+        ARROW_WRITE_CAP rows. Layout matches the Spark writer: hive
+        ``col=value`` partition dirs, plain part files, an empty
+        PARTITIONED delta writes no data files at all (the _read skip
+        contract), an empty UNpartitioned delta writes a schema-bearing
+        empty parquet (what df.write does)."""
+        import pyarrow.parquet as papq
+
+        cap = self.ARROW_WRITE_CAP
+        tbl = df.limit(cap + 1).toArrow()
+        if tbl.num_rows > cap:
+            return False
+        os.makedirs(target, exist_ok=True)
+        if not self.partition_cols:
+            papq.write_table(
+                tbl, os.path.join(target, "part-00000.parquet")
+            )
+            return True
+        if tbl.num_rows == 0:
+            return True  # no data files — matches Spark's empty write
+        import pyarrow.dataset as pads
+
+        psch = tbl.schema.empty_table().select(
+            list(self.partition_cols)
+        ).schema
+        pads.write_dataset(
+            tbl,
+            target,
+            format="parquet",
+            partitioning=pads.partitioning(psch, flavor="hive"),
+        )
+        return True
 
     def append(self, df) -> str:
         """Publish one delta. Returns its snapshot name."""
