@@ -164,8 +164,10 @@ HEADLINE = [
     "g_cc_retractions",
     "bpe_sampled_apply",
     "ann_ivfpq_topk",
-    # round 13: corpus kNN-graph via cell-local joins
+    # round 13: corpus kNN-graph via cell-local joins + its SemDeDup consumer
     "ann_knn_graph",
+    "dedup_knn_graph",
+    "stream_knn_graph_upkeep",
     "stream_bm25_index_upkeep",
     "stream_bm25_retractions",
     "stream_ivfpq_index_upkeep",

@@ -1004,6 +1004,12 @@ _compound(
             {"a": "vec_a", "b": "vec_b", "c": "cluster", "v": "cosine"},
         ),
         (
+            # round 13: SemDeDup over the IVF-cell-local kNN graph
+            "knn_dedup",
+            "dedup_knn_graph",
+            {"a": "vec_id", "b": "cluster", "c": "keep"},
+        ),
+        (
             "outliers",
             "embed_outliers",
             {"a": "vec_id", "b": "cluster", "c": "sq_dist", "v": "outlier"},
@@ -1540,6 +1546,13 @@ _compound(
             "ann_index_maintained",
             "stream_ann_index_upkeep",
             {"n1": "q_id", "n2": "vec_id", "n3": "rnk", "v": "cosine"},
+        ),
+        (
+            # round 13: incrementally maintained kNN graph (cell-local
+            # recompute of touched cells; ≡ batch ann_knn_graph)
+            "knn_graph_maintained",
+            "stream_knn_graph_upkeep",
+            {"n1": "src", "n2": "nbr", "n3": "rnk", "v": "cosine"},
         ),
         (
             "bm25_index_maintained",

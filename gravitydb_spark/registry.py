@@ -64,6 +64,8 @@ PLAN_EXEMPT: dict[str, str] = {
     "g_lpa_retractions": "oracle-e2e (mixed insert/delete feed ≡ batch LPA on the surviving graph, hash-checked); signed-store delete repair: test_r12_ops.py",
     "g_cc_retractions": "delete-repair machinery: test_cc_maintenance.py (cc_labels/repair rounds); oracle-e2e",
     "g_triangles_retractions": "trilinear delta probes pruned: test_cc_maintenance.py; adjacency bytes: test_store_compaction_bytes.py",
+    # round 13: incrementally maintained kNN graph (cell-local recompute)
+    "stream_knn_graph_upkeep": "oracle-e2e (maintained ≡ batch ann_knn_graph, hash-checked against its oracle verbatim); epoch-fold replace semantics: test_r13_ops.py",
     # driver-literal results (bounded collect assembles the frame)
     "quality_lr_train": "result is a driver literal: test_plans.py::test_quality_lr_train_result_is_driver_literal",
     "bpe_train_merges": "oracle-e2e (unrolled merge chain); result is a bounded driver literal like bpe_sampled_apply",

@@ -132,6 +132,24 @@ def test_ivf_serving_recall_floor(spark, sf_dir):
     assert lost > 0  # shrinking the probe visibly changes the served set
 
 
+def test_stream_knn_graph_upkeep_equals_batch(spark, sf_dir):
+    """The maintained kNN graph must equal the batch build EXACTLY
+    (row sets, not just counts): every vector lands in some batch,
+    landing touches its cell, and the last batch touching a cell
+    recomputes it over all members — the per-source max-bid epoch fold
+    then exposes exactly the final recompute. This is the e2e witness
+    behind the op's PLAN_EXEMPT oracle-e2e claim."""
+    batch = {
+        tuple(r)
+        for r in REGISTRY["ann_knn_graph"].fn(spark, sf_dir).collect()
+    }
+    maintained = {
+        tuple(r)
+        for r in REGISTRY["stream_knn_graph_upkeep"].fn(spark, sf_dir).collect()
+    }
+    assert maintained == batch
+
+
 def test_sgf_eval_plan_has_no_entity_cartesian(spark, sf_dir):
     """The r12 weak item's plan guard: the only nested-loop/cartesian
     join allowed in g_skipgram_full_eval's physical plan is the 1-row
