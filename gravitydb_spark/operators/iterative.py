@@ -731,12 +731,16 @@ def betweenness_scaled(
             cand.groupBy("s", "v")
             .agg(F.sum("sig").cast("long").alias("sig"))
             .join(seen, ["s", "v"], "left_anti")
-            .localCheckpoint()
+            # lazy cut (r13): the isEmpty probe materializes it in its
+            # own job — eager cut + probe measured 4 jobs vs 2
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        seen = seen.unionByName(nxt.select("s", "v")).localCheckpoint()
+        seen = seen.unionByName(nxt.select("s", "v")).localCheckpoint(
+            eager=False
+        )
     deltas = [None] * len(levels)
     deltas[-1] = levels[-1].select(
         "s", "v", F.lit(0).cast("long").alias("delta")
@@ -771,7 +775,10 @@ def betweenness_scaled(
                 "v",
                 F.coalesce("delta", F.lit(0)).cast("long").alias("delta"),
             )
-            .localCheckpoint()
+            # lazy: no per-round probe here — each round's plan is cut
+            # (LogicalRDD) at mark time, and the caller's final action
+            # materializes the chain in one job instead of one per level
+            .localCheckpoint(eager=False)
         )
     from functools import reduce
 
