@@ -166,6 +166,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     # round 13: corpus kNN-graph via cell-local joins + its SemDeDup consumer
     "ann_knn_graph",
+    "ann_knn_graph_pq",
     "dedup_knn_graph",
     "stream_knn_graph_upkeep",
     "stream_bm25_index_upkeep",

@@ -917,6 +917,13 @@ _compound(
             {"q_id": "src", "vec_id": "nbr", "cosine": "cosine", "rnk": "rnk"},
         ),
         (
+            # round 13: the multiprobe + PQ-ADC build (scaled-int score
+            # in the double slot, exactly like the pq member)
+            "knn_graph_pq",
+            "ann_knn_graph_pq",
+            {"q_id": "src", "vec_id": "nbr", "cosine": "score_scaled", "rnk": "rnk"},
+        ),
+        (
             "pq",
             "ann_pq_topk",
             # scaled-BIGINT ADC score carried in the double slot exactly

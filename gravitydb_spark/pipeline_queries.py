@@ -3260,11 +3260,15 @@ def _pq_kernels(book: dict):
     return encode, lut
 
 
-def _pq_code_frames(spark: SparkSession, sf_dir: str):
+def _pq_code_frames(
+    spark: SparkSession, sf_dir: str, all_queries: bool = False
+):
     """(codes, qlut): the two Arrow-kernel output frames — per-corpus-
     vector PQ codes and per-query LUT arrays. Shared by the full-ADC
     path (:func:`_pq_adc_scored`) and the IVF-restricted one
-    (ann_ivfpq_topk)."""
+    (ann_ivfpq_topk). ``all_queries=True`` builds the LUT for EVERY
+    corpus vector (the kNN-graph build, r13 — every vector is a query;
+    the LUT frame is n·M·K ints, count-gated at the join site)."""
     import pandas as pd  # noqa: F401 -- Arrow path requirement
 
     from pyspark.sql import types as T
@@ -3283,11 +3287,8 @@ def _pq_code_frames(spark: SparkSession, sf_dir: str):
         ]
     )
     codes = e.select("vec_id", "embedding").mapInPandas(encode, codes_schema)
-    qlut = (
-        e.filter(F.col("vec_id") < ANN_N_QUERIES)
-        .select("vec_id", "embedding")
-        .mapInPandas(lut, lut_schema)
-    )
+    qsrc = e if all_queries else e.filter(F.col("vec_id") < ANN_N_QUERIES)
+    qlut = qsrc.select("vec_id", "embedding").mapInPandas(lut, lut_schema)
     return codes, qlut
 
 
@@ -4047,6 +4048,155 @@ def dedup_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long")
         .alias("keep"),
+    )
+
+
+def _knn_graph_pq_oracle() -> str:
+    """Multiprobe+ADC kNN-graph oracle: the shared IVF derivation +
+    raw-vector coarse assignment (the ann_knn_graph chain's cent/
+    assigned text) + the shared PQ training chain (_duck_pq_ctes →
+    pqcb/pex) + an ALL-corpus LUT, scored only over probed-cell
+    candidate pairs."""
+    return f"""
+    WITH {_DUCK_IVF_PRM},
+    {_duck_pq_ctes()},
+    cent AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      WHERE vec_id < (SELECT cells FROM iprm)),
+    acell AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_duck_dot('e.embedding', 'c.cv')} DESC,
+                                           c.cell ASC) AS rn
+        FROM embeddings e JOIN cent c ON TRUE) WHERE rn = 1),
+    aprobes AS (
+      SELECT vec_id AS src, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_duck_dot('e.embedding', 'c.cv')} DESC,
+                                           c.cell ASC) AS rn
+        FROM embeddings e JOIN cent c ON TRUE)
+      WHERE rn <= (SELECT nprobe FROM iprm)),
+    pdists AS (
+      SELECT vec_id, m, cl, sum((x - cx) * (x - cx)) AS d
+      FROM pex JOIN pqcb USING (m, i) GROUP BY 1, 2, 3),
+    acodes AS (
+      SELECT vec_id, m, cl FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, cl ASC) AS rn
+        FROM pdists) WHERE rn = 1),
+    alut AS (
+      SELECT qx.vec_id AS q_id, m, cl, sum(qx.x * c.cx)::BIGINT AS dot_s
+      FROM pex qx JOIN pqcb c USING (m, i)
+      GROUP BY 1, 2, 3),
+    acand AS (
+      SELECT p.src, a.vec_id AS nbr
+      FROM aprobes p JOIN acell a ON a.cell = p.cell
+      WHERE a.vec_id != p.src),
+    ascored AS (
+      SELECT c.src, c.nbr, sum(l.dot_s)::BIGINT AS score_scaled
+      FROM acand c
+      JOIN acodes cd ON cd.vec_id = c.nbr
+      JOIN alut l ON l.q_id = c.src AND l.m = cd.m AND l.cl = cd.cl
+      GROUP BY 1, 2),
+    aranked AS (
+      SELECT src, nbr, score_scaled,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY score_scaled DESC, nbr ASC) AS rnk
+      FROM ascored)
+    SELECT src, nbr, score_scaled, rnk FROM aranked WHERE rnk <= {ANN_K}
+    """
+
+
+@register("ann_knn_graph_pq", oracle=_knn_graph_pq_oracle())
+def ann_knn_graph_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPROBE + COMPRESSED-SCORING kNN-GRAPH BUILD — the production
+    route :func:`ann_knn_graph`'s docstring defers to: every vector
+    probes its nprobe = max(2, cells//8) best cells (recovering the
+    single-probe build's boundary losses), and the n·nprobe·√n
+    candidate pairs are scored by PQ ASYMMETRIC distance (the exact
+    query subvectors against the candidates' trained-codebook codes —
+    M element_at lookups per pair instead of a D-dim dot), which is
+    precisely why multi-probe is affordable at 100 TB where
+    uncompressed scoring would be quadratic-ish. Shares every trained
+    artifact with the ann_pq family: codebook (_pq_codebook, bounded
+    driver Lloyd), Arrow encode/LUT kernels (_pq_kernels), and the
+    unrolled DuckDB training chain (_duck_pq_ctes) — so the graph, the
+    serving index, and their oracles can never drift.
+
+    Plan shape: coarse assignment and probing are n·cells dot windows
+    (index-build-time cost, the IVF contract); candidates come from a
+    cell equi-join; scoring joins the candidates' wide code columns
+    with the per-source LUT arrays — both sides COUNT-GATED broadcasts
+    (n rows each; at 100× they exceed the 64 MiB budget and the hint
+    drops to a co-partitioned join on vec_id/q_id, the standard
+    degradation); the only window after scoring partitions by src.
+    Scores are scaled-int ADC dots (higher = closer), ties on lowest
+    nbr — identical to the ann_pq_topk contract."""
+    from .graph_queries import _maybe_broadcast
+
+    cells, nprobe, _ = _ivf_params(spark, sf_dir)
+    n_emb = _emb_count(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    cent = emb.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cell"))
+    ranked_cells = (
+        emb.join(F.broadcast(cent))
+        .select(
+            "vec_id", "cell", _dot(F.col("v"), F.col("cv")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(wv))
+        # one centroid window serves assignment (rn = 1) and probing
+        # (rn <= nprobe) — cut so the n·cells dots run once
+        .localCheckpoint(eager=False)
+    )
+    acell = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
+    aprobes = ranked_cells.filter(F.col("rn") <= nprobe).select(
+        F.col("vec_id").alias("src"), "cell"
+    )
+    codes, qlut = _pq_code_frames(spark, sf_dir, all_queries=True)
+    cand = (
+        aprobes.join(_maybe_broadcast(acell, n_emb), "cell")
+        .filter(F.col("vec_id") != F.col("src"))
+        .select("src", F.col("vec_id").alias("nbr"))
+    )
+    scored = (
+        # bounds: n_emb rows each (exact memoized embeddings count)
+        cand.join(
+            _maybe_broadcast(
+                codes.withColumnRenamed("vec_id", "nbr"), n_emb
+            ),
+            "nbr",
+        )
+        .join(
+            _maybe_broadcast(qlut.withColumnRenamed("q_id", "src"), n_emb),
+            "src",
+        )
+        .select(
+            "src",
+            "nbr",
+            _pq_adc_score_expr().cast("long").alias("score_scaled"),
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(
+        F.desc("score_scaled"), F.asc("nbr")
+    )
+    # Measured caveat (sf0.1): per-edge overlap with the exact-cosine
+    # single-probe graph is 0.18 — the uniform-sphere corpus puts all
+    # similarities in a narrow band, where M=8/K=16 ADC quantization
+    # reorders near-ties freely (the same corpus effect that motivated
+    # ann_recall_eval_clustered; on corpora with real neighborhood
+    # structure the clustered eval shows IVF/PQ recall 0.9-1.0). The
+    # oracle pins the ADC ranking itself exactly.
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("src", "nbr", "score_scaled", "rnk")
     )
 
 
