@@ -2307,7 +2307,13 @@ def g_kcore_onion(spark, sf_dir):
         )
         .collect()[0]
     )
-    return kcore_onion(und, k=n_edges // n_verts, max_rounds=_KCORE_ROUNDS)
+    return kcore_onion(
+        und,
+        k=n_edges // n_verts,
+        max_rounds=_KCORE_ROUNDS,
+        # exact vertex count from the agg above (count-gated hint bound)
+        n_verts=n_verts,
+    )
 
 
 _BC_SCALE = 10**6  # r12 VERDICT #6 (with _HC_SCALE): raised 10⁴→10⁶ to
@@ -2499,6 +2505,9 @@ def g_betweenness_sampled(spark, sf_dir):
         sources,
         max_depth=_bc_depth_cap(n_verts, m_und),
         scale=_BC_SCALE,
+        # frontier bound: ≤ one row per (source, vertex) pair — k·n from
+        # the exact counts above (count-gated broadcast inside)
+        frontier_rows=k * n_verts,
     )
 
 
@@ -4163,7 +4172,13 @@ def _sg_train_epochs(prs, e, nvd: int):
             "b",
             "w",
             (p_u - F.col("y") * _SG_U).cast("long").alias("err"),
-        )
+            # lazy lineage cut (r13 opt): er feeds BOTH gradient branches
+            # (ga and gb) — uncut, the whole forward pass (two embedding
+            # joins + the pair-keyed dot agg) is inlined into each branch
+            # and executed twice per epoch (the shared-subtree lesson,
+            # memory/spark-perf-lessons). The epoch-end eager checkpoint
+            # of `e` materializes this cut in the same job.
+        ).localCheckpoint(eager=False)
         ea = e.select(
             F.col("v").alias("a"), "d", F.col("val").alias("va")
         )
@@ -4778,14 +4793,14 @@ def _sgf_pairs(spark, sf_dir, gamma: int | None = None):
         tk = toks.crossJoin(F.broadcast(nbk)).select(  # 1-row derived config
             "v", "th", (F.col("th") % F.col("nb")).alias("tb")
         )
-        rep1 = tk.groupBy("tb").agg(F.min("th").alias("mth"))
+        # bucket representative = min-th token, ties by min v — ONE
+        # map-side-combinable aggregate via lexicographic struct-min
+        # (r13 opt: replaces the agg → self-join → agg chain, same rows:
+        # min(struct(th, v)) is exactly "min th, then min v at that th")
         reps = (
-            tk.join(
-                rep1.withColumnRenamed("tb", "rtb"),
-                (F.col("tb") == F.col("rtb")) & (F.col("th") == F.col("mth")),
-            )
-            .groupBy("tb")
-            .agg(F.min("v").alias("nv"))
+            tk.groupBy("tb")
+            .agg(F.min(F.struct("th", "v")).alias("mv"))
+            .select("tb", F.col("mv.v").alias("nv"))
         )
         neg = (
             pos.crossJoin(F.broadcast(nbk))  # 1-row derived config
@@ -5618,18 +5633,25 @@ def g_harmonic_closeness(spark, sf_dir):
     )
     seen = frontier
     levels = []
+    # (s, v) frames are lineage-cut LogicalRDDs with no size stats —
+    # without a hint Spark sorts the cached 2|E|-row edge side every
+    # level (the r10 LPA lesson); both frontier and seen hold ≤ one row
+    # per (source, vertex) pair, so k·n bounds them (count-gated hint).
+    # Cuts are lazy (r12 #2): the isEmpty probe / next level's broadcast
+    # build materializes each in its own job instead of one per mark.
+    kn = k * n_verts
     for L in range(1, _bc_depth_cap(n_verts, m_und) + 1):
         nxt = (
-            frontier.join(und, und.a == frontier.v)
+            und.join(_maybe_broadcast(frontier, kn), und.a == frontier.v)
             .select("s", F.col("b").alias("v"))
             .distinct()
-            .join(seen, ["s", "v"], "left_anti")
-            .localCheckpoint(eager=True)
+            .join(_maybe_broadcast(seen, kn), ["s", "v"], "left_anti")
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break  # frontier exhausted (cap is only the runaway guard)
         levels.append(nxt.withColumn("lvl", F.lit(L).cast("long")))
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        seen = seen.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     from functools import reduce as _reduce
 
@@ -5815,18 +5837,23 @@ def g_harmonic_sample_eval(spark, sf_dir):
     )
     seen = frontier
     levels = []
+    # all-sources BFS state ≤ n_sub² (s, v) pairs — the bounded slice
+    # keeps this inside the broadcast budget (count-gated hint; the r10
+    # no-stats-LogicalRDD lesson), and lazy cuts let the isEmpty probe /
+    # next level's broadcast build materialize each frame in one job.
+    nn2 = n_sub * n_sub
     for L in range(1, _BC_UNROLL + 1):
         nxt = (
-            frontier.join(und, und.a == frontier.v)
+            und.join(_maybe_broadcast(frontier, nn2), und.a == frontier.v)
             .select("s", F.col("b").alias("v"))
             .distinct()
-            .join(seen, ["s", "v"], "left_anti")
-            .localCheckpoint(eager=True)
+            .join(_maybe_broadcast(seen, nn2), ["s", "v"], "left_anti")
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
         levels.append(nxt.withColumn("lvl", F.lit(L).cast("long")))
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        seen = seen.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     from functools import reduce as _reduce
 
@@ -5990,6 +6017,9 @@ def g_betweenness_sample_eval(spark, sf_dir):
         max_depth=_BC_UNROLL,
         scale=_BC_SCALE,
         per_source=True,
+        # all-sources pass: ≤ n_sub² (s, v) pairs — the bounded slice
+        # keeps this ~331k at sf0.1, inside the broadcast budget
+        frontier_rows=n_sub * n_sub,
     ).localCheckpoint(eager=True)  # feeds both folds below
     bx = (
         alld.filter(F.col("v") != F.col("s"))

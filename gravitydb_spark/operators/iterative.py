@@ -499,7 +499,12 @@ def sssp_weighted(
     )
 
 
-def kcore_onion(und: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
+def kcore_onion(
+    und: DataFrame,
+    k: int,
+    max_rounds: int = 12,
+    n_verts: int | None = None,
+) -> DataFrame:
     """DF[id, peel_round: long] — iterative k-core peel ("onion
     decomposition") over a symmetrized edge DF[a, b] (each undirected
     edge present in both directions). Round r removes every vertex whose
@@ -524,16 +529,33 @@ def kcore_onion(und: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
     alive = und.select(F.col("a").alias("id")).distinct().localCheckpoint()
     peeled = []
     converged = False
+
+    # count-gated broadcast hints (r13 opt, guide §3.1): the per-round
+    # degree table and alive set are vertex-sized LogicalRDD/agg frames
+    # with no usable stats, so without a hint every round plans
+    # SortMergeJoin and sorts the edge side three times. ``n_verts``
+    # bounds both; above the broadcast budget the hint is dropped and
+    # the round degrades to the shuffle plan (100 TB posture unchanged).
+    def _mb(df: DataFrame) -> DataFrame:
+        if n_verts is None:
+            return df
+        from ..graph_queries import _maybe_broadcast
+
+        return _maybe_broadcast(df, n_verts)
+
     # max_rounds REMOVAL rounds are budgeted (matching the oracle's CTE
     # unroll depth exactly), plus one confirming round that must remove
     # nothing — without it a peel of depth == max_rounds would raise here
     # while the oracle converges (off-by-one between the two engines)
     for r in range(1, max_rounds + 2):
         deg = edges.groupBy("a").agg(F.count("*").alias("d"))
-        ad = alive.join(deg, alive.id == deg.a, "left").select(
+        ad = alive.join(_mb(deg), alive.id == deg.a, "left").select(
             "id", F.coalesce("d", F.lit(0)).alias("d")
         )
-        removed = ad.filter(F.col("d") < k).select("id").localCheckpoint()
+        # lazy cut: the isEmpty probe materializes it in its own job
+        removed = (
+            ad.filter(F.col("d") < k).select("id").localCheckpoint(eager=False)
+        )
         if removed.isEmpty():
             converged = True
             break
@@ -544,8 +566,8 @@ def kcore_onion(und: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
         )
         alive = ad.filter(F.col("d") >= k).select("id").localCheckpoint()
         edges = (
-            edges.join(alive.select(F.col("id").alias("a")), "a", "semi")
-            .join(alive.select(F.col("id").alias("b")), "b", "semi")
+            edges.join(_mb(alive.select(F.col("id").alias("a"))), "a", "semi")
+            .join(_mb(alive.select(F.col("id").alias("b"))), "b", "semi")
             .localCheckpoint(eager=False)
         )
     if not converged:
@@ -692,6 +714,7 @@ def betweenness_scaled(
     max_depth: int = 6,
     scale: int = 10**4,
     per_source: bool = False,
+    frontier_rows: int | None = None,
 ) -> DataFrame:
     """DF[id, bc_scaled: long] — k-SOURCE BRANDES betweenness (the
     standard sampled approximation: exact dependency accumulation from
@@ -715,6 +738,22 @@ def betweenness_scaled(
     hash agg on (s, v); frontier frames are lineage-cut per level; σ
     and scaled δ stay far inside BIGINT for scale = 10⁴ (σ ≤ deg^depth
     path counts, term ≤ σ·(n+1)·scale)."""
+    # count-gated broadcast hints (r13 opt, guide §3.1 + the r10 LPA
+    # lesson): every per-level frame here is a lineage-cut LogicalRDD
+    # with NO size stats, so without a hint Spark plans SortMergeJoin
+    # and shuffles+sorts the edge side EVERY round. A level holds at
+    # most one row per (source, vertex) pair and the seen set is a
+    # disjoint union of levels, so ``frontier_rows`` = k·n bounds both;
+    # callers pass it from counts they already hold. Above the broadcast
+    # budget the hint is dropped and the join degrades to the shuffle
+    # plan — the 100 TB posture is unchanged.
+    def _mb(df: DataFrame) -> DataFrame:
+        if frontier_rows is None:
+            return df
+        from ..graph_queries import _maybe_broadcast
+
+        return _maybe_broadcast(df, frontier_rows)
+
     lev = sources.select(
         F.col("s"), F.col("s").alias("v"), F.lit(1).cast("long").alias("sig")
     ).localCheckpoint()
@@ -722,15 +761,16 @@ def betweenness_scaled(
     seen = lev.select("s", "v").localCheckpoint()
     for _ in range(max_depth):
         cand = (
-            levels[-1]
-            .select("s", F.col("v").alias("a"), "sig")
-            .join(und, "a")
+            und.join(
+                _mb(levels[-1].select("s", F.col("v").alias("a"), "sig")),
+                "a",
+            )
             .select("s", F.col("b").alias("v"), "sig")
         )
         nxt = (
             cand.groupBy("s", "v")
             .agg(F.sum("sig").cast("long").alias("sig"))
-            .join(seen, ["s", "v"], "left_anti")
+            .join(_mb(seen), ["s", "v"], "left_anti")
             # lazy cut (r13): the isEmpty probe materializes it in its
             # own job — eager cut + probe measured 4 jobs vs 2
             .localCheckpoint(eager=False)
@@ -747,16 +787,15 @@ def betweenness_scaled(
     )
     succ_edges = und.select(F.col("a").alias("v"), F.col("b").alias("w"))
     for L in range(len(levels) - 2, -1, -1):
-        wnext = levels[L + 1].join(deltas[L + 1], ["s", "v"]).select(
+        wnext = levels[L + 1].join(_mb(deltas[L + 1]), ["s", "v"]).select(
             "s",
             F.col("v").alias("w"),
             F.col("sig").alias("sig_w"),
             "delta",
         )
         contrib = (
-            levels[L]
-            .join(succ_edges, "v")
-            .join(wnext, ["s", "w"])
+            succ_edges.join(_mb(levels[L]), "v")
+            .join(_mb(wnext), ["s", "w"])
             .select(
                 "s",
                 "v",
@@ -769,7 +808,7 @@ def betweenness_scaled(
         deltas[L] = (
             levels[L]
             .select("s", "v")
-            .join(agg, ["s", "v"], "left")
+            .join(_mb(agg), ["s", "v"], "left")
             .select(
                 "s",
                 "v",

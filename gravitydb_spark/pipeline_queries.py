@@ -8648,6 +8648,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("off") % 2 == 0)
             .select("doc_id", F.col("pos").alias("mpos"))
+            # lazy cut (r13 opt): matches feeds TWO joins below — uncut,
+            # its window chain is inlined and executed twice per step
+            .localCheckpoint(eager=False)
         )
         toks = (
             n.join(
@@ -8678,7 +8681,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("tok"),
             )
             .withColumn("pos", F.row_number().over(w_doc))
-            .localCheckpoint(eager=True)
+            # lazy: the count() right below materializes the cut in the
+            # same job (eager cut + count was 2 jobs per step)
+            .localCheckpoint(eager=False)
         )
         out_rows.append((step, f"{a}+{b}", cnt, toks.count()))
     return spark.createDataFrame(
@@ -8944,7 +8949,10 @@ def bpe_sampled_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = state.mapInPandas(
             consolidate([(a, b, m) for a, b, m, _ in accepted]),
             "doc_id long, toks array<string>",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # lazy: the next round's candidate collect (or loop exit)
+        # materializes the rewritten state in its own job — eager cut +
+        # collect was 2 jobs per round at a ~0.2s/job scheduling floor
 
     learned = list(merges)  # broadcast via closure
 
