@@ -1349,13 +1349,13 @@ class CCIvm:
         cur = vals.select("v", F.col("v").alias("root")).localCheckpoint(
             eager=False
         )
+        buckets = [
+            r.pb
+            for r in cur.select(self._bucket(F.col("root")).alias("pb"))
+            .distinct()
+            .collect()
+        ]
         for _ in range(len(self.labels.snapshots()) + 1):
-            buckets = [
-                r.pb
-                for r in cur.select(self._bucket(F.col("root")).alias("pb"))
-                .distinct()
-                .collect()
-            ]
             m = self.labels.load(self.spark, where=F.col("pb").isin(buckets))
             if m is None:
                 break
@@ -1366,14 +1366,24 @@ class CCIvm:
                 "root",
                 "left",
             ).select("v", "root", "nroot")
-            if (
-                step.filter(
-                    F.col("nroot").isNotNull() & (F.col("nroot") != F.col("root"))
+            # ONE collect per round (r13 opt): the advanced rows' NEW
+            # root buckets are both the advance probe (empty = done) and
+            # the next round's pruned-load filter — a root that did not
+            # advance against this round's (unchanged) store cannot
+            # advance next round, so restricting the next load to
+            # advanced-root buckets reads every row the old
+            # probe-then-full-bucket-list plan read.
+            buckets = [
+                r.pb
+                for r in step.filter(
+                    F.col("nroot").isNotNull()
+                    & (F.col("nroot") != F.col("root"))
                 )
-                .limit(1)
-                .count()
-                == 0
-            ):
+                .select(self._bucket(F.col("nroot")).alias("pb"))
+                .distinct()
+                .collect()
+            ]
+            if not buckets:
                 break
             cur = step.select(
                 "v", F.coalesce("nroot", "root").alias("root")
@@ -1388,13 +1398,20 @@ class CCIvm:
             eager=False
         )
         frontier = total.select(F.col("node").alias("root"))
+        # r13 opt: two collects per round instead of four — each bucket
+        # collect doubles as the emptiness probe of the frame it scans
+        # (cands' pb list replaces the cands limit-count; the new
+        # frontier's rb list replaces the new limit-count AND is the
+        # next round's pruned-load filter)
+        buckets = [
+            r.rb
+            for r in frontier.select(self._bucket(F.col("root")).alias("rb"))
+            .distinct()
+            .collect()
+        ]
         for _ in range(len(self.labels.snapshots()) + 2):
-            buckets = [
-                r.rb
-                for r in frontier.select(self._bucket(F.col("root")).alias("rb"))
-                .distinct()
-                .collect()
-            ]
+            if not buckets:
+                break
             m = self.labels.load(self.spark, where=F.col("rb").isin(buckets))
             if m is None:
                 break
@@ -1405,14 +1422,14 @@ class CCIvm:
                 .join(total, "node", "left_anti")
                 .localCheckpoint(eager=False)
             )
-            if cands.limit(1).count() == 0:
-                break
             vbuckets = [
                 r.pb
                 for r in cands.select(self._bucket(F.col("node")).alias("pb"))
                 .distinct()
                 .collect()
             ]
+            if not vbuckets:
+                break
             truth = self._cur_fn(
                 self.labels.load(
                     self.spark, where=F.col("pb").isin(vbuckets)
@@ -1423,7 +1440,13 @@ class CCIvm:
                 .select("node")
                 .localCheckpoint(eager=False)
             )
-            if new.limit(1).count() == 0:
+            buckets = [
+                r.rb
+                for r in new.select(self._bucket(F.col("node")).alias("rb"))
+                .distinct()
+                .collect()
+            ]
+            if not buckets:
                 break
             total = total.unionByName(new).localCheckpoint(eager=False)
             frontier = new.select(F.col("node").alias("root"))
@@ -4140,17 +4163,65 @@ def _sg_nvd(spark, sf_dir) -> int:
     )
 
 
+def _sg_wide(e):
+    """DF[v, val0..val{D-1}] — the long (v, d, val) embedding table
+    pivoted to one flat column per dimension. Flat columns, not array
+    lambdas: higher-order array functions are interpreted (the measured
+    memory/spark-perf lesson), while per-dim expressions stay inside
+    WholeStageCodegen. One vertex-keyed aggregation, map-side
+    combinable."""
+    return e.groupBy("v").agg(
+        *[
+            F.max(F.when(F.col("d") == i, F.col("val"))).alias(f"val{i}")
+            for i in range(_SG_DIM)
+        ]
+    )
+
+
+def _sg_fwd_wide(prs, ew, nv: int):
+    """DF[pid, a, b, y, w, va0.., vb0.., zz] — the per-pair forward pass
+    against the WIDE embedding table (r13 opt): two broadcastable
+    vertex-sized joins and a codegen'd flat dot product. Replaces the
+    long-format shape (pairs exploded ×D through a pair-id-keyed hash
+    agg), which shuffled |pairs|·D rows per forward pass — measured the
+    dominant per-epoch exchange. zz = Σ_d va_d·vb_d is the identical
+    integer sum, so every downstream value (and the oracle hash) is
+    unchanged."""
+    ea = ew.select(
+        F.col("v").alias("a"),
+        *[F.col(f"val{i}").alias(f"va{i}") for i in range(_SG_DIM)],
+    )
+    eb = ew.select(
+        F.col("v").alias("b"),
+        *[F.col(f"val{i}").alias(f"vb{i}") for i in range(_SG_DIM)],
+    )
+    zz = None
+    for i in range(_SG_DIM):
+        term = F.col(f"va{i}") * F.col(f"vb{i}")
+        zz = term if zz is None else zz + term
+    return (
+        prs.join(_maybe_broadcast(ea, nv), "a")
+        .join(_maybe_broadcast(eb, nv), "b")
+        .select(
+            "pid",
+            "a",
+            "b",
+            "y",
+            "w",
+            *[f"va{i}" for i in range(_SG_DIM)],
+            *[f"vb{i}" for i in range(_SG_DIM)],
+            zz.cast("long").alias("zz"),
+        )
+    )
+
+
 def _sg_zdots(prs, e, nvd: int):
     """DF[pid, a, b, y, w, zz] — per-pair integer dot products of the
-    long-format embedding table against both pair endpoints (the shared
-    forward pass of training and eval)."""
-    ea = e.select(F.col("v").alias("a"), "d", F.col("val").alias("va"))
-    eb = e.select(F.col("v").alias("b"), "d", F.col("val").alias("vb"))
-    return (
-        prs.join(_maybe_broadcast(ea, nvd), "a")
-        .join(_maybe_broadcast(eb, nvd), ["b", "d"])
-        .groupBy("pid", "a", "b", "y", "w")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("zz"))
+    embedding table against both pair endpoints (the shared forward
+    pass of training and eval; wide-pivoted internally, values
+    bit-identical to the long-format r11 shape)."""
+    return _sg_fwd_wide(prs, _sg_wide(e), nvd // _SG_DIM).select(
+        "pid", "a", "b", "y", "w", "zz"
     )
 
 
@@ -4160,70 +4231,90 @@ def _sg_train_epochs(prs, e, nvd: int):
     by the log-corpus family (_sg_embeddings) and the full-vocab family
     (_sgf_embeddings, r12), mirroring the factored _sg_epoch_parts
     oracle text so neither family can drift from it."""
+    # r13 opt: the whole epoch loop runs on the WIDE (v, val0..val{D-1})
+    # table — the forward pass is two broadcast joins + a flat codegen
+    # dot (no ×D explosion, no pair-keyed exchange), the gradient is ONE
+    # map-side-combinable vertex-keyed aggregate with per-dim sum
+    # columns, and er carries the endpoint vectors so the two gradient
+    # branches need NO embedding re-joins. Every integer (zz, err, per-
+    # dim gradient sums, the shared per-vertex normalizer cw, the
+    # truncating update) is identical to the long-format r11 shape —
+    # old cw was summed per (v, d) but every pair contributes all D
+    # dims, so the per-v sum is the same value.
+    D = _SG_DIM
+    nv = nvd // D
+    ew = _sg_wide(e).localCheckpoint(eager=True)
     for _ in range(_SG_EPOCHS):
-        z = _sg_zdots(prs, e, nvd)
+        z = _sg_fwd_wide(prs, ew, nv)
         p_u = F.expr(
             f"{_SG_HALF} + ((zz DIV {_SG_U}) * {_SG_HALF})"
             f" DIV ({_SG_U} + abs(zz DIV {_SG_U}))"
         )
         er = z.select(
-            "pid",
             "a",
             "b",
             "w",
+            *[f"va{i}" for i in range(D)],
+            *[f"vb{i}" for i in range(D)],
             (p_u - F.col("y") * _SG_U).cast("long").alias("err"),
-            # lazy lineage cut (r13 opt): er feeds BOTH gradient branches
-            # (ga and gb) — uncut, the whole forward pass (two embedding
-            # joins + the pair-keyed dot agg) is inlined into each branch
-            # and executed twice per epoch (the shared-subtree lesson,
-            # memory/spark-perf-lessons). The epoch-end eager checkpoint
-            # of `e` materializes this cut in the same job.
+            # lazy lineage cut: er feeds BOTH gradient branches — uncut,
+            # the forward pass is inlined and executed twice per epoch
+            # (the shared-subtree lesson, memory/spark-perf-lessons).
         ).localCheckpoint(eager=False)
-        ea = e.select(
-            F.col("v").alias("a"), "d", F.col("val").alias("va")
-        )
-        eb = e.select(
-            F.col("v").alias("b"), "d", F.col("val").alias("vb")
-        )
-        ga = er.join(_maybe_broadcast(eb, nvd), "b").select(
+        ga = er.select(
             F.col("a").alias("v"),
-            "d",
-            (F.col("err") * F.col("w") * F.col("vb")).alias("gv"),
+            *[
+                (F.col("err") * F.col("w") * F.col(f"vb{i}")).alias(f"g{i}")
+                for i in range(D)
+            ],
             F.col("w").alias("wv"),
         )
-        gb = er.join(_maybe_broadcast(ea, nvd), "a").select(
+        gb = er.select(
             F.col("b").alias("v"),
-            "d",
-            (F.col("err") * F.col("w") * F.col("va")).alias("gv"),
+            *[
+                (F.col("err") * F.col("w") * F.col(f"va{i}")).alias(f"g{i}")
+                for i in range(D)
+            ],
             F.col("w").alias("wv"),
         )
         g = (
             ga.unionByName(gb)
-            .groupBy("v", "d")
-            .agg(F.sum("gv").alias("gg"), F.sum("wv").alias("cw"))
+            .groupBy("v")
+            .agg(
+                *[F.sum(f"g{i}").alias(f"gg{i}") for i in range(D)],
+                F.sum("wv").alias("cw"),
+            )
         )
         # per-epoch lineage cut (the O(L²) inlining lesson); the
         # update division truncates on both engines (DIV ≡ //)
-        e = (
-            e.join(_maybe_broadcast(g, nvd), ["v", "d"], "left")
+        ew = (
+            ew.join(_maybe_broadcast(g, nv), "v", "left")
             .select(
                 "v",
-                "d",
-                (
-                    F.col("val")
-                    - F.coalesce(
-                        F.expr(
-                            f"gg DIV ({_SG_U} * cw * {_SG_LRDIV})"
-                        ),
-                        F.lit(0),
+                *[
+                    (
+                        F.col(f"val{i}")
+                        - F.coalesce(
+                            F.expr(
+                                f"gg{i} DIV ({_SG_U} * cw * {_SG_LRDIV})"
+                            ),
+                            F.lit(0),
+                        )
                     )
-                )
-                .cast("long")
-                .alias("val"),
+                    .cast("long")
+                    .alias(f"val{i}")
+                    for i in range(D)
+                ],
             )
             .localCheckpoint(eager=True)
         )
-    return e
+    # back to the long (v, d, val) contract every consumer expects
+    return ew.select(
+        "v",
+        F.posexplode(
+            F.array(*[F.col(f"val{i}") for i in range(D)])
+        ).alias("d0", "val"),
+    ).select("v", F.col("d0").cast("long").alias("d"), "val")
 
 
 def _sg_embeddings(spark, sf_dir):
@@ -6458,7 +6549,20 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
                 spark, min_deltas=3, transform=lambda d: d.distinct()
             )
 
-        def edges_from(frontier) -> "DataFrame | None":
+        def frontier_buckets(frontier) -> list:
+            """Distinct edge-store buckets of a frontier — ONE collect
+            that doubles as the frontier's emptiness probe (r13 opt:
+            the BFS loop reuses each round's bucket list as the next
+            round's pruned-scan filter instead of paying a separate
+            isEmpty job per depth)."""
+            return [
+                r.pb
+                for r in frontier.select(bucket(F.col("v")).alias("pb"))
+                .distinct()
+                .collect()
+            ]
+
+        def edges_from(frontier, bks: "list | None" = None):
             """LIVE und rows whose source is in the frontier's hash
             buckets — a PartitionFilter on every delta scan (bucket list
             bounded by the fanout). The store is a SIGNED multiset
@@ -6467,12 +6571,7 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
             and the fold degenerates to the old distinct. Replay safety
             moved from distinct-on-read to append_once (a replayed
             signed delta would otherwise double-count)."""
-            bks = [
-                r.pb
-                for r in frontier.select(bucket(F.col("v")).alias("pb"))
-                .distinct()
-                .collect()
-            ]
+            bks = frontier_buckets(frontier) if bks is None else bks
             e = edges.load(spark, where=F.col("pb").isin(bks))
             if e is None:
                 return None
@@ -6534,8 +6633,14 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
                 .localCheckpoint(eager=False)
             )
             frontier = ball.select("v")
+            # one collect per depth (r13 opt): the bucket list of the
+            # NEW frontier is both the emptiness probe (empty list =
+            # exhausted) and the next depth's pruned-scan filter —
+            # previously each depth paid a bucket collect AND an
+            # isEmpty job over the same frame
+            bks = frontier_buckets(frontier)
             for depth in range(1, 2 * R + 1):
-                e = edges_from(frontier)
+                e = edges_from(frontier, bks)
                 if e is None:
                     break
                 nxt = (
@@ -6545,7 +6650,8 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
                     .join(ball.select("v"), "v", "left_anti")
                     .localCheckpoint(eager=False)
                 )
-                if nxt.isEmpty():
+                bks = frontier_buckets(nxt)
+                if not bks:
                     break
                 ball = ball.unionByName(
                     nxt.withColumn("ds", F.lit(depth))
