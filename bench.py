@@ -226,10 +226,22 @@ HEADLINE = [
 STDOUT_LINE_BUDGET = 1500  # driver tail-captures ~2000 chars; stay well under
 
 
-def compact_line(timings: dict[str, float], sf: float) -> str:
+def compact_line(
+    timings: dict[str, float],
+    sf: float,
+    cpus: int | None = None,
+    parallelism: int | None = None,
+) -> str:
     """One stdout JSON line guaranteed short enough for the driver's
     2,000-char tail capture: headline total + the 10 slowest queries only.
-    The full dict lives in BENCH_DETAIL.json (see main)."""
+    The full dict lives in BENCH_DETAIL.json (see main).
+
+    ``cpus``/``parallelism`` echo the $SPARK_GRAFT_CPUS contract (r13
+    VERDICT #2): cpus is the env value the session was built from,
+    parallelism is ``sc.defaultParallelism`` as the JVM actually resolved
+    it — so a low-core scaling run is provably running at that core
+    count, and a ≈1 scaling ratio can't be mistaken for an ignored env
+    var."""
     total = round(sum(timings.values()), 3)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
@@ -244,6 +256,8 @@ def compact_line(timings: dict[str, float], sf: float) -> str:
             "n_queries": len(timings),
             "full_queries_file": "BENCH_DETAIL.json",
             "sf": sf,
+            "cpus": cpus,
+            "parallelism": parallelism,
         }
     )
     if len(line) > STDOUT_LINE_BUDGET:  # pragma: no cover - guarded by test
@@ -254,6 +268,8 @@ def compact_line(timings: dict[str, float], sf: float) -> str:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf,
+                "cpus": cpus,
+                "parallelism": parallelism,
             }
         )
     return line
@@ -316,12 +332,17 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    parallelism = spark.sparkContext.defaultParallelism
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "cpus": cpus,
+        "parallelism": parallelism,
+        "master": spark.sparkContext.master,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         "storage_bytes_after": storage,
@@ -333,7 +354,7 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail), file=sys.stderr)
     # the ONE stdout line, compact by construction (driver tail capture)
-    print(compact_line(timings, float(sf)))
+    print(compact_line(timings, float(sf), cpus=cpus, parallelism=parallelism))
 
 
 if __name__ == "__main__":

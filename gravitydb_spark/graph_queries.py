@@ -725,10 +725,12 @@ def g_degrees_maintained(spark, sf_dir):
             )
             # append_once: degree deltas are additive sums, so an
             # at-least-once foreachBatch replay would double-count them
-            # without the bid high-water-mark guard (r6 VERDICT #1)
-            if deg_store.append_once(fold_deg(ends), bid) is None:
-                return
-            deg_store.compact(spark, min_deltas=2, transform=fold_deg)
+            # without the bid high-water-mark guard (r6 VERDICT #1).
+            # r14: append + same-batch fold in ONE publication/action
+            # (min_deltas=2 fired the fold nearly every batch)
+            deg_store.append_compact_once(
+                spark, fold_deg(ends), bid, min_deltas=2, transform=fold_deg
+            )
 
         def on_vertices(batch_df, bid) -> None:
             part = (
@@ -736,9 +738,9 @@ def g_degrees_maintained(spark, sf_dir):
                 .groupBy("schema_type")
                 .agg(F.count("*").cast("long").alias("n"))
             )
-            if type_store.append_once(part, bid) is None:
-                return
-            type_store.compact(spark, min_deltas=2, transform=fold_types)
+            type_store.append_compact_once(
+                spark, part, bid, min_deltas=2, transform=fold_types
+            )
 
         for feed, handler, tag in (
             (stream_edges(spark, gp, max_files_per_trigger=1), on_edges, "e"),
@@ -864,10 +866,11 @@ def g_degrees_retractions(spark, sf_dir):
                 )
             )
             # signed additive deltas — replay guard (r6 VERDICT #1): a
-            # replayed retraction batch must not subtract twice
-            if store.append_once(fold(ends), bid) is None:
-                return
-            store.compact(spark, min_deltas=2, transform=fold)
+            # replayed retraction batch must not subtract twice. r14:
+            # append + same-batch fold in ONE publication/action
+            store.append_compact_once(
+                spark, fold(ends), bid, min_deltas=2, transform=fold
+            )
 
         stream = (
             spark.readStream.schema(staged_schema)
@@ -1009,8 +1012,13 @@ def g_cc_maintained(spark, sf_dir):
             return cur
 
         def on_vertices(batch_df, _bid) -> None:
-            memb.append(batch_df.select("id").distinct())
-            memb.compact(spark, min_deltas=3, transform=lambda d: d.distinct())
+            # r14: append + fold in ONE publication/action
+            memb.append_compact_once(
+                spark,
+                batch_df.select("id").distinct(),
+                min_deltas=3,
+                transform=lambda d: d.distinct(),
+            )
 
         def chase(vals: "DataFrame") -> "DataFrame":
             """(v) -> (v, root): chase each value to its CURRENT root.
@@ -1092,9 +1100,12 @@ def g_cc_maintained(spark, sf_dir):
                 # #2 — eager per-batch compression was O(view)/batch).
                 # The relabel table is min-fold idempotent, so no
                 # append_once needed: a replayed delta is inert.
-                merges.append(relabels)
-                merges.compact(
-                    spark, min_deltas=_CC_COMPACT_EVERY, transform=compress
+                # r14: append + (threshold-gated) fold in ONE action
+                merges.append_compact_once(
+                    spark,
+                    relabels,
+                    min_deltas=_CC_COMPACT_EVERY,
+                    transform=compress,
                 )
 
         for feed, handler, tag in (
@@ -1483,8 +1494,6 @@ class CCIvm:
             .select(F.col("id").alias("node"), F.col("component").alias("root"))
             .localCheckpoint(eager=True)
         )
-        if rel.count():
-            self.labels.append(self._lab_rows(rel, 4 * bid))
         # spanning-forest upkeep: one representative edge per distinct
         # pre-batch root pair; intra-component edges (ru == rv) are
         # provably non-tree and never enter — their later deletion
@@ -1495,13 +1504,27 @@ class CCIvm:
             .agg(F.min(F.struct("src", "dst")).alias("e"))
             .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         )
-        self.forest.append(self._forest_rows(self._canon(reps), 1, 4 * bid))
         tagged = rooted.join(
             rel.select(F.col("node").alias("ru"), F.col("root").alias("nru")),
             "ru",
             "left",
         ).select("src", "dst", F.coalesce("nru", "ru").alias("tag"))
-        self.edgelog.append(self._edge_rows(tagged, 1, 4 * bid))
+        # r14 (guide §5 / r13 VERDICT #3): one fused append — the three
+        # per-store publishes share ONE Spark collect instead of three
+        # driver-synchronous jobs. Nothing between the old appends read
+        # any store, so list-order publication is the same effect
+        # sequence; the empty-rel labels skip is preserved (an empty
+        # delta would lengthen the log the chase loop bound reads).
+        from .transaction import append_fused
+
+        parts = []
+        if rel.count():
+            parts.append((self.labels, self._lab_rows(rel, 4 * bid)))
+        parts.append(
+            (self.forest, self._forest_rows(self._canon(reps), 1, 4 * bid))
+        )
+        parts.append((self.edgelog, self._edge_rows(tagged, 1, 4 * bid)))
+        append_fused(parts)
 
     def delete_batch(self, dends, bid: int) -> None:
         from .operators.iterative import cc_labels
@@ -1537,8 +1560,17 @@ class CCIvm:
             droots.select(F.col("v").alias("src"), F.col("root").alias("tag")),
             "src",
         )
-        self.edgelog.append(self._edge_rows(dtag, -1, 4 * bid + 1))
-        self.forest.append(self._forest_rows(tree_can, -1, 4 * bid + 1))
+        from .transaction import append_fused
+
+        # fused tombstone publish (r14): edgelog −1 rows + forest −1
+        # rows in ONE Spark collect; tree_can's lazy checkpoint
+        # materializes here and the count below reuses it
+        append_fused(
+            [
+                (self.edgelog, self._edge_rows(dtag, -1, 4 * bid + 1)),
+                (self.forest, self._forest_rows(tree_can, -1, 4 * bid + 1)),
+            ]
+        )
         n_tree = tree_can.count()
         self.last_delete_stats = {
             "deleted": dends.count(),
@@ -1590,12 +1622,22 @@ class CCIvm:
             .select("node", F.coalesce("root", "node").alias("root"))
             .localCheckpoint(eager=True)
         )
-        self.labels.append(self._lab_rows(repaired, 4 * bid + 2))
         retag = live.join(
             repaired.select(F.col("node").alias("src"), F.col("root").alias("tag")),
             "src",
         )
-        self.edgelog.append(self._edge_rows(retag, 1, 4 * bid + 2))
+        # r14: the repair tail's five appends (labels, edgelog retag,
+        # and up to three forest frames) publish as ONE fused collect at
+        # the end of the batch — nothing below reads labels/edgelog, and
+        # the forest is only READ above (the retired computation), so
+        # deferring the publishes preserves every read's input state;
+        # same-store forest frames union into one delta (log order
+        # carries no row semantics — the fold keys on ep).
+        repair_parts = [
+            (self.labels, self._lab_rows(repaired, 4 * bid + 2)),
+            (self.edgelog, self._edge_rows(retag, 1, 4 * bid + 2)),
+        ]
+        forest_frames = []
         # rebuild the touched components' forest as a BFS tree over the
         # surviving edges: retire every old forest row among them, then
         # append the tree (same-batch +1 at a higher epoch wins)
@@ -1611,7 +1653,7 @@ class CCIvm:
         old = self.forest.load(self.spark, where=F.col("fb").isin(lb))
         if old is not None:
             retired = self._fold_forest(old).join(lcan, ["a", "b"], "left_semi")
-            self.forest.append(
+            forest_frames.append(
                 self._forest_rows(retired.select("a", "b"), -1, 4 * bid + 1)
             )
         und = live.unionByName(
@@ -1649,7 +1691,7 @@ class CCIvm:
             tcan = t.select(
                 F.least("pu", "id").alias("a"), F.greatest("pu", "id").alias("b")
             )
-            self.forest.append(self._forest_rows(tcan, 1, 4 * bid + 2))
+            forest_frames.append(self._forest_rows(tcan, 1, 4 * bid + 2))
         # diameter past the round cap: the BFS tree alone would not
         # span, and a non-spanning forest MISCLASSIFIES bridges as
         # redundant (wrong answers, not just slow ones). Fallback: also
@@ -1675,7 +1717,13 @@ class CCIvm:
                 )
                 .distinct()
             )
-            self.forest.append(self._forest_rows(fat, 1, 4 * bid + 2))
+            forest_frames.append(self._forest_rows(fat, 1, 4 * bid + 2))
+        if forest_frames:
+            ff = forest_frames[0]
+            for p in forest_frames[1:]:
+                ff = ff.unionByName(p)
+            repair_parts.append((self.forest, ff))
+        append_fused(repair_parts)
 
     def flat_labels(self):
         """DF[id, component] for every relabeled node (identity rows
@@ -3259,15 +3307,22 @@ def g_triangles_retractions(spark, sf_dir):
                     F.col("w").alias("t"),
                 )
             )
-            view.append_once(dV, bid)  # view FIRST (crash-window contract)
-            if adj.append_once(
+            # r14: append + threshold-gated fold in ONE action per store
+            # (the view's min_deltas=2 fold fired nearly every batch as
+            # a second job); view still publishes FIRST (crash-window
+            # contract preserved by call order)
+            view.append_compact_once(
+                spark, dV, bid, min_deltas=2, transform=fold_view
+            )
+            adj.append_compact_once(
+                spark,
                 dSym.select("v", "nb", F.col("d").alias("m")).withColumn(
                     "vb", vb
                 ),
                 bid,
-            ) is not None:
-                adj.compact(spark, min_deltas=3, transform=fold_adj)
-            view.compact(spark, min_deltas=2, transform=fold_view)
+                min_deltas=3,
+                transform=fold_adj,
+            )
 
         stream = (
             spark.readStream.schema(staged_schema)
@@ -3541,27 +3596,49 @@ _WALK_LEN = 8  # contract constant (the DeepWalk window-bearing walk length);
 _WALK_MIN = 8  # floor for the derived walk count
 
 
-def _trade_nbr(spark, sf_dir):
-    """Rank-and-degree neighbour table over the memoized trade edge set
-    (DF[a, b, rn, deg] — rn numbers each vertex's neighbours 1..deg in id
-    order), itself memoized per (session, sf_dir): every walk step's join
-    plus repeat invocations (gate compound, bench, both walk variants)
-    share one cached table."""
-    from pyspark.sql import Window
+# (r14: the per-edge rank-and-degree table _trade_nbr(a, b, rn, deg) —
+# two window functions over und — is superseded by _trade_nbr_arr below;
+# every walk consumer now uses the array form, so the window build and
+# its 2|E|-row per-step scans are gone from the bench entirely. The
+# oracles' nbr CTE keeps the rank semantics; sort_array == ORDER BY b.)
 
+
+def _trade_nbr_arr(spark, sf_dir):
+    """Adjacency-ARRAY neighbour table DF[a, deg, nbs] — one row per
+    vertex, ``nbs`` = neighbours sorted ascending (so
+    ``element_at(nbs, rn)`` is exactly _trade_nbr's rank-rn neighbour)
+    and ``deg = size(nbs)``; memoized per (session, sf_dir).
+
+    r14 opt (guide §2.3/§2.4): the walk loops' step join against the
+    per-edge _trade_nbr was a ×deg row explosion — every frontier row
+    matched all deg(a) neighbour rows before the rn filter dropped all
+    but one (measured the dominant per-step cost: intermediate rows =
+    Σ walks_at(v)·deg(v), and walk visitation is degree-biased). The
+    array form makes the step a 1:1 equi-join (one probe, one
+    ``element_at`` — codegen, NOT an interpreted array lambda) and
+    shrinks the scanned side from 2|E| rows to |V| rows. Build is one
+    vertex-keyed exchange (no window sort); total array cells = 2|E|,
+    the same bytes _trade_nbr carried."""
     from .relational_queries import _memo_cache
 
     und = _trade_und(spark, sf_dir)
 
     def build():
-        w = Window.partitionBy("a").orderBy("b")
-        return (
-            und.select("a", "b")
-            .withColumn("rn", F.row_number().over(w))
-            .withColumn("deg", F.count("*").over(Window.partitionBy("a")))
+        return und.groupBy("a").agg(
+            F.sort_array(F.collect_list("b")).alias("nbs"),
+            F.count("*").cast("long").alias("deg"),
         )
 
-    return _memo_cache(spark, sf_dir, "trade_nbr", build)
+    return _memo_cache(spark, sf_dir, "trade_nbr_arr", build)
+
+
+def _walk_step_v():
+    """The shared step expression: LCG rank-pick via array lookup —
+    identical to the per-edge form's ``rn = (st %% deg) + 1`` row because
+    ``nbs`` is sorted by neighbour id (= rn order)."""
+    return F.element_at(
+        F.col("nbs"), (F.col("st") % F.col("deg") + 1).cast("int")
+    )
 
 
 def _rw_num_walks(n_verts: int) -> int:
@@ -3657,15 +3734,14 @@ def _rw_corpus(spark, sf_dir):
     from .relational_queries import _memo_cache
 
     def build():
-        nbr = _trade_nbr(spark, sf_dir)
-        n_verts = nbr.select("a").distinct().count()  # bounded scalar
+        nbr = _trade_nbr_arr(spark, sf_dir)
+        n_verts = nbr.count()  # bounded scalar: one row per vertex
         nw = _rw_num_walks(n_verts)
         # start set derives from the (already materialized) neighbour
         # table — never re-runs the orders⋈lineitem edge build
         starts = (
             nbr.filter(F.col("a").startswith("c"))
             .select(F.substring("a", 2, 100).cast("long").alias("wid"))
-            .distinct()
             .orderBy("wid")
             .limit(nw)
         )
@@ -3682,16 +3758,16 @@ def _rw_corpus(spark, sf_dir):
             f = out[-1]
             # each frontier is lineage-cut (nw rows): without this, step
             # k's plan inlines steps 0..k-1, so the 9-branch union
-            # re-executes O(L²) joins (memory/spark-perf lesson)
+            # re-executes O(L²) joins (memory/spark-perf lesson).
+            # r14: 1:1 join against the adjacency-ARRAY table — one
+            # element_at per walk instead of a ×deg match-then-filter
+            # (see _trade_nbr_arr)
             step = (
-                nbr.join(
-                    F.broadcast(f),
-                    (nbr.a == f.v) & (nbr.rn == (f.st % nbr.deg) + 1),
-                )
+                nbr.join(F.broadcast(f), nbr.a == f.v)
                 .select(
                     "wid",
                     F.lit(k).cast("long").alias("step"),
-                    F.col("b").alias("v"),
+                    _walk_step_v().alias("v"),
                     (
                         (F.lit(1103515245) * F.col("st") + 12345) % 2147483648
                     ).alias("st"),
@@ -3702,7 +3778,12 @@ def _rw_corpus(spark, sf_dir):
         from functools import reduce as _reduce
 
         allw = _reduce(lambda x, y: x.unionByName(y), out)
-        return allw.select("wid", "step", "v")
+        # narrow-merge the (L+1)·P near-empty union partitions before
+        # caching (same fix as _rwf_corpus_wide; the log-sized corpus
+        # was cached as ~288 partitions of ~1 row)
+        return allw.select("wid", "step", "v").coalesce(
+            spark.sparkContext.defaultParallelism
+        )
 
     return _memo_cache(spark, sf_dir, "rw_corpus", build)
 
@@ -3795,24 +3876,31 @@ def g_node2vec_walks(spark, sf_dir):
     in both engines like g_random_walks (same LCG, same derived walk
     count, same neighbour ranking).
 
-    Scale posture: candidates per step = frontier ⋈ neighbour table
-    (frontier broadcasts; ~deg rows per walk). The common-neighbour test
-    never joins candidates against the full edge set on the build side:
-    the (prev, x) probe pairs are broadcast INTO a map-only scan of the
-    memoized edge frame, and the small match list broadcasts back. The
-    weighted pick is a per-walk running-sum window over ~deg rows. At
-    millions of walks the frontier side shuffles instead of
+    Scale posture: candidates per step = frontier ⋈ adjacency-array
+    table, exploded (frontier broadcasts; ~deg rows per walk). The
+    common-neighbour test is an ``array_contains`` against prev's
+    neighbour array — one more 1:1 join of the tiny candidate set
+    against the vertex-sized array table (r14, guide §2.3: this and the
+    candidate build were full scans of the 2|E|-row edge frame per step
+    for a log-sized walk set; both now scan the |V|-row array table).
+    The weighted pick is a per-walk running-sum window over ~deg rows.
+    At millions of walks the frontier side shuffles instead of
     broadcasting; everything stays keyed, nothing is driver-side."""
     from pyspark.sql import Window
 
     und = _trade_und(spark, sf_dir)
-    nbr = _trade_nbr(spark, sf_dir)
-    n_verts = nbr.select("a").distinct().count()  # bounded scalar
+    nbr = _trade_nbr_arr(spark, sf_dir)
+    n_verts = nbr.count()  # bounded scalar: one row per vertex
+    # byte-honest broadcast bound for the array table: |V| rows but
+    # 2|E| array cells — gate on the edge count (memoized scalar over
+    # the cached und frame), so the hint drops at corpus scale
+    n_edges = _memo_scalar(
+        spark, sf_dir, "trade_und_rows", lambda: und.count()
+    )
     nw = _rw_num_walks(n_verts)
     starts = (
         nbr.filter(F.col("a").startswith("c"))
         .select(F.substring("a", 2, 100).cast("long").alias("wid"))
-        .distinct()
         .orderBy("wid")
         .limit(nw)
     )
@@ -3828,33 +3916,45 @@ def g_node2vec_walks(spark, sf_dir):
     out = [frontier]
     for k in range(1, _WALK_LEN + 1):
         f = out[-1]
-        cand = nbr.join(F.broadcast(f), nbr.a == f.v).select(
-            "wid", "st", "v", "prev", F.col("b").alias("x"), "rn"
-        )
-        # common-neighbour probe: broadcast the tiny (prev, x) pair set
-        # into one map-only scan of the cached edge frame, broadcast the
-        # small match list back — never a build side over the edge set
-        pex = cand.select(
-            F.col("prev").alias("pa"), F.col("x").alias("px")
-        ).distinct()
-        common = (
-            und.join(
-                F.broadcast(pex),
-                (und.a == F.col("pa")) & (und.b == F.col("px")),
+        # candidates: explode current vertex's neighbour array — rn is
+        # the 1-based position, identical to _trade_nbr's rank
+        cand = (
+            nbr.join(F.broadcast(f), nbr.a == f.v)
+            .select(
+                "wid",
+                "st",
+                "v",
+                "prev",
+                F.posexplode("nbs").alias("rn0", "x"),
             )
-            .select("pa", "px")
-            .distinct()
-            .withColumn("ce", F.lit(1))
+            .select(
+                "wid", "st", "v", "prev", "x",
+                (F.col("rn0") + 1).alias("rn"),
+            )
         )
+        # common-neighbour probe: x is a common neighbour of prev iff
+        # prev's neighbour array contains it — a second 1:1 join against
+        # the vertex-sized array table (no edge-set scan); step-0 rows
+        # (prev = '') miss the join and fall to the outward weight
         scored = (
             cand.join(
-                F.broadcast(common),
-                (F.col("prev") == F.col("pa")) & (F.col("x") == F.col("px")),
+                _maybe_broadcast(
+                    nbr.select(
+                        F.col("a").alias("pa"), F.col("nbs").alias("pnbs")
+                    ),
+                    n_edges,  # cells ≈ 2|E| dominate the array bytes
+                ),
+                F.col("prev") == F.col("pa"),
                 "left",
             )
             .withColumn(
                 "wt",
-                F.expr(_n2v_wt_case("x = prev", "ce IS NOT NULL")).cast("long"),
+                F.expr(
+                    _n2v_wt_case(
+                        "x = prev",
+                        "pnbs IS NOT NULL AND array_contains(pnbs, x)",
+                    )
+                ).cast("long"),
             )
             .withColumn("cw", F.sum("wt").over(wcum))
             .withColumn("tot", F.sum("wt").over(wall))
@@ -3889,7 +3989,11 @@ def g_node2vec_walks(spark, sf_dir):
 # embeddings in the ANN-servable (id, dim, value) layout.
 # ---------------------------------------------------------------------------
 
-_SG_DIM = 4  # embedding width; the plan is long-format, any D works
+_SG_DIM = 4  # embedding width. Since r13 the trainer is WIDE flat-column
+# (one val{i} column per dim — _sg_wide/_sg_fwd_wide), so D multiplies
+# broadcast row width and per-row codegen cost: raising D needs the
+# D-aware broadcast bound in _sg_fwd_wide (already in place) and a check
+# that codegen expression width stays sane (D ≲ 64)
 _SG_WINDOW = 2  # skip-gram context window (±2 steps within a walk)
 _SG_U = 1_000_000  # micro-unit scale (the quality_lr_train contract)
 _SG_HALF = _SG_U // 2
@@ -4199,9 +4303,16 @@ def _sg_fwd_wide(prs, ew, nv: int):
     for i in range(_SG_DIM):
         term = F.col(f"va{i}") * F.col(f"vb{i}")
         zz = term if zz is None else zz + term
+    # D-aware broadcast bound (r13 ADVICE): _BCAST_BYTES_PER_ROW=48 was
+    # calibrated for narrow rows, but a wide embedding row carries one
+    # string key + D longs (≈ 16 + 8·D bytes), so the effective row
+    # count handed to the gate scales with D — at D=4 the factor is 1
+    # (48 bytes/row exactly), a bigger D shrinks the budget instead of
+    # silently blowing it
+    nv_eff = nv * max(1, (16 + 8 * _SG_DIM + 47) // 48)
     return (
-        prs.join(_maybe_broadcast(ea, nv), "a")
-        .join(_maybe_broadcast(eb, nv), "b")
+        prs.join(_maybe_broadcast(ea, nv_eff), "a")
+        .join(_maybe_broadcast(eb, nv_eff), "b")
         .select(
             "pid",
             "a",
@@ -4286,9 +4397,15 @@ def _sg_train_epochs(prs, e, nvd: int):
             )
         )
         # per-epoch lineage cut (the O(L²) inlining lesson); the
-        # update division truncates on both engines (DIV ≡ //)
+        # update division truncates on both engines (DIV ≡ //). Same
+        # D-aware broadcast bound as the forward pass: g carries D sum
+        # columns + cw per vertex.
         ew = (
-            ew.join(_maybe_broadcast(g, nv), "v", "left")
+            ew.join(
+                _maybe_broadcast(g, nv * max(1, (24 + 8 * D + 47) // 48)),
+                "v",
+                "left",
+            )
             .select(
                 "v",
                 *[
@@ -4757,13 +4874,22 @@ def g_skipgram_knn(spark, sf_dir):
     )
 
 
-def _rwf_corpus(spark, sf_dir, gamma: int | None = None):
-    """DF[wid, step, v] — γ = _SGF_GAMMA walks from EVERY vertex (the
-    full-vocabulary corpus, r11 VERDICT #2), LCG-deterministic and
-    memoized per (session, sf_dir). Unlike _rw_corpus's log-sized
-    frontier, the per-vertex frontier is VERTEX-sized, so each step join
-    goes through the count-gated _maybe_broadcast (bound γ·n from the
-    exact neighbour-table count below) — broadcast at test SFs, a
+def _rwf_corpus_wide(spark, sf_dir, gamma: int | None = None):
+    """DF[wid, step, v, p1..p{W}] — the full-vocab walk corpus WITH a
+    trailing context window: ``pj`` is the vertex j steps back in the
+    same walk (NULL for step < j), W = _SG_WINDOW. Carrying the window
+    through the step loop costs two extra narrow columns per row and
+    lets _sgf_pairs derive every window pair by PROJECTION instead of
+    the wid-keyed corpus self-join (r13 VERDICT #1: that join was two
+    corpus-sized exchanges + a ±W band filter over a 9×9 step cross;
+    guide §2.1/§2.3 — the pairs plan now reaches its groupBy(a,b) with
+    zero extra exchanges).
+
+    γ = _SGF_GAMMA walks from EVERY vertex (r11 VERDICT #2),
+    LCG-deterministic and memoized per (session, sf_dir). The per-vertex
+    frontier is VERTEX-sized, so each step join goes through the
+    count-gated _maybe_broadcast (bound γ·n from the exact
+    neighbour-table count below) — broadcast at test SFs, a
     co-partitioned shuffle at 100 TB, exactly the degradation the r11
     hint audit mandates.
 
@@ -4775,14 +4901,15 @@ def _rwf_corpus(spark, sf_dir, gamma: int | None = None):
     from .relational_queries import _memo_cache
 
     _gamma = _SGF_GAMMA if gamma is None else gamma
+    W = _SG_WINDOW
+    pcols = [f"p{j}" for j in range(1, W + 1)]
 
     def build():
-        nbr = _trade_nbr(spark, sf_dir)
-        nv = nbr.select("a").distinct().count()  # bounded: memoized frame
+        nbr = _trade_nbr_arr(spark, sf_dir)
+        nv = nbr.count()  # bounded: one row per vertex, memoized frame
         wid = F.concat(F.col("v"), F.lit("#"), F.col("g").cast("string"))
         frontier = (
             nbr.select(F.col("a").alias("v"))
-            .distinct()
             .select(
                 "v",
                 F.explode(
@@ -4794,39 +4921,60 @@ def _rwf_corpus(spark, sf_dir, gamma: int | None = None):
                 F.lit(0).cast("long").alias("step"),
                 "v",
                 (_h32(wid) % 2147483648).alias("st"),
+                *[F.lit(None).cast("string").alias(p) for p in pcols],
             )
             .localCheckpoint(eager=True)
         )
         out = [frontier]
         for k in range(1, _WALK_LEN + 1):
             f = out[-1]
-            # frontier bound: γ·nv rows exactly (one row per live walk)
+            # frontier bound: γ·nv rows exactly (one row per live walk).
+            # r14: 1:1 adjacency-array join (see _trade_nbr_arr); the
+            # trailing window shifts by one — p1 = the vertex we stand
+            # on, p{j} = its p{j-1}
             step = (
-                nbr.join(
-                    _maybe_broadcast(f, _gamma * nv),
-                    (nbr.a == f.v) & (nbr.rn == (f.st % nbr.deg) + 1),
-                )
+                nbr.join(_maybe_broadcast(f, _gamma * nv), nbr.a == f.v)
                 .select(
                     "wid",
                     F.lit(k).cast("long").alias("step"),
-                    F.col("b").alias("v"),
+                    _walk_step_v().alias("v"),
                     (
                         (F.lit(1103515245) * F.col("st") + 12345)
                         % 2147483648
                     ).alias("st"),
+                    F.col("v").alias("p1"),
+                    *[
+                        F.col(f"p{j - 1}").alias(f"p{j}")
+                        for j in range(2, W + 1)
+                    ],
                 )
                 .localCheckpoint(eager=True)
             )
             out.append(step)
         from functools import reduce as _reduce
 
-        return _reduce(lambda x, y: x.unionByName(y), out).select(
-            "wid", "step", "v"
+        # coalesce before the memo cache: the union of L+1 step
+        # checkpoints carries (L+1)·P near-empty partitions (measured
+        # 288 at sf0.1 — every downstream scan paid 288 task launches);
+        # narrow merge to the session parallelism, no shuffle
+        return (
+            _reduce(lambda x, y: x.unionByName(y), out)
+            .select("wid", "step", "v", *pcols)
+            .coalesce(spark.sparkContext.defaultParallelism)
         )
 
     if gamma is not None and gamma != _SGF_GAMMA:
         return build()  # probe path: no memo, registered queries untouched
-    return _memo_cache(spark, sf_dir, "rwf_corpus", build)
+    return _memo_cache(spark, sf_dir, "rwf_corpus_w", build)
+
+
+def _rwf_corpus(spark, sf_dir, gamma: int | None = None):
+    """DF[wid, step, v] — the full-vocab walk corpus (the r11 contract
+    shape); a projection of the memoized wide corpus, so pairs and
+    negatives share ONE materialization."""
+    return _rwf_corpus_wide(spark, sf_dir, gamma=gamma).select(
+        "wid", "step", "v"
+    )
 
 
 def _sgf_pairs(spark, sf_dir, gamma: int | None = None):
@@ -4839,21 +4987,36 @@ def _sgf_pairs(spark, sf_dir, gamma: int | None = None):
     from .relational_queries import _memo_cache
 
     def build():
-        corp = _rwf_corpus(spark, sf_dir, gamma=gamma)
-        c1 = corp.select(
-            "wid", F.col("step").alias("s1"), F.col("v").alias("a")
-        )
-        c2 = corp.select(
-            "wid", F.col("step").alias("s2"), F.col("v").alias("b")
-        )
-        win = (
-            c1.join(c2, "wid")
-            .filter(
-                (F.col("s2") >= F.col("s1") - _SG_WINDOW)
-                & (F.col("s2") <= F.col("s1") + _SG_WINDOW)
-                & (F.col("s2") != F.col("s1"))
+        corp_w = _rwf_corpus_wide(spark, sf_dir, gamma=gamma)
+        corp = corp_w.select("wid", "step", "v")
+        # window pairs by PROJECTION off the trailing-window corpus (r14,
+        # guide §2.1): the old c1⋈c2 wid self-join shuffled the corpus
+        # twice and banded a 9×9 step cross; each (s1, s2) pair with
+        # 0 < |s1−s2| ≤ W appears exactly once as (step = max(s1,s2),
+        # p{|s1−s2|}) — emitting both orientations reproduces the join's
+        # multiset exactly (equal w=1 rows into the same groupBy). One
+        # explode per row, not 2W union branches: the explode keeps a
+        # SINGLE cache scan (measured 2× on the agg; explode is a
+        # codegen generator, not an interpreted HOF); NULL p{j} rows
+        # (step < j) drop in the filter.
+        pair_structs = []
+        for j in range(1, _SG_WINDOW + 1):
+            pair_structs.append(
+                F.struct(
+                    F.col(f"p{j}").alias("a"), F.col("v").alias("b")
+                )
             )
-            .select("a", "b", F.lit(1).alias("w"))
+            pair_structs.append(
+                F.struct(
+                    F.col("v").alias("a"), F.col(f"p{j}").alias("b")
+                )
+            )
+        win = (
+            corp_w.select(F.explode(F.array(*pair_structs)).alias("e"))
+            .filter(
+                F.col("e.a").isNotNull() & F.col("e.b").isNotNull()
+            )
+            .select("e.a", "e.b", F.lit(1).alias("w"))
         )
         edges = (
             _trade_und(spark, sf_dir)
@@ -4865,6 +5028,10 @@ def _sgf_pairs(spark, sf_dir, gamma: int | None = None):
             win.unionByName(edges)
             .groupBy("a", "b")
             .agg(F.sum("w").cast("long").alias("w"))
+            # lazy cut (r14): pos feeds BOTH prs branches (positives and
+            # the negatives derivation) — uncut, the window-pair agg ran
+            # twice per materialization (the shared-subtree lesson)
+            .localCheckpoint(eager=False)
         )
         toks = corp.select(
             "v",
@@ -4893,6 +5060,16 @@ def _sgf_pairs(spark, sf_dir, gamma: int | None = None):
             .agg(F.min(F.struct("th", "v")).alias("mv"))
             .select("tb", F.col("mv.v").alias("nv"))
         )
+        # reps bound: one row per rendezvous bucket, nb = max(16,
+        # ntok DIV _SGF_NEG_DIV) with ntok = γ·|vocab|·(L+1) — derived
+        # from the memoized vocab count, so the hint drops at corpus
+        # scale (r14: unhinted, the stats-less agg side forced an SMJ
+        # that shuffled+sorted the pair-sized probe by tb)
+        nv_vocab = _sgf_nvd(spark, sf_dir) // _SG_DIM
+        _gamma = _SGF_GAMMA if gamma is None else gamma  # probe override
+        nb_bound = max(
+            16, _gamma * nv_vocab * (_WALK_LEN + 1) // _SGF_NEG_DIV
+        )
         neg = (
             pos.crossJoin(F.broadcast(nbk))  # 1-row derived config
             .select(
@@ -4904,7 +5081,7 @@ def _sgf_pairs(spark, sf_dir, gamma: int | None = None):
                     % F.col("nb")
                 ).alias("tb"),
             )
-            .join(reps, "tb")
+            .join(_maybe_broadcast(reps, nb_bound), "tb")
             .select("a", "ob", F.col("nv").alias("b"), "w")
         )
         prs = pos.select(
@@ -6544,9 +6721,12 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
             return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
 
         def on_vertices(batch_df, _bid) -> None:
-            memb.append(batch_df.select("id").distinct())
-            memb.compact(
-                spark, min_deltas=3, transform=lambda d: d.distinct()
+            # r14: append + fold in ONE publication/action
+            memb.append_compact_once(
+                spark,
+                batch_df.select("id").distinct(),
+                min_deltas=3,
+                transform=lambda d: d.distinct(),
             )
 
         def frontier_buckets(frontier) -> list:
@@ -6622,8 +6802,12 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
                 # round).
                 .localCheckpoint(eager=False)
             )
-            edges.append_once(und_new, int(bid))
-            edges.compact(spark, min_deltas=4, transform=_edges_fold)
+            # r14: append + threshold-gated signed fold in ONE action;
+            # the ball BFS below reads the identical post-insert live
+            # set (edges_from re-folds, and the fold is union-idempotent)
+            edges.append_compact_once(
+                spark, und_new, int(bid), min_deltas=4, transform=_edges_fold
+            )
             # support region: BFS the 2R-ball around the batch endpoints
             # over the post-insert edge store (pruned scans, lineage-cut)
             ball = (
@@ -6701,13 +6885,12 @@ def _lpa_maintain_run(spark, work: str, gp: str, edge_ops: bool = False):
                     "merge": labf.count(),
                 }
             # publish the R-ball's batch-final labels as a max-bid delta
-            labels.append(
+            # (r14: append + threshold-gated fold in ONE action)
+            labels.append_compact_once(
+                spark,
                 labf.select(
                     "v", "lab", F.lit(int(bid)).cast("long").alias("bid")
-                )
-            )
-            labels.compact(
-                spark,
+                ),
                 min_deltas=6,
                 transform=lambda d: (
                     d.groupBy("v")

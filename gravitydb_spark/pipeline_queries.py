@@ -4360,8 +4360,10 @@ def stream_knn_graph_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cell",
                 )
             )
-            lists.append_once(delta, bid)
-            lists.compact(spark, min_deltas=3, transform=_knn_lists_fold)
+            # r14: append + threshold-gated fold in ONE action/publication
+            lists.append_compact_once(
+                spark, delta, bid, min_deltas=3, transform=_knn_lists_fold
+            )
 
         stream = (
             spark.readStream.schema(emb.schema)
@@ -4479,9 +4481,10 @@ def stream_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rn") == 1)
                 .select("cell", "vec_id", "v")
             )
-            store.append(assigned)
-            store.compact(
+            # r14: append + threshold-gated fold in ONE action/publication
+            store.append_compact_once(
                 spark,
+                assigned,
                 min_deltas=3,
                 transform=lambda d: d.dropDuplicates(["vec_id"]),
             )
@@ -5055,9 +5058,10 @@ def stream_ivfpq_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes = batch_df.select("vec_id", "embedding").mapInPandas(
                 encode, codes_schema
             )
-            store.append(codes)
-            store.compact(
+            # r14: append + threshold-gated fold in ONE action/publication
+            store.append_compact_once(
                 spark,
+                codes,
                 min_deltas=3,
                 transform=lambda d: d.dropDuplicates(["vec_id"]),
             )
@@ -5273,8 +5277,10 @@ def stream_ivfpq_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .withColumn("op", F.lit("d"))
             )
-            store.append(rows.unionByName(tomb))
-            store.compact(spark, min_deltas=3, transform=fold)
+            # r14: append + threshold-gated fold in ONE action/publication
+            store.append_compact_once(
+                spark, rows.unionByName(tomb), min_deltas=3, transform=fold
+            )
 
         stream = (
             spark.readStream.schema(
@@ -6471,8 +6477,10 @@ def stream_kmeans_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(bid).cast("long").alias("bid"),
                 )
             )
-            store.append_once(partials, bid)
-            store.compact(spark, min_deltas=4, transform=fold)
+            # r14: append + threshold-gated fold in ONE action/publication
+            store.append_compact_once(
+                spark, partials, bid, min_deltas=4, transform=fold
+            )
 
         stream = (
             spark.readStream.schema(emb.schema)
@@ -7809,11 +7817,19 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # index append — the same invariant the per-batch handler keeps —
         # so bloom ⊇ index holds unconditionally, including a crash
         # between the two seed writes on a persistent workdir.
-        bloom.append(bloom_words(seed_keys))
-        store.append(
-            seed_keys.select(
-                "band", "bk", F.lit(-1).cast("long").alias("bid"), bkb
-            )
+        # r14: fused (one collect; publication order = list order).
+        from .transaction import append_fused
+
+        append_fused(
+            [
+                (bloom, bloom_words(seed_keys)),
+                (
+                    store,
+                    seed_keys.select(
+                        "band", "bk", F.lit(-1).cast("long").alias("bid"), bkb
+                    ),
+                ),
+            ]
         )
         out_dir = os.path.join(work, "admitted")
 
@@ -7829,8 +7845,10 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             if os.path.exists(os.path.join(bdir, "_SUCCESS")):
                 return  # replayed, already fully processed
             keyed = _batch_band_keys(batch_df).localCheckpoint(
-                eager=True
+                eager=False
             )  # codegen path (r11); barrier: feeds probe + admit + append
+            # (r14: lazy — the bkbs collect below materializes it, and
+            # every store read it feeds is planned before any publish)
             # Bloom pre-filter (r10 VERDICT #7): a key missing any of its
             # _BLOOM_K positions is DEFINITELY absent from the index —
             # only the surviving "maybe" keys drive the store probe, so
@@ -7862,7 +7880,8 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             keyed_maybe = keyed.join(
                 maybe, ["band", "bk"], "left_semi"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)  # r14: the bkbs collect
+            # below is the materializing action (one job, not two)
             # the probe's bucket set: bounded by the fanout regardless of
             # batch size (constant-size driver list), and now further
             # SHRUNK to the Bloom survivors' buckets
@@ -7895,25 +7914,37 @@ def stream_dedup_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .distinct()
                 .join(hits, "doc_id", "left_anti")
-                .localCheckpoint()  # the index append below must not re-race the probe
+                # lazy cut (r14): the fused append's ONE collect
+                # materializes this BEFORE any publish — the probe still
+                # reads the pre-batch index state
+                .localCheckpoint(eager=False)
             )
             adm_keys = (
                 keyed.join(admitted, "doc_id", "left_semi")
                 .select("band", "bk")
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # two consumers below,
+                # both inside the one fused collect
             )
             # bloom append FIRST: the index may never contain a key whose
             # positions the bloom lacks (a crash between the two appends
-            # leaves a superset bloom — harmless false-positive margin)
-            bloom.append(bloom_words(adm_keys))
-            store.append(
-                adm_keys.select(
-                    "band",
-                    "bk",
-                    F.lit(int(batch_id)).cast("long").alias("bid"),
-                    bkb,
-                )
+            # leaves a superset bloom — harmless false-positive margin).
+            # r14: ONE fused collect for both publishes; list order is
+            # publication order, so the bloom ⊇ index invariant holds at
+            # every crash point exactly as the sequential appends did.
+            append_fused(
+                [
+                    (bloom, bloom_words(adm_keys)),
+                    (
+                        store,
+                        adm_keys.select(
+                            "band",
+                            "bk",
+                            F.lit(int(batch_id)).cast("long").alias("bid"),
+                            bkb,
+                        ),
+                    ),
+                ]
             )
             admitted.coalesce(1).write.mode(
                 "overwrite"
@@ -8104,8 +8135,12 @@ def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             if os.path.exists(os.path.join(bdir, "_SUCCESS")):
                 return  # replayed, already fully processed
             # codegen band-key path (r11); one row per (doc_id, band)
-            # by construction, so no distinct needed
-            ins_keyed = _batch_band_keys(batch_df.filter(F.col("op") == "i"))
+            # by construction, so no distinct needed. r14: lazy cut —
+            # ins_keyed feeds the probe, the admit anti-join, and the
+            # delta build; the bkbs collect materializes it once
+            ins_keyed = _batch_band_keys(
+                batch_df.filter(F.col("op") == "i")
+            ).localCheckpoint(eager=False)
             del_keyed = _batch_band_keys(batch_df.filter(F.col("op") == "d"))
             bkbs = [r[0] for r in ins_keyed.select(bkb).distinct().collect()]
             idx = store.load(spark, where=F.col("bkb").isin(bkbs)).filter(
@@ -8127,7 +8162,9 @@ def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .distinct()
                 .join(hits, "doc_id", "left_anti")
-                .localCheckpoint()  # index append must not re-race the probe
+                # lazy cut: the append's collect materializes this before
+                # the publish, so the probe still reads pre-batch state
+                .localCheckpoint(eager=False)
             )
             deltas = (
                 ins_keyed.join(admitted, "doc_id", "left_semi")
@@ -8142,11 +8179,13 @@ def stream_dedup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(bid).cast("long").alias("bid"), bkb,
                 )
             )
-            store.append_once(deltas, bid)
+            # r14: append + threshold-gated fold in ONE action/publication
+            store.append_compact_once(
+                spark, deltas, bid, min_deltas=3, transform=fold
+            )
             admitted.coalesce(1).write.mode(
                 "overwrite"
             ).parquet(bdir)  # checkpointed batch-sized frame: 1 write task
-            store.compact(spark, min_deltas=3, transform=fold)
 
         stream = (
             spark.readStream.schema(
@@ -8213,7 +8252,7 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
     import tempfile
     import uuid as _uuid
 
-    from .transaction import DatasetStore
+    from .transaction import DatasetStore, append_fused
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     work = tempfile.mkdtemp(prefix="gravityspark_dedupretid_")
@@ -8330,8 +8369,14 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
             bdir = os.path.join(out_dir, f"b={bid}")
             if os.path.exists(os.path.join(bdir, "_SUCCESS")):
                 return  # replayed, already fully processed
-            # codegen band-key path (r11); unique per (doc_id, band)
-            ins_keyed = _batch_band_keys(batch_df.filter(F.col("op") == "i"))
+            # codegen band-key path (r11); unique per (doc_id, band).
+            # r14: lazy cut — the minhash/banding subtree feeds five
+            # consumers (probe, admit, and all three fused append parts)
+            # and was re-executed by each; the first action (the bkbs
+            # collect) materializes it once
+            ins_keyed = _batch_band_keys(
+                batch_df.filter(F.col("op") == "i")
+            ).localCheckpoint(eager=False)
             del_ids = batch_df.filter(F.col("op") == "d").select("doc_id")
             # Bloom pre-filter (r11 VERDICT #4): fold the packed word
             # table (OR — replay-idempotent), probe the forget ids'
@@ -8361,7 +8406,8 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
                 .agg(F.sum("hit").alias("kh"))
                 .filter(F.col("kh") == _BLOOM_K)
                 .select("doc_id")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # the del_kbs collect
+                # below materializes it (r14: one job, not two)
             )
             # id-only retraction: band keys come from the persisted
             # keymap (pruned to the SURVIVING ids' kb buckets), not
@@ -8405,7 +8451,10 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
                 )
                 .distinct()
                 .join(hits, "doc_id", "left_anti")
-                .localCheckpoint()  # index append must not re-race the probe
+                # lazy cut: the fused append's ONE collect materializes
+                # this BEFORE any store publishes, so the probe still
+                # reads the pre-batch index state (append can't re-race)
+                .localCheckpoint(eager=False)
             )
             adm_keys = ins_keyed.join(admitted, "doc_id", "left_semi")
             deltas = (
@@ -8422,15 +8471,23 @@ def stream_dedup_retractions_by_id(spark: SparkSession, sf_dir: str) -> DataFram
                     F.lit(bid).cast("long").alias("bid"), bkb,
                 )
             )
-            store.append_once(deltas, bid)
-            # admitted docs become future-forgettable: persist their
-            # keys — bloom append FIRST (bloom ⊇ keymap ids even if a
-            # crash splits the two; OR-fold makes the replay inert)
-            id_bloom.append(
-                id_bloom_words(adm_keys.select("doc_id").distinct())
-            )
-            keymap.append_once(
-                adm_keys.select("doc_id", "band", "bk", kb), bid
+            # r14: ONE fused collect for all three publishes (r13 VERDICT
+            # #3). Publication order = list order = bloom, keymap, index:
+            # a crash leaves a PREFIX, so bloom ⊇ keymap holds at every
+            # point (the old code's invariant), and a missing keymap/
+            # index publish is refilled on replay via each store's OWN
+            # bid high-water mark. The one collect evaluates every frame
+            # BEFORE any store mutates, so the probe's pre-batch read
+            # state is pinned exactly as the sequential appends pinned it.
+            append_fused(
+                [
+                    (
+                        id_bloom,
+                        id_bloom_words(adm_keys.select("doc_id").distinct()),
+                    ),
+                    (keymap, adm_keys.select("doc_id", "band", "bk", kb), bid),
+                    (store, deltas, bid),
+                ]
             )
             admitted.coalesce(1).write.mode(
                 "overwrite"
@@ -10999,9 +11056,10 @@ def stream_rollup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             # partials are NOT inert under duplication — a replayed
             # append would double-count after the key-fold (r6 VERDICT
             # #1). The bid high-water mark makes the replay a no-op.
-            if store.append_once(part, batch_id) is None:
-                return  # replayed batch — delta already committed
-            store.compact(spark, min_deltas=2, transform=merge)
+            # r14: append + fold in ONE publication/action
+            store.append_compact_once(
+                spark, part, batch_id, min_deltas=2, transform=merge
+            )
 
         stream = (
             spark.readStream.schema(static.schema)
@@ -11114,8 +11172,10 @@ def stream_rollup_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             # "skip the delta, still publish the pending version", so
             # neither a double-counted sum nor a duplicate version
             # (which would shift load_version indexes) can occur.
-            if store.append_once(part, batch_id) is not None:
-                store.compact(spark, min_deltas=2, transform=merge)
+            # r14: append + fold in ONE publication/action
+            store.append_compact_once(
+                spark, part, batch_id, min_deltas=2, transform=merge
+            )
             versions.publish_once(merge(store.load(spark)), batch_id)
 
         stream = (
@@ -11234,10 +11294,10 @@ def stream_rollup_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # signed deltas are additive too — same replay guard as the
             # insert-only rollup (a replayed retraction batch must not
-            # subtract twice)
-            if store.append_once(part, batch_id) is None:
-                return
-            store.compact(spark, min_deltas=2, transform=merge)
+            # subtract twice). r14: append + fold in ONE action
+            store.append_compact_once(
+                spark, part, batch_id, min_deltas=2, transform=merge
+            )
 
         stream = (
             spark.readStream.schema(staged_schema)
@@ -11374,15 +11434,18 @@ def stream_join_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def handle(batch_df, bid) -> None:
+            # r14: lazy cuts — each delta's bucket collect below is its
+            # materializing action (one job instead of an eager
+            # checkpoint job + a collect job)
             dO = (
                 batch_df.filter(F.col("kind") == "o")
                 .select("okey", "o_custkey")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             dL = (
                 batch_df.filter(F.col("kind") == "l")
                 .select("okey", "cents")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             # pre-batch state, pruned to the delta keys' buckets
             def pruned(store, delta):
@@ -11404,13 +11467,25 @@ def stream_join_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             dV = fold_view(reduce(lambda a, b: a.unionByName(b), parts))
             # publication ORDER matters: view first (computed against
-            # pre-batch state), then the sides — every append bid-gated
-            view.append_once(dV, bid)
-            if o_store.append_once(dO.withColumn("kb", kb), bid) is not None:
+            # pre-batch state), then the sides — every append bid-gated.
+            # r14: the view's every-batch fold rides its append (one
+            # action), and the two side appends share ONE fused collect;
+            # view-then-sides order is preserved by call order.
+            from .transaction import append_fused
+
+            view.append_compact_once(
+                spark, dV, bid, min_deltas=2, transform=fold_view
+            )
+            names = append_fused(
+                [
+                    (o_store, dO.withColumn("kb", kb), bid),
+                    (l_store, dL.withColumn("kb", kb), bid),
+                ]
+            )
+            if names[0] is not None:
                 o_store.compact(spark, min_deltas=4)
-            if l_store.append_once(dL.withColumn("kb", kb), bid) is not None:
+            if names[1] is not None:
                 l_store.compact(spark, min_deltas=4)
-            view.compact(spark, min_deltas=2, transform=fold_view)
 
         stream = (
             spark.readStream.schema(staged_schema)
@@ -11557,15 +11632,16 @@ def stream_join_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def handle(batch_df, bid) -> None:
+            # r14: lazy cuts — the bucket collects below materialize each
             dO = (
                 batch_df.filter(F.col("kind") == "o")
                 .select("okey", "o_custkey")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             dL = (
                 batch_df.filter(F.col("kind") == "l")
                 .select("okey", "cents", F.col("op").cast("long").alias("m"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
 
             def pruned(store, delta):
@@ -11595,12 +11671,23 @@ def stream_join_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     agg_signed(dL.join(op_.select("okey", "o_custkey"), "okey"))
                 )
             dV = fold_view(reduce(lambda a, b: a.unionByName(b), parts))
-            view.append_once(dV, bid)
-            if o_store.append_once(dO.withColumn("kb", kb), bid) is not None:
+            # r14: view fold rides its append (one action, view still
+            # publishes FIRST); the two side appends share one collect
+            from .transaction import append_fused
+
+            view.append_compact_once(
+                spark, dV, bid, min_deltas=2, transform=fold_view
+            )
+            names = append_fused(
+                [
+                    (o_store, dO.withColumn("kb", kb), bid),
+                    (l_store, dL.withColumn("kb", kb), bid),
+                ]
+            )
+            if names[0] is not None:
                 o_store.compact(spark, min_deltas=4)
-            if l_store.append_once(dL.withColumn("kb", kb), bid) is not None:
+            if names[1] is not None:
                 l_store.compact(spark, min_deltas=3, transform=fold_l)
-            view.compact(spark, min_deltas=2, transform=fold_view)
 
         stream = (
             spark.readStream.schema(staged_schema)
@@ -11845,10 +11932,17 @@ def stream_bm25_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # two stores, each gated on its OWN mark: a crash between
             # the two appends replays into "skip postings, still append
-            # stats" (the rollup_versions pattern)
-            if postings.append_once(posts, bid) is not None:
+            # stats" (the rollup_versions pattern). r14: one fused
+            # collect for both appends (prefix-crash = the old ordered
+            # sequence); compacts stay gated on a real (non-replay) append
+            from .transaction import append_fused
+
+            names = append_fused(
+                [(postings, posts, bid), (cstats, cdelta, bid)]
+            )
+            if names[0] is not None:
                 postings.compact(spark, min_deltas=4)
-            if cstats.append_once(cdelta, bid) is not None:
+            if names[1] is not None:
                 cstats.compact(spark, min_deltas=4, transform=fold_stats)
 
         stream = (
@@ -12377,11 +12471,14 @@ def stream_bm25_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("total_dl"),
                 )
             )
-            if postings.append_once(posts, bid) is not None:
-                # 2-batch demo: fold once after the retraction lands
-                postings.compact(spark, min_deltas=2, transform=fold_posts)
-            if cstats.append_once(cdelta, bid) is not None:
-                cstats.compact(spark, min_deltas=2, transform=fold_stats)
+            # r14: append + every-batch fold in ONE action per store
+            # (min_deltas=2 fired the fold on every batch after the first)
+            postings.append_compact_once(
+                spark, posts, bid, min_deltas=2, transform=fold_posts
+            )
+            cstats.append_compact_once(
+                spark, cdelta, bid, min_deltas=2, transform=fold_stats
+            )
 
         stream = (
             spark.readStream.schema(
@@ -13059,9 +13156,10 @@ def stream_hll_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("day", "j")
                 .agg(F.max("rho").alias("m"))
             )
-            if store.append_once(part, batch_id) is None:
-                return  # replayed batch — registers already folded in
-            store.compact(spark, min_deltas=2, transform=fold)
+            # r14: append + every-batch max-fold in ONE action
+            store.append_compact_once(
+                spark, part, batch_id, min_deltas=2, transform=fold
+            )
 
         stream = (
             spark.readStream.schema(static.schema)

@@ -478,20 +478,27 @@ class DatasetStore(_SnapshotLog):
         PARTITIONED delta writes no data files at all (the _read skip
         contract), an empty UNpartitioned delta writes a schema-bearing
         empty parquet (what df.write does)."""
-        import pyarrow.parquet as papq
-
         cap = self.ARROW_WRITE_CAP
         tbl = df.limit(cap + 1).toArrow()
         if tbl.num_rows > cap:
             return False
+        self._write_arrow_table(tbl, target)
+        return True
+
+    def _write_arrow_table(self, tbl, target: str) -> None:
+        """The driver-side write step of :meth:`_write_arrow_small`,
+        split out so :func:`append_fused` can reuse it on a table that
+        was collected as part of ONE shared Spark action."""
+        import pyarrow.parquet as papq
+
         os.makedirs(target, exist_ok=True)
         if not self.partition_cols:
             papq.write_table(
                 tbl, os.path.join(target, "part-00000.parquet")
             )
-            return True
+            return
         if tbl.num_rows == 0:
-            return True  # no data files — matches Spark's empty write
+            return  # no data files — matches Spark's empty write
         import pyarrow.dataset as pads
 
         psch = tbl.schema.empty_table().select(
@@ -503,7 +510,6 @@ class DatasetStore(_SnapshotLog):
             format="parquet",
             partitioning=pads.partitioning(psch, flavor="hive"),
         )
-        return True
 
     def append(self, df) -> str:
         """Publish one delta. Returns its snapshot name."""
@@ -522,6 +528,15 @@ class DatasetStore(_SnapshotLog):
         log, it survives compaction folding the delta away. Returns
         None when the replay is recognized and skipped."""
         return self._publish_dir(lambda target: self._write(df, target), bid=bid)
+
+    def _publish_arrow(self, tbl, bid: Optional[int] = None) -> Optional[str]:
+        """Publish an ALREADY-COLLECTED Arrow table as one delta — the
+        driver-side half of :meth:`append` for :func:`append_fused`,
+        sharing :meth:`_publish_dir`'s lock/bid/log contract (no Spark
+        work happens under the lock)."""
+        return self._publish_dir(
+            lambda target: self._write_arrow_table(tbl, target), bid=bid
+        )
 
     def _read(self, spark, names):
         # each snapshot dir is read as its own root (partition discovery
@@ -562,6 +577,77 @@ class DatasetStore(_SnapshotLog):
         if df is not None and where is not None:
             df = df.filter(where)
         return df
+
+    def append_compact_once(
+        self,
+        spark,
+        df,
+        bid: Optional[int] = None,
+        min_deltas: int = 2,
+        transform=None,
+    ) -> Optional[str]:
+        """``append_once(df, bid)`` followed by ``compact(spark,
+        min_deltas, transform)`` as ONE publication and one Spark action
+        (r13 VERDICT #3: at low compaction thresholds the IVM demos paid
+        an append job AND a fold job nearly every batch). If the log
+        would reach ``min_deltas`` with this delta, the union of the
+        published deltas and THIS delta is folded and republished as the
+        single snapshot — the exact row set the sequential append + fold
+        produced, minus the transient delta-published-but-not-yet-folded
+        log state no reader could rely on. Otherwise a plain append.
+
+        Replay contract unchanged: ``bid`` is checked against and
+        advances the log's high-water mark in the same atomic log
+        replace that publishes (None on a recognized replay). Bytes
+        parked by the previous pass are dropped on every call — the
+        same cadence compact() ran at (it dropped parked bytes even on
+        below-threshold calls)."""
+        import shutil
+
+        lock = self._acquire_lock()
+        try:
+            meta = self._meta()
+            if bid is not None:
+                bid = int(bid)
+                if bid <= int(meta.get("bid_hwm", -1)):
+                    return None  # already applied — at-least-once replay
+                meta["bid_hwm"] = str(bid)
+            pending_path = os.path.join(self.path, self.GC_PENDING)
+            if os.path.exists(pending_path):
+                with open(pending_path) as f:
+                    for n in (ln.strip() for ln in f):
+                        if n:
+                            shutil.rmtree(
+                                os.path.join(self.path, n), ignore_errors=True
+                            )
+                os.unlink(pending_path)
+            names = self._published()
+            compacting = names and len(names) + 1 >= min_deltas
+            if compacting:
+                old = self._read(spark, names)
+                merged = df if old is None else old.unionByName(df)
+                if transform is not None:
+                    merged = transform(merged)
+            else:
+                merged = df
+            name = self._alloc_name()
+            target = os.path.join(self.path, name)
+            try:
+                self._write(merged, target)
+            except BaseException:
+                shutil.rmtree(target, ignore_errors=True)
+                raise
+            if compacting:
+                self._write_log([name], meta)  # atomic republish + hwm
+                tmp = pending_path + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write("\n".join(names) + "\n")
+                os.replace(tmp, pending_path)
+            else:
+                self._write_log(list(names) + [name], meta)
+            return name
+        finally:
+            os.unlink(lock)
 
     def compact(self, spark, min_deltas: int = 2, transform=None) -> bool:
         """Fold the published deltas into one snapshot when the log has
@@ -613,3 +699,76 @@ class DatasetStore(_SnapshotLog):
             return True
         finally:
             os.unlink(lock)
+
+
+def append_fused(parts) -> list:
+    """N micro-batch store appends behind ONE Spark action (r13 VERDICT
+    #3: each per-batch ``DatasetStore.append`` was its own driver-
+    synchronous job — a fixed ~0.1-0.3s scheduling round for a KB-sized
+    delta — and the IVM/stream demos pay 2-3 of them per batch).
+
+    ``parts``: a list of ``(store, df)`` or ``(store, df, bid)``, in
+    CRASH-REPLAY ORDER — the store whose published state must never lag
+    another's goes FIRST (the dedup family's invariant chain:
+    bloom ⊇ keymap ⊇ index). The frames are collected together as one
+    tagged, typed-NULL-padded union (the gate-compound trick: every
+    part keeps its exact column types, so the per-store Arrow tables
+    are byte-identical to what ``df.limit(cap+1).toArrow()`` would have
+    produced alone), then each store publishes driver-side in list
+    order — pure fs work, no Spark under any lock. A crash between
+    publishes leaves a PREFIX of the list published: exactly the state
+    the ordered sequential appends could have left, so every existing
+    replay/superset argument carries over unchanged.
+
+    Size degradation: a part whose frame exceeds ARROW_WRITE_CAP in the
+    shared collect falls back to its store's normal append path (the
+    cluster write) AT ITS POSITION, preserving order — so a corpus-
+    sized seed append degrades exactly as the unfused code did.
+
+    Returns the per-part snapshot names (None where a ``bid`` replay
+    was recognized and skipped)."""
+    from pyspark.sql import functions as F
+
+    norm = [
+        (p[0], p[1], p[2] if len(p) > 2 else None) for p in parts
+    ]
+    cap = DatasetStore.ARROW_WRITE_CAP
+    # tagged, typed-NULL-padded union: part i owns columns "c{i}_<name>"
+    padded = []
+    for i, (_store, df, _bid) in enumerate(norm):
+        cols = [F.lit(i).alias("_fuse_tag")]
+        for j, (_s2, df2, _b2) in enumerate(norm):
+            for fld in df2.schema.fields:
+                name = f"c{j}_{fld.name}"
+                if j == i:
+                    cols.append(F.col(fld.name).alias(name))
+                else:
+                    cols.append(
+                        F.lit(None).cast(fld.dataType).alias(name)
+                    )
+        padded.append(df.limit(cap + 1).select(*cols))
+    from functools import reduce
+
+    union = reduce(lambda a, b: a.unionByName(b), padded)
+    tbl = union.toArrow()  # the ONE Spark action
+    tags = tbl.column("_fuse_tag")
+    out = []
+    for i, (store, df, bid) in enumerate(norm):
+        import pyarrow.compute as pc
+
+        part_tbl = tbl.filter(pc.equal(tags, i)).select(
+            [f"c{i}_{f.name}" for f in df.schema.fields]
+        )
+        part_tbl = part_tbl.rename_columns(
+            [f.name for f in df.schema.fields]
+        )
+        if part_tbl.num_rows > cap or not store.small_writes:
+            # over the driver-collect budget (or a cluster-path store):
+            # this part takes the normal append path at its position
+            out.append(
+                store.append_once(df, bid) if bid is not None
+                else store.append(df)
+            )
+        else:
+            out.append(store._publish_arrow(part_tbl, bid=bid))
+    return out

@@ -18,7 +18,9 @@ def _worst_case_timings():
 
 
 def test_compact_line_under_budget_at_current_query_count():
-    line = bench.compact_line(_worst_case_timings(), sf=0.1)
+    line = bench.compact_line(
+        _worst_case_timings(), sf=0.1, cpus=128, parallelism=128
+    )
     assert len(line) < bench.STDOUT_LINE_BUDGET, (
         f"stdout bench line is {len(line)} bytes; the driver keeps only "
         "the last ~2000 chars of output and json.loads it — shrink the "
@@ -27,7 +29,9 @@ def test_compact_line_under_budget_at_current_query_count():
 
 
 def test_compact_line_parses_with_headline_fields():
-    line = bench.compact_line(_worst_case_timings(), sf=0.1)
+    line = bench.compact_line(
+        _worst_case_timings(), sf=0.1, cpus=8, parallelism=8
+    )
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_runtime"
     assert parsed["unit"] == "sec"
@@ -36,6 +40,10 @@ def test_compact_line_parses_with_headline_fields():
     assert abs(parsed["value"] - 9999.999 * len(bench.HEADLINE)) < 0.5
     # the per-query dict is intentionally truncated to the 10 slowest
     assert len(parsed["queries"]) <= 10
+    # the $SPARK_GRAFT_CPUS observability contract (r13 VERDICT #2):
+    # the line must prove which core count the session actually ran at
+    assert parsed["cpus"] == 8
+    assert parsed["parallelism"] == 8
 
 
 def test_compact_line_is_single_line():

@@ -37,7 +37,7 @@ def main() -> None:
     # warm the shared graph memos outside the timers (the γ=2 bench wall
     # includes them once per session; here every γ should isolate the
     # corpus+pairs+train cost)
-    gq._trade_nbr(spark, sf_dir).count()
+    gq._trade_nbr_arr(spark, sf_dir).count()
     e0 = gq._sgf_e0(spark, sf_dir)
     nvd = gq._sgf_nvd(spark, sf_dir)
     sc = spark.sparkContext
