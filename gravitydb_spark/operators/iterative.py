@@ -210,7 +210,9 @@ def cc_labels(edges: DataFrame, max_iters: int = 40) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, n_edges: int | None = None
+) -> DataFrame:
     """DF[id, triangles] — per-vertex triangle participation counts over
     the undirected simple graph induced by ``edges`` (DF[src, dst]);
     vertices in no triangle are absent.
@@ -221,7 +223,22 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     against the oriented edge set. Max out-degree under this orientation
     is O(sqrt(m)), so wedge count is O(m^1.5) regardless of skew — a
     celebrity vertex with 10⁶ followers contributes no wedges from its
-    own (huge) in-neighborhood. Three equi-joins, no driver iteration."""
+    own (huge) in-neighborhood. Three equi-joins, no driver iteration.
+
+    ``n_edges`` (r14, guide §3.1 — the k-core hint recipe): a caller-held
+    bound on the canonical edge count. The degree table (≤ 2·m rows),
+    the wedge join's build side and the closing-edge set (m rows each)
+    are agg/cached frames with no usable stats at plan time, so without
+    the hint every join is a SortMergeJoin; above the broadcast budget
+    the hint drops and the shuffle plan returns (100 TB posture)."""
+
+    def _mb(df: DataFrame, bound: int) -> DataFrame:
+        if n_edges is None:
+            return df
+        from ..graph_queries import _maybe_broadcast
+
+        return _maybe_broadcast(df, bound)
+
     canon = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -237,8 +254,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("deg"))
     )
     keyed = canon.join(
-        deg.select(F.col("id").alias("lo"), F.col("deg").alias("deg_lo")), "lo"
-    ).join(deg.select(F.col("id").alias("hi"), F.col("deg").alias("deg_hi")), "hi")
+        _mb(
+            deg.select(F.col("id").alias("lo"), F.col("deg").alias("deg_lo")),
+            2 * (n_edges or 0),
+        ),
+        "lo",
+    ).join(
+        _mb(
+            deg.select(F.col("id").alias("hi"), F.col("deg").alias("deg_hi")),
+            2 * (n_edges or 0),
+        ),
+        "hi",
+    )
     # lo < hi lexicographically by construction, so the (deg, id) tiebreak
     # keeps lo first on equal degrees
     lo_first = F.col("deg_lo") <= F.col("deg_hi")
@@ -253,7 +280,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     ).cache()  # barrier: used three times below — don't recompute degrees
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
-        e2,
+        _mb(e2, n_edges or 0),
         (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.vkey") < F.col("e2.vkey")),
     ).select(
         F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
@@ -261,7 +288,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # closing edge b→c exists iff the triangle closes: key(b) < key(c) holds
     # by wedge construction, so the oriented set contains it exactly then
     closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    tri = wedges.join(closer, ["b", "c"])
+    tri = wedges.join(_mb(closer, n_edges or 0), ["b", "c"])
     # one pass over the triangle set: explode the 3 member roles instead of
     # unioning three projections (a union re-evaluates the join per branch)
     members = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
@@ -580,7 +607,12 @@ def kcore_onion(
     return out
 
 
-def truss_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
+def truss_peel(
+    pairs: DataFrame,
+    k: int = 3,
+    max_rounds: int = 8,
+    n_edges: int | None = None,
+) -> DataFrame:
     """DF[a, b, peel_round: long] — iterative k-truss peel over a
     canonically-oriented edge DF[a, b] (a < b, one row per undirected
     edge). Round r removes every edge whose SUPPORT — the number of
@@ -613,6 +645,18 @@ def truss_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
     thr = k - 2
     peeled = []
     converged = False
+
+    # count-gated hints (r14, the k-core recipe — guide §3.1): per round
+    # the degree table (≤ 2·m rows), wedge build side and closer set
+    # (m rows) are stats-less agg/cached frames; ``n_edges`` bounds them
+    # (edges only shrink across rounds, so the first round's bound holds
+    # for all); above the broadcast budget the hint is dropped
+    def _mb(df: DataFrame, bound: int) -> DataFrame:
+        if n_edges is None:
+            return df
+        from ..graph_queries import _maybe_broadcast
+
+        return _maybe_broadcast(df, bound)
     # max_rounds REMOVAL rounds budgeted + one confirming empty round
     # (the oracle's unroll depth counts removal rounds — same off-by-one
     # contract as kcore_onion)
@@ -624,10 +668,16 @@ def truss_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
             .agg(F.count("*").alias("deg"))
         )
         keyed = edges.join(
-            deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a")),
+            _mb(
+                deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a")),
+                2 * (n_edges or 0),
+            ),
             "a",
         ).join(
-            deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b")),
+            _mb(
+                deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b")),
+                2 * (n_edges or 0),
+            ),
             "b",
         )
         # a < b by canonical construction, so (deg, id) ties keep a first
@@ -646,7 +696,7 @@ def truss_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
         ).cache()  # barrier: three consumers below share one degree pass
         e1, e2 = oriented.alias("e1"), oriented.alias("e2")
         wedges = e1.join(
-            e2,
+            _mb(e2, n_edges or 0),
             (F.col("e1.u") == F.col("e2.u"))
             & (F.col("e1.vkey") < F.col("e2.vkey")),
         ).select(
@@ -655,7 +705,7 @@ def truss_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
             F.col("e2.v").alias("z"),
         )
         closer = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
-        tri = wedges.join(closer, ["y", "z"])
+        tri = wedges.join(_mb(closer, n_edges or 0), ["y", "z"])
         # each triangle found exactly once → its three edges, re-canonized
         sup = (
             tri.select(
@@ -680,7 +730,7 @@ def truss_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
             .groupBy("a", "b")
             .agg(F.count("*").alias("sup"))
         )
-        es = edges.join(sup, ["a", "b"], "left").select(
+        es = edges.join(_mb(sup, n_edges or 0), ["a", "b"], "left").select(
             "a", "b", F.coalesce("sup", F.lit(0)).alias("sup")
         )
         removed = es.filter(F.col("sup") < thr).select("a", "b").localCheckpoint()

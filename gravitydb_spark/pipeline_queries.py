@@ -1849,6 +1849,21 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _pair_count(spark: SparkSession, sf_dir: str) -> int:
+    """Exact count of the memoized pair graph — the caller-held bound
+    the triangle/truss hint contract needs (r14, guide §3.1); one count
+    job over the CACHED frame per (session, sf_dir), shared by the
+    three pair-graph consumers via the scalar memo."""
+    from .graph_queries import _memo_scalar
+
+    return _memo_scalar(
+        spark,
+        sf_dir,
+        "minhash_pair_count",
+        lambda: _minhash_pairs(spark, sf_dir).count(),
+    )
+
+
 def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b, est ≥ 0.5) from a
     DF[doc_id, sig] of minhash signatures. Factored out so consumers can
@@ -2039,7 +2054,10 @@ def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    return triangle_counts(pairs).withColumnRenamed("id", "doc_id")
+    # bound: exact memoized pair count (r14 hint contract)
+    return triangle_counts(
+        pairs, n_edges=_pair_count(spark, sf_dir)
+    ).withColumnRenamed("id", "doc_id")
 
 
 @register(
@@ -2094,7 +2112,8 @@ def dedup_pair_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("degree")
     )
     tri = triangle_counts(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        n_edges=_pair_count(spark, sf_dir),  # r14 hint contract
     ).withColumnRenamed("id", "doc_id")
     return (
         deg.join(tri, "doc_id", "left")
@@ -2181,7 +2200,12 @@ def dedup_pair_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    return truss_peel(pairs, k=3, max_rounds=_TRUSS_ROUNDS)
+    return truss_peel(
+        pairs,
+        k=3,
+        max_rounds=_TRUSS_ROUNDS,
+        n_edges=_pair_count(spark, sf_dir),  # r14 hint contract
+    )
 
 
 def _split_case_sql(hv: str) -> str:
@@ -4253,7 +4277,7 @@ def stream_knn_graph_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid as _uuid
 
-    from .transaction import DatasetStore
+    from .transaction import DatasetStore, append_fused
 
     emb = load(spark, sf_dir, "embeddings")
     work = tempfile.mkdtemp(prefix="gravityspark_knnidx_")
@@ -4318,11 +4342,21 @@ def stream_knn_graph_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             touched = [
                 r.cell for r in assigned.select("cell").distinct().collect()
             ]
-            members.append(assigned)  # dup-inert under the read fold
+            # r14 (r13 VERDICT #5): the batch's own rows join the member
+            # read IN-PLAN instead of via a store append-then-reload —
+            # pre-batch load ∪ assigned is the identical row set (vec_ids
+            # are batch-disjoint; replay duplicates are bit-identical and
+            # the dropDuplicates fold absorbs them), and the deferred
+            # members append fuses with the lists append below into ONE
+            # collect. The explicit repartition("cell") replaces the
+            # lineage cut: both self-join sides hang off the SAME
+            # exchange subtree (ReusedExchange — one member scan + one
+            # cell exchange instead of a checkpoint plus two).
+            prev = members.load(spark, where=F.col("cell").isin(touched))
             mem = (
-                members.load(spark, where=F.col("cell").isin(touched))
+                (prev.unionByName(assigned) if prev is not None else assigned)
                 .dropDuplicates(["vec_id"])
-                .localCheckpoint(eager=False)
+                .repartition("cell")
             )
             a = mem.select(
                 "cell", F.col("vec_id").alias("src"), F.col("v").alias("va")
@@ -4360,10 +4394,14 @@ def stream_knn_graph_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cell",
                 )
             )
-            # r14: append + threshold-gated fold in ONE action/publication
-            lists.append_compact_once(
-                spark, delta, bid, min_deltas=3, transform=_knn_lists_fold
+            # r14: ONE fused collect publishes the deferred members delta
+            # and the lists delta (members first: a crash after it leaves
+            # dup-inert membership rows a replay re-reads identically)
+            names = append_fused(
+                [(members, assigned), (lists, delta, bid)]
             )
+            if names[1] is not None:
+                lists.compact(spark, min_deltas=3, transform=_knn_lists_fold)
 
         stream = (
             spark.readStream.schema(emb.schema)
