@@ -308,3 +308,65 @@ def test_ccivm_deep_component_fallback_keeps_forest_spanning(spark, tmp_path):
     mid = {lab2.get(f"v{i:03d}", f"v{i:03d}") for i in range(6, n - 10 + 1)}
     end = {lab2.get(f"v{i:03d}", f"v{i:03d}") for i in range(n - 9, n + 1)}
     assert len(mid) == 1 and len(end) == 1 and mid != end
+
+
+def test_chase_and_members_match_full_store_reference(spark, tmp_path):
+    """r13 ADVICE: the fused bucket-collect loops (chase/members_of use
+    each round's advanced-root bucket list as BOTH the emptiness probe
+    and the next pruned-load filter) must read every row the old
+    probe-then-full-bucket-list plan read. Direct check on a store with
+    MULTI-HOP UNCOMPACTED chains spanning several buckets: a path grown
+    one edge per batch with NO compaction stacks relabel deltas whose
+    root pointers hop buckets, and chase/members_of must agree with a
+    driver-side reference computed from the FULL label log."""
+    from gravitydb_spark.graph_queries import CCIvm
+
+    ivm = CCIvm(spark, str(tmp_path / "ccchase"))
+    verts = [f"n{i}" for i in range(8)]
+    for b in range(7):
+        # each batch merges the growing chain with one new vertex —
+        # every batch's cc_labels relabel points an OLD root at a NEW
+        # one, so the uncompacted log holds a multi-hop pointer chain
+        ivm.insert_batch(
+            spark.createDataFrame(
+                [(verts[b], verts[b + 1])], "src string, dst string"
+            ),
+            b,
+        )
+    assert len(ivm.labels.snapshots()) >= 5  # genuinely uncompacted
+
+    # driver-side reference: max-ep row per node over the FULL log,
+    # then chase pointers to fixpoint in plain Python
+    rows = ivm.labels.load(spark).collect()
+    cur = {}
+    for r in rows:
+        if r.node not in cur or r.ep > cur[r.node][1]:
+            cur[r.node] = (r.root, r.ep)
+    mapping = {n: v[0] for n, v in cur.items()}
+
+    def ref_root(v):
+        while v in mapping and mapping[v] != v:
+            v = mapping[v]
+        return v
+
+    expect = {v: ref_root(v) for v in verts}
+    assert len(set(expect.values())) == 1  # one component by design
+
+    got = {
+        r.v: r.root
+        for r in ivm.chase(
+            spark.createDataFrame([(v,) for v in verts], "v string")
+        ).collect()
+    }
+    assert got == expect
+
+    # members_of(final root) over the same uncompacted chains must
+    # recover every chain member exactly
+    root = next(iter(expect.values()))
+    members = {
+        r.node
+        for r in ivm.members_of(
+            spark.createDataFrame([(root,)], "root string")
+        ).collect()
+    }
+    assert members == set(verts)

@@ -260,3 +260,105 @@ def test_kmeans_sufficient_stats_replay(spark, tmp_path):
     served = cents(-999)  # serving fold sees everything
     assert served[(0, 1)] == (100 + 240) // 3
     assert served[(1, 1)] == 900
+
+
+# ---------------------------------------------------------------------------
+# r14: single-action commit primitives — append_compact_once and append_fused
+# ---------------------------------------------------------------------------
+
+
+def test_append_compact_once_equals_append_then_compact(spark, tmp_path):
+    """append_compact_once(df, bid, k, fold) must leave the SAME folded
+    view, log shape and hwm as append_once + compact did."""
+    from gravitydb_spark.transaction import DatasetStore
+
+    a = DatasetStore(str(tmp_path / "old"), write_coalesce=1, small_writes=True)
+    b = DatasetStore(str(tmp_path / "new"), write_coalesce=1, small_writes=True)
+    batches = [
+        [("a", 1), ("b", 2)],
+        [("a", 10), ("c", 3)],
+        [("b", 5)],
+    ]
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k string, n long")
+        if a.append_once(df, bid) is not None:
+            a.compact(spark, min_deltas=2, transform=_fold)
+        b.append_compact_once(spark, df, bid, min_deltas=2, transform=_fold)
+    assert _view(spark, a) == _view(spark, b) == {"a": 11, "b": 7, "c": 3}
+    # every-batch folding keeps the log at ONE snapshot on both paths
+    assert len(a.snapshots()) == len(b.snapshots()) == 1
+    # replay of the last batch: recognized on both, nothing re-counted
+    last = spark.createDataFrame(batches[-1], "k string, n long")
+    assert b.append_compact_once(spark, last, 2, min_deltas=2, transform=_fold) is None
+    assert _view(spark, b) == {"a": 11, "b": 7, "c": 3}
+
+
+def test_append_compact_once_below_threshold_is_plain_append(spark, tmp_path):
+    from gravitydb_spark.transaction import DatasetStore
+
+    s = DatasetStore(str(tmp_path / "s"), write_coalesce=1, small_writes=True)
+    d0 = spark.createDataFrame([("a", 1)], "k string, n long")
+    s.append_compact_once(spark, d0, 0, min_deltas=4, transform=_fold)
+    s.append_compact_once(
+        spark,
+        spark.createDataFrame([("a", 2)], "k string, n long"),
+        1,
+        min_deltas=4,
+        transform=_fold,
+    )
+    assert len(s.snapshots()) == 2  # below threshold: deltas accumulate
+    assert _view(spark, s) == {"a": 3}
+
+
+def test_append_fused_multi_store_one_action(spark, tmp_path):
+    """append_fused publishes N schemas-distinct deltas from ONE tagged
+    collect; per-store content must be byte-equivalent to independent
+    appends (readback, partition pruning, bid gating, publish order)."""
+    from gravitydb_spark.transaction import DatasetStore, append_fused
+
+    bloom = DatasetStore(str(tmp_path / "bloom"), write_coalesce=1, small_writes=True)
+    idx = DatasetStore(
+        str(tmp_path / "idx"), partition_cols=("pb",), write_coalesce=1, small_writes=True
+    )
+    dbloom = spark.createDataFrame([(0, 5), (1, 9)], "w long, bits long")
+    didx = spark.createDataFrame(
+        [("k1", 0, 0), ("k2", 1, 1)], "bk string, bid long, pb int"
+    )
+    names = append_fused([(bloom, dbloom), (idx, didx, 0)])
+    assert all(n is not None for n in names)
+    assert {r.w: r.bits for r in bloom.load(spark).collect()} == {0: 5, 1: 9}
+    assert {r.bk for r in idx.load(spark).collect()} == {"k1", "k2"}
+    # partition layout intact: a pb filter prunes to hive dirs
+    pruned = idx.load(spark, where=F.col("pb") == 1)
+    assert [r.bk for r in pruned.collect()] == ["k2"]
+    # replayed bid: the gated part skips, the inert part re-publishes
+    names2 = append_fused([(bloom, dbloom), (idx, didx, 0)])
+    assert names2[0] is not None and names2[1] is None
+    assert len(idx.snapshots()) == 1  # no duplicate index delta
+
+
+def test_append_fused_empty_and_types_roundtrip(spark, tmp_path):
+    """Typed-NULL padding must not leak across parts: arrays/strings/
+    longs keep their exact types, and an empty partitioned part writes
+    no data files (the _read skip contract)."""
+    from pyspark.sql import types as T
+
+    from gravitydb_spark.transaction import DatasetStore, append_fused
+
+    s1 = DatasetStore(str(tmp_path / "s1"), write_coalesce=1, small_writes=True)
+    s2 = DatasetStore(
+        str(tmp_path / "s2"), partition_cols=("cell",), write_coalesce=1, small_writes=True
+    )
+    d1 = spark.createDataFrame(
+        [("v", [1.5, 2.5], 7)], "id string, vec array<double>, n long"
+    )
+    d2 = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("vid", T.LongType()),
+        ])
+    )
+    append_fused([(s1, d1), (s2, d2)])
+    row = s1.load(spark).collect()[0]
+    assert row.id == "v" and row.vec == [1.5, 2.5] and row.n == 7
+    assert s2.load(spark) is None  # empty partitioned delta: no files
