@@ -62,17 +62,24 @@ def snapshot_id(g: PropertyGraph) -> str:
     Two stores with identical content get identical ids regardless of
     partitioning or row order."""
     import hashlib
+    from functools import reduce
 
-    sums = []
-    for df in (g.vertices, g.edges, g.properties, g.prop_refs):
-        row = df.agg(
+    # r14 (guide §5/§7.3): ONE action instead of four sequential
+    # .first()s — each per-table agg re-planned and re-executed the
+    # graph's whole op lineage; the tagged union collects all four
+    # (n, s) rows in a single job. Same values, same string, same hash.
+    parts = [
+        df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")),
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("s"),
-        ).first()
-        sums.append(f"{row['n']}:{row['s']}")
+        ).select(F.lit(i).alias("t"), "n", "s")
+        for i, df in enumerate((g.vertices, g.edges, g.properties, g.prop_refs))
+    ]
+    rows = reduce(lambda a, b: a.unionByName(b), parts).collect()
+    sums = [f"{r['n']}:{r['s']}" for r in sorted(rows, key=lambda r: r["t"])]
     return hashlib.sha256("|".join(sums).encode()).hexdigest()
 
 
@@ -81,20 +88,33 @@ def _closure_properties(g: PropertyGraph, seed_hashes: DataFrame) -> DataFrame:
     ``prop``-kind nesting backlinks (child → parent), to fixpoint —
     nesting depth is schema depth, tiny."""
     have = seed_hashes.select("prop_hash").distinct().localCheckpoint()
-    nest = g.prop_refs.filter(F.col("ref_kind") == "prop")
+    # r14: cut the nesting-backlink side once — uncut, every fixpoint
+    # iteration re-executed the graph's full prop_refs lineage (§7.3) —
+    # and expand levels in BURSTS of 4 with ONE emptiness probe per
+    # burst (guide §1.2, the CC-BFS-rebuild trick): an empty level makes
+    # every later level empty, and empty levels union zero rows into
+    # ``have``, so probing only the burst's last frame loses nothing.
+    # Nesting depth is schema depth (1-3 in practice) — one probe total.
+    nest = g.prop_refs.filter(F.col("ref_kind") == "prop").localCheckpoint(
+        eager=False
+    )
     while True:
-        children = (
-            nest.join(
-                have.select(F.col("prop_hash").alias("ref_id")), "ref_id", "leftsemi"
+        children = None
+        for _ in range(4):
+            children = (
+                nest.join(
+                    have.select(F.col("prop_hash").alias("ref_id")),
+                    "ref_id",
+                    "leftsemi",
+                )
+                .select("prop_hash")
+                .distinct()
+                .join(have, "prop_hash", "leftanti")
+                .localCheckpoint(eager=False)
             )
-            .select("prop_hash")
-            .distinct()
-            .join(have, "prop_hash", "leftanti")
-            .localCheckpoint()
-        )
+            have = have.unionByName(children).localCheckpoint(eager=False)
         if children.isEmpty():
             break
-        have = have.unionByName(children).localCheckpoint()
     return g.properties.join(have, "prop_hash", "leftsemi")
 
 
@@ -110,22 +130,35 @@ def graph_diff(base: PropertyGraph, new: PropertyGraph) -> dict:
     - ``depends_on``  — [snapshot_id(base)]
     """
     bv, nv = base.vertices, new.vertices
-    created_nodes = nv.join(bv.select("id"), "id", "leftanti")
-    deleted_nodes = bv.join(nv.select("id"), "id", "leftanti")
+    # r14: lazy cuts on every exported frame — each is consumed two to
+    # three times (JSON rows() collect, the closure seed, apply joins),
+    # and uncut each consumer re-planned the full two-snapshot lineage
+    # (§7.3). Lazy is sound: nothing mutates between diff and use.
+    created_nodes = nv.join(bv.select("id"), "id", "leftanti").localCheckpoint(
+        eager=False
+    )
+    deleted_nodes = bv.join(nv.select("id"), "id", "leftanti").localCheckpoint(
+        eager=False
+    )
     modified = (
         nv.alias("n")
         .join(bv.alias("b"), "id")
         .filter(F.col("n.prop_hash") != F.col("b.prop_hash"))
         .select("id", F.col("n.prop_hash").alias("prop_hash"))
+        .localCheckpoint(eager=False)
     )
-    created_edges = new.edges.join(base.edges.select("edge_id"), "edge_id", "leftanti")
-    deleted_edges = base.edges.join(new.edges.select("edge_id"), "edge_id", "leftanti")
+    created_edges = new.edges.join(
+        base.edges.select("edge_id"), "edge_id", "leftanti"
+    ).localCheckpoint(eager=False)
+    deleted_edges = base.edges.join(
+        new.edges.select("edge_id"), "edge_id", "leftanti"
+    ).localCheckpoint(eager=False)
     seed = (
         created_nodes.select("prop_hash")
         .unionByName(modified.select("prop_hash"))
         .unionByName(created_edges.select("prop_hash"))
     )
-    props = _closure_properties(new, seed)
+    props = _closure_properties(new, seed).localCheckpoint(eager=False)
     # nesting backlinks among the exported blobs, so applying on a store
     # that has never seen them reconstructs the full backlink tree —
     # BOTH endpoints must be exported (a shared child also nests under
@@ -212,21 +245,27 @@ def apply_change(base: PropertyGraph, change: dict) -> PropertyGraph:
     created_n = change["created_nodes"].select("id", "prop_hash")
     modified = change["modified"].select("id", "prop_hash")
     gone_n = change["deleted_nodes"].select("id")
+    # r14: lazy cuts — each frame feeds _rebuild_refs (refs build + the
+    # returned graph) and the gc fixpoint re-reads properties/prop_refs
+    # several times; uncut, every iteration re-executed this whole
+    # union/anti-join tree (§7.3)
     vertices = (
         base.vertices.join(gone_n, "id", "leftanti")
         .join(modified.select("id"), "id", "leftanti")
         .unionByName(modified)
         .unionByName(created_n)
         .dropDuplicates(["id"])
+        .localCheckpoint(eager=False)
     )
     edges = (
         base.edges.join(change["deleted_edges"].select("edge_id"), "edge_id", "leftanti")
         .unionByName(change["created_edges"].select(*base.edges.columns))
         .dropDuplicates(["edge_id"])
+        .localCheckpoint(eager=False)
     )
     properties = base.properties.unionByName(
         change["properties"].select(*base.properties.columns)
-    ).dropDuplicates(["prop_hash"])
+    ).dropDuplicates(["prop_hash"]).localCheckpoint(eager=False)
     template = base._with(
         prop_refs=base.prop_refs.unionByName(
             change["nest_refs"].select(*base.prop_refs.columns)
@@ -270,6 +309,9 @@ def _rebuild_refs(
             )
         )
         .dropDuplicates()
+        # r14: cut before gc — the fixpoint's first isEmpty otherwise
+        # re-executes the whole rebuild tree per iteration (§7.3)
+        .localCheckpoint(eager=False)
     )
     return template._with(
         vertices=vertices, edges=edges, properties=properties, prop_refs=refs
@@ -296,7 +338,11 @@ def merge_graphs(
     va = a.vertices.select("id", F.col("prop_hash").alias("ph_a"))
     vb = b.vertices.select("id", F.col("prop_hash").alias("ph_b"))
     vo = base.vertices.select("id", F.col("prop_hash").alias("ph_o"))
-    m = vo.join(va, "id", "full").join(vb, "id", "full")
+    # r14: cut the three-way join — it feeds the conflict probe AND the
+    # merged vertex set; the conflict collect materializes it (§7.3)
+    m = vo.join(va, "id", "full").join(vb, "id", "full").localCheckpoint(
+        eager=False
+    )
 
     agree = F.col("ph_a").eqNullSafe(F.col("ph_b"))
     a_unchanged = F.col("ph_a").eqNullSafe(F.col("ph_o"))
@@ -317,6 +363,8 @@ def merge_graphs(
     vertices = (
         m.select("id", merged.alias("prop_hash"))
         .filter(F.col("prop_hash").isNotNull())
+        # r14: consumed three times (edge cascade ×2, rebuild) — cut
+        .localCheckpoint(eager=False)
     )
 
     ea, eb, eo = a.edges, b.edges, base.edges
@@ -331,12 +379,14 @@ def merge_graphs(
         .join(vertices.select(F.col("id").alias("src")), "src", "leftsemi")
         .join(vertices.select(F.col("id").alias("dst")), "dst", "leftsemi")
         .select(*base.edges.columns)  # joins moved the key columns first
+        .localCheckpoint(eager=False)  # r14: feeds refs build + _with
     )
 
     properties = (
         base.properties.unionByName(a.properties)
         .unionByName(b.properties)
         .dropDuplicates(["prop_hash"])
+        .localCheckpoint(eager=False)  # r14: refs nesting joins ×2 + gc
     )
     # nesting rows may exist on either side; feed both to the rebuild
     template = base._with(

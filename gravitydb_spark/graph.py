@@ -403,7 +403,15 @@ class PropertyGraph:
         fixpoint is cheaper. A property is live iff it has ≥1 prop_refs row;
         deleting a dead parent drops its nesting refs, which may orphan
         children — iterate to fixpoint (depth = nesting depth, tiny)."""
-        properties, prop_refs = self.properties, self.prop_refs
+        # r14 (guide §7.3): lazy lineage cuts at entry and per iteration —
+        # uncut, every fixpoint isEmpty re-planned and re-executed the
+        # graph's whole op lineage (unions/anti-joins of every CRUD op
+        # since load), making gc quadratic in plan depth. The first
+        # isEmpty materializes the entry cuts; each iteration's cuts ride
+        # the next probe. Lazy is sound: nothing external mutates between
+        # the cut and its first action.
+        properties = self.properties.localCheckpoint(eager=False)
+        prop_refs = self.prop_refs.localCheckpoint(eager=False)
         for _ in range(max_iters):
             dead = properties.join(
                 prop_refs.select("prop_hash").distinct(), "prop_hash", "leftanti"
@@ -411,10 +419,16 @@ class PropertyGraph:
             if dead.isEmpty():
                 break
             dead = dead.cache()
-            properties = properties.join(dead, "prop_hash", "leftanti")
-            prop_refs = prop_refs.join(
-                dead.select(F.col("prop_hash").alias("ref_id")), "ref_id", "leftanti"
-            ).select("prop_hash", "ref_kind", "ref_id")
+            properties = properties.join(dead, "prop_hash", "leftanti").localCheckpoint(
+                eager=False
+            )
+            prop_refs = (
+                prop_refs.join(
+                    dead.select(F.col("prop_hash").alias("ref_id")), "ref_id", "leftanti"
+                )
+                .select("prop_hash", "ref_kind", "ref_id")
+                .localCheckpoint(eager=False)
+            )
         return self._with(properties=properties, prop_refs=prop_refs)
 
     # -- integrity (planned CLI db_info/doctor, backends_filestore.adoc) ----

@@ -1198,6 +1198,7 @@ _CC_RETRACT_ORACLE = """
 # 100 TB graph components are small-world (diameter << 64), and a
 # genuinely path-shaped workload should raise the cap knob instead.
 _CC_BFS_ROUNDS = 64
+_CC_BFS_STEP = 4  # BFS levels expanded per driver probe (r14, guide §1.2)
 
 
 class CCIvm:
@@ -1666,24 +1667,46 @@ class CCIvm:
         )
         frontier = visited
         tree_parts = []
-        for _ in range(_CC_BFS_ROUNDS):  # rounds = component diameter, capped
-            step = (
-                und.join(frontier.select(F.col("id").alias("src")), "src")
-                .select(F.col("src").alias("pu"), F.col("dst").alias("id"))
-                .join(visited, "id", "left_anti")
-            )
-            parent = (
-                step.groupBy("id")
-                .agg(F.min("pu").alias("pu"))
-                .localCheckpoint(eager=False)
-            )
+        # r14 (guide §1.2): the per-level emptiness probe was one driver
+        # round PER BFS LEVEL — a deep component paid the ~0.1-0.3s/job
+        # scheduling floor 64 times. Levels are now expanded in BURSTS of
+        # _CC_BFS_STEP with ONE probe per burst: the lazy cuts chain, so
+        # the burst's last probe materializes all its levels in one job.
+        # Per-level min-parents are untouched (each level's anti-join
+        # sees exactly the same visited set), so the tree is IDENTICAL;
+        # an empty level makes every later level empty, so probing only
+        # the burst's last frame loses nothing, and trailing empty
+        # parents add zero rows to the tree union. Total levels stay
+        # capped at _CC_BFS_ROUNDS — the fallback contract is unchanged.
+        lvl = 0
+        while lvl < _CC_BFS_ROUNDS:  # levels = component diameter, capped
+            burst = min(_CC_BFS_STEP, _CC_BFS_ROUNDS - lvl)
+            parent = None
+            for _ in range(burst):
+                step = (
+                    und.join(frontier.select(F.col("id").alias("src")), "src")
+                    .select(F.col("src").alias("pu"), F.col("dst").alias("id"))
+                    .join(visited, "id", "left_anti")
+                )
+                parent = (
+                    step.groupBy("id")
+                    .agg(F.min("pu").alias("pu"))
+                    .localCheckpoint(eager=False)
+                )
+                tree_parts.append(parent)
+                visited = visited.unionByName(parent.select("id")).localCheckpoint(
+                    eager=False
+                )
+                frontier = parent.select("id")
+                lvl += 1
             if parent.isEmpty():
                 break
-            tree_parts.append(parent)
-            visited = visited.unionByName(parent.select("id")).localCheckpoint(
-                eager=False
-            )
-            frontier = parent.select("id")
+        # depth-0 guard: if even level 1 is empty (a bare root with no
+        # surviving edges) the old per-level loop appended nothing — keep
+        # that publication pattern (no empty tree delta); the probe is a
+        # take(1) on an already-materialized checkpoint, one tiny job
+        if tree_parts and tree_parts[0].isEmpty():
+            tree_parts = []
         if tree_parts:
             t = tree_parts[0]
             for p in tree_parts[1:]:

@@ -36,8 +36,29 @@ from __future__ import annotations
 import os
 from typing import Callable, Iterable, Optional
 
+from contextlib import contextmanager
+
 from .constraints import check_constraints
 from .graph import PropertyGraph
+
+
+@contextmanager
+def _aqe_off(spark):
+    """Scope-disable AQE around ONE bounded driver-side collect (r14,
+    guide §1.2/§5): a KB-sized tagged-union collect pays one AQE
+    stage-job per exchange (~0.2-0.5s driver scheduling floor each,
+    measured 5 jobs/3.0s vs 1 job/0.06s for the fused-commit union) and
+    adaptivity buys nothing — the result is collected whole either way.
+    The conf is session-global; every caller here runs its collects
+    sequentially on its session (bench loop, tests, CLI verbs,
+    foreachBatch handlers), and the previous value is restored in
+    ``finally``."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 __all__ = ["DatasetStore", "TransactionalStore", "WriterLockHeld", "transact"]
 
@@ -312,6 +333,68 @@ class TransactionalStore(_SnapshotLog):
         """Publish the first snapshot."""
         return self.commit(graph)
 
+    # small-graph fused commit: at most this many rows per table are
+    # collected driver-side; a bigger table falls back to graph.save's
+    # cluster write (same bound philosophy as DatasetStore.small_writes)
+    ARROW_COMMIT_CAP = 100_000
+
+    def _save_graph_small(self, graph: PropertyGraph, target: str) -> bool:
+        """Write all four graph tables behind ONE Spark action (r14,
+        guide §5 — a commit was 4 repartition+write jobs plus their AQE
+        stages, ~12 driver rounds for a KB-sized CLI/test graph): the
+        tables are collected together as one tagged, typed-NULL-padded
+        union bounded by ``limit(cap+1)`` per part, then written
+        driver-side with pyarrow — identical rows, identical schemas
+        (all-string tables), plain unpartitioned parquet dirs any reader
+        of graph.save's layout reads unchanged. Returns False (having
+        written nothing) when any table exceeds the cap — the caller
+        falls back to the cluster write, so commit degrades at scale
+        exactly as before with one bounded probe action of overhead."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as papq
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        cap = self.ARROW_COMMIT_CAP
+        named = [
+            ("vertices", graph.vertices),
+            ("edges", graph.edges),
+            ("properties", graph.properties),
+            ("prop_refs", graph.prop_refs),
+        ]
+        padded = []
+        for i, (_n, df) in enumerate(named):
+            cols = [F.lit(i).alias("_fuse_tag")]
+            for j, (_n2, df2) in enumerate(named):
+                for fld in df2.schema.fields:
+                    cname = f"c{j}_{fld.name}"
+                    cols.append(
+                        F.col(fld.name).alias(cname)
+                        if j == i
+                        else F.lit(None).cast(fld.dataType).alias(cname)
+                    )
+            padded.append(df.limit(cap + 1).select(*cols))
+        union = reduce(lambda a, b: a.unionByName(b), padded)
+        with _aqe_off(graph.spark):
+            tbl = union.toArrow()  # the ONE Spark action
+        tags = tbl.column("_fuse_tag")
+        parts = []
+        for i, (tname, df) in enumerate(named):
+            part = tbl.filter(pc.equal(tags, i)).select(
+                [f"c{i}_{f.name}" for f in df.schema.fields]
+            )
+            if part.num_rows > cap:
+                return False  # nothing written yet — cluster fallback
+            parts.append(
+                (tname, part.rename_columns([f.name for f in df.schema.fields]))
+            )
+        for tname, part in parts:
+            tdir = os.path.join(target, tname)
+            os.makedirs(tdir)  # fresh dir — never overwrite (mode=error)
+            papq.write_table(part, os.path.join(tdir, "part-00000.parquet"))
+        return True
+
     def commit(
         self,
         graph: PropertyGraph,
@@ -327,7 +410,8 @@ class TransactionalStore(_SnapshotLog):
             name = self._alloc_name()
             target = os.path.join(self.path, name)
             try:
-                graph.save(target, mode="error")  # fresh dir — never overwrite
+                if not self._save_graph_small(graph, target):
+                    graph.save(target, mode="error")  # fresh dir — never overwrite
                 # verify the COMMITTED bytes, not the in-memory lineage
                 committed = PropertyGraph.load(graph.spark, target, graph.schema)
                 check_constraints(committed, constraints)
@@ -479,7 +563,8 @@ class DatasetStore(_SnapshotLog):
         contract), an empty UNpartitioned delta writes a schema-bearing
         empty parquet (what df.write does)."""
         cap = self.ARROW_WRITE_CAP
-        tbl = df.limit(cap + 1).toArrow()
+        with _aqe_off(df.sparkSession):
+            tbl = df.limit(cap + 1).toArrow()
         if tbl.num_rows > cap:
             return False
         self._write_arrow_table(tbl, target)
@@ -750,7 +835,8 @@ def append_fused(parts) -> list:
     from functools import reduce
 
     union = reduce(lambda a, b: a.unionByName(b), padded)
-    tbl = union.toArrow()  # the ONE Spark action
+    with _aqe_off(union.sparkSession):
+        tbl = union.toArrow()  # the ONE Spark action
     tags = tbl.column("_fuse_tag")
     out = []
     for i, (store, df, bid) in enumerate(norm):

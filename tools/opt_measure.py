@@ -46,7 +46,9 @@ def main() -> None:
     p.add_argument("--suffix", default=None)
     p.add_argument("--out", default=None)
     p.add_argument("--noop", action="store_true")
+    p.add_argument("--plans-dir", default=PLANS_DIR)
     args = p.parse_args()
+    plans_dir = args.plans_dir
 
     from gravitydb_spark.registry import queries
     from gravitydb_spark.session import get_spark
@@ -84,12 +86,12 @@ def main() -> None:
             flush=True,
         )
         if args.suffix:
-            os.makedirs(PLANS_DIR, exist_ok=True)
+            os.makedirs(plans_dir, exist_ok=True)
             plan = spark._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
             with open(
-                os.path.join(PLANS_DIR, f"{name}_{args.suffix}.txt"), "w"
+                os.path.join(plans_dir, f"{name}_{args.suffix}.txt"), "w"
             ) as f:
                 f.write(plan)
         sc.setJobDescription(None)

@@ -35,7 +35,9 @@ def main() -> None:
     p.add_argument("names", nargs="+")
     p.add_argument("--sf", default="/root/testdata/sf0.001")
     p.add_argument("--suffix", required=True)
+    p.add_argument("--plans-dir", default=PLANS_DIR)
     args = p.parse_args()
+    plans_dir = args.plans_dir
 
     # Spark 4: runtime frames are the CLASSIC subclass, which overrides
     # localCheckpoint — patch that class, not the abstract parent
@@ -49,7 +51,7 @@ def main() -> None:
     from gravitydb_spark.graph_queries import tpch_graph
 
     tpch_graph(spark, args.sf).db_info()
-    os.makedirs(PLANS_DIR, exist_ok=True)
+    os.makedirs(plans_dir, exist_ok=True)
 
     orig = DataFrame.localCheckpoint
     state = {"f": None, "n": 0}
@@ -71,7 +73,7 @@ def main() -> None:
     try:
         for name in args.names:
             path = os.path.join(
-                PLANS_DIR, f"{name}_rounds_{args.suffix}.txt"
+                plans_dir, f"{name}_rounds_{args.suffix}.txt"
             )
             with open(path, "w") as f:
                 state["f"], state["n"] = f, 0
