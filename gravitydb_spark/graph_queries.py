@@ -5016,45 +5016,62 @@ def _sgf_pairs(spark, sf_dir, gamma: int | None = None):
         # guide §2.1): the old c1⋈c2 wid self-join shuffled the corpus
         # twice and banded a 9×9 step cross; each (s1, s2) pair with
         # 0 < |s1−s2| ≤ W appears exactly once as (step = max(s1,s2),
-        # p{|s1−s2|}) — emitting both orientations reproduces the join's
-        # multiset exactly (equal w=1 rows into the same groupBy). One
-        # explode per row, not 2W union branches: the explode keeps a
-        # SINGLE cache scan (measured 2× on the agg; explode is a
-        # codegen generator, not an interpreted HOF); NULL p{j} rows
-        # (step < j) drop in the filter.
-        pair_structs = []
-        for j in range(1, _SG_WINDOW + 1):
-            pair_structs.append(
-                F.struct(
-                    F.col(f"p{j}").alias("a"), F.col("v").alias("b")
-                )
-            )
-            pair_structs.append(
-                F.struct(
-                    F.col("v").alias("a"), F.col(f"p{j}").alias("b")
-                )
-            )
+        # p{|s1−s2|}). r14b (guide §2.3 — shuffle fewer bytes): the pair
+        # multiset is exactly ORIENTATION-SYMMETRIC (every co-occurrence
+        # contributed one row per orientation, and the edge sentences
+        # come from the symmetric und set), so aggregate CANONICAL
+        # (least, greatest) pairs — HALF the explode rows, half the
+        # exchange, half the groups — and expand both orientations after
+        # the agg: w(a,b) = w(b,a) = canonical w, and a self-pair (a,a)
+        # collapsed its two equal orientations into one group, so it
+        # expands to a single row with 2·w. One struct per window slot
+        # (p{j}, v), canonicalized AFTER the null filter — least/greatest
+        # SKIP nulls, so canonicalizing before the filter would turn a
+        # (NULL, v) slot into a bogus (v, v) self-pair.
+        pair_structs = [
+            F.struct(F.col(f"p{j}").alias("a"), F.col("v").alias("b"))
+            for j in range(1, _SG_WINDOW + 1)
+        ]
         win = (
             corp_w.select(F.explode(F.array(*pair_structs)).alias("e"))
-            .filter(
-                F.col("e.a").isNotNull() & F.col("e.b").isNotNull()
+            .filter(F.col("e.a").isNotNull())
+            .select(
+                F.least("e.a", "e.b").alias("x"),
+                F.greatest("e.a", "e.b").alias("y"),
+                F.lit(1).alias("w"),
             )
-            .select("e.a", "e.b", F.lit(1).alias("w"))
         )
         edges = (
             _trade_und(spark, sf_dir)
             .select("a", "b")
             .distinct()
-            .select("a", "b", F.lit(1).alias("w"))
+            .filter(F.col("a") < F.col("b"))  # und is symmetric: one
+            .select(                          # canonical row per edge
+                F.col("a").alias("x"), F.col("b").alias("y"), F.lit(1).alias("w")
+            )
         )
-        pos = (
+        posc = (
             win.unionByName(edges)
-            .groupBy("a", "b")
+            .groupBy("x", "y")
             .agg(F.sum("w").cast("long").alias("w"))
-            # lazy cut (r14): pos feeds BOTH prs branches (positives and
-            # the negatives derivation) — uncut, the window-pair agg ran
-            # twice per materialization (the shared-subtree lesson)
+            # lazy cut (r14): the canonical agg feeds both expansion
+            # branches and, through them, positives AND the negatives
+            # derivation — uncut it ran once per consumer
             .localCheckpoint(eager=False)
+        )
+        xy = posc.filter(F.col("x") != F.col("y"))
+        pos = (
+            xy.select(F.col("x").alias("a"), F.col("y").alias("b"), "w")
+            .unionByName(
+                xy.select(F.col("y").alias("a"), F.col("x").alias("b"), "w")
+            )
+            .unionByName(
+                posc.filter(F.col("x") == F.col("y")).select(
+                    F.col("x").alias("a"),
+                    F.col("y").alias("b"),
+                    (F.col("w") * 2).cast("long").alias("w"),
+                )
+            )
         )
         toks = corp.select(
             "v",
