@@ -35,7 +35,7 @@ import json
 
 from pyspark.sql import DataFrame, functions as F
 
-from .graph import PropertyGraph
+from .graph import PropertyGraph, _cut
 
 __all__ = [
     "MergeConflictError",
@@ -95,9 +95,7 @@ def _closure_properties(g: PropertyGraph, seed_hashes: DataFrame) -> DataFrame:
     # every later level empty, and empty levels union zero rows into
     # ``have``, so probing only the burst's last frame loses nothing.
     # Nesting depth is schema depth (1-3 in practice) — one probe total.
-    nest = g.prop_refs.filter(F.col("ref_kind") == "prop").localCheckpoint(
-        eager=False
-    )
+    nest = _cut(g.prop_refs.filter(F.col("ref_kind") == "prop"))
     while True:
         children = None
         for _ in range(4):
@@ -110,9 +108,9 @@ def _closure_properties(g: PropertyGraph, seed_hashes: DataFrame) -> DataFrame:
                 .select("prop_hash")
                 .distinct()
                 .join(have, "prop_hash", "leftanti")
-                .localCheckpoint(eager=False)
             )
-            have = have.unionByName(children).localCheckpoint(eager=False)
+            children = _cut(children)
+            have = _cut(have.unionByName(children))
         if children.isEmpty():
             break
     return g.properties.join(have, "prop_hash", "leftsemi")
@@ -134,31 +132,27 @@ def graph_diff(base: PropertyGraph, new: PropertyGraph) -> dict:
     # three times (JSON rows() collect, the closure seed, apply joins),
     # and uncut each consumer re-planned the full two-snapshot lineage
     # (§7.3). Lazy is sound: nothing mutates between diff and use.
-    created_nodes = nv.join(bv.select("id"), "id", "leftanti").localCheckpoint(
-        eager=False
-    )
-    deleted_nodes = bv.join(nv.select("id"), "id", "leftanti").localCheckpoint(
-        eager=False
-    )
+    created_nodes = _cut(nv.join(bv.select("id"), "id", "leftanti"))
+    deleted_nodes = _cut(bv.join(nv.select("id"), "id", "leftanti"))
     modified = (
         nv.alias("n")
         .join(bv.alias("b"), "id")
         .filter(F.col("n.prop_hash") != F.col("b.prop_hash"))
         .select("id", F.col("n.prop_hash").alias("prop_hash"))
-        .localCheckpoint(eager=False)
     )
-    created_edges = new.edges.join(
-        base.edges.select("edge_id"), "edge_id", "leftanti"
-    ).localCheckpoint(eager=False)
-    deleted_edges = base.edges.join(
-        new.edges.select("edge_id"), "edge_id", "leftanti"
-    ).localCheckpoint(eager=False)
+    modified = _cut(modified)
+    created_edges = _cut(
+        new.edges.join(base.edges.select("edge_id"), "edge_id", "leftanti")
+    )
+    deleted_edges = _cut(
+        base.edges.join(new.edges.select("edge_id"), "edge_id", "leftanti")
+    )
     seed = (
         created_nodes.select("prop_hash")
         .unionByName(modified.select("prop_hash"))
         .unionByName(created_edges.select("prop_hash"))
     )
-    props = _closure_properties(new, seed).localCheckpoint(eager=False)
+    props = _cut(_closure_properties(new, seed))
     # nesting backlinks among the exported blobs, so applying on a store
     # that has never seen them reconstructs the full backlink tree —
     # BOTH endpoints must be exported (a shared child also nests under
@@ -245,27 +239,29 @@ def apply_change(base: PropertyGraph, change: dict) -> PropertyGraph:
     created_n = change["created_nodes"].select("id", "prop_hash")
     modified = change["modified"].select("id", "prop_hash")
     gone_n = change["deleted_nodes"].select("id")
-    # r14: lazy cuts — each frame feeds _rebuild_refs (refs build + the
-    # returned graph) and the gc fixpoint re-reads properties/prop_refs
-    # several times; uncut, every iteration re-executed this whole
-    # union/anti-join tree (§7.3)
+    # r14 note: these three frames are deliberately NOT lineage-cut —
+    # ``modified`` (an already-checkpointed diff frame) appears both as
+    # a union child and as an anti-join input with shared attribute
+    # ids, and forcing the union through localCheckpoint planning trips
+    # a Catalyst constraint-rewrite bug (UnionBase.rewriteConstraints:
+    # "key not found: id#...", seen in test_sharding's sync-back).
+    # gc() cuts properties/prop_refs at entry, which is where the
+    # fixpoint re-reads happened anyway.
     vertices = (
         base.vertices.join(gone_n, "id", "leftanti")
         .join(modified.select("id"), "id", "leftanti")
         .unionByName(modified)
         .unionByName(created_n)
         .dropDuplicates(["id"])
-        .localCheckpoint(eager=False)
     )
     edges = (
         base.edges.join(change["deleted_edges"].select("edge_id"), "edge_id", "leftanti")
         .unionByName(change["created_edges"].select(*base.edges.columns))
         .dropDuplicates(["edge_id"])
-        .localCheckpoint(eager=False)
     )
     properties = base.properties.unionByName(
         change["properties"].select(*base.properties.columns)
-    ).dropDuplicates(["prop_hash"]).localCheckpoint(eager=False)
+    ).dropDuplicates(["prop_hash"])
     template = base._with(
         prop_refs=base.prop_refs.unionByName(
             change["nest_refs"].select(*base.prop_refs.columns)
@@ -309,9 +305,11 @@ def _rebuild_refs(
             )
         )
         .dropDuplicates()
-        # r14: cut before gc — the fixpoint's first isEmpty otherwise
-        # re-executes the whole rebuild tree per iteration (§7.3)
-        .localCheckpoint(eager=False)
+        # r14 note: NOT cut here — gc() lineage-cuts prop_refs at entry
+        # (so the fixpoint never re-executes this tree), and forcing the
+        # union through localCheckpoint planning here trips the same
+        # Catalyst UnionBase.rewriteConstraints bug as apply_change's
+        # unions over reused checkpointed diff frames.
     )
     return template._with(
         vertices=vertices, edges=edges, properties=properties, prop_refs=refs
@@ -340,9 +338,7 @@ def merge_graphs(
     vo = base.vertices.select("id", F.col("prop_hash").alias("ph_o"))
     # r14: cut the three-way join — it feeds the conflict probe AND the
     # merged vertex set; the conflict collect materializes it (§7.3)
-    m = vo.join(va, "id", "full").join(vb, "id", "full").localCheckpoint(
-        eager=False
-    )
+    m = _cut(vo.join(va, "id", "full").join(vb, "id", "full"))
 
     agree = F.col("ph_a").eqNullSafe(F.col("ph_b"))
     a_unchanged = F.col("ph_a").eqNullSafe(F.col("ph_o"))
@@ -363,9 +359,9 @@ def merge_graphs(
     vertices = (
         m.select("id", merged.alias("prop_hash"))
         .filter(F.col("prop_hash").isNotNull())
-        # r14: consumed three times (edge cascade ×2, rebuild) — cut
-        .localCheckpoint(eager=False)
     )
+    # r14: consumed three times (edge cascade ×2, rebuild) — cut
+    vertices = _cut(vertices)
 
     ea, eb, eo = a.edges, b.edges, base.edges
     kept = ea.join(eb.select("edge_id"), "edge_id", "leftsemi")
@@ -379,15 +375,15 @@ def merge_graphs(
         .join(vertices.select(F.col("id").alias("src")), "src", "leftsemi")
         .join(vertices.select(F.col("id").alias("dst")), "dst", "leftsemi")
         .select(*base.edges.columns)  # joins moved the key columns first
-        .localCheckpoint(eager=False)  # r14: feeds refs build + _with
     )
+    edges = _cut(edges)  # r14: feeds refs build + _with
 
     properties = (
         base.properties.unionByName(a.properties)
         .unionByName(b.properties)
         .dropDuplicates(["prop_hash"])
-        .localCheckpoint(eager=False)  # r14: refs nesting joins ×2 + gc
     )
+    properties = _cut(properties)  # r14: refs nesting joins ×2 + gc
     # nesting rows may exist on either side; feed both to the rebuild
     template = base._with(
         prop_refs=base.prop_refs.unionByName(a.prop_refs)

@@ -98,6 +98,27 @@ def _prop_rows(prop: Prop, schema: Schema):
     return list(props.values()), refs
 
 
+def _cut(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` with constraint propagation
+    scoped OFF during the checkpoint's plan finalization (r14): cutting
+    a union whose children reuse an already-checkpointed frame's
+    attribute ids trips a Catalyst bug in
+    ``UnionBase.rewriteConstraints`` ("key not found: id#...") — the
+    CRUD/changeset tables are exactly that shape. Constraints only feed
+    the optimizer's filter inference; the cut plan is KB-sized CRUD
+    state, so nothing is lost. The previous conf value is restored in
+    ``finally``; localCheckpoint plans at call time, so the toggle
+    scopes exactly the one plan."""
+    spark = df.sparkSession
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return df.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set(key, prev)
+
+
 @dataclass
 class PropertyGraph:
     spark: SparkSession
@@ -410,8 +431,8 @@ class PropertyGraph:
         # isEmpty materializes the entry cuts; each iteration's cuts ride
         # the next probe. Lazy is sound: nothing external mutates between
         # the cut and its first action.
-        properties = self.properties.localCheckpoint(eager=False)
-        prop_refs = self.prop_refs.localCheckpoint(eager=False)
+        properties = _cut(self.properties)
+        prop_refs = _cut(self.prop_refs)
         for _ in range(max_iters):
             dead = properties.join(
                 prop_refs.select("prop_hash").distinct(), "prop_hash", "leftanti"
@@ -419,15 +440,11 @@ class PropertyGraph:
             if dead.isEmpty():
                 break
             dead = dead.cache()
-            properties = properties.join(dead, "prop_hash", "leftanti").localCheckpoint(
-                eager=False
-            )
-            prop_refs = (
+            properties = _cut(properties.join(dead, "prop_hash", "leftanti"))
+            prop_refs = _cut(
                 prop_refs.join(
                     dead.select(F.col("prop_hash").alias("ref_id")), "ref_id", "leftanti"
-                )
-                .select("prop_hash", "ref_kind", "ref_id")
-                .localCheckpoint(eager=False)
+                ).select("prop_hash", "ref_kind", "ref_id")
             )
         return self._with(properties=properties, prop_refs=prop_refs)
 
